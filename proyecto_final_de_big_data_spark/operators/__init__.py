@@ -1,0 +1,1 @@
+"""Reusable DataFrame-to-DataFrame operators (the engine's verbs)."""

@@ -1,0 +1,78 @@
+"""Data-quality operators: validity predicates + quantile-clip outlier
+removal (SURVEY §2.2 P5–P7; reference ``src/etl/clean.py:43-64``).
+
+Scale notes (100 TB):
+
+- The reference runs ``approxQuantile`` once PER COLUMN — one full scan
+  each (``src/etl/clean.py:51-64``). ``clip_to_quantiles`` computes all
+  column bounds in ONE aggregation pass (``percentile_approx`` /
+  ``percentile`` are partial+final aggregates), then applies the band
+  filter via a broadcast of the single bounds row — two passes total
+  regardless of column count, and the filter stays JVM-side so Parquet
+  row-group skipping still applies on the second pass.
+- ``exact=True`` uses exact percentiles (needed for oracle-exact tests);
+  production at scale uses the approximate sketch (Greenwald–Khanna).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def validity_filter(df: DataFrame, positive: Iterable[str] = (), not_null: Iterable[str] = ()) -> DataFrame:
+    """Conjunction of validity predicates: cols > 0 AND cols IS NOT NULL.
+
+    Mirrors reference P5 (``src/etl/clean.py:43-49``). A single Filter
+    node → pushed to the parquet scan by Catalyst.
+    """
+    pred: Column | None = None
+    for c in positive:
+        clause = F.col(c) > 0
+        pred = clause if pred is None else pred & clause
+    for c in not_null:
+        clause = F.col(c).isNotNull()
+        pred = clause if pred is None else pred & clause
+    return df.filter(pred) if pred is not None else df
+
+
+def quantile_bounds(
+    df: DataFrame, cols: list[str], lower: float, upper: float, exact: bool = False, relative_error: float = 0.01
+) -> DataFrame:
+    """One-row DataFrame of per-column [lo, hi] quantile bounds.
+
+    One aggregation pass for ALL columns (vs the reference's
+    scan-per-column anti-pattern, SURVEY §4).
+    """
+    aggs = []
+    for c in cols:
+        if exact:
+            q = F.percentile(c, F.array(F.lit(lower), F.lit(upper)))
+        else:
+            q = F.percentile_approx(c, F.array(F.lit(lower), F.lit(upper)), int(1.0 / relative_error))
+        aggs.append(q.getItem(0).alias(f"{c}__lo"))
+        aggs.append(q.getItem(1).alias(f"{c}__hi"))
+    return df.agg(*aggs)
+
+
+def clip_to_quantiles(
+    df: DataFrame,
+    cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    exact: bool = False,
+    relative_error: float = 0.01,
+) -> DataFrame:
+    """Keep rows where every col lies within its [lower, upper] quantile band.
+
+    The bounds row is broadcast-joined (1 row — Catalyst broadcasts it),
+    so the band filter runs distributed with no driver round-trip and no
+    second shuffle.
+    """
+    bounds = quantile_bounds(df, cols, lower, upper, exact=exact, relative_error=relative_error)
+    out = df.crossJoin(F.broadcast(bounds))
+    for c in cols:
+        out = out.filter((F.col(c) >= F.col(f"{c}__lo")) & (F.col(c) <= F.col(f"{c}__hi")))
+    return out.drop(*[f"{c}__{s}" for c in cols for s in ("lo", "hi")])

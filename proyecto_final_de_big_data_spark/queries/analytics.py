@@ -1,0 +1,243 @@
+"""Second-stage analytics queries (reference D1–D10 — pandas in the
+reference's dashboard, engine queries here; SURVEY §2.4 dashboard table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.rollup import argmax_per_group, weighted_mean, with_cumulative_share, with_share_of_total
+from .registry import register
+
+# D1 — re-aggregation across months
+
+
+@register(
+    "monthly_order_rollup",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           count(*) AS total_orders,
+           sum(o_totalprice) AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    description="Per-month re-aggregation — reference D1",
+)
+def q_monthly_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return od.groupBy(
+        F.year("o_orderdate").alias("order_year"), F.month("o_orderdate").alias("order_month")
+    ).agg(F.count(F.lit(1)).alias("total_orders"), F.sum("o_totalprice").alias("sum_price"))
+
+
+# D2 — count-weighted rollup of per-month means
+
+
+@register(
+    "weighted_avg_price_by_priority",
+    oracle="""
+    SELECT priority,
+           sum(avg_price * n_orders) / sum(n_orders) AS weighted_avg_price,
+           sum(n_orders) AS n_orders_total
+    FROM (
+        SELECT o_orderpriority AS priority,
+               month(o_orderdate) AS order_month,
+               avg(o_totalprice) AS avg_price,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY 1, 2
+    )
+    GROUP BY 1
+    """,
+    description="Two-stage count-weighted mean rollup — reference D2",
+)
+def q_weighted_avg_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    per_month = od.groupBy(
+        F.col("o_orderpriority").alias("priority"), F.month("o_orderdate").alias("order_month")
+    ).agg(F.avg("o_totalprice").alias("avg_price"), F.count(F.lit(1)).alias("n_orders"))
+    return weighted_mean(per_month, ["priority"], "avg_price", "n_orders", "weighted_avg_price")
+
+
+# D3 — argmax per group (peak hour per event type)
+
+
+@register(
+    "peak_hour_by_event_type",
+    oracle="""
+    SELECT event_type, event_hour, n_events, rank
+    FROM (
+        SELECT event_type, event_hour, n_events,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n_events DESC, event_hour ASC) AS rank
+        FROM (
+            SELECT event_type, hour(ts) AS event_hour, count(*) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        )
+    )
+    WHERE rank <= 1
+    """,
+    description="Argmax-per-group via row_number window — reference D3",
+)
+def q_peak_hour_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    by_hour = ev.groupBy("event_type", F.hour("ts").alias("event_hour")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    peak = argmax_per_group(by_hour, ["event_type"], [F.desc("n_events"), F.asc("event_hour")], n=1)
+    return peak.select("event_type", "event_hour", "n_events", "rank")
+
+
+# D4 + D5 — equi-join of two aggregates on hour + derived ratio
+
+
+@register(
+    "hour_profile_join",
+    oracle="""
+    WITH counts AS (
+        SELECT hour(ts) AS event_hour, count(*) AS n_events
+        FROM events GROUP BY 1
+    ), sums AS (
+        SELECT hour(ts) AS event_hour, sum(value) AS sum_value
+        FROM events GROUP BY 1
+    )
+    SELECT counts.event_hour AS event_hour, n_events, sum_value,
+           sum_value / n_events AS value_per_event
+    FROM counts JOIN sums ON counts.event_hour = sums.event_hour
+    """,
+    description="Join of two hourly aggregates + derived ratio — reference D4/D5",
+)
+def q_hour_profile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.hour("ts").alias("event_hour")).agg(F.count(F.lit(1)).alias("n_events"))
+    sums = ev.groupBy(F.hour("ts").alias("event_hour")).agg(F.sum("value").alias("sum_value"))
+    # Post-agg frames are tiny (≤24 rows) → broadcast hash join, no shuffle.
+    joined = counts.join(F.broadcast(sums), "event_hour", "inner")
+    return joined.withColumn("value_per_event", F.col("sum_value") / F.col("n_events"))
+
+
+# D6 + D8 — cumulative share over ordered hours
+
+
+@register(
+    "cumulative_hour_share",
+    oracle="""
+    SELECT event_hour, n_events,
+           sum(n_events) OVER (ORDER BY event_hour
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / sum(n_events) OVER () AS cum_share
+    FROM (
+        SELECT hour(ts) AS event_hour, count(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    """,
+    description="Hour-ordered running share of total demand — reference D6",
+)
+def q_cumulative_hour_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    by_hour = ev.groupBy(F.hour("ts").alias("event_hour")).agg(F.count(F.lit(1)).alias("n_events"))
+    return with_cumulative_share(by_hour, "event_hour", "n_events", "cum_share")
+
+
+# D7 — top-/bottom-N
+
+
+@register(
+    "top5_hours_by_events",
+    oracle="""
+    SELECT hour(ts) AS event_hour, count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    ORDER BY n_events DESC, event_hour ASC
+    LIMIT 5
+    """,
+    description="Top-5 hours by demand — reference D7",
+)
+def q_top5_hours_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").alias("event_hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("event_hour"))
+        .limit(5)
+    )
+
+
+# D8 — share of grand total
+
+
+@register(
+    "priority_share_of_total",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           count(*) / (SELECT count(*)::DOUBLE FROM orders) AS share
+    FROM orders
+    GROUP BY 1
+    """,
+    description="Group share of grand total — reference D8",
+)
+def q_priority_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    by_priority = od.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return with_share_of_total(by_priority, "n_orders", "share")
+
+
+# D9 — code→label decode via broadcast dimension join
+
+
+@register(
+    "customer_region_decode",
+    oracle="""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           count(*) AS n_customers,
+           avg(c_acctbal) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+    description="Dimension-decode via broadcast joins — reference D9 code→label maps",
+)
+def q_customer_region_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    decoded = cu.join(
+        F.broadcast(na), cu.c_nationkey == na.n_nationkey, "inner"
+    ).join(F.broadcast(re), na.n_regionkey == re.r_regionkey, "inner")
+    return decoded.groupBy(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    ).agg(F.count(F.lit(1)).alias("n_customers"), F.avg("c_acctbal").alias("avg_acctbal"))
+
+
+# D10 — boolean bucketing (weekend / night)
+
+
+@register(
+    "weekend_night_buckets",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 IN (1, 7) AS INT) AS is_weekend,
+           CAST(hour(ts) >= 22 OR hour(ts) <= 5 AS INT) AS is_night,
+           count(*) AS n_events,
+           avg(value) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Boolean weekend/night bucketing — reference D10",
+)
+def q_weekend_night_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    return (
+        ev.withColumn("is_weekend", F.dayofweek("ts").isin(1, 7).cast("int"))
+        .withColumn("is_night", ((hour >= 22) | (hour <= 5)).cast("int"))
+        .groupBy("is_weekend", "is_night")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+    )

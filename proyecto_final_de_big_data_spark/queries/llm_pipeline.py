@@ -1,0 +1,250 @@
+"""Training-data-pipeline queries over ``documents`` / ``embeddings``:
+dedup, text analysis, fingerprinting, similarity search, multimodal
+plumbing. The north-star extension surface (SURVEY §7 phase 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import exact_dedup, minhash_dedup_pairs
+from ..operators.multimodal import documents_as_media, featurize_media
+from ..operators.similarity import cosine_topk
+from ..operators.similarity_ann import ann_cosine_topk
+from ..operators.text import LANG_MARKERS, fingerprint, lang_guess, quality_score, token_count
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Exact deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique_texts
+    FROM documents
+    GROUP BY 1
+    """,
+    description="Exact-dup profile per source via content digest",
+)
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+    )
+
+
+@register(
+    "dedup_exact_keep",
+    oracle="""
+    SELECT count(*) AS n_keep, sum(n_chars) AS total_chars
+    FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+    """,
+    description="Exact dedup keeping min-id row per distinct text; KPIs of survivors",
+)
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = exact_dedup(docs, ["text"], "doc_id")
+    return kept.agg(F.count(F.lit(1)).alias("n_keep"), F.sum("n_chars").alias("total_chars"))
+
+
+@register(
+    "minhash_near_dup_pairs",
+    oracle=None,  # LSH bucketing is not SQL-expressible portably → rows-only check
+    description="MinHash-LSH near-dup candidate pairs, Jaccard-verified (threshold 0.5)",
+)
+def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.avg("jaccard"), F.lit(0.0)).alias("avg_jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_stats_by_lang",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           avg(n_chars) AS avg_chars,
+           avg(CASE WHEN length(text) = 0 THEN 0
+                    ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS avg_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+    description="Char/token-count statistics per language",
+)
+def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.avg(token_count("text")).alias("avg_tokens"),
+    )
+
+
+@register(
+    "doc_quality_by_source",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           avg(least(length(text) / 200.0, 1.0) * 0.5
+               + (1.0 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / length(text)
+                               + length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)) * 5,
+                              1.0)) * 0.5) AS avg_quality
+    FROM documents
+    GROUP BY 1
+    """,
+    description="Heuristic quality score (length/punct/digit) per source",
+)
+def q_doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(quality_score("text")).alias("avg_quality"),
+    )
+
+
+def _lang_guess_case_sql() -> str:
+    branches = []
+    for lang, markers in LANG_MARKERS.items():
+        clauses = " OR ".join(f"' ' || text || ' ' LIKE '%{m}%'" for m in markers)
+        branches.append(f"WHEN {clauses} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    SELECT lang AS labeled_lang,
+           {_lang_guess_case_sql()} AS guessed_lang,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    description="Stopword-marker language-ID vs labeled lang (confusion counts)",
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        F.col("lang").alias("labeled_lang"), lang_guess("text").alias("guessed_lang")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id, substring(md5(text), 1, 16) AS fp
+    FROM documents
+    """,
+    description="Per-document content fingerprint (md5 prefix, engine-portable)",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (binary payload → Pandas-UDF featurization)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "media_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           substring(md5(text), 1, 16) AS content_fp
+    FROM documents
+    """,
+    description="mapInPandas featurization over binary payloads (decode stubbed); "
+    "byte-count + fingerprint cross-checked against SQL",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return featurize_media(media).select("doc_id", "n_bytes", "content_fp")
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "knn_bruteforce",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                 AS cosine_sim
+        FROM q, c
+        WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cosine_sim, 6) AS cosine_sim
+    FROM (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    """,
+    description="Exact brute-force cosine top-5 for 10 query vectors",
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    top = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    return top.withColumn("cosine_sim", F.round("cosine_sim", 6))
+
+
+@register(
+    "knn_ann_lsh",
+    oracle=None,  # approximate by construction → rows-only check
+    description="LSH-bucketed (random hyperplane) approximate cosine top-5",
+)
+def q_knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_cosine_topk(emb, queries, dim=64, k=5, n_planes=8, n_tables=4)
+
+
+@register(
+    "embedding_norms_by_label",
+    oracle="""
+    SELECT label, count(*) AS n_vectors,
+           avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS avg_norm,
+           avg(embedding[1]::DOUBLE) AS avg_first_dim
+    FROM embeddings
+    GROUP BY 1
+    """,
+    description="Per-label embedding norms via JVM-side array fold",
+)
+def q_embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import as_double_array, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.avg(l2_norm(v)).alias("avg_norm"),
+        F.avg(F.col("embedding").getItem(0).cast("double")).alias("avg_first_dim"),
+    )

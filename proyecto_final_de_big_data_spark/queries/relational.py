@@ -1,0 +1,309 @@
+"""Relational capability queries: multi-joins, semi/anti joins, set ops,
+windows, pivot, rollup — the engine-capability surface exercised by the
+oracle per SURVEY §2.5/§2.6/§2.8 and §5 (the reference's own Spark layer
+is join-free; its pandas layer's joins map here).
+
+Join strategy at scale: dimension tables (region/nation/customer at
+reasonable SF) are broadcast; the fact-fact join (lineitem ⋈ orders) is
+a shuffle hash/sort-merge join on the key both sides are already
+bucketable by. AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.rollup import argmax_per_group
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (groupBy 2 keys, 8 aggregates)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1-style pricing summary — flagship aggregate",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (F.lit(1) + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-join revenue rollup (TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n_name AS nation_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY 1
+    """,
+    description="Fact-fact join + broadcast dims, revenue per nation (TPC-H Q5 shape)",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey, "inner")
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey, "inner")
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey, "inner")
+    )
+    return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
+        F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "customers_with_big_orders",
+    oracle="""
+    SELECT c_mktsegment AS segment, count(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    GROUP BY 1
+    """,
+    description="Left-semi join (EXISTS) — customers having a big order",
+)
+def q_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    semi = cu.join(od, cu.c_custkey == od.o_custkey, "left_semi")
+    return semi.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment AS segment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+    """,
+    description="Left-anti join (NOT EXISTS) — customers with no orders",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    anti = cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+    return anti.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "union_distinct_customers",
+    oracle="""
+    SELECT count(*) AS n_customers FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+    description="UNION (distinct) of two key sets",
+)
+def q_union_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    a = od.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = od.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.unionByName(b).distinct().agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "intersect_customers",
+    oracle="""
+    SELECT count(*) AS n_customers FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+    description="INTERSECT of two key sets",
+)
+def q_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    a = od.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = od.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "except_customers",
+    oracle="""
+    SELECT count(*) AS n_customers FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+    description="EXCEPT of two key sets",
+)
+def q_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    a = od.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = od.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# --------------------------------------------------------------------------
+# Windows: running total, top-k per group
+# --------------------------------------------------------------------------
+
+
+@register(
+    "running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_spend
+    FROM orders
+    """,
+    description="Per-customer running total (partitioned window cumsum)",
+)
+def q_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select("o_custkey", "o_orderkey", F.sum("o_totalprice").over(w).alias("running_spend"))
+
+
+@register(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rank
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        FROM orders
+    )
+    WHERE rank <= 3
+    """,
+    description="Top-3 per group via row_number window",
+)
+def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    top = argmax_per_group(od, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], n=3)
+    return top.select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+
+
+# --------------------------------------------------------------------------
+# Pivot and rollup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "returnflag_linestatus_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_linestatus = 'O') AS status_O,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS status_F
+    FROM lineitem
+    GROUP BY 1
+    """,
+    description="Pivot l_linestatus into columns (conditional aggregation)",
+)
+def q_returnflag_linestatus_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("O", "status_O")
+        .withColumnRenamed("F", "status_F")
+    )
+
+
+@register(
+    "rollup_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="ROLLUP hierarchy aggregate (subtotals + grand total)",
+)
+def q_rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+    SELECT count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+    description="Exact distinct counts (expand-style multi-distinct aggregate)",
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )

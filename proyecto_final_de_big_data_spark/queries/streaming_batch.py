@@ -1,0 +1,95 @@
+"""Time-window queries over ``events`` in batch mode — the same
+window operators the Structured-Streaming surface uses
+(``streaming/windows.py`` wires identical logic to ``readStream``),
+expressed here in batch so the DuckDB oracle can verify the window
+semantics: tumbling, sliding, and session windows.
+
+Spark window semantics pinned for the oracle:
+- tumbling/sliding windows are [start, end): a row at an exact boundary
+  belongs to the later window;
+- ``session_window(ts, gap)``: a new session starts when the gap since
+  the previous event is >= gap (window end = last_ts + gap, exclusive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+
+@register(
+    "tumbling_hourly_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*) AS n_events,
+           avg(value) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    description="Tumbling 1-hour window aggregate (streaming-equivalent in batch)",
+)
+def q_tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+@register(
+    "sliding_2h_counts",
+    oracle="""
+    SELECT window_start, count(*) AS n_events, sum(value) AS sum_value
+    FROM (
+        SELECT unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+               value
+        FROM events
+    )
+    GROUP BY 1
+    """,
+    description="Sliding 2h window / 1h slide — each event lands in two windows",
+)
+def q_sliding_2h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "session_windows_per_user",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM gaps
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    description="Gap-based session windows (30 min) per user — F.session_window "
+    "in batch, gaps-and-islands SQL in the oracle",
+)
+def q_session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
