@@ -1,0 +1,122 @@
+"""Regression feature/train/score/evaluate loop (reference M1–M7,
+``src/ml/pipeline.py:5-47``, ``scripts/04_train_sparkml.py:85-151``,
+``src/ml/metrics.py:3-8``): StringIndexer(keep) → OneHotEncoder →
+VectorAssembler(keep) → GBT/RF/LR regressor, RMSE/MAE/R² evaluation,
+model save/load, metrics as a one-row DataFrame.
+
+Column lists are intersected with actually-present columns
+(schema-flexible consumption, reference ``scripts/04_train_sparkml.py:101-102``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
+from pyspark.ml.regression import GBTRegressor, LinearRegression, RandomForestRegressor
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class TrainConfig:
+    label: str
+    numeric_features: list[str] = field(default_factory=list)
+    categorical_features: list[str] = field(default_factory=list)
+    algorithm: str = "gbt"  # gbt | rf | lr
+    max_iter: int = 50
+    max_depth: int = 5
+    num_trees: int = 100
+    seed: int = 42
+    train_fraction: float = 0.8
+
+
+def build_pipeline(df: DataFrame, cfg: TrainConfig) -> tuple[Pipeline, list[str], list[str]]:
+    """Assemble the feature+regressor pipeline over present columns."""
+    present = set(df.columns)
+    numeric = [c for c in cfg.numeric_features if c in present]
+    categorical = [c for c in cfg.categorical_features if c in present]
+    if not numeric and not categorical:
+        raise ValueError("no configured feature columns present in the input")
+
+    stages = []
+    ohe_cols = []
+    for c in categorical:
+        stages.append(StringIndexer(inputCol=c, outputCol=f"{c}__idx", handleInvalid="keep"))
+        stages.append(OneHotEncoder(inputCols=[f"{c}__idx"], outputCols=[f"{c}__oh"]))
+        ohe_cols.append(f"{c}__oh")
+    stages.append(
+        VectorAssembler(inputCols=numeric + ohe_cols, outputCol="features", handleInvalid="keep")
+    )
+    if cfg.algorithm == "gbt":
+        reg = GBTRegressor(
+            labelCol=cfg.label, featuresCol="features",
+            maxIter=cfg.max_iter, maxDepth=cfg.max_depth, seed=cfg.seed,
+        )
+    elif cfg.algorithm == "rf":
+        reg = RandomForestRegressor(
+            labelCol=cfg.label, featuresCol="features",
+            numTrees=cfg.num_trees, maxDepth=cfg.max_depth, seed=cfg.seed,
+        )
+    elif cfg.algorithm == "lr":
+        # solver="normal": closed-form via normal equations — ONE
+        # distributed pass instead of maxIter gradient scans; valid while
+        # feature dim is small (< ~4096), which holds for this surface.
+        reg = LinearRegression(
+            labelCol=cfg.label, featuresCol="features", maxIter=cfg.max_iter, solver="normal"
+        )
+    else:
+        raise ValueError(f"unknown algorithm {cfg.algorithm!r}")
+    stages.append(reg)
+    return Pipeline(stages=stages), numeric, categorical
+
+
+def evaluate(predictions: DataFrame, label: str) -> dict[str, float]:
+    """rmse / mae / r2 (reference M7)."""
+    out = {}
+    for metric in ("rmse", "mae", "r2"):
+        ev = RegressionEvaluator(labelCol=label, predictionCol="prediction", metricName=metric)
+        out[metric] = ev.evaluate(predictions)
+    return out
+
+
+def train_and_evaluate(df: DataFrame, cfg: TrainConfig) -> tuple[PipelineModel, dict[str, float], DataFrame]:
+    """80/20 split → fit → score test → metrics dict + predictions.
+
+    The train split is persisted before ``fit`` — the fit otherwise
+    re-reads the source and recomputes the split once per internal job
+    (each StringIndexer distinct-count, the regressor solve, …).
+    Predictions are persisted so the three evaluator passes score once.
+    """
+    pipeline, numeric, categorical = build_pipeline(df, cfg)
+    train, test = df.randomSplit([cfg.train_fraction, 1 - cfg.train_fraction], seed=cfg.seed)
+    train = train.persist()
+    try:
+        model = pipeline.fit(train)
+        predictions = model.transform(test).persist()
+        metrics = evaluate(predictions, cfg.label)
+        metrics["rows_train"] = train.count()
+        metrics["rows_test"] = predictions.count()
+    finally:
+        train.unpersist()
+    return model, metrics, predictions
+
+
+def metrics_frame(spark: SparkSession, metrics: dict, **tags: str) -> DataFrame:
+    """One-row metrics record (reference's resumen dict → JSON sink)."""
+    row = {**{k: float(v) for k, v in metrics.items()}, **tags}
+    return spark.createDataFrame([row])
+
+
+def save_model(model: PipelineModel, path: str) -> None:
+    model.write().overwrite().save(path)
+
+
+def load_model(path: str) -> PipelineModel:
+    return PipelineModel.load(path)
+
+
+def batch_score(model: PipelineModel, df: DataFrame) -> DataFrame:
+    """Reference entry point 05: load model, transform a full slice."""
+    return model.transform(df)

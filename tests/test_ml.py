@@ -1,0 +1,70 @@
+"""ML loop: train/evaluate/save/load/score on the sf0.001 fixtures
+(reference M1–M7). Metric values are range-asserted, not pinned
+(seeded but parallelism-dependent — SURVEY §7 risks)."""
+
+from __future__ import annotations
+
+from proyecto_final_de_big_data_spark.catalog import load_table
+from proyecto_final_de_big_data_spark.ml.pipeline import (
+    TrainConfig,
+    batch_score,
+    load_model,
+    metrics_frame,
+    save_model,
+    train_and_evaluate,
+)
+
+
+def test_lr_train_evaluate_score_roundtrip(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    cfg = TrainConfig(
+        label="l_extendedprice",
+        numeric_features=["l_quantity", "l_discount"],
+        categorical_features=["l_returnflag"],
+        algorithm="lr",
+        max_iter=10,
+    )
+    model, metrics, _ = train_and_evaluate(li, cfg)
+    assert metrics["rows_train"] + metrics["rows_test"] == li.count()
+    # synthetic fixture columns are mutually independent → r2 ≈ 0 is the
+    # correct outcome; this test checks the loop's plumbing
+    assert -0.5 < metrics["r2"] <= 1.0
+    assert metrics["rmse"] > 0 and metrics["mae"] > 0
+
+    path = str(tmp_path / "model")
+    save_model(model, path)
+    scored = batch_score(load_model(path), li)
+    assert scored.count() == li.count()
+    assert "prediction" in scored.columns
+
+
+def test_lr_learns_synthetic_relationship(spark):
+    # y = 3x + 2 + tiny noise — the model must actually learn (r2 ≈ 1),
+    # proving the loop trains rather than predicting the mean.
+    rows = [(float(i), 3.0 * i + 2.0 + (i % 7) * 0.01) for i in range(200)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    cfg = TrainConfig(label="y", numeric_features=["x"], algorithm="lr", max_iter=20)
+    _, metrics, _ = train_and_evaluate(df, cfg)
+    assert metrics["r2"] > 0.99
+
+
+def test_gbt_and_rf_train(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    for algo, extra in (("gbt", {"max_iter": 5}), ("rf", {"num_trees": 5})):
+        cfg = TrainConfig(
+            label="l_extendedprice",
+            numeric_features=["l_quantity"],
+            categorical_features=[],
+            algorithm=algo,
+            max_depth=3,
+            **extra,
+        )
+        _, metrics, _ = train_and_evaluate(li, cfg)
+        assert metrics["rmse"] > 0
+
+
+def test_metrics_frame_single_row(spark):
+    mf = metrics_frame(spark, {"rmse": 1.0, "mae": 0.5}, algorithm="lr")
+    rows = mf.collect()
+    assert len(rows) == 1
+    assert rows[0]["algorithm"] == "lr"

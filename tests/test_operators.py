@@ -1,0 +1,159 @@
+"""Unit tests per operator on tiny inline DataFrames (SURVEY §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from proyecto_final_de_big_data_spark.operators.binning import with_bin
+from proyecto_final_de_big_data_spark.operators.canonicalize import (
+    MissingRequiredColumns,
+    canonicalize,
+)
+from proyecto_final_de_big_data_spark.operators.clean import clip_to_quantiles, validity_filter
+from proyecto_final_de_big_data_spark.operators.dedup import exact_dedup, minhash_dedup_pairs
+from proyecto_final_de_big_data_spark.operators.rollup import (
+    argmax_per_group,
+    weighted_mean,
+    with_cumulative_share,
+    with_share_of_total,
+)
+from proyecto_final_de_big_data_spark.operators.similarity import cosine_topk
+from proyecto_final_de_big_data_spark.operators.text import lang_guess, token_count
+
+
+def test_canonicalize_synonyms_defaults_projection(spark):
+    raw = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 00:10:00", 1.5, 10.0)],
+        ["tpep_pickup_datetime", "Tpep_Dropoff_Datetime", "trip_distance", "fare_amount"],
+    )
+    out = canonicalize(
+        raw,
+        {
+            "pickup_datetime": ["tpep_pickup_datetime"],
+            "dropoff_datetime": ["tpep_dropoff_datetime"],
+            "trip_distance": ["trip_distance"],
+            "fare_amount": ["fare_amount"],
+            "vendor_id": ["vendorid"],
+        },
+        required=["pickup_datetime", "dropoff_datetime"],
+        defaults={"vendor_id": "desconocido"},
+    )
+    assert out.columns == ["pickup_datetime", "dropoff_datetime", "trip_distance", "fare_amount", "vendor_id"]
+    assert out.first()["vendor_id"] == "desconocido"
+
+
+def test_canonicalize_missing_required_raises(spark):
+    raw = spark.createDataFrame([(1.0,)], ["trip_distance"])
+    with pytest.raises(MissingRequiredColumns):
+        canonicalize(raw, {"pickup_datetime": ["tpep_pickup_datetime"]}, ["pickup_datetime"], {})
+
+
+def test_validity_filter(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (0.0, "b"), (-1.0, "c"), (2.0, None)], ["x", "s"]
+    )
+    kept = validity_filter(df, positive=["x"], not_null=["s"]).collect()
+    assert [r["s"] for r in kept] == ["a"]
+
+
+def test_bin_edges_inclusive_upper(spark):
+    df = spark.createDataFrame([(v,) for v in [0.5, 1.0, 1.01, 3.0, 5.0, 10.0, 20.0, 20.01]], ["d"])
+    out = with_bin(df, "d", [1.0, 3.0, 5.0, 10.0, 20.0], ["0-1", "1-3", "3-5", "5-10", "10-20", "20+"])
+    got = {r["d"]: (r["bin"], r["bin_order"]) for r in out.collect()}
+    assert got[1.0] == ("0-1", 0)  # boundary belongs to lower bin (<=)
+    assert got[1.01] == ("1-3", 1)
+    assert got[20.0] == ("10-20", 4)
+    assert got[20.01] == ("20+", 5)
+
+
+def test_clip_property_subset_and_bounds(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["x"])
+    clipped = clip_to_quantiles(df, ["x"], 0.05, 0.95, exact=True)
+    rows = [r["x"] for r in clipped.collect()]
+    assert len(rows) <= 100
+    import numpy as np
+
+    lo, hi = np.percentile(np.arange(1.0, 101.0), [5, 95])
+    assert min(rows) >= lo and max(rows) <= hi
+
+
+def test_weighted_mean_recovers_direct_mean(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 1, 20.0), ("a", 2, 30.0), ("b", 1, 5.0)],
+        ["k", "m", "v"],
+    )
+    per_month = df.groupBy("k", "m").agg(F.avg("v").alias("avg_v"), F.count(F.lit(1)).alias("n"))
+    rolled = weighted_mean(per_month, ["k"], "avg_v", "n", "wavg")
+    direct = {r["k"]: r["d"] for r in df.groupBy("k").agg(F.avg("v").alias("d")).collect()}
+    for r in rolled.collect():
+        assert abs(r["wavg"] - direct[r["k"]]) < 1e-9
+
+
+def test_share_of_total_sums_to_one(spark):
+    df = spark.createDataFrame([("a", 30), ("b", 50), ("c", 20)], ["k", "n"])
+    total = sum(r["share"] for r in with_share_of_total(df, "n").collect())
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_cumulative_share_monotone_ending_at_one(spark):
+    df = spark.createDataFrame([(h, 10) for h in range(5)], ["h", "n"])
+    rows = with_cumulative_share(df, "h", "n").orderBy("h").collect()
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 1.0) < 1e-9
+
+
+def test_argmax_per_group_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 5), ("b", 3, 1)], ["k", "id", "score"]
+    )
+    top = argmax_per_group(df, ["k"], [F.desc("score"), F.asc("id")], n=1).collect()
+    got = {r["k"]: r["id"] for r in top}
+    assert got == {"a": 1, "b": 3}
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], ["doc_id", "text"]
+    )
+    kept = exact_dedup(df, ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the park"
+    near = base.replace("park", "garden")
+    far = "completely different words about spark dataframes and shuffle partitions here"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    pairs = minhash_dedup_pairs(df, "doc_id", "text", num_hashes=32, bands=16, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+        Row(vec_id=3, embedding=[1.0, 0.05]),
+    ]
+    df = spark.createDataFrame(rows)
+    top = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])] == [3, 1]
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame([("",), ("one",), ("a b c",)], ["text"])
+    got = [r["n"] for r in df.select(token_count("text").alias("n")).collect()]
+    assert got == [0, 1, 3]
+
+
+def test_lang_guess_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat and the hat",), ("el perro de la casa",), ("xyz",)], ["text"]
+    )
+    got = [r["g"] for r in df.select(lang_guess("text").alias("g")).collect()]
+    assert got == ["en", "es", "und"]
