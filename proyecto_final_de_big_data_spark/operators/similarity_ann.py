@@ -48,6 +48,54 @@ def simhash_bucket(vec: Column, dim: int, n_planes: int = 12, table: int = 0) ->
     return bucket
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed self-join,
+    cosine-verified at ``threshold``. Output (id_a, id_b, cosine_sim).
+
+    The bucket self-join bounds candidates to same-bucket pairs —
+    near-identical vectors collide with high probability in at least
+    one of ``n_tables`` tables.
+    """
+    c = corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+    banded = c.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("table"), simhash_bucket(F.col("__v"), dim, n_planes, t).alias("bucket"))
+                for t in range(n_tables)
+            ])
+        ).alias("tb"),
+    ).select(id_col, "__v", "tb.table", "tb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+    return pairs
+
+
 def ann_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -55,6 +55,59 @@ def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_jaccard_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS w
+        FROM documents WHERE doc_id < 500
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(w) >= 3 THEN
+                       list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [text] END
+               ) AS sh
+        FROM toks
+    )
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+    )
+    WHERE jaccard >= 0.5
+    """,
+    description="Exact all-pairs word-3-gram Jaccard near-dup pairs (threshold 0.5) — "
+    "the brute-force baseline that verifies the LSH scale path. Bounded to "
+    "doc_id < 500 (the whole table at sf0.01) so the quadratic baseline stays "
+    "O(1) as SF grows; at scale the answer comes from minhash_near_dup_pairs.",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    sh = docs.select(F.col("doc_id"), word_shingles("text", 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .withColumn("jaccard", F.round("jaccard", 6))
+    )
+
+
+@register(
     "minhash_near_dup_pairs",
     oracle=None,  # LSH bucketing is not SQL-expressible portably → rows-only check
     description="MinHash-LSH near-dup candidate pairs, Jaccard-verified (threshold 0.5)",
@@ -65,6 +118,39 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.coalesce(F.avg("jaccard"), F.lit(0.0)).alias("avg_jaccard"),
+    )
+
+
+@register(
+    "simhash_near_dup",
+    oracle=None,  # xxhash64 bit-votes are engine-specific → rows-only check
+    description="SimHash(64-bit) banded near-dup pairs (Hamming <= 3), rollup",
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.simhash import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.avg("hamming"), F.lit(0.0)).alias("avg_hamming"),
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle=None,  # hyperplane-LSH bucketing is engine-specific → rows-only check
+    description="Embedding-cosine near-dup pairs via hyperplane-LSH buckets "
+    "(cosine >= 0.95 verified), rollup",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity_ann import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, dim=64, threshold=0.95, n_planes=10, n_tables=4)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.avg("cosine_sim"), F.lit(0.0)).alias("avg_cosine"),
     )
 
 

@@ -1,0 +1,140 @@
+"""Tests for the scale-path operators: mart runner/fusion, skew salting,
+SimHash, embedding near-dup, stateful streaming."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from proyecto_final_de_big_data_spark.catalog import load_table
+from proyecto_final_de_big_data_spark.operators.simhash import simhash_near_dup_pairs, simhash_signatures
+from proyecto_final_de_big_data_spark.operators.similarity_ann import embedding_near_dup_pairs
+from proyecto_final_de_big_data_spark.operators.skew import salted_aggregate, salted_broadcast_left
+from proyecto_final_de_big_data_spark.pipelines.marts import fuse_marts, run_marts
+
+
+def test_run_marts_shared_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    marts = {
+        "by_flag": lambda df: df.groupBy("l_returnflag").count(),
+        "by_status": lambda df: df.groupBy("l_linestatus").count(),
+    }
+    out = run_marts(li, marts)
+    assert set(out) == {"by_flag", "by_status"}
+    assert out["by_flag"].count() == 3
+    assert out["by_status"].count() == 2
+
+
+def test_fuse_marts_one_pass_matches_direct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    fused = fuse_marts(
+        li,
+        ["l_returnflag"],
+        {
+            "counts": {"n": F.count(F.lit(1))},
+            "sums": {"sum_qty": F.sum("l_quantity"), "avg_price": F.avg("l_extendedprice")},
+        },
+    )
+    direct = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
+        .collect()
+    }
+    for r in fused["counts"].collect():
+        assert r["n"] == direct[r["l_returnflag"]]["n"]
+    for r in fused["sums"].collect():
+        assert abs(r["sum_qty"] - direct[r["l_returnflag"]]["sum_qty"]) < 1e-6
+    assert set(fused["counts"].columns) == {"l_returnflag", "n"}
+    assert set(fused["sums"].columns) == {"l_returnflag", "sum_qty", "avg_price"}
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = {
+        r["l_returnflag"]: r
+        for r in salted_aggregate(
+            li, ["l_returnflag"], sums={"sum_qty": F.col("l_quantity")}, count_alias="n"
+        ).collect()
+    }
+    plain = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(salted) == set(plain)
+    for k in plain:
+        assert salted[k]["n"] == plain[k]["n"]
+        assert abs(salted[k]["sum_qty"] - plain[k]["sum_qty"]) < 1e-6
+
+
+def test_salted_broadcast_left_matches_plain_join(spark, sf_dir):
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    salted = salted_broadcast_left(cu, na, "c_nationkey")
+    plain = cu.join(na, "c_nationkey", "inner")
+    assert salted.count() == plain.count()
+
+
+def test_simhash_identical_and_near_texts(spark):
+    base = " ".join(f"word{i}" for i in range(40))
+    near = base.replace("word7", "word7x")
+    far = " ".join(f"other{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], ["doc_id", "text"]
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical simhash
+    pairs = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert all(4 not in pair for pair in got)
+
+
+def test_embedding_near_dup_finds_planted_pair(spark):
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    near = [x + rng.gauss(0, 0.001) for x in base]
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(df, dim=dim, threshold=0.99, n_planes=6, n_tables=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_stateful_user_profile_stream(spark, tmp_path):
+    from proyecto_final_de_big_data_spark.streaming.stateful import user_profile_stream
+    from proyecto_final_de_big_data_spark.streaming.windows import read_events_stream
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "p0.parquet")
+    stream = read_events_stream(spark, str(d))
+    q = (
+        user_profile_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    try:
+        got = spark.table("t_state")
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        want = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.avg("value").alias("m")
+        )
+        got_map = {r["user_id"]: r for r in got.collect()}
+        for r in want.collect():
+            assert got_map[r["user_id"]]["n_events"] == r["n"]
+            assert abs(got_map[r["user_id"]]["mean_value"] - r["m"]) < 1e-9
+    finally:
+        q.stop()
