@@ -16,8 +16,9 @@ import re
 import sys
 import time
 
+from pyspark.sql import SparkSession
+
 from proyecto_final_de_big_data_spark.queries import QUERIES
-from proyecto_final_de_big_data_spark.session import get_spark
 
 
 def main() -> None:
@@ -25,7 +26,18 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="bench")
+    # Vanilla session (same load path as the external correctness
+    # harness) so bench can never be green on a query correctness
+    # cannot even load. Only sizing knobs are set, no semantics confs.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
 
     # Warm-up: JVM, codegen, parquet footer caches.
     QUERIES["pricing_summary"].spark_fn(spark, sf_dir).count()

@@ -33,6 +33,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); a vanilla SparkSession
+        # (e.g. an external verification harness) rejects it with
+        # PARQUET_TYPE_ILLEGAL unless nanosAsLong is on. It is a
+        # runtime-settable SQL conf, so set it here rather than relying on
+        # the session factory having been used.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (nanosAsLong); truncate to µs —

@@ -10,6 +10,7 @@ import math
 from typing import Any
 
 import duckdb
+import numpy as _np
 import pandas as pd
 
 from .catalog import TABLES
@@ -37,7 +38,15 @@ def canonicalize(df: pd.DataFrame) -> list[tuple[Any, ...]]:
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 canon.append(None)
             elif isinstance(v, float):
-                canon.append(_round_sig(float(v)))
+                # Tag the runtime kind: the driver's value hash is
+                # type-sensitive (long 149174 != double 149174.0), so a
+                # plain == comparison would hide typing artifacts such as
+                # DuckDB HUGEINT sums surfacing as float.
+                canon.append(("f", _round_sig(float(v))))
+            elif isinstance(v, (bool, _np.bool_)):
+                canon.append(("b", bool(v)))
+            elif isinstance(v, (int, _np.integer)):
+                canon.append(("i", int(v)))
             elif isinstance(v, pd.Timestamp):
                 canon.append(v.tz_localize(None) if v.tzinfo else v)
             else:

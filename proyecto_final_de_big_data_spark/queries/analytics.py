@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.rollup import argmax_per_group, weighted_mean, with_cumulative_share, with_share_of_total
+from ..operators.rollup import argmax_per_group, with_cumulative_share, with_share_of_total
 from .registry import register
 
 # D1 — re-aggregation across months
@@ -40,26 +40,31 @@ def q_monthly_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weighted_avg_price_by_priority",
     oracle="""
     SELECT priority,
-           sum(avg_price * n_orders) / sum(n_orders) AS weighted_avg_price,
-           sum(n_orders) AS n_orders_total
+           round(sum(sum_price) / sum(n_orders), 6) AS weighted_avg_price,
+           sum(n_orders)::BIGINT AS n_orders_total
     FROM (
         SELECT o_orderpriority AS priority,
                month(o_orderdate) AS order_month,
-               avg(o_totalprice) AS avg_price,
+               sum(o_totalprice) AS sum_price,
                count(*) AS n_orders
         FROM orders
         GROUP BY 1, 2
     )
     GROUP BY 1
     """,
-    description="Two-stage count-weighted mean rollup — reference D2",
+    description="Two-stage count-weighted mean rollup — reference D2. Carried as "
+    "(sum, count) partials rather than (avg, count) so the rollup is exact under "
+    "re-association; rounded to 6 decimals on both sides to pin the value hash.",
 )
 def q_weighted_avg_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
     per_month = od.groupBy(
         F.col("o_orderpriority").alias("priority"), F.month("o_orderdate").alias("order_month")
-    ).agg(F.avg("o_totalprice").alias("avg_price"), F.count(F.lit(1)).alias("n_orders"))
-    return weighted_mean(per_month, ["priority"], "avg_price", "n_orders", "weighted_avg_price")
+    ).agg(F.sum("o_totalprice").alias("sum_price"), F.count(F.lit(1)).alias("n_orders"))
+    return per_month.groupBy("priority").agg(
+        F.round(F.sum("sum_price") / F.sum("n_orders"), 6).alias("weighted_avg_price"),
+        F.sum("n_orders").alias("n_orders_total"),
+    )
 
 
 # D3 — argmax per group (peak hour per event type)

@@ -42,7 +42,7 @@ def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact_keep",
     oracle="""
-    SELECT count(*) AS n_keep, sum(n_chars) AS total_chars
+    SELECT count(*) AS n_keep, sum(n_chars)::BIGINT AS total_chars
     FROM documents
     WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
     """,

@@ -264,12 +264,18 @@ def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_returnflag_linestatus_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    piv = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.count(F.lit(1)))
-        .withColumnRenamed("O", "status_O")
-        .withColumnRenamed("F", "status_F")
+    )
+    # Pivot emits NULL for empty cells; the oracle's count FILTER emits 0 —
+    # coalesce so both agree on TPC-H-faithful data where A/R never
+    # co-occur with status O.
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
     )
 
 
