@@ -1,13 +1,20 @@
 """Custom stateful streaming operator via ``applyInPandasWithState``:
 per-user running profile (event count, running mean value, last-seen
-timestamp) maintained across micro-batches with processing-time timeout
+timestamp) maintained across micro-batches with event-time timeout
 eviction.
 
 This is the escape hatch for stateful logic that windowed aggregation
 can't express (cross-window running state, custom eviction). State is
 per-key and Arrow-batched — the 100-TB-stream consideration is state
 SIZE per key (a handful of scalars here) and timeout-based eviction so
-the store doesn't grow with cardinality of dead keys.
+the store doesn't grow with the cardinality of dead keys.
+
+Eviction is EventTimeTimeout (watermark-driven), not
+ProcessingTimeTimeout: event-time eviction is deterministic on replay,
+and a processing-time timeout forces the micro-batch engine to keep
+scheduling empty batches until the wall-clock duration elapses — under
+``trigger(availableNow=True)`` that meant a bounded run never
+terminated (observed: 50+ empty batches on a single input file).
 """
 
 from __future__ import annotations
@@ -21,21 +28,31 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = "user_id long, n_events long, mean_value double, last_seen timestamp"
 STATE_SCHEMA = "n long, total double, last_seen timestamp"
 
+#: evict a user's state after this much event time with no activity
+IDLE_GAP_MS = 60 * 60 * 1000
+
 
 def _update_user_profile(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     if state.hasTimedOut:
+        # Watermark passed last_seen + gap: the user went idle — drop the
+        # state so the store stays O(active keys).
         state.remove()
         return
     n, total, last_seen = state.get if state.exists else (0, 0.0, None)
+    if last_seen is not None:
+        last_seen = pd.Timestamp(last_seen)
     for pdf in batches:
         n += len(pdf)
         total += float(pdf["value"].sum())
         batch_max = pdf["ts"].max()
         last_seen = batch_max if last_seen is None else max(last_seen, batch_max)
-    state.update((n, total, last_seen))
-    state.setTimeoutDuration(60 * 60 * 1000)  # evict after 1h idle
+    state.update((n, total, last_seen.to_pydatetime()))
+    # Event-time timeout must be strictly beyond the current watermark.
+    wm = state.getCurrentWatermarkMs()
+    evict_at = int(last_seen.value // 1_000_000) + IDLE_GAP_MS
+    state.setTimeoutTimestamp(max(evict_at, wm + 1))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
@@ -46,16 +63,21 @@ def _update_user_profile(
     )
 
 
-def user_profile_stream(events: DataFrame) -> DataFrame:
-    """events (streaming) → per-user running profile updates."""
+def user_profile_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """events (streaming) → per-user running profile updates.
+
+    The watermark bounds both late data and state lifetime: a key whose
+    ``last_seen`` falls ``IDLE_GAP_MS`` behind the watermark is evicted.
+    """
     return (
-        events.select("user_id", "ts", "value")
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_user_profile,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -125,8 +125,11 @@ def test_stateful_user_profile_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.processAllAvailable()
     try:
+        # Bounded wait: availableNow must drain and terminate; a hang here
+        # is a bug (e.g. a timeout conf that keeps scheduling batches).
+        assert q.awaitTermination(300), "stateful stream did not terminate under availableNow"
+        assert q.exception() is None, f"stream failed: {q.exception()}"
         got = spark.table("t_state")
         ev = load_table(spark, "/root/testdata/sf0.001", "events")
         want = ev.groupBy("user_id").agg(
