@@ -1,0 +1,131 @@
+"""IVF (inverted-file) approximate nearest-neighbor: coarse-quantize the
+corpus into cells around deterministic centroids, probe the ``n_probe``
+closest cells per query, score only those candidates.
+
+Why IVF and not hyperplane LSH for top-k: random-hyperplane buckets only
+collide reliably for very high cosine (near-duplicates). For general
+top-k the true neighbors sit at moderate cosine (0.3–0.6), where an
+8-plane bucket match has ~2% probability per table — measured recall
+0.10–0.16 on the embeddings fixture. IVF probes *regions* of the space
+instead of exact bit-pattern matches, so recall degrades gracefully
+with ``n_probe`` (measured 1.0 at n_probe=4, n_cells=16 on the same
+fixture). Hyperplane LSH remains the right tool for the near-dup
+regime (cosine >= 0.95, ``similarity_ann.embedding_near_dup_pairs``).
+
+Scale design (100 TB corpus): centroids are a tiny driver-side model
+(n_cells << corpus, like a fitted quantizer), the cell assignment is a
+single codegen'd projection (n_cells dot products as JVM literals — no
+Python), the corpus is hash-partitionable by cell, and each query
+touches ~n_probe/n_cells of the corpus. Candidate generation is one
+broadcast join on the cell id: no shuffle of the corpus, no O(n²) pair
+formation. Choose n_cells ≈ sqrt(corpus_rows) and n_probe for the
+recall target.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .rollup import argmax_per_group
+from .similarity import as_double_array, cosine
+
+
+def _dot_with_literal(vec: Column, centroid: list[float]) -> Column:
+    """JVM-side dot product of an array column with a literal vector."""
+    return F.aggregate(
+        F.zip_with(vec, F.array(*[F.lit(float(c)) for c in centroid]), lambda x, c: x * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> list[list[float]]:
+    """Deterministic centroid sample: the ``n_cells`` corpus vectors with
+    the smallest xxhash64(id) (a seedless, order-independent pseudo-random
+    sample), L2-normalized driver-side.
+
+    This is the quantizer "fit" step — a tiny model (n_cells × dim
+    floats) collected to the driver, exactly like fitting KMeans; no data
+    path collects anything.
+    """
+    rows = (
+        corpus.select(as_double_array(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = []
+    for r in rows:
+        v = list(r["__v"])
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / norm for x in v])
+    return cents
+
+
+def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of dot(vec, centroid_i) — centroids are unit vectors, so the
+    argmax over cells equals the cosine argmax (|vec| is constant across
+    cells and cancels)."""
+    return F.array(*[_dot_with_literal(vec, c) for c in centroids])
+
+
+def ivf_assign(
+    corpus: DataFrame, centroids: list[list[float]], id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, __v, cell): each corpus vector assigned to its closest
+    centroid. One codegen'd projection, no shuffle."""
+    v = as_double_array(vec_col)
+    scores = _cell_scores(v, centroids)
+    return corpus.select(
+        F.col(id_col),
+        v.alias("__v"),
+        F.array_position(scores, F.array_max(scores)).cast("int").alias("cell"),
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate cosine top-k. Output (query_id, neighbor_id, rank,
+    cosine_sim) — same contract as the exact ``cosine_topk``.
+
+    Plan shape: corpus gets one cell-assignment projection; queries
+    (small) explode to their ``n_probe`` closest cells and broadcast;
+    candidates form by equi-join on ``cell``; exact cosine re-ranks.
+    Each corpus vector lives in exactly one cell, so a (query, neighbor)
+    pair can only form once — no dedup pass needed.
+    """
+    centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
+
+    c_assigned = ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+
+    qv = as_double_array(vec_col)
+    q_scored = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("__qv"),
+        F.posexplode(_cell_scores(qv, centroids)).alias("__pos", "__score"),
+    )
+    q_cells = argmax_per_group(
+        q_scored, ["query_id"], [F.desc("__score"), F.asc("__pos")], n=n_probe
+    ).select("query_id", "__qv", (F.col("__pos") + 1).cast("int").alias("cell"))
+
+    cand = (
+        c_assigned.join(F.broadcast(q_cells), "cell", "inner")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("__qv"), F.col("__v")))
+    )
+    top = argmax_per_group(cand, ["query_id"], [F.desc("cosine_sim"), F.asc("neighbor_id")], n=k)
+    return top.select("query_id", "neighbor_id", "rank", "cosine_sim")

@@ -12,7 +12,7 @@ from ..catalog import load_table
 from ..operators.dedup import exact_dedup, minhash_dedup_pairs
 from ..operators.multimodal import documents_as_media, featurize_media
 from ..operators.similarity import cosine_topk
-from ..operators.similarity_ann import ann_cosine_topk
+from ..operators.similarity_ivf import ivf_cosine_topk
 from ..operators.text import LANG_MARKERS, fingerprint, lang_guess, quality_score, token_count
 from .registry import register
 
@@ -152,6 +152,151 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.coalesce(F.avg("cosine_sim"), F.lit(0.0)).alias("avg_cosine"),
     )
+
+
+# --------------------------------------------------------------------------
+# Recall contracts for the approximate (LSH/MinHash/SimHash) family.
+# Each emits (n_exact, recall_ok): n_exact is pinned by the DuckDB oracle,
+# recall_ok flips to 0 — breaking the value hash — if the approximate
+# operator's recall vs the exact in-engine baseline regresses.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "minhash_recall",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS w
+        FROM documents WHERE doc_id < 500
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(w) >= 3 THEN
+                       list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [text] END
+               ) AS sh
+        FROM toks
+    ), exact AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    )
+    SELECT count(*) AS n_exact, 1 AS recall_ok FROM exact
+    """,
+    description="MinHash-LSH recall vs exact all-pairs Jaccard (threshold 0.5) "
+    "on the bounded doc_id<500 subset. Measured 1.0 at sf0.001 and sf0.01 "
+    "(32 hashes / 8 bands); flag threshold 0.95.",
+)
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    sh = docs.select(F.col("doc_id"), word_shingles("text", 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    exact = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    approx = minhash_dedup_pairs(docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5)
+    return _pair_recall(exact, approx, ["id_a", "id_b"], threshold=0.95)
+
+
+@register(
+    "simhash_banding_lossless",
+    oracle="""
+    SELECT count(*) AS n_docs, 1 AS lossless_ok
+    FROM documents WHERE doc_id < 500
+    """,
+    description="SimHash 16-bit-chunk banding is provably lossless for "
+    "Hamming distance <= 3 (pigeonhole: 4 chunks, <= 3 differing bits leave "
+    "one chunk equal). This query checks the implementation delivers that: "
+    "banded pairs must EQUAL exact all-pairs Hamming<=3 on the bounded "
+    "subset, in both directions.",
+)
+def q_simhash_banding_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.simhash import simhash_near_dup_pairs, simhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    sigs = simhash_signatures(docs, "doc_id", "text")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    exact = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    banded = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    full = exact.select("id_a", "id_b").withColumn("__e", F.lit(1)).join(
+        banded.select("id_a", "id_b").withColumn("__b", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    stats = full.agg(
+        F.sum(F.coalesce(F.col("__e"), F.lit(0))).alias("ne"),
+        F.sum(F.coalesce(F.col("__b"), F.lit(0))).alias("nb"),
+        F.sum(F.coalesce(F.col("__e"), F.lit(0)) * F.coalesce(F.col("__b"), F.lit(0))).alias("nc"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.crossJoin(
+        stats.select(
+            ((F.col("ne") == F.col("nc")) & (F.col("nb") == F.col("nc")))
+            .cast("int")
+            .alias("lossless_ok")
+        )
+    )
+
+
+@register(
+    "embedding_near_dup_recall",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id < 300
+    ), exact AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a, v b
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(a.ev, b.ev)
+                / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev)))
+              >= 0.95
+    )
+    SELECT count(*) AS n_exact, 1 AS recall_ok FROM exact
+    """,
+    description="Hyperplane-LSH near-dup recall vs exact all-pairs cosine "
+    ">= 0.95 on the bounded vec_id<300 subset. The fixture plants no "
+    "near-dup embeddings (n_exact = 0, vacuously ok) — the oracle still "
+    "pins that count, and the planted-pair pytest covers the hit path.",
+)
+def q_embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import as_double_array, cosine
+    from ..operators.similarity_ann import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    v = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.95)
+    )
+    approx = embedding_near_dup_pairs(emb, dim=64, threshold=0.95, n_planes=10, n_tables=4)
+    return _pair_recall(exact, approx, ["id_a", "id_b"], threshold=0.95)
 
 
 # --------------------------------------------------------------------------
@@ -303,14 +448,84 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "knn_ann_lsh",
-    oracle=None,  # approximate by construction → rows-only check
-    description="LSH-bucketed (random hyperplane) approximate cosine top-5",
+    "knn_ann_ivf",
+    oracle=None,  # approximate by construction → rows-only check; recall
+    # is quantified by knn_ann_ivf_recall below.
+    description="IVF (inverted-file) approximate cosine top-5: deterministic "
+    "hash-sampled centroids, probe-6-of-16 cells. Replaces the hyperplane-LSH "
+    "top-k (measured recall 0.10 — hyperplane buckets only collide reliably in "
+    "the near-dup regime; see operators/similarity_ivf.py).",
 )
-def q_knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ann_cosine_topk(emb, queries, dim=64, k=5, n_planes=8, n_tables=4)
+    return ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=6)
+
+
+def _pair_recall(exact: DataFrame, approx: DataFrame, keys: list[str], threshold: float) -> DataFrame:
+    """One-row (n_exact, recall_ok): share of exact pairs found by the
+    approximate operator, flagged against ``threshold``. Vacuously ok when
+    there are no exact pairs. Stays distributed: one left join + one agg.
+    """
+    hits = approx.select(*keys).withColumn("__hit", F.lit(1))
+    joined = exact.select(*keys).join(hits, keys, "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.when(
+            F.count(F.lit(1)) == 0, F.lit(1)
+        )
+        .otherwise(
+            (
+                (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1)))
+                >= F.lit(threshold)
+            ).cast("int")
+        )
+        .cast("int")
+        .alias("recall_ok"),
+    )
+
+
+@register(
+    "knn_ann_ivf_recall",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                 AS cosine_sim
+        FROM q, c
+        WHERE neighbor_id != query_id
+    ), exact AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        WHERE rank <= 5
+    )
+    SELECT count(*) AS n_exact, 1 AS recall_ok FROM exact
+    """,
+    description="IVF top-k recall vs the exact in-engine baseline: the oracle "
+    "pins the exact-pair count and asserts recall >= 0.5 held (the engine "
+    "emits recall_ok=0 on regression, breaking the hash). Measured recall "
+    "0.62 at sf0.01 / 0.70 at sf0.001 with n_cells=16, n_probe=6 — the "
+    "embeddings fixture is isotropic (avg top-5 cosine 0.33, 8% label "
+    "agreement), so recall is bounded by scan fraction for any index.",
+)
+def q_knn_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=6)
+    return _pair_recall(exact, approx, ["query_id", "neighbor_id"], threshold=0.5)
 
 
 @register(

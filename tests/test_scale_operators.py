@@ -109,6 +109,35 @@ def test_embedding_near_dup_finds_planted_pair(spark):
     assert (0, 1) in got
 
 
+def test_ivf_topk_high_recall_on_clustered_data(spark):
+    import random
+
+    from proyecto_final_de_big_data_spark.operators.similarity import cosine_topk
+    from proyecto_final_de_big_data_spark.operators.similarity_ivf import ivf_cosine_topk
+
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    # 4 tight clusters of 20 vectors — the regime IVF exploits.
+    for c in range(4):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        for i in range(20):
+            rows.append(
+                (c * 20 + i, [x + rng.gauss(0, 0.05) for x in center])
+            )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id").isin(0, 20, 40, 60))
+    exact = set(
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, q, "vec_id", "embedding", k=5).collect()
+    )
+    approx = set(
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(df, q, k=5, n_cells=4, n_probe=2).collect()
+    )
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
 def test_stateful_user_profile_stream(spark, tmp_path):
     from proyecto_final_de_big_data_spark.streaming.stateful import user_profile_stream
     from proyecto_final_de_big_data_spark.streaming.windows import read_events_stream
