@@ -49,6 +49,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_months(
+    spark: SparkSession,
+    root: str,
+    year: int | str,
+    months: list[str],
+    skip_missing: bool = False,
+    logger=None,
+) -> DataFrame | None:
+    """Union of per-month partition reads with catch-and-continue
+    (reference C4, ``scripts/02_spark_etl.py:80-86``): a missing month is
+    a warn-and-skip when ``skip_missing``, an error otherwise. Returns
+    None when every month was skipped.
+
+    At scale, prefer ``spark.read.parquet(root).where(...)`` (partition
+    pruning, one scan node) — this per-month loop exists for the
+    reference's explicit present/absent semantics, which a root read
+    cannot distinguish from an empty partition.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from .utils.logging import get_logger
+
+    log = logger or get_logger("lake")
+    out: DataFrame | None = None
+    for month in months:
+        path = f"{root}/year={year}/month={month}"
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException as err:
+            if skip_missing:
+                log.warning("skipping missing partition %s: %s", path, err)
+                continue
+            raise
+        # Partition-dir addressing strips the partition columns; restore
+        # them so downstream sees the same schema as a root read.
+        df = df.withColumn("year", F.lit(str(year))).withColumn("month", F.lit(str(month)))
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

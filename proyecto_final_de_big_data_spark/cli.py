@@ -1,0 +1,225 @@
+"""Unified CLI (reference C3): the reference repeats one argparse
+contract across six numbered scripts (``scripts/02_spark_etl.py:30-61``
+et al.); here it is one entry point with subcommands over the same
+pipelines the library exposes.
+
+    python -m proyecto_final_de_big_data_spark.cli download --year 2024 --quarter 1 ...
+    python -m proyecto_final_de_big_data_spark.cli etl --year 2024 --months 1,2 ...
+    python -m proyecto_final_de_big_data_spark.cli run --queries kpis,pricing_summary ...
+    python -m proyecto_final_de_big_data_spark.cli train --algo gbt ...
+    python -m proyecto_final_de_big_data_spark.cli score --model ... --input ...
+
+Month selectors are mutually exclusive (--month / --months / --quarter,
+reference F10); --skip-missing gives catch-and-continue over absent
+partitions (C4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .utils.dates import resolve_months
+from .utils.logging import get_logger
+
+# Reference feature lists (scripts/04_train_sparkml.py:85-99).
+TRIPS_NUMERIC = ["trip_distance", "fare_amount", "passenger_count", "pickup_hour", "pickup_dow", "is_weekend"]
+TRIPS_CATEGORICAL = ["payment_type", "vendor_id", "ratecode_id", "pu_location", "do_location"]
+
+
+def _add_month_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--year", required=True)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--month")
+    g.add_argument("--months", help="comma-separated month list")
+    g.add_argument("--quarter", type=int)
+    p.add_argument("--skip-missing", action="store_true")
+
+
+def _add_spark_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None)
+    p.add_argument("--app-name", default="proyecto-final-de-big-data-spark")
+
+
+def _session(args):
+    from .session import get_spark
+
+    kwargs = {"app_name": args.app_name}
+    if args.master:
+        kwargs["master"] = args.master
+    return get_spark(**kwargs)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="proyecto_final_de_big_data_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("download", help="fetch monthly parquet + manifest upsert (S1-S3)")
+    _add_month_args(p)
+    p.add_argument("--base-url", required=True, help="http(s):// or file:// base")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--file-pattern", default="yellow_tripdata_{year}-{month}.parquet")
+    p.add_argument("--manifest-path", default=None)
+    p.add_argument("--force", action="store_true")
+
+    p = sub.add_parser("etl", help="raw -> curated partitioned parquet (entry point 02)")
+    _add_month_args(p)
+    _add_spark_args(p)
+    p.add_argument("--raw-root", required=True)
+    p.add_argument("--curated-root", required=True)
+    p.add_argument("--sample-frac", type=float, default=None)
+    p.add_argument("--max-rows", type=int, default=None)
+    p.add_argument("--no-outliers", action="store_true", help="skip the quantile clip")
+    p.add_argument("--p-lower", type=float, default=0.01)
+    p.add_argument("--p-upper", type=float, default=0.99)
+
+    p = sub.add_parser("run", help="run registered queries and export them (03/06)")
+    _add_spark_args(p)
+    p.add_argument("--sf-dir", required=True, help="table root (e.g. /root/testdata/sf0.01)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--queries", default="all", help="comma list of registry names, or 'all'")
+    p.add_argument("--fmt", default="parquet", choices=["parquet", "csv", "json"])
+    p.add_argument("--single-file", action="store_true")
+
+    p = sub.add_parser("train", help="fit + evaluate + save regression pipeline (04)")
+    _add_spark_args(p)
+    p.add_argument("--input", required=True, help="curated parquet root")
+    p.add_argument("--label", default="trip_duration_min")
+    p.add_argument("--algo", default="gbt", choices=["gbt", "rf", "lr"])
+    p.add_argument("--model-out", required=True)
+    p.add_argument("--metrics-out", default=None)
+    p.add_argument("--sample-frac", type=float, default=None)
+    p.add_argument("--max-rows", type=int, default=None)
+
+    p = sub.add_parser("score", help="load model + score a slice to partitioned parquet (05)")
+    _add_spark_args(p)
+    p.add_argument("--input", required=True)
+    p.add_argument("--model", required=True)
+    p.add_argument("--output", required=True)
+
+    return parser
+
+
+def cmd_download(args, log) -> int:
+    from .io.ingest import ingest_months
+
+    months = resolve_months(args.month, args.months, args.quarter)
+    records = ingest_months(
+        args.base_url,
+        args.output_dir,
+        args.year,
+        months,
+        file_pattern=args.file_pattern,
+        manifest_path=args.manifest_path,
+        force=args.force,
+        skip_missing=args.skip_missing,
+        logger=log,
+    )
+    log.info("ingested %d/%d months", len(records), len(months))
+    return 0
+
+
+def cmd_etl(args, log) -> int:
+    from .catalog import read_months
+    from .pipelines.etl import EtlConfig, curate_trips, write_curated
+
+    months = resolve_months(args.month, args.months, args.quarter)
+    spark = _session(args)
+    raw = read_months(spark, args.raw_root, args.year, months, args.skip_missing, log)
+    if raw is None:
+        log.warning("no input partitions found, nothing to do")
+        return 0
+    cfg = EtlConfig(
+        sample_fraction=args.sample_frac,
+        max_rows=args.max_rows,
+        apply_clip=not args.no_outliers,
+        clip_lower=args.p_lower,
+        clip_upper=args.p_upper,
+    )
+    curated = curate_trips(raw, cfg)
+    write_curated(curated, args.curated_root)
+    log.info("curated written to %s", args.curated_root)
+    return 0
+
+
+def cmd_run(args, log) -> int:
+    from .io.export import export_table
+    from .queries import QUERIES
+
+    names = list(QUERIES) if args.queries == "all" else [q.strip() for q in args.queries.split(",") if q.strip()]
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        log.error("unknown queries: %s (known: %s)", unknown, sorted(QUERIES))
+        return 1
+    spark = _session(args)
+    for name in names:
+        df = QUERIES[name].spark_fn(spark, args.sf_dir)
+        export_table(df, f"{args.out}/{name}", fmt=args.fmt, single_file=args.single_file)
+        log.info("exported %s (%s)", name, args.fmt)
+    return 0
+
+
+def cmd_train(args, log) -> int:
+    from .io.export import export_table
+    from .ml.pipeline import TrainConfig, metrics_frame, save_model, train_and_evaluate
+
+    spark = _session(args)
+    df = spark.read.parquet(args.input)
+    if args.sample_frac is not None and 0 < args.sample_frac < 1:
+        df = df.sample(args.sample_frac, seed=42)
+    if args.max_rows is not None:
+        df = df.limit(args.max_rows)
+    cfg = TrainConfig(
+        label=args.label,
+        numeric_features=[c for c in TRIPS_NUMERIC if c != args.label],
+        categorical_features=TRIPS_CATEGORICAL,
+        algorithm=args.algo,
+    )
+    model, metrics, _ = train_and_evaluate(df, cfg)
+    save_model(model, args.model_out)
+    log.info("model saved to %s; metrics %s", args.model_out, metrics)
+    if args.metrics_out:
+        export_table(
+            metrics_frame(spark, metrics, algorithm=args.algo, label=args.label),
+            args.metrics_out,
+            fmt="json",
+            single_file=True,
+        )
+    return 0
+
+
+def cmd_score(args, log) -> int:
+    from .ml.pipeline import batch_score, load_model
+
+    spark = _session(args)
+    df = spark.read.parquet(args.input)
+    scored = batch_score(load_model(args.model), df)
+    writer = scored.write.mode("overwrite")
+    if {"year", "month"} <= set(scored.columns):
+        writer = writer.partitionBy("year", "month")
+    writer.parquet(args.output)
+    log.info("scored output written to %s", args.output)
+    return 0
+
+
+COMMANDS = {
+    "download": cmd_download,
+    "etl": cmd_etl,
+    "run": cmd_run,
+    "train": cmd_train,
+    "score": cmd_score,
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    log = get_logger(f"cli.{args.command}")
+    try:
+        return COMMANDS[args.command](args, log)
+    except ValueError as err:
+        log.error(str(err))
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
