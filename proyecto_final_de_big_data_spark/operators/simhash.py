@@ -44,15 +44,22 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs (id_a, id_b, hamming) with Hamming(simhash) <= max_hamming.
 
     Exact for max_hamming <= 3 via pigeonhole 16-bit chunk banding.
+    Pass precomputed (persisted) ``signatures`` to share the signature
+    scan with other consumers — signature computation is the dominant
+    cost (explode + 64 aggregates), the banding itself is cheap.
     """
     if max_hamming >= CHUNKS:
         raise ValueError(f"banding is lossless only for max_hamming < {CHUNKS}")
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = signatures if signatures is not None else simhash_signatures(df, id_col, text_col)
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),

@@ -82,28 +82,17 @@ def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE jaccard >= 0.5
     """,
     description="Exact all-pairs word-3-gram Jaccard near-dup pairs (threshold 0.5) — "
-    "the brute-force baseline that verifies the LSH scale path. Bounded to "
-    "doc_id < 500 (the whole table at sf0.01) so the quadratic baseline stays "
-    "O(1) as SF grows; at scale the answer comes from minhash_near_dup_pairs.",
+    "the exact baseline that verifies the LSH scale path, computed via a "
+    "shingle inverted-index join (no cartesian product). Bounded to "
+    "doc_id < 500 so the baseline stays O(1) as SF grows; at scale the "
+    "answer comes from minhash_near_dup_pairs.",
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import jaccard_pairs_index
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    sh = docs.select(F.col("doc_id"), word_shingles("text", 3).alias("sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            (
-                F.size(F.array_intersect("a.sh", "b.sh"))
-                / F.size(F.array_union("a.sh", "b.sh"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .withColumn("jaccard", F.round("jaccard", 6))
+    return jaccard_pairs_index(docs, "doc_id", "text", shingle_n=3, threshold=0.5).withColumn(
+        "jaccard", F.round("jaccard", 6)
     )
 
 
@@ -192,23 +181,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(32 hashes / 8 bands); flag threshold 0.95.",
 )
 def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import jaccard_pairs_index
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    sh = docs.select(F.col("doc_id"), word_shingles("text", 3).alias("sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    exact = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            (
-                F.size(F.array_intersect("a.sh", "b.sh"))
-                / F.size(F.array_union("a.sh", "b.sh"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-    )
+    exact = jaccard_pairs_index(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
     approx = minhash_dedup_pairs(docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5)
     return _pair_recall(exact, approx, ["id_a", "id_b"], threshold=0.95)
 
@@ -229,7 +205,10 @@ def q_simhash_banding_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.simhash import simhash_near_dup_pairs, simhash_signatures
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    sigs = simhash_signatures(docs, "doc_id", "text")
+    # Persist the (tiny: one long per doc) signature frame: it feeds the
+    # exact all-pairs side AND the banded side — without it the
+    # explode+64-agg signature job runs three times.
+    sigs = simhash_signatures(docs, "doc_id", "text").persist()
     a, b = sigs.alias("a"), sigs.alias("b")
     exact = (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -240,7 +219,7 @@ def q_simhash_banding_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
-    banded = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    banded = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3, signatures=sigs)
     full = exact.select("id_a", "id_b").withColumn("__e", F.lit(1)).join(
         banded.select("id_a", "id_b").withColumn("__b", F.lit(1)), ["id_a", "id_b"], "full_outer"
     )
