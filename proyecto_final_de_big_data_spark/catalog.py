@@ -40,6 +40,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # runtime-settable SQL conf, so set it here rather than relying on
         # the session factory having been used.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # hour()/dayofweek() over ts are session-timezone-dependent; the
+        # oracle (DuckDB over naive timestamps) is timezone-free. Pin UTC
+        # at runtime so results don't depend on the host machine's TZ.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (nanosAsLong); truncate to µs —

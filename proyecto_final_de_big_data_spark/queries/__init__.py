@@ -18,3 +18,4 @@ from . import relational  # noqa: E402,F401
 from . import llm_pipeline  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
+from . import contracts  # noqa: E402,F401

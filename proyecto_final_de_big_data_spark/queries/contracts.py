@@ -1,0 +1,157 @@
+"""Operator-contract queries: drive the surfaces that only pytest
+exercised (SURVEY §2 items P1-P4/F4 canonicalization, S6/S9-S11 export
+round-trips, S7 partitioned sink, F1/F9 temporal features) through the
+external oracle gate, so "implemented" and "verified" stay the same set.
+
+The export round-trips intentionally perform a write inside a query:
+the sink-then-source path IS the operator under test, and the oracle
+pins that a full export/import cycle preserves values exactly. Writes
+go to a fresh ``tempfile.mkdtemp`` dir per invocation.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..io.export import export_table, read_exported
+from ..operators.canonicalize import canonicalize
+from ..operators.features import with_duration_minutes
+from .registry import register
+
+# One shared small aggregate for the round-trip family: stable, typed
+# long + double + string, values pinned by the same oracle each time.
+_ROUND_TRIP_ORACLE = """
+SELECT o_orderpriority AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def _priority_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "canonicalize_contract",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           'direct' AS channel
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="P1-P4/F4 through the gate: a deliberately mis-spelled "
+    "projection of orders (Order_Key, TOTALPRICE, ...) is canonicalized "
+    "(case-insensitive synonym rename, required-column validation, "
+    "literal-default backfill for the absent 'channel', canonical "
+    "projection) and then aggregated; the oracle works from the clean "
+    "source directly, so any canonicalization slip breaks the hash.",
+)
+def q_canonicalize_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("Order_Key"),
+        F.col("o_totalprice").alias("TOTALPRICE"),
+        F.col("o_orderpriority").alias("Priority"),
+    )
+    clean = canonicalize(
+        raw,
+        synonyms={
+            "order_key": ["orderkey", "order_key", "o_orderkey"],
+            "total_price": ["totalprice", "total_price"],
+            "priority": ["priority", "orderpriority"],
+            "channel": ["channel", "sales_channel"],
+        },
+        required=["order_key", "total_price"],
+        defaults={"channel": "direct"},
+    )
+    return clean.groupBy("priority", "channel").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("total_price"), 2).alias("total_price"),
+    ).select("priority", "n_orders", "total_price", "channel")
+
+
+@register(
+    "export_round_trip_csv",
+    oracle=_ROUND_TRIP_ORACLE,
+    description="S9/S10/S11 through the gate: aggregate -> coalesce(1) "
+    "CSV-with-header sink -> header/inferSchema CSV source; the oracle "
+    "pins that the text round trip preserves every value and type class.",
+)
+def q_export_round_trip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="export_rt_csv_")
+    export_table(_priority_agg(spark, sf_dir), out, fmt="csv", single_file=True)
+    back = read_exported(spark, out, "csv")
+    return back.select(
+        "priority", F.col("n_orders").cast("long"), F.col("total_price").cast("double")
+    )
+
+
+@register(
+    "export_round_trip_json",
+    oracle=_ROUND_TRIP_ORACLE,
+    description="S6/S9 through the gate: aggregate -> single-file JSON "
+    "sink -> spark.read.json source, value-exact.",
+)
+def q_export_round_trip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="export_rt_json_")
+    export_table(_priority_agg(spark, sf_dir), out, fmt="json", single_file=True)
+    return read_exported(spark, out, "json").select("priority", "n_orders", "total_price")
+
+
+@register(
+    "export_round_trip_partitioned",
+    oracle=_ROUND_TRIP_ORACLE,
+    description="S7 through the gate: partitioned parquet sink "
+    "(partitionBy the aggregate key) -> root read; partition-directory "
+    "encoding must reconstruct the column exactly.",
+)
+def q_export_round_trip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="export_rt_part_")
+    export_table(_priority_agg(spark, sf_dir), out, fmt="parquet", partition_by=("priority",))
+    return read_exported(spark, out, "parquet").select("priority", "n_orders", "total_price")
+
+
+@register(
+    "order_to_ship_latency_by_month",
+    oracle="""
+    SELECT lpad(CAST(month(l.l_shipdate) AS VARCHAR), 2, '0') AS ship_month,
+           count(*) AS n_items,
+           round(avg((epoch(l.l_shipdate) - epoch(o.o_orderdate)) / 60.0), 6)
+               AS avg_order_to_ship_min
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    description="F1/F9 through the gate: duration-minutes between two "
+    "timestamps (unix diff / 60, reference src/etl/features.py:3-7) and "
+    "zero-padded month strings (lpad, reference src/utils/fechas.py:9), "
+    "over the orders->lineitem ship latency. Session TZ pinned UTC so "
+    "epoch math matches the timezone-free oracle.",
+)
+def q_order_to_ship_latency_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    j = with_duration_minutes(j, "o_orderdate", "l_shipdate", "order_to_ship_min")
+    return (
+        j.withColumn("ship_month", F.lpad(F.month("l_shipdate").cast("string"), 2, "0"))
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("order_to_ship_min"), 6).alias("avg_order_to_ship_min"),
+        )
+    )
