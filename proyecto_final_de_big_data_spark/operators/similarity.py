@@ -43,11 +43,19 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    batch_cosine: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
     Output: (query_id, neighbor_id, rank, cosine_sim). Self-matches
     excluded. Ties broken by neighbor id for determinism.
+
+    ``batch_cosine`` switches scoring to the Arrow/numpy batch variant
+    (``vecmath.cosine_batch``) — ~an order of magnitude faster, but its
+    pairwise summation differs from DuckDB's sequential
+    ``list_dot_product`` in the last ulp. Keep it off when the emitted
+    cosine values are hash-compared against a SQL oracle; on when only
+    the neighbor SET is consumed (recall baselines).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("__qv")
@@ -55,10 +63,14 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("__cv")
     )
+    if batch_cosine:
+        from .vecmath import cosine_batch as _cos
+    else:
+        _cos = cosine
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("cosine_sim", _cos(F.col("__qv"), F.col("__cv")))
     )
     from .rollup import argmax_per_group
 

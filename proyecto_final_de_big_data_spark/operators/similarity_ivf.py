@@ -30,16 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .rollup import argmax_per_group
-from .similarity import as_double_array, cosine
-
-
-def _dot_with_literal(vec: Column, centroid: list[float]) -> Column:
-    """JVM-side dot product of an array column with a literal vector."""
-    return F.aggregate(
-        F.zip_with(vec, F.array(*[F.lit(float(c)) for c in centroid]), lambda x, c: x * c),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+from .similarity import as_double_array
+from .vecmath import cosine_batch, matrix_scores
 
 
 def ivf_centroids(
@@ -70,21 +62,28 @@ def ivf_centroids(
 def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
     """Array of dot(vec, centroid_i) — centroids are unit vectors, so the
     argmax over cells equals the cosine argmax (|vec| is constant across
-    cells and cancels)."""
-    return F.array(*[_dot_with_literal(vec, c) for c in centroids])
+    cells and cancels). One numpy matmul per Arrow batch
+    (``vecmath.matrix_scores``); the earlier per-centroid
+    ``aggregate(zip_with(...))`` literal expressions ran interpreted,
+    per element."""
+    return matrix_scores(vec, centroids)
 
 
 def ivf_assign(
     corpus: DataFrame, centroids: list[list[float]], id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """(id, __v, cell): each corpus vector assigned to its closest
-    centroid. One codegen'd projection, no shuffle."""
-    v = as_double_array(vec_col)
-    scores = _cell_scores(v, centroids)
-    return corpus.select(
+    centroid. One vectorized projection, no shuffle. The scores array is
+    materialized as a column first so the Python UDF runs once per row,
+    not once per consuming expression."""
+    scored = corpus.select(
         F.col(id_col),
-        v.alias("__v"),
-        F.array_position(scores, F.array_max(scores)).cast("int").alias("cell"),
+        as_double_array(vec_col).alias("__v"),
+    ).withColumn("__scores", _cell_scores(F.col("__v"), centroids))
+    return scored.select(
+        F.col(id_col),
+        F.col("__v"),
+        F.array_position(F.col("__scores"), F.array_max("__scores")).cast("int").alias("cell"),
     )
 
 
@@ -112,11 +111,15 @@ def ivf_cosine_topk(
         id_col, "neighbor_id"
     )
 
-    qv = as_double_array(vec_col)
-    q_scored = queries.select(
-        F.col(id_col).alias("query_id"),
-        qv.alias("__qv"),
-        F.posexplode(_cell_scores(qv, centroids)).alias("__pos", "__score"),
+    q_scored = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("__qv"),
+        )
+        .withColumn("__scores", _cell_scores(F.col("__qv"), centroids))
+        .select(
+            "query_id", "__qv", F.posexplode("__scores").alias("__pos", "__score")
+        )
     )
     q_cells = argmax_per_group(
         q_scored, ["query_id"], [F.desc("__score"), F.asc("__pos")], n=n_probe
@@ -125,7 +128,7 @@ def ivf_cosine_topk(
     cand = (
         c_assigned.join(F.broadcast(q_cells), "cell", "inner")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("__qv"), F.col("__v")))
+        .withColumn("cosine_sim", cosine_batch(F.col("__qv"), F.col("__v")))
     )
     top = argmax_per_group(cand, ["query_id"], [F.desc("cosine_sim"), F.asc("neighbor_id")], n=k)
     return top.select("query_id", "neighbor_id", "rank", "cosine_sim")

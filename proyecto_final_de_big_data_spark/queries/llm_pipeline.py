@@ -259,18 +259,22 @@ def q_simhash_banding_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pins that count, and the planted-pair pytest covers the hit path.",
 )
 def q_embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import as_double_array, cosine
+    from ..operators.similarity import as_double_array
     from ..operators.similarity_ann import embedding_near_dup_pairs
+    from ..operators.vecmath import cosine_batch
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     v = emb.select("vec_id", as_double_array("embedding").alias("v"))
     a, b = v.alias("a"), v.alias("b")
+    # Batch (numpy) cosine: the 45k-pair all-pairs baseline dominated the
+    # suite under the interpreted fold; the 0.95 threshold sits far from
+    # any fixture cosine, so summation-order ulp noise cannot flip a pair.
     exact = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("c"),
+            cosine_batch(F.col("a.v"), F.col("b.v")).alias("c"),
         )
         .filter(F.col("c") >= 0.95)
     )
@@ -502,7 +506,10 @@ def _pair_recall(exact: DataFrame, approx: DataFrame, keys: list[str], threshold
 def q_knn_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    # batch_cosine: only the neighbor-id SET feeds the recall join; the
+    # 0.5 flag threshold sits far from the measured 0.62–0.70 recall, so
+    # an ulp-level rank swap at the k-boundary cannot flip the flag.
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5, batch_cosine=True)
     approx = ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=6)
     return _pair_recall(exact, approx, ["query_id", "neighbor_id"], threshold=0.5)
 
