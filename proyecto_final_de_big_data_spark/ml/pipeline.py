@@ -88,8 +88,14 @@ def train_and_evaluate(df: DataFrame, cfg: TrainConfig) -> tuple[PipelineModel, 
     re-reads the source and recomputes the split once per internal job
     (each StringIndexer distinct-count, the regressor solve, …).
     Predictions are persisted so the three evaluator passes score once.
+
+    The input is pruned to label + used feature columns BEFORE the
+    split/persist: every fit job and the cached train partition then
+    carry only what the model reads (at 100 TB, caching unread fact
+    columns is the difference between fitting in memory and spilling).
     """
     pipeline, numeric, categorical = build_pipeline(df, cfg)
+    df = df.select(cfg.label, *numeric, *categorical)
     train, test = df.randomSplit([cfg.train_fraction, 1 - cfg.train_fraction], seed=cfg.seed)
     train = train.persist()
     try:
