@@ -69,3 +69,88 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """Adapter: treat document text bytes as an opaque media payload so
     the binary plumbing is exercisable on the stock fixtures."""
     return df.select(F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload"))
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, n_bytes_in long, n_bytes_out long, pixel_mean double"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode → resize → re-encode plumbing over a binary column.
+
+    The decode/resample kernel is STUBBED (no PIL/OpenCV here): pseudo
+    RGB pixels are derived by tiling sha256(payload) to width×height×3
+    bytes — deterministic across runs and engines, so the metadata
+    contract (byte counts, dimensions, pixel mean) is testable. In
+    production only the kernel body changes; the mapInPandas shape —
+    one Arrow batch in, one typed record per image out, binary never
+    shuffled — is the part that must survive a 100-TB corpus.
+    """
+    n_out = width * height * 3
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            pixel_means = []
+            for p in payloads:
+                digest = hashlib.sha256(p).digest()
+                tiled = (digest * (n_out // len(digest) + 1))[:n_out]
+                pixel_means.append(sum(tiled) / n_out / 255.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "width": width,
+                    "height": height,
+                    "n_bytes_in": [len(p) for p in payloads],
+                    "n_bytes_out": n_out,
+                    "pixel_mean": pixel_means,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(do, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, n_frames int, frame_fp string"
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling plumbing for video-like payloads: treat the binary
+    as ``n_frames = floor(n_bytes / frame_bytes)`` fixed-size frames and
+    emit every ``stride``-th one — the mapInPandas fan-out shape (one
+    input row → many typed frame rows) a real video pipeline needs.
+    The "frame decode" is a byte slice + sha256 fingerprint; swapping in
+    a real codec changes only the slice body.
+
+    Payloads shorter than one frame emit no rows (no decodable frame).
+    """
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, totals, fps = [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(p)
+                n_frames = len(payload) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    frame = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    totals.append(n_frames)
+                    fps.append(hashlib.sha256(frame).hexdigest()[:16])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "n_frames": totals, "frame_fp": fps}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(do, schema=FRAME_SCHEMA)

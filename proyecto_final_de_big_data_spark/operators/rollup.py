@@ -17,6 +17,25 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..utils.logging import get_logger
+
+
+def _warn_if_unaggregated(df: DataFrame, op: str) -> None:
+    """The unpartitioned windows below single-partition their input —
+    fine on post-aggregation frames (≤ thousands of rows), a scale bug
+    on raw data. Warn (don't fail) when the lineage shows no upstream
+    Aggregate/Limit, so misuse surfaces in logs before it surfaces as a
+    single straggler task on a cluster."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if "Aggregate" not in plan and "GlobalLimit" not in plan:
+        get_logger("rollup").warning(
+            "%s applies an unpartitioned window to an input with no upstream "
+            "aggregation or limit; this single-partitions the data. For "
+            "raw-data shares compute the grand total separately and "
+            "broadcast-join it.",
+            op,
+        )
+
 
 def weighted_mean(df: DataFrame, keys: Sequence[str], mean_col: str, weight_col: str, out: str) -> DataFrame:
     """Count-weighted mean of per-group means: Σ(mean·w)/Σ(w) per key.
@@ -37,6 +56,7 @@ def with_share_of_total(df: DataFrame, value_col: str, out: str = "share") -> Da
     (small) this is the idiomatic one-liner. For raw-data shares compute
     the total separately and broadcast it.
     """
+    _warn_if_unaggregated(df, "with_share_of_total")
     w = Window.partitionBy()
     return df.withColumn(out, F.col(value_col) / F.sum(value_col).over(w))
 
@@ -44,6 +64,7 @@ def with_share_of_total(df: DataFrame, value_col: str, out: str = "share") -> Da
 def with_cumulative_share(df: DataFrame, order_col: str, value_col: str, out: str = "cum_share") -> DataFrame:
     """Running cumulative share of total, ordered by ``order_col``
     (reference D6, ``dashboards/streamlit_app.py:833-834``)."""
+    _warn_if_unaggregated(df, "with_cumulative_share")
     w_cum = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_all = Window.partitionBy()
     return df.withColumn(out, F.sum(value_col).over(w_cum) / F.sum(value_col).over(w_all))

@@ -390,6 +390,52 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return featurize_media(media).select("doc_id", "n_bytes", "content_fp")
 
 
+@register(
+    "media_resize",
+    oracle="""
+    SELECT doc_id,
+           16 AS width, 16 AS height,
+           octet_length(encode(text)) AS n_bytes_in,
+           768 AS n_bytes_out
+    FROM documents WHERE doc_id < 500
+    """,
+    description="mapInPandas image-resize plumbing (decode/resample stubbed to a "
+    "deterministic sha256-tiled kernel): the metadata contract — dimensions, "
+    "input/output byte counts, one record per image — is hash-checked against "
+    "SQL; pixel values are pinned by unit test.",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    resized = resize_images(documents_as_media(docs), width=16, height=16)
+    return resized.select("doc_id", "width", "height", "n_bytes_in", "n_bytes_out")
+
+
+@register(
+    "media_frame_sample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, (octet_length(encode(text)) // 64)::INT AS n_frames
+        FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id, unnest(range(0, n_frames, 4))::INT AS frame_idx, n_frames
+    FROM f
+    WHERE n_frames > 0
+    """,
+    description="mapInPandas frame-sampling fan-out (one payload row -> every "
+    "4th 64-byte frame): the fan-out shape — frame indices, per-doc frame "
+    "counts — is hash-checked against a LATERAL generate_series oracle; frame "
+    "fingerprints are pinned by unit test.",
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    frames = sample_frames(documents_as_media(docs), frame_bytes=64, stride=4)
+    return frames.select("doc_id", "frame_idx", "n_frames")
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

@@ -157,3 +157,27 @@ def test_lang_guess_markers(spark):
     )
     got = [r["g"] for r in df.select(lang_guess("text").alias("g")).collect()]
     assert got == ["en", "es", "und"]
+
+
+def test_global_window_guard_warns_on_raw_input(spark):
+    import logging
+
+    from proyecto_final_de_big_data_spark.operators.rollup import with_share_of_total
+
+    # The factory handler binds the stdout active at logger creation, so
+    # capsys can't see it from inside the suite; capture records directly.
+    records: list[str] = []
+    handler = logging.Handler()
+    handler.emit = lambda r: records.append(r.getMessage())
+    logging.getLogger("rollup").addHandler(handler)
+    try:
+        raw = spark.createDataFrame([(1, 10.0), (2, 30.0)], ["k", "v"])
+        with_share_of_total(raw, "v")
+        assert any("unpartitioned window" in m for m in records)
+
+        records.clear()
+        agged = raw.groupBy("k").agg(F.sum("v").alias("v"))
+        with_share_of_total(agged, "v")
+        assert not records
+    finally:
+        logging.getLogger("rollup").removeHandler(handler)
