@@ -246,3 +246,65 @@ def q_weekend_night_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("is_weekend", "is_night")
         .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
     )
+
+
+# Skew-mitigation surface (operators/skew.py) driven through the gate:
+# the salted plans must produce EXACTLY the unsalted GROUP BY / join
+# answers — the salt is an execution detail, invisible in the result.
+
+
+@register(
+    "salted_event_type_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    description="Two-phase salted aggregation (groupBy (key, salt) partial -> "
+    "groupBy key final, operators/skew.py) over events; the oracle is the "
+    "plain GROUP BY it must be indistinguishable from. Sums rounded to 4 "
+    "decimals on both sides: the extra combine step changes float "
+    "association order.",
+)
+def q_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = salted_aggregate(
+        ev, ["event_type"], sums={"total_value": F.col("value")}, count_alias="n_events"
+    )
+    return agg.select(
+        "event_type", "n_events", F.round("total_value", 4).alias("total_value")
+    )
+
+
+@register(
+    "salted_nation_customer_counts",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 4) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    description="Salt-replicated broadcast join (operators/skew.py "
+    "salted_broadcast_left: the small side is replicated per salt and "
+    "broadcast, the big side never shuffles for the join) decoding customers "
+    "to nations; oracle is the plain equi-join + GROUP BY.",
+)
+def q_salted_nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_broadcast_left
+
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "nationkey"
+    )
+    joined = salted_broadcast_left(cust, nat, "nationkey", n_salts=8)
+    return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+    )

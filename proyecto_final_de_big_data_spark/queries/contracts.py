@@ -155,3 +155,40 @@ def q_order_to_ship_latency_by_month(spark: SparkSession, sf_dir: str) -> DataFr
             F.round(F.avg("order_to_ship_min"), 6).alias("avg_order_to_ship_min"),
         )
     )
+
+
+@register(
+    "approx_quantile_contract",
+    oracle="""
+    SELECT count(*) AS n_rows, 1 AS within_tol
+    FROM lineitem
+    """,
+    description="A14 (percentile_approx) through the gate as an accuracy "
+    "contract: the one-pass approximate p01/p99 bounds of l_extendedprice "
+    "must put 1% +/- 0.5pp of rows below/above them (the sketch guarantees "
+    "rank error <= relative_error = 0.1pp, so the flag has 5x headroom while "
+    "still failing on a broken sketch). The oracle pins the row count and "
+    "that the tolerance held; exact-percentile behavior is value-checked by "
+    "outlier_clipped_kpis.",
+)
+def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clean import quantile_bounds
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = quantile_bounds(
+        li, ["l_extendedprice"], 0.01, 0.99, exact=False, relative_error=0.001
+    )
+    checked = li.crossJoin(F.broadcast(bounds)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg((F.col("l_extendedprice") < F.col("l_extendedprice__lo")).cast("double")).alias("__f_lo"),
+        F.avg((F.col("l_extendedprice") > F.col("l_extendedprice__hi")).cast("double")).alias("__f_hi"),
+    )
+    return checked.select(
+        "n_rows",
+        (
+            (F.abs(F.col("__f_lo") - 0.01) <= 0.005)
+            & (F.abs(F.col("__f_hi") - 0.01) <= 0.005)
+        )
+        .cast("int")
+        .alias("within_tol"),
+    )
