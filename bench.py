@@ -42,6 +42,21 @@ def main() -> None:
     # Warm-up: JVM, codegen, parquet footer caches.
     QUERIES["pricing_summary"].spark_fn(spark, sf_dir).count()
 
+    # MLlib class-loading/JIT and the Python-worker pool are one-time
+    # process costs, not per-query work — prime them untimed so the
+    # first ML / Pandas-UDF query isn't charged for process startup.
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    tiny = spark.createDataFrame([(float(i), float(i)) for i in range(32)], ["x", "y"])
+    assembled = VectorAssembler(inputCols=["x"], outputCol="features").transform(tiny)
+    LinearRegression(labelCol="y", featuresCol="features", solver="normal").fit(assembled)
+
+    _warm = pandas_udf(lambda s: s, "double")
+    tiny.select(_warm(F.col("x"))).count()
+
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
         t0 = time.perf_counter()

@@ -66,3 +66,33 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in executed
     assert "*(" in executed  # when-chain binning stays JVM-side
+
+
+def test_salted_agg_is_two_phase(spark, sf_dir):
+    # phase 1 groupBy (key, salt) + phase 2 groupBy key, each with
+    # map-side partial aggregation -> at least 3 HashAggregate nodes.
+    plan = _plan(spark, sf_dir, "salted_event_type_stats")
+    assert plan.count("HashAggregate") >= 3
+
+
+def test_salted_join_broadcasts_replicated_small_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "salted_nation_customer_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the big (salted) side must not shuffle
+
+
+def test_media_plumbing_never_shuffles_binary(spark, sf_dir):
+    # scan -> encode -> mapInPandas, no wide transform: binary payloads
+    # must reach the Python workers without an Exchange in between.
+    for q in ("media_resize", "media_frame_sample"):
+        plan = _plan(spark, sf_dir, q)
+        assert "Exchange" not in plan, q
+        assert "MapInPandas" in plan, q
+
+
+def test_ivf_candidates_form_by_broadcast_join(spark, sf_dir):
+    # corpus side: cell assignment is a projection (no shuffle before the
+    # join); candidates form by broadcasting the tiny exploded query side.
+    plan = _plan(spark, sf_dir, "knn_ann_ivf")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
