@@ -93,3 +93,51 @@ def q_session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+
+
+@register(
+    "stateful_user_profiles_stream",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(round(value * 100)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY 1
+    """,
+    description="applyInPandasWithState driven END-TO-END as a real stream "
+    "(file source -> stateful per-user profile -> memory sink, availableNow): "
+    "the fixture arrives as one micro-batch, so the drained update-mode "
+    "output is exactly one final profile per user, which the plain GROUP BY "
+    "oracle pins value-for-value. The running total is compared in exact "
+    "integer cents (fixture values are 2-decimal): pandas' pairwise float "
+    "summation differs from DuckDB's sequential sum in the last ulp, which "
+    "a rounded-mean comparison can land on a rounding boundary (observed at "
+    "sf0.01). Covers the custom-stateful surface the batch window queries "
+    "cannot.",
+)
+def q_stateful_user_profiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import user_profile_stream
+    from ..streaming.windows import read_events_stream, run_to_completion
+
+    # The file stream source requires a directory; stage the single
+    # fixture file into one (single file -> single micro-batch, which is
+    # what makes the update-mode output equal the batch GROUP BY).
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
+    stream = read_events_stream(spark, stage)
+    name = f"t_stateful_{uuid.uuid4().hex[:8]}"
+    q = run_to_completion(user_profile_stream(stream), name, output_mode="update")
+    q.stop()
+    # mean_value * n recovers the running total; *100 + round lands on the
+    # exact integer cent (float error ~1e-10 << 0.5).
+    return spark.table(name).select(
+        "user_id",
+        "n_events",
+        F.round(F.col("mean_value") * F.col("n_events") * 100, 0)
+        .cast("long")
+        .alias("total_cents"),
+    )

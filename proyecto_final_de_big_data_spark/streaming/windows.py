@@ -34,6 +34,11 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over the events parquet fixture."""
+    # Same vanilla-session-proofing as catalog.load_table: the fixture
+    # carries TIMESTAMP(NANOS), readable only as long with this conf on;
+    # UTC pinned so event-time windows match the timezone-free oracle.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
