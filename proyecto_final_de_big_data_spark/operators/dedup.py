@@ -18,8 +18,69 @@ AQE skew-join or a bucket-size cap filter (``max_bucket``).
 
 from __future__ import annotations
 
+import hashlib
+import re as _re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_MASK64 = (1 << 64) - 1
+
+
+def _split_words(text: str) -> list[str]:
+    return [w for w in _re.split(r"\s+", text) if w]
+
+
+def _shingle_set(text: str, n: int) -> set[str]:
+    """Distinct word n-grams; whole text for docs shorter than n words
+    (same semantics as the expression path in with_word_shingles)."""
+    words = _split_words(text)
+    if len(words) >= n:
+        return {" ".join(words[j : j + n]) for j in range(len(words) - n + 1)}
+    return {text}
+
+
+def _hash64(values) -> np.ndarray:
+    """uint64 blake2b-8 hashes of an iterable of strings — the
+    deterministic base hash family for the approximate dedup ops."""
+    b2b = hashlib.blake2b
+    return np.array(
+        [int.from_bytes(b2b(v.encode("utf-8"), digest_size=8).digest(), "big") for v in values],
+        dtype=np.uint64,
+    )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the input arrives in fewer partitions (e.g. one small parquet
+    file locally) — otherwise a per-partition Arrow pass runs on one
+    core. On a real corpus (many input splits) this is a no-op, keeping
+    the map-only stages genuinely shuffle-free.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _splitmix64(base: np.ndarray, num_streams: int) -> np.ndarray:
+    """(n, num_streams) uint64: stream i re-mixes base via splitmix64
+    with a per-stream gamma offset — a uniform family over fixed-width
+    ints, the vectorized analogue of xxhash64(base, i)."""
+    gammas = np.array(
+        [((i + 1) * 0x9E3779B97F4A7C15) & _MASK64 for i in range(num_streams)], dtype=np.uint64
+    )
+    with np.errstate(over="ignore"):
+        z = base[:, None] + gammas[None, :]
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -86,38 +147,68 @@ def with_word_shingles(
     return df.withColumn(out, F.array_distinct(grams)).drop("__words")
 
 
+def shingle_hash_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, __shash array<long>): distinct word n-gram shingle HASHES,
+    one Arrow batch pass (Python split/join + blake2b-8, deterministic
+    across workers and runs).
+
+    Why not expressions: even the slice-based ``with_word_shingles``
+    formulation runs on Spark's interpreted higher-order-function path
+    (~2.5 s for 260k shingles at sf0.1); a batch of plain Python string
+    ops is ~5× faster and ships back 8 bytes per shingle instead of the
+    shingle text. Use for the APPROXIMATE family (MinHash, SimHash,
+    hash-set Jaccard verification), where consumers compare hash sets —
+    identical to string sets absent a 64-bit collision (~1e-9 at 1e5
+    shingles). Keep :func:`with_word_shingles` where a SQL oracle
+    recomputes shingle STRINGS (``jaccard_pairs_index``).
+
+    Short docs (< n words) hash the whole text as a single shingle,
+    matching the expression path's semantics.
+    """
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [
+                _hash64(_shingle_set(t, n)).view(np.int64).tolist() for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "__shash": arrs})
+
+    return _spread(df.select(id_col, text_col)).mapInPandas(
+        do, schema=f"{id_col} long, __shash array<long>"
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, signature array<long>[num_hashes]) via xxhash64 minima.
+    """(id, signature array<long>[num_hashes]): MinHash minima.
 
-    Hash family: the variable-length shingle string is hashed ONCE to a
-    long, then h_i = xxhash64(base, i) re-mixes that fixed-width long —
-    so per shingle the string is scanned once, not ``num_hashes`` times
-    (the earlier concat(s, "#i") family re-hashed the full string per
-    hash; this is ~2× faster at 32 hashes and identical in collision
-    behavior, since xxhash64 over (long, int) is still a uniform family).
+    Hash family: each shingle string is hashed ONCE (blake2b-8), then
+    stream i re-mixes the fixed-width base via splitmix64 — a uniform
+    family, so collision behavior matches any standard MinHash.
 
-    Implementation: explode shingles once, then ``num_hashes`` MIN
-    aggregates grouped by id. Projection collapse would otherwise
-    re-inline the (regex-split + slice + concat) shingle expression into
-    every one of the ``num_hashes`` array_min lambdas — measured 60×
-    slower at 5k docs. The groupBy is combine-heavy (partial minima
-    map-side), so the shuffle moves ≤ num_hashes longs per doc.
+    SHUFFLE-FREE: the whole signature is computed per document inside
+    one Arrow batch (shingle → base hashes → (n_shingles × num_hashes)
+    mix matrix → column minima in numpy). The previous formulation
+    (explode shingles + num_hashes MIN aggregates) shuffled every
+    (doc, shingle-hash) row; at corpus scale the signature stage is now
+    a map-only pass and only the band bucket-join shuffles.
     """
-    exploded = (
-        with_word_shingles(df.select(id_col, text_col), text_col, "__sh", shingle_n)
-        .select(F.col(id_col), F.explode("__sh").alias("__shingle"))
-        .select(F.col(id_col), F.xxhash64("__shingle").alias("__base"))
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for t in pdf[text_col]:
+                base = _hash64(_shingle_set(t, shingle_n))
+                mins = _splitmix64(base, num_hashes).min(axis=0)
+                sigs.append(mins.view(np.int64).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col].values, "signature": sigs})
+
+    return _spread(df.select(id_col, text_col)).mapInPandas(
+        do, schema=f"{id_col} long, signature array<long>"
     )
-    mins = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.col("__base"), F.lit(i))).alias(f"__h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    sig = F.array(*[F.col(f"__h{i}") for i in range(num_hashes)])
-    return mins.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -182,6 +273,10 @@ def jaccard_verify(
     table is << corpus at scale, so this is the difference between
     re-shingling ~2·|pairs| docs and re-shingling everything, twice).
     Then two hash joins attach the shingle sets to the pair table.
+
+    Jaccard is computed over shingle HASH sets (64-bit): identical to
+    the string-set Jaccard absent a hash collision, and long-array set
+    intersection is far cheaper than string-array.
     """
     pair_ids = (
         pairs.select(F.col("id_a").alias(id_col))
@@ -189,8 +284,12 @@ def jaccard_verify(
         .distinct()
     )
     needed = df.join(pair_ids, id_col, "left_semi")
-    sh = with_word_shingles(needed.select(id_col, text_col), text_col, "__sh", shingle_n).select(
-        id_col, "__sh"
+    # Persisted: the shingle set attaches to BOTH pair sides — without it
+    # the semi-join + Arrow shingling subtree runs once per join.
+    sh = (
+        shingle_hash_arrays(needed, id_col, text_col, shingle_n)
+        .withColumnRenamed("__shash", "__sh")
+        .persist()
     )
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
@@ -265,8 +364,16 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup pairs, Jaccard-verified."""
+    """End-to-end MinHash-LSH near-dup pairs, Jaccard-verified.
+
+    Signatures and candidate pairs are persisted: both are tiny relative
+    to the corpus (num_hashes longs per doc; candidate pairs << n²) and
+    each is referenced by multiple downstream joins — without the
+    persist, Spark re-evaluates the Arrow signature pass once per
+    reference (up to 6× across the banding self-join and the pair-table
+    fan-out in verification).
+    """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band).persist()
     return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)

@@ -1,19 +1,27 @@
 """SimHash near-duplicate detection — 64-bit sign-aggregated token
-hashes + banded Hamming candidate search, entirely in built-in
-expressions (explode → per-bit sign sums → bit reassembly → 16-bit-chunk
-banding → ``bit_count`` Hamming verification).
+hashes + banded Hamming candidate search.
 
-Scale shape: one explode + one combine-heavy groupBy per corpus for
-signatures (shuffle carries 64 ints per doc), then the same
-bucket-join pattern as MinHash-LSH for candidates. A pair within
+Scale shape: signatures are computed SHUFFLE-FREE — the whole 64-bit
+majority vote happens per document inside one Arrow batch (token
+hashes → unpacked bit matrix → column sums in numpy), so the signature
+stage is a map-only pass over the corpus; only the chunk bucket-join
+shuffles (the same pattern as MinHash-LSH). The earlier formulation
+(explode tokens + 64 sign-sum aggregates) shuffled every (doc, token)
+row and ran the bit tests on the interpreted path. A pair within
 Hamming distance d differs in at most d of the 4 chunks, so any pair
 with d < 4 shares ≥1 exact chunk — banding is lossless for d ≤ 3.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .dedup import _hash64, _split_words, _spread
 
 N_BITS = 64
 CHUNKS = 4
@@ -21,26 +29,35 @@ CHUNK_BITS = N_BITS // CHUNKS
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash long): majority vote of token-hash bits."""
-    tokens = df.select(
-        F.col(id_col),
-        F.explode(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0)).alias("__tok"),
-    ).withColumn("__h", F.xxhash64("__tok"))
-    # Per-bit ±1 sums in one aggregation (64 agg exprs, map-side combined).
-    bit_sums = tokens.groupBy(id_col).agg(
-        *[
-            F.sum(F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"__b{b}")
-            for b in range(N_BITS)
-        ]
+    """(id, simhash long): majority vote of token-hash bits.
+
+    Docs with no tokens are dropped (the exploded formulation had the
+    same semantics: no rows → no group).
+    """
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sims = [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                tokens = _split_words(t)
+                if not tokens:
+                    continue
+                h = _hash64(tokens)  # (n_tokens,) uint64
+                # native little-endian bytes + LSB-first unpack -> column
+                # j is bit j of the value
+                bits = np.unpackbits(
+                    h[:, None].view(np.uint8), axis=1, bitorder="little"
+                )  # (n_tokens, 64)
+                majority = (2 * bits.sum(axis=0)) > len(tokens)  # strict, matches sum(±1) > 0
+                val = int(weights[majority].sum(dtype=np.uint64))
+                sims.append(val - (1 << 64) if val >= 1 << 63 else val)
+                ids.append(doc_id)
+            yield pd.DataFrame({id_col: ids, "simhash": sims})
+
+    return _spread(df.select(id_col, text_col)).mapInPandas(
+        do, schema=f"{id_col} long, simhash long"
     )
-    sim = None
-    for b in range(N_BITS):
-        # shiftleft keeps bit 63 JVM-side ((1<<63) overflows a py4j long literal)
-        term = F.shiftleft(
-            F.when(F.col(f"__b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), b
-        )
-        sim = term if sim is None else sim + term
-    return bit_sums.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -59,7 +76,13 @@ def simhash_near_dup_pairs(
     """
     if max_hamming >= CHUNKS:
         raise ValueError(f"banding is lossless only for max_hamming < {CHUNKS}")
-    sigs = signatures if signatures is not None else simhash_signatures(df, id_col, text_col)
+    # Persist when we computed them: the chunk self-join references the
+    # signature frame twice, and it is one long per doc.
+    sigs = (
+        signatures
+        if signatures is not None
+        else simhash_signatures(df, id_col, text_col).persist()
+    )
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),

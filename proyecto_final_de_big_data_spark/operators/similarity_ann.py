@@ -96,7 +96,9 @@ def embedding_near_dup_pairs(
     immaterial (see ``vecmath.cosine_batch``).
     """
     c = corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
-    banded = _with_table_buckets(c, "__v", dim, n_planes, n_tables)
+    # Persisted: the bucket self-join references the banded frame twice —
+    # without it the Arrow projection pass runs once per side.
+    banded = _with_table_buckets(c, "__v", dim, n_planes, n_tables).persist()
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
