@@ -192,3 +192,48 @@ def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("within_tol"),
     )
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    description="Co-located join via bucketed tables (io/bucketed.py): both "
+    "sides are written bucketed on the join key (8 buckets), so the join "
+    "itself needs NO exchange — the one-time write shuffle replaces every "
+    "subsequent join shuffle (the 100-TB fact-fact join strategy). The "
+    "oracle pins that the bucketed write+join round-trip loses nothing; "
+    "the exchange-free plan shape is asserted in tests/test_plan_quality.py.",
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _bucketed_orders_customer_join(spark, sf_dir)
+    return df.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def _bucketed_orders_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders/customer projections bucketed on the custkey, return
+    the exchange-free join (shared by the gate query and the plan test)."""
+    import uuid
+
+    from ..io.bucketed import colocated_join, write_bucketed_table
+
+    sfx = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed_table(o, f"t_orders_{sfx}", f"{base}/orders", ["o_custkey"], 8, ["o_custkey"])
+    write_bucketed_table(c, f"t_cust_{sfx}", f"{base}/customer", ["c_custkey"], 8, ["c_custkey"])
+    return colocated_join(
+        spark,
+        f"t_orders_{sfx}",
+        f"t_cust_{sfx}",
+        F.col("o_custkey") == F.col("c_custkey"),
+    )

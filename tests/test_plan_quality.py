@@ -96,3 +96,18 @@ def test_ivf_candidates_form_by_broadcast_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "knn_ann_ivf")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # Both sides written bucketed on the join key -> the SortMergeJoin
+    # must run with no Exchange on either side (the write shuffle
+    # replaced the join shuffle). Asserted on the executed plan.
+    from proyecto_final_de_big_data_spark.queries.contracts import (
+        _bucketed_orders_customer_join,
+    )
+
+    j = _bucketed_orders_customer_join(spark, sf_dir)
+    j.collect()
+    executed = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in executed
+    assert "Exchange" not in executed
