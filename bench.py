@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the registered query catalog at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints ONE SHORT JSON line:
+{"metric": "suite_total_sec", "value": total_sec, "unit": "sec",
+ "queries": {...summary...}, "sf": ...}
+
+Per-query timings go to BENCH_DETAIL.json next to this script — the
+stdout line is kept small because the driver tail-captures it (round 2's
+full 68-query dict overflowed the capture window and parsed as null).
 
 Each query is executed to completion (count() action) — results are not
 collected to the driver. A warm-up query primes the JVM/codegen first.
@@ -73,14 +78,30 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w", encoding="utf-8") as f:
+        json.dump(
             {
                 "metric": "suite_total_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+            },
+            f,
+            indent=2,
+        )
+    # Keep the stdout line well under the driver's tail-capture window
+    # (~200 chars): totals only; full per-query detail in the file.
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

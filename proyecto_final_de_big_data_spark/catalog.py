@@ -34,11 +34,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); a vanilla SparkSession
-        # (e.g. an external verification harness) rejects it with
-        # PARQUET_TYPE_ILLEGAL unless nanosAsLong is on. It is a
-        # runtime-settable SQL conf, so set it here rather than relying on
-        # the session factory having been used.
+        # events.parquet may carry TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
+        # depending on fixture vintage; a vanilla SparkSession (e.g. an
+        # external verification harness) rejects NANOS with
+        # PARQUET_TYPE_ILLEGAL unless nanosAsLong is on (harmless for
+        # MICROS). It is a runtime-settable SQL conf, so set it here
+        # rather than relying on the session factory having been used.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # hour()/dayofweek() over ts are session-timezone-dependent; the
         # oracle (DuckDB over naive timestamps) is timezone-free. Pin UTC
@@ -46,7 +47,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (nanosAsLong); truncate to µs —
+        # TIMESTAMP(NANOS) read as long (nanosAsLong — MICROS fixtures
+        # arrive as timestamp and skip this branch); truncate to µs —
         # integer div (not /) to avoid double-precision loss on int64,
         # matching DuckDB's ns→µs truncation.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -57,6 +57,37 @@ def probe_parquet_columns(path: str, logger: logging.Logger | None = None) -> li
     return []
 
 
+def probe_parquet_ts_unit(path: str, column: str = "ts", logger: logging.Logger | None = None) -> str | None:
+    """Timestamp unit ('ns' | 'us' | 'ms' | 's') of ``column`` from the
+    parquet footer, or None when the column is absent / not a timestamp /
+    the probe fails. Accepts a file or a directory of part files (first
+    ``*.parquet`` wins — one footer read, no data scan). Used by the
+    streaming source to pick a read schema that matches the physical type
+    instead of assuming one fixture vintage (fixtures have shipped both
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS))."""
+    log = logger or get_logger("ingest")
+    try:
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(
+                os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if not parts:
+                return None
+            probe = parts[0]
+        field_type = pq.ParquetFile(probe).schema_arrow.field(column).type
+        import pyarrow.types as pat
+
+        if pat.is_timestamp(field_type):
+            return field_type.unit
+        return None
+    except Exception as err:  # noqa: BLE001 — probe must degrade, not raise
+        log.warning("ts-unit probe failed for %s: %s", path, err)
+        return None
+
+
 def build_manifest_record(file_name: str, path: str, year: int | str, month: str) -> dict:
     """One audit row per ingested file: name, bytes, columns, UTC
     timestamp, partition keys (reference ``scripts/00_download_tlc.py:119-128``)."""

@@ -87,7 +87,11 @@ def train_and_evaluate(df: DataFrame, cfg: TrainConfig) -> tuple[PipelineModel, 
     The train split is persisted before ``fit`` — the fit otherwise
     re-reads the source and recomputes the split once per internal job
     (each StringIndexer distinct-count, the regressor solve, …).
-    Predictions are persisted so the three evaluator passes score once.
+    Predictions are persisted so the three evaluator passes score once;
+    both caches are released before returning (callers that iterate the
+    returned predictions frame should persist it themselves — most
+    consume only the metrics dict, and a pinned cache would otherwise
+    leak across a long-lived session).
 
     The input is pruned to label + used feature columns BEFORE the
     split/persist: every fit job and the cached train partition then
@@ -98,6 +102,7 @@ def train_and_evaluate(df: DataFrame, cfg: TrainConfig) -> tuple[PipelineModel, 
     df = df.select(cfg.label, *numeric, *categorical)
     train, test = df.randomSplit([cfg.train_fraction, 1 - cfg.train_fraction], seed=cfg.seed)
     train = train.persist()
+    predictions = None
     try:
         model = pipeline.fit(train)
         predictions = model.transform(test).persist()
@@ -106,6 +111,8 @@ def train_and_evaluate(df: DataFrame, cfg: TrainConfig) -> tuple[PipelineModel, 
         metrics["rows_test"] = predictions.count()
     finally:
         train.unpersist()
+        if predictions is not None:
+            predictions.unpersist()
     return model, metrics, predictions
 
 

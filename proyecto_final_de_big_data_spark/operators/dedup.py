@@ -59,8 +59,17 @@ def _spread(df: DataFrame) -> DataFrame:
     file locally) — otherwise a per-partition Arrow pass runs on one
     core. On a real corpus (many input splits) this is a no-op, keeping
     the map-only stages genuinely shuffle-free.
+
+    The partition-count probe (``df.rdd.getNumPartitions()``) forces a
+    plan conversion per call — cheap locally, measurable at cluster
+    driver scale, so it is gated on ``spark.graft.spreadSmallInputs``
+    (default true; set false on real clusters, where inputs arrive in
+    many splits and the probe is pure overhead).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    if (spark.conf.get("spark.graft.spreadSmallInputs", "true") or "true").lower() != "true":
+        return df
+    target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -84,8 +93,16 @@ def _splitmix64(base: np.ndarray, num_streams: int) -> np.ndarray:
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
-    """Keep exactly one row (min id) per distinct content tuple."""
-    digest = F.md5(F.concat_ws("\x1f", *content_cols)).alias("__digest")
+    """Keep exactly one row (min id) per distinct content tuple.
+
+    NULLs are digested as an explicit sentinel: ``concat_ws`` silently
+    skips nulls, which would conflate ``(NULL, 'x')`` with ``('x',)``
+    (and NULL with empty string) in the multi-column case.
+    """
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00")) for c in content_cols
+    ]
+    digest = F.md5(F.concat_ws("\x1f", *parts)).alias("__digest")
     keep = (
         df.select(digest, F.col(id_col))
         .groupBy("__digest")
@@ -277,7 +294,13 @@ def jaccard_verify(
     Jaccard is computed over shingle HASH sets (64-bit): identical to
     the string-set Jaccard absent a hash collision, and long-array set
     intersection is far cheaper than string-array.
+
+    The verified pair set (small relative to the corpus) is materialized
+    eagerly so the persisted shingle frame can be released before
+    returning instead of leaking across the session.
     """
+    from ..utils.caching import materialize_and_release
+
     pair_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
@@ -301,7 +324,7 @@ def jaccard_verify(
         )
         .select("id_a", "id_b", "jaccard")
     )
-    return j.filter(F.col("jaccard") >= threshold)
+    return materialize_and_release(j.filter(F.col("jaccard") >= threshold), sh)
 
 
 def jaccard_pairs_index(
@@ -371,9 +394,14 @@ def minhash_dedup_pairs(
     each is referenced by multiple downstream joins — without the
     persist, Spark re-evaluates the Arrow signature pass once per
     reference (up to 6× across the banding self-join and the pair-table
-    fan-out in verification).
+    fan-out in verification). ``jaccard_verify`` materializes the final
+    pair set eagerly, so both frames are released before returning.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band).persist()
-    return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
+    try:
+        return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
+    finally:
+        cands.unpersist()
+        sigs.unpersist()

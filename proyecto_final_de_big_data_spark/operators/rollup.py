@@ -12,6 +12,8 @@ shuffle by the partition key, no global sort.
 
 from __future__ import annotations
 
+import contextlib
+import io
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -25,8 +27,15 @@ def _warn_if_unaggregated(df: DataFrame, op: str) -> None:
     fine on post-aggregation frames (≤ thousands of rows), a scale bug
     on raw data. Warn (don't fail) when the lineage shows no upstream
     Aggregate/Limit, so misuse surfaces in logs before it surfaces as a
-    single straggler task on a cluster."""
-    plan = df._jdf.queryExecution().analyzed().toString()
+    single straggler task on a cluster.
+
+    Lineage comes from the public ``explain("extended")`` string (the
+    analyzed-plan section) — no private ``_jdf`` access, stable across
+    Spark versions."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="extended")
+    plan = buf.getvalue()
     if "Aggregate" not in plan and "GlobalLimit" not in plan:
         get_logger("rollup").warning(
             "%s applies an unpartitioned window to an input with no upstream "

@@ -72,12 +72,16 @@ def simhash_near_dup_pairs(
     Exact for max_hamming <= 3 via pigeonhole 16-bit chunk banding.
     Pass precomputed (persisted) ``signatures`` to share the signature
     scan with other consumers — signature computation is the dominant
-    cost (explode + 64 aggregates), the banding itself is cheap.
+    cost (explode + 64 aggregates), the banding itself is cheap. When
+    ``signatures`` is supplied the CALLER owns its cache lifetime and
+    the result stays lazy; when computed here, the (small) pair set is
+    materialized eagerly and the signature cache released on return.
     """
     if max_hamming >= CHUNKS:
         raise ValueError(f"banding is lossless only for max_hamming < {CHUNKS}")
     # Persist when we computed them: the chunk self-join references the
     # signature frame twice, and it is one long per doc.
+    own_sigs = signatures is None
     sigs = (
         signatures
         if signatures is not None
@@ -120,4 +124,8 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if own_sigs:
+        from ..utils.caching import materialize_and_release
+
+        return materialize_and_release(pairs, sigs)
     return pairs

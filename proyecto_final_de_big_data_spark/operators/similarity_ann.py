@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..utils.caching import materialize_and_release
 from .similarity import as_double_array, cosine
 from .vecmath import cosine_batch, hyperplane_buckets
 
@@ -94,6 +95,10 @@ def embedding_near_dup_pairs(
     batch variant: consumers of near-dup output threshold or round, so
     ulp-level summation-order differences vs the sequential fold are
     immaterial (see ``vecmath.cosine_batch``).
+
+    The verified pair set (small relative to the corpus) is materialized
+    eagerly so the persisted banded frame can be released before
+    returning instead of leaking across the session.
     """
     c = corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
     # Persisted: the bucket self-join references the banded frame twice —
@@ -118,7 +123,7 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
-    return pairs
+    return materialize_and_release(pairs, banded)
 
 
 def ann_cosine_topk(

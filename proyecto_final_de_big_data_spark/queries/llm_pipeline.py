@@ -229,20 +229,30 @@ def q_simhash_banding_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("__e"), F.lit(0)) * F.coalesce(F.col("__b"), F.lit(0))).alias("nc"),
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    return n_docs.crossJoin(
-        stats.select(
-            ((F.col("ne") == F.col("nc")) & (F.col("nb") == F.col("nc")))
-            .cast("int")
-            .alias("lossless_ok")
-        )
+    from ..utils.caching import materialize_and_release
+
+    return materialize_and_release(
+        n_docs.crossJoin(
+            stats.select(
+                ((F.col("ne") == F.col("nc")) & (F.col("nb") == F.col("nc")))
+                .cast("int")
+                .alias("lossless_ok")
+            )
+        ),
+        sigs,
     )
 
 
 @register(
     "embedding_near_dup_recall",
     oracle="""
-    WITH v AS (
+    WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id < 300
+    ), planted AS (
+        SELECT vec_id + 1000000 AS vec_id, list_transform(ev, x -> x * 1.01) AS ev
+        FROM base WHERE vec_id < 20
+    ), v AS (
+        SELECT * FROM base UNION ALL SELECT * FROM planted
     ), exact AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM v a, v b
@@ -254,21 +264,35 @@ def q_simhash_banding_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n_exact, 1 AS recall_ok FROM exact
     """,
     description="Hyperplane-LSH near-dup recall vs exact all-pairs cosine "
-    ">= 0.95 on the bounded vec_id<300 subset. The fixture plants no "
-    "near-dup embeddings (n_exact = 0, vacuously ok) — the oracle still "
-    "pins that count, and the planted-pair pytest covers the hit path.",
+    ">= 0.95 on the bounded vec_id<300 subset PLUS 20 planted near-dups "
+    "(scaled twins of vec_id<20, ids offset by 1e6) constructed inside the "
+    "query on both sides — the isotropic fixture alone has no pairs >= "
+    "0.95, which made the round-2 variant vacuous. The oracle pins "
+    "n_exact = 20, so the LSH hit path (bucket collision + cosine "
+    "verification) must actually fire for the hash to match; the "
+    "perturbed-angle variant is pinned by unit test.",
 )
 def q_embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import as_double_array
     from ..operators.similarity_ann import embedding_near_dup_pairs
     from ..operators.vecmath import cosine_batch
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    v = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", as_double_array("embedding").alias("embedding"))
+    )
+    planted = base.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    v = corpus.select("vec_id", F.col("embedding").alias("v"))
     a, b = v.alias("a"), v.alias("b")
     # Batch (numpy) cosine: the 45k-pair all-pairs baseline dominated the
     # suite under the interpreted fold; the 0.95 threshold sits far from
-    # any fixture cosine, so summation-order ulp noise cannot flip a pair.
+    # any fixture cosine (planted twins sit at exactly 1.0), so
+    # summation-order ulp noise cannot flip a pair.
     exact = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -278,7 +302,7 @@ def q_embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("c") >= 0.95)
     )
-    approx = embedding_near_dup_pairs(emb, dim=64, threshold=0.95, n_planes=10, n_tables=4)
+    approx = embedding_near_dup_pairs(corpus, dim=64, threshold=0.95, n_planes=10, n_tables=4)
     return _pair_recall(exact, approx, ["id_a", "id_b"], threshold=0.95)
 
 

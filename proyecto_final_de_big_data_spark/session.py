@@ -50,8 +50,10 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
-        # events.parquet carries TIMESTAMP(NANOS) which the Spark reader
-        # rejects; read as long and convert in the catalog (ns → µs).
+        # events.parquet may carry TIMESTAMP(NANOS), which the Spark
+        # reader rejects without this conf; nanos read as long and the
+        # catalog converts conditionally (ns → µs). Harmless for the
+        # TIMESTAMP(MICROS) fixture vintage, which reads natively.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -20,31 +20,47 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong) — converted below
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream over the events parquet fixture."""
-    # Same vanilla-session-proofing as catalog.load_table: the fixture
-    # carries TIMESTAMP(NANOS), readable only as long with this conf on;
-    # UTC pinned so event-time windows match the timezone-free oracle.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the events parquet fixture.
+
+    ``readStream`` requires a declared schema, so the physical timestamp
+    unit is probed from the parquet footer (fixtures have shipped both
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS)): nanos are readable only as
+    long (``nanosAsLong``) and truncated to µs here — the same
+    conditional conversion ``catalog.load_table`` applies on the batch
+    path; micros/millis read natively as TimestampType. UTC is pinned so
+    event-time windows match the timezone-free oracle.
+    """
+    from ..io.ingest import probe_parquet_ts_unit
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if probe_parquet_ts_unit(path) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_schema(T.LongType()))
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(T.TimestampType()))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

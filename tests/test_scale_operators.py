@@ -162,11 +162,20 @@ def test_stateful_user_profile_stream(spark, tmp_path):
         got = spark.table("t_state")
         ev = load_table(spark, "/root/testdata/sf0.001", "events")
         want = ev.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n"), F.avg("value").alias("m")
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.max("ts").alias("max_ts"),
         )
         got_map = {r["user_id"]: r for r in got.collect()}
         for r in want.collect():
             assert got_map[r["user_id"]]["n_events"] == r["n"]
             assert abs(got_map[r["user_id"]]["mean_value"] - r["m"]) < 1e-9
+            # Event-time must survive the stream path un-corrupted: a
+            # mis-scaled timestamp (the round-2 ns/µs bug put streamed
+            # windows in 1970) cannot hide behind a ts-free projection.
+            assert got_map[r["user_id"]]["last_seen"] == r["max_ts"], (
+                f"last_seen mismatch for user {r['user_id']}: "
+                f"{got_map[r['user_id']]['last_seen']} != batch max(ts) {r['max_ts']}"
+            )
     finally:
         q.stop()
