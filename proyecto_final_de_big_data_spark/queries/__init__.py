@@ -19,6 +19,7 @@ from . import llm_pipeline  # noqa: E402,F401
 from . import streaming_batch  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
 from . import contracts  # noqa: E402,F401
+from . import temporal  # noqa: E402,F401
 
 # --- Explicit registration order -------------------------------------
 # The external verification harness checks the FIRST 50 registered
