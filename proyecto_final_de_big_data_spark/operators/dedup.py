@@ -328,7 +328,12 @@ def jaccard_verify(
 
 
 def jaccard_pairs_index(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via a shingle inverted index —
     no cartesian product.
@@ -340,9 +345,17 @@ def jaccard_pairs_index(
     exactly right for any ``threshold > 0``.
 
     Scale notes: the shuffle key is the shingle; a boilerplate shingle
-    shared by k docs contributes k² join rows, so at corpus scale pair
-    hot shingles with a document-frequency cap (drop shingles in > N
-    docs — they carry ~no Jaccard signal) and AQE skew-join. This is
+    shared by k docs contributes k² join rows. ``max_doc_freq`` is the
+    guard: shingles appearing in more than that many docs are dropped
+    from the INDEX side before the self-join (a semi-join against the
+    under-cap shingle set), bounding every join key at ``max_doc_freq²``
+    rows. Per-doc sizes still count every shingle, so the Jaccard
+    denominator is exact and the computed score is a LOWER bound that
+    only loses intersection mass carried by boilerplate — for
+    near-duplicate detection that bias is the desired one (two docs
+    sharing only a boilerplate header should score low). Default None
+    preserves exact all-pairs semantics (the oracle-gated contracts use
+    that). AQE skew-join stays on as the second line of defense. This is
     the exact counterpart of the MinHash-LSH path and replaces the
     bounded cartesian baseline at ~5× less work even at 500 docs.
     """
@@ -350,6 +363,14 @@ def jaccard_pairs_index(
         F.col(id_col), F.explode("__sh").alias("__shingle")
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    if max_doc_freq is not None:
+        under_cap = (
+            sh.groupBy("__shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("__shingle")
+        )
+        sh = sh.join(under_cap, "__shingle", "left_semi")
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(

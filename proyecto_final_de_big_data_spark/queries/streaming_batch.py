@@ -96,6 +96,46 @@ def q_session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tumbling_stream_parity",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*) AS n_events,
+           avg(value) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    description="The tumbling window run as an ACTUAL stream (file source "
+    "-> readStream -> groupBy(window) -> memory sink, complete mode, "
+    "availableNow) and value-checked against the same plain GROUP BY "
+    "oracle the batch variant uses — the unified-model guarantee "
+    "(stream result == batch result on bounded input) as an external "
+    "contract rather than an in-repo test.",
+)
+def q_tumbling_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import read_events_stream, run_to_completion
+
+    stage = tempfile.mkdtemp(prefix="events_stream_tw_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
+    stream = read_events_stream(spark, stage)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+    name = f"t_tumbling_{uuid.uuid4().hex[:8]}"
+    # Complete mode: every window is (re-)emitted on the final trigger,
+    # so the drained table is the full result even for windows a
+    # watermark would still hold open in append mode.
+    q = run_to_completion(agg, name, output_mode="complete")
+    q.stop()
+    return spark.table(name)
+
+
+@register(
     "stateful_user_profiles_stream",
     oracle="""
     SELECT user_id,

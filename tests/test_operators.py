@@ -181,3 +181,55 @@ def test_global_window_guard_warns_on_raw_input(spark):
         assert not records
     finally:
         logging.getLogger("rollup").removeHandler(handler)
+
+
+def test_exact_dedup_multicolumn_null_vs_empty(spark):
+    # NULL and empty string must digest differently, and (NULL, 'x')
+    # must not collide with ('x', NULL) — concat_ws alone conflates both.
+    df = spark.createDataFrame(
+        [
+            (1, None, "x"),
+            (2, "x", None),
+            (3, "", "x"),
+            (4, None, "x"),  # true dup of 1
+        ],
+        ["doc_id", "a", "b"],
+    )
+    kept = exact_dedup(df, ["a", "b"], "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3]
+
+
+def test_jaccard_index_doc_freq_cap_drops_boilerplate_only_pairs(spark):
+    from proyecto_final_de_big_data_spark.operators.dedup import jaccard_pairs_index
+
+    boiler = "standard legal disclaimer footer text here"
+    real = "the quick brown fox jumps over the lazy dog tonight"
+    docs = [
+        (1, f"{real} {boiler}"),
+        (2, f"{real.replace('tonight', 'today')} {boiler}"),
+        # 3..8 share ONLY the boilerplate with each other / with 1-2
+        *[(i, f"unrelated body number {i} with its own words entirely {boiler}") for i in range(3, 9)],
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    exact = jaccard_pairs_index(df, "doc_id", "text", shingle_n=3, threshold=0.3)
+    capped = jaccard_pairs_index(
+        df, "doc_id", "text", shingle_n=3, threshold=0.3, max_doc_freq=4
+    )
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # The genuine near-dup must survive the cap...
+    assert (1, 2) in exact_pairs and (1, 2) in capped_pairs
+    # ...and capping can only REMOVE pairs (jaccard is a lower bound).
+    assert capped_pairs <= exact_pairs
+
+
+def test_jaccard_index_cap_none_is_exact_default(spark):
+    from proyecto_final_de_big_data_spark.operators.dedup import jaccard_pairs_index
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")],
+        ["doc_id", "text"],
+    )
+    a = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in jaccard_pairs_index(df, "doc_id", "text").collect()}
+    b = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in jaccard_pairs_index(df, "doc_id", "text", max_doc_freq=None).collect()}
+    assert a == b
