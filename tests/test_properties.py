@@ -107,3 +107,92 @@ def test_canonicalize_is_case_insensitive(spark, case_seed):
     )
     assert set(out.columns) == {"order_key", "total_price"}
     assert sorted(r["total_price"] for r in out.collect()) == [10.0, 20.0]
+
+
+# --- temporal joins: engine plans vs reference implementations --------
+
+_key_ts_payload = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=100_000),  # ts offset seconds
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(left=_key_ts_payload, right=_key_ts_payload)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    import datetime as dt
+
+    import pandas as pd
+
+    from proyecto_final_de_big_data_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    # unique (key, ts) per side — the operator's documented right-side
+    # contract; left duplicates are fine but make pandas comparison
+    # fiddly, so dedup both.
+    lrows = sorted({(k, base + dt.timedelta(seconds=s)) for k, s in left})
+    rrows = sorted({(k, base + dt.timedelta(seconds=s)) for k, s in right})
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lrows)], ["lid", "k", "ts"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts, f"p{k}:{ts:%H%M%S}") for k, ts in rrows], ["k", "rts", "payload"]
+    )
+    got = {
+        r["lid"]: r["payload"]
+        for r in asof_join(ldf, rdf, "k", "ts", "rts", ["payload"]).collect()
+    }
+    lp = pd.DataFrame([(i, k, ts) for i, (k, ts) in enumerate(lrows)], columns=["lid", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["k", "rts"]).sort_values("rts")
+    rp["payload"] = [f"p{k}:{ts:%H%M%S}" for k, ts in zip(rp["k"], rp["rts"])]
+    want_df = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="rts", by="k", direction="backward"
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.payload) else r.payload)
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # key
+        st.integers(min_value=0, max_value=50_000),   # start offset s
+        st.integers(min_value=1, max_value=40_000),   # duration s
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(points=_key_ts_payload, intervals=_intervals)
+@settings(**_SETTINGS)
+def test_interval_join_matches_naive_theta_join(spark, points, intervals):
+    import datetime as dt
+
+    from proyecto_final_de_big_data_spark.operators.asof import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    prow = [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(points)]
+    irow = [
+        (j, k, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + d))
+        for j, (k, s, d) in enumerate(intervals)
+    ]
+    ldf = spark.createDataFrame(prow, ["pid", "k", "ts"])
+    rdf = spark.createDataFrame(irow, ["iid", "k", "s", "e"])
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(ldf, rdf, "k", "ts", "s", "e", bucket="1 hour").collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, pk, ts in prow
+        for iid, ik, s, e in irow
+        if pk == ik and s <= ts < e
+    }
+    assert got == want
