@@ -41,11 +41,26 @@ def build_pipeline(df: DataFrame, cfg: TrainConfig) -> tuple[Pipeline, list[str]
         raise ValueError("no configured feature columns present in the input")
 
     stages = []
-    ohe_cols = []
-    for c in categorical:
-        stages.append(StringIndexer(inputCol=c, outputCol=f"{c}__idx", handleInvalid="keep"))
-        stages.append(OneHotEncoder(inputCols=[f"{c}__idx"], outputCols=[f"{c}__oh"]))
-        ohe_cols.append(f"{c}__oh")
+    ohe_cols = [f"{c}__oh" for c in categorical]
+    if categorical:
+        # Multi-column estimator mode: ONE StringIndexer fit (a single
+        # distinct-count pass over all categorical columns together) and
+        # ONE OneHotEncoder fit, instead of a fit job per column — the
+        # per-stage jobs each rescan the (cached) train split, so stage
+        # count is the ML-loop fit cost driver.
+        stages.append(
+            StringIndexer(
+                inputCols=categorical,
+                outputCols=[f"{c}__idx" for c in categorical],
+                handleInvalid="keep",
+            )
+        )
+        stages.append(
+            OneHotEncoder(
+                inputCols=[f"{c}__idx" for c in categorical],
+                outputCols=ohe_cols,
+            )
+        )
     stages.append(
         VectorAssembler(inputCols=numeric + ohe_cols, outputCol="features", handleInvalid="keep")
     )
