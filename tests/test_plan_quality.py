@@ -111,3 +111,18 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     executed = j._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in executed
     assert "Exchange" not in executed
+
+
+def test_asof_join_plan_no_nested_loop_single_key_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_asof_last_order")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # carry-forward is a window, not a join
+
+
+def test_interval_join_plan_is_hash_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_in_first_day_window")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # bucketing turned the range predicate into an equi-join
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)

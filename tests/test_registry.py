@@ -1,0 +1,57 @@
+"""Registry invariants: the external harness verifies only the FIRST 50
+registered queries, so registration order is part of the verification
+contract — these tests pin it against accidental drift (round 2 lost 18
+queries from the gate to silent insertion order)."""
+
+from __future__ import annotations
+
+from proyecto_final_de_big_data_spark.queries import QUERIES, _VERIFICATION_WINDOW
+
+# Queries whose results are not portably SQL-expressible; the harness
+# runs a weaker rows-only check for these, documented per query.
+EXPECTED_ROWS_ONLY = {
+    "minhash_near_dup_pairs",
+    "simhash_near_dup",
+    "embedding_near_dup",
+    "knn_ann_ivf",
+    "ml_train_metrics",
+    "ml_score_profile",
+}
+
+
+def test_first_50_match_declared_window():
+    assert list(QUERIES)[:50] == _VERIFICATION_WINDOW
+    assert len(_VERIFICATION_WINDOW) == 50
+
+
+def test_every_query_has_oracle_or_documented_rows_only():
+    for name, q in QUERIES.items():
+        if name in EXPECTED_ROWS_ONLY:
+            assert q.oracle is None, f"{name} gained an oracle; update EXPECTED_ROWS_ONLY"
+        else:
+            assert q.oracle is not None, (
+                f"{name} has no oracle and is not in the documented rows-only set"
+            )
+
+
+def test_window_covers_every_family():
+    window = set(_VERIFICATION_WINDOW)
+    # One representative per family must sit inside the checked window.
+    for probe in [
+        "kpis",                      # marts
+        "cumulative_hour_share",     # dashboard analytics / windows
+        "revenue_by_nation",         # relational joins
+        "union_distinct_customers",  # set ops
+        "dedup_exact_stats",         # dedup
+        "minhash_recall",            # approximate-dedup contracts
+        "media_frame_sample",        # multimodal
+        "knn_ann_ivf_recall",        # similarity search
+        "tumbling_hourly_counts",    # streaming windows
+        "stateful_user_profiles_stream",  # custom stateful streaming
+        "ml_train_metrics",          # ML loop
+        "canonicalize_contract",     # canonicalization
+        "export_round_trip_csv",     # export/sources
+        "bucketed_colocated_join",   # bucketed storage
+        "salted_event_type_stats",   # skew mitigation
+    ]:
+        assert probe in window, f"family representative {probe} fell out of the window"
