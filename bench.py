@@ -10,7 +10,9 @@ stdout line is kept small because the driver tail-captures it (round 2's
 full 68-query dict overflowed the capture window and parsed as null).
 
 Each query is executed to completion (count() action) — results are not
-collected to the driver. A warm-up query primes the JVM/codegen first.
+collected to the driver. A warm-up query primes the JVM/codegen first,
+and each query's reported time is the median of $SPARK_GRAFT_BENCH_RUNS
+(default 3) executions, per the BASELINE.md protocol.
 """
 
 from __future__ import annotations
@@ -71,11 +73,18 @@ def main() -> None:
         load_table(spark, sf_dir, "documents").limit(64), "doc_id", "text", num_hashes=4
     ).count()
 
+    # Median of 3 runs per query (the BASELINE.md protocol): damps
+    # one-off contention spikes — a single-run suite total swung 2x on a
+    # loaded machine with identical code.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
-        t0 = time.perf_counter()
-        q.spark_fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            q.spark_fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 4)
 
     total = round(sum(timings.values()), 4)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
