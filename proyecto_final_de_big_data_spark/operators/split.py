@@ -1,0 +1,80 @@
+"""Deterministic hash-based dataset splitting.
+
+``randomSplit`` (reference L3) is seed-stable only for a fixed
+partitioning — at 100 TB, re-partitioning the input silently reshuffles
+examples between train and test. Large-scale training pipelines instead
+split on a CONTENT hash of a stable key: every engine, run, and
+partitioning assigns the same row to the same split, and splitting by a
+GROUP key (user, document, session) keeps whole groups together — the
+standard guard against train/test leakage through near-identical
+group members.
+
+Mechanism: ``md5(key)`` is uniform on hex strings, so hex-prefix
+thresholds carve [0, 1) into split bands — e.g. 0.8 → rows whose first
+8 md5 hex chars sort below ``"cccccccc"``. A pure projection: no
+shuffle, no RNG state, pushdown-friendly, and exactly reproducible in
+any engine with md5 (the DuckDB oracle states the same CASE expression
+verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 8  # 32 bits of resolution: band error < 2.4e-10
+
+
+def _hex_threshold(cum_fraction: float) -> str:
+    """Hex string h such that P(md5-prefix < h) == round(f * 16^8) / 16^8."""
+    scaled = round(cum_fraction * (16**_HEX_DIGITS))
+    return format(min(scaled, 16**_HEX_DIGITS - 1), f"0{_HEX_DIGITS}x")
+
+
+def split_column(key: Column | str, fractions: dict[str, float]) -> Column:
+    """A split-label column assigning each distinct key value to one
+    split with probability ~fractions[label] (error < 2.4e-10 per band).
+
+    ``fractions`` must sum to 1 (within fp tolerance); insertion order
+    defines the bands, so the same dict always produces the same
+    assignment.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    prefix = F.substring(F.md5(key_col.cast("string")), 1, _HEX_DIGITS)
+    out = None
+    cum = 0.0
+    labels = list(fractions.items())
+    for label, frac in labels[:-1]:
+        cum += frac
+        cond = prefix < F.lit(_hex_threshold(cum))
+        out = F.when(cond, F.lit(label)) if out is None else out.when(cond, F.lit(label))
+    last_label = labels[-1][0]
+    return (F.lit(last_label) if out is None else out.otherwise(F.lit(last_label))).alias("split")
+
+
+def hash_split(df: DataFrame, key: str, fractions: dict[str, float], out: str = "split") -> DataFrame:
+    """``df`` plus a deterministic split-label column keyed on ``key``.
+
+    Rows sharing a key always land in the same split (group-leakage
+    guard); the assignment is stable across runs, partitionings, and
+    engines.
+    """
+    return df.withColumn(out, split_column(key, fractions))
+
+
+def split_case_sql(key_sql: str, fractions: dict[str, float], out: str = "split") -> str:
+    """The equivalent ANSI/DuckDB CASE expression — used by oracle
+    queries so engine and oracle state the SAME assignment."""
+    parts = []
+    cum = 0.0
+    labels = list(fractions.items())
+    for label, frac in labels[:-1]:
+        cum += frac
+        parts.append(
+            f"WHEN substring(md5(CAST({key_sql} AS VARCHAR)), 1, {_HEX_DIGITS})"
+            f" < '{_hex_threshold(cum)}' THEN '{label}'"
+        )
+    return "CASE " + " ".join(parts) + f" ELSE '{labels[-1][0]}' END AS {out}"

@@ -307,6 +307,40 @@ def q_embedding_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deterministic dataset splitting
+# --------------------------------------------------------------------------
+
+
+def _split_oracle() -> str:
+    from ..operators.split import split_case_sql
+
+    case = split_case_sql("doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    return f"""
+    SELECT split, lang, count(*) AS n_docs, avg(n_chars) AS avg_chars
+    FROM (SELECT lang, n_chars, {case} FROM documents)
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "doc_hash_split_profile",
+    oracle=_split_oracle(),
+    description="Deterministic md5-prefix train/valid/test split (80/10/10 on "
+    "doc_id) profiled per (split, lang) — reproducible across runs, "
+    "partitionings, and engines (no RNG), which is why the DuckDB oracle can "
+    "state the SAME assignment verbatim and hash-match exact counts. The "
+    "group-leakage guard (same key -> same split) is unit-tested.",
+)
+def q_doc_hash_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}).groupBy(
+        "split", "lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"), F.avg("n_chars").alias("avg_chars"))
+
+
+# --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
 

@@ -233,3 +233,48 @@ def test_jaccard_index_cap_none_is_exact_default(spark):
     a = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in jaccard_pairs_index(df, "doc_id", "text").collect()}
     b = {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in jaccard_pairs_index(df, "doc_id", "text", max_doc_freq=None).collect()}
     assert a == b
+
+
+def test_hash_split_deterministic_and_group_safe(spark):
+    from proyecto_final_de_big_data_spark.operators.split import hash_split
+
+    df = spark.createDataFrame(
+        [(i % 20, i) for i in range(200)], ["group_key", "row_id"]
+    )
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    a = hash_split(df, "group_key", fr)
+    b = hash_split(df.repartition(7), "group_key", fr)  # partitioning-invariant
+    rows_a = {r["row_id"]: r["split"] for r in a.collect()}
+    rows_b = {r["row_id"]: r["split"] for r in b.collect()}
+    assert rows_a == rows_b
+    # group-leakage guard: every row of a group gets the group's split
+    per_group = a.groupBy("group_key").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert all(r["n_splits"] == 1 for r in per_group.collect())
+    assert set(rows_a.values()) <= {"train", "valid", "test"}
+
+
+def test_hash_split_fractions_validated(spark):
+    import pytest as _pytest
+
+    from proyecto_final_de_big_data_spark.operators.split import hash_split
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    with _pytest.raises(ValueError):
+        hash_split(df, "k", {"a": 0.5, "b": 0.2})
+
+
+def test_hash_split_proportions_roughly_match(spark):
+    from proyecto_final_de_big_data_spark.operators.split import hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    got = {
+        r["split"]: r["n"]
+        for r in hash_split(df, "k", {"train": 0.8, "test": 0.2})
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert abs(got["train"] / 5000 - 0.8) < 0.03
+    assert abs(got["test"] / 5000 - 0.2) < 0.03
