@@ -42,7 +42,6 @@ _VERIFICATION_WINDOW = [
     "outlier_clipped_kpis",
     # dashboard-derived analytics (SURVEY §2.4 D1-D10)
     "weighted_avg_price_by_priority",
-    "peak_hour_by_event_type",
     "hour_profile_join",
     "cumulative_hour_share",
     "customer_region_decode",
@@ -50,34 +49,36 @@ _VERIFICATION_WINDOW = [
     # relational capability (joins / set ops / windows, SURVEY §2.5-2.8)
     "pricing_summary",
     "revenue_by_nation",
-    "customers_with_big_orders",
     "customers_without_orders",
     "union_distinct_customers",
     "running_customer_spend",
     "rollup_returnflag_status",
-    # LLM-pipeline: dedup / text / similarity contracts
+    # temporal joins (as-of / interval — extension operators)
+    "events_asof_last_order",
+    "events_in_first_day_window",
+    # LLM-pipeline: dedup / split / text / similarity contracts
     "dedup_exact_stats",
+    "doc_hash_split_profile",
     "ngram_jaccard_pairs",
     "minhash_recall",
     "simhash_banding_lossless",
     "embedding_near_dup_recall",
     "text_stats_by_lang",
-    "doc_quality_by_source",
     "lang_id_confusion",
     "doc_fingerprints",
     # multimodal
     "media_features",
-    "media_resize",
     "media_frame_sample",
     # similarity search
     "knn_bruteforce",
     "knn_ann_ivf",
     "knn_ann_ivf_recall",
     "embedding_norms_by_label",
-    # streaming (batch-window parity + stateful)
+    # streaming (batch-window parity + real-stream parity + stateful)
     "tumbling_hourly_counts",
     "sliding_2h_counts",
     "session_windows_per_user",
+    "tumbling_stream_parity",
     "stateful_user_profiles_stream",
     # ML loop
     "ml_train_metrics",
