@@ -65,7 +65,7 @@ _VERIFICATION_WINDOW = [
     "embedding_near_dup_recall",
     "text_stats_by_lang",
     "lang_id_confusion",
-    "doc_fingerprints",
+    "curation_pipeline_profile",
     # multimodal
     "media_features",
     "media_frame_sample",

@@ -341,6 +341,68 @@ def q_doc_hash_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# End-to-end curation pipeline (composition contract)
+# --------------------------------------------------------------------------
+
+
+_QUALITY_SQL = (
+    "least(length(text) / 200.0, 1.0) * 0.5"
+    " + (1.0 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / length(text)"
+    "                 + length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)) * 5,"
+    "                1.0)) * 0.5"
+)
+
+
+def _curation_oracle() -> str:
+    from ..operators.split import split_case_sql
+
+    case = split_case_sql("doc_id", {"train": 0.9, "eval": 0.1})
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, text, lang, {_QUALITY_SQL} AS quality
+        FROM documents
+    ), filtered AS (
+        SELECT * FROM scored WHERE quality >= 0.5
+    ), deduped AS (
+        SELECT * FROM filtered
+        WHERE doc_id IN (SELECT min(doc_id) FROM filtered GROUP BY md5(text))
+    )
+    SELECT split, count(*) AS n_docs,
+           round(avg(quality), 6) AS avg_quality,
+           count(DISTINCT lang) AS n_langs
+    FROM (SELECT lang, quality, {case} FROM deduped)
+    GROUP BY 1
+    """
+
+
+@register(
+    "curation_pipeline_profile",
+    oracle=_curation_oracle(),
+    description="The full training-data curation flow as ONE composed engine "
+    "query — quality scoring -> threshold filter -> exact dedup (min-id "
+    "keeper) -> deterministic hash split -> per-split profile — with a DuckDB "
+    "oracle stating the identical pipeline in SQL, so the COMPOSITION of the "
+    "operators (not just each in isolation) is hash-verified. Every stage is "
+    "a shuffle-bounded primitive: the quality filter is a codegen'd "
+    "projection, dedup one digest groupBy + semi-join, the split a pure "
+    "projection.",
+)
+def q_curation_pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    scored = docs.withColumn("quality", quality_score("text"))
+    filtered = scored.filter(F.col("quality") >= 0.5)
+    deduped = exact_dedup(filtered, ["text"], "doc_id")
+    split_docs = hash_split(deduped, "doc_id", {"train": 0.9, "eval": 0.1})
+    return split_docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
 
