@@ -409,22 +409,30 @@ def q_curation_pipeline_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_stats_by_lang",
-    oracle="""
+    oracle=r"""
     SELECT lang, count(*) AS n_docs,
            avg(n_chars) AS avg_chars,
            avg(CASE WHEN length(text) = 0 THEN 0
-                    ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS avg_tokens
+                    ELSE length(text) - length(replace(text, ' ', '')) + 1 END) AS avg_tokens,
+           avg(len(list_filter(string_split_regex(text, '[\s[:punct:]]+'),
+                               t -> len(t) > 0))) AS avg_bpe_tokens
     FROM documents
     GROUP BY 1
     """,
-    description="Char/token-count statistics per language",
+    description="Char/token-count statistics per language: whitespace tokens "
+    "plus the BPE-pre-tokenizer-style count (split on whitespace/punctuation "
+    "boundaries — Java \\p{Punct} and RE2 [:punct:] agree on the ASCII set, "
+    "verified exact at sf0.01)",
 )
 def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_ish_token_count
+
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("n_chars").alias("avg_chars"),
         F.avg(token_count("text")).alias("avg_tokens"),
+        F.avg(bpe_ish_token_count("text")).alias("avg_bpe_tokens"),
     )
 
 
