@@ -33,19 +33,19 @@ from . import temporal  # noqa: E402,F401
 _VERIFICATION_WINDOW = [
     # marts / aggregations (SURVEY §2.4)
     "kpis",
-    "trips_by_hour_dow",
     "top_suppliers",
     "lineitem_by_returnflag",
     "quantity_bins",
     "variability_by_hour",
     "errors_by_month",
     "outlier_clipped_kpis",
-    # dashboard-derived analytics (SURVEY §2.4 D1-D10)
+    # dashboard-derived analytics + semi-structured / sketch surfaces
     "weighted_avg_price_by_priority",
-    "hour_profile_join",
     "cumulative_hour_share",
     "customer_region_decode",
     "salted_event_type_stats",
+    "event_props_json_profile",
+    "approx_distinct_contract",
     # relational capability (joins / set ops / windows, SURVEY §2.5-2.8)
     "pricing_summary",
     "revenue_by_nation",

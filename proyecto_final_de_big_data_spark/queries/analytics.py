@@ -308,3 +308,70 @@ def q_salted_nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
     )
+
+
+@register(
+    "event_props_json_profile",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           avg(json_extract(props, '$.k')::INT) AS avg_k,
+           max(json_extract(props, '$.k')::INT) AS max_k,
+           count(*) FILTER (WHERE json_extract(props, '$.k')::INT >= 50)
+               AS n_high_k
+    FROM events
+    GROUP BY 1
+    """,
+    description="Semi-structured payload parsing: the events props column is a "
+    "JSON string; get_json_object extracts $.k JVM-side (a codegen'd "
+    "projection over the scan — no Python, no UDF) and the profile is "
+    "hash-checked against DuckDB's json_extract. At 100 TB this is the "
+    "scan-then-shred pattern: parse in the projection, aggregate on the "
+    "extracted value, never materialize parsed structs wider than needed.",
+)
+def q_event_props_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg(k).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.sum((k >= 50).cast("long")).alias("n_high_k"),
+    )
+
+
+@register(
+    "approx_distinct_contract",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS n_users_exact,
+           count(DISTINCT event_id) AS n_events_exact,
+           1 AS within_tol
+    FROM events
+    """,
+    description="HyperLogLog cardinality (approx_count_distinct, default "
+    "rsd=0.05) as an accuracy contract: the sketch estimates for user_id and "
+    "event_id must land within 15% of the exact counts (3x the configured "
+    "rsd). The oracle pins the exact counts and that the tolerance held — a "
+    "broken sketch flips within_tol and breaks the hash. The scale rationale: "
+    "HLL is one pass, fixed memory per group, no shuffle of distinct values; "
+    "exact distinct shuffles every distinct key (kept in distinct_counts as "
+    "the value-exact variant).",
+)
+def q_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    est = ev.agg(
+        F.approx_count_distinct("user_id").alias("__u"),
+        F.approx_count_distinct("event_id").alias("__e"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.countDistinct("event_id").alias("n_events_exact"),
+    )
+    return est.select(
+        "n_users_exact",
+        "n_events_exact",
+        (
+            (F.abs(F.col("__u") - F.col("n_users_exact")) / F.col("n_users_exact") <= 0.15)
+            & (F.abs(F.col("__e") - F.col("n_events_exact")) / F.col("n_events_exact") <= 0.15)
+        )
+        .cast("int")
+        .alias("within_tol"),
+    )
