@@ -136,6 +136,48 @@ def q_tumbling_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    description="Streaming exact deduplication: the fixture is staged TWICE "
+    "into the stream source (every event arrives as a cross-micro-batch "
+    "duplicate), dropDuplicatesWithinWatermark('event_id') must emit each "
+    "exactly once, and the drained sink is profiled per event_type against "
+    "the plain single-copy GROUP BY oracle. The training-ingest pattern: "
+    "dedup state is bounded by the watermark horizon (an unbounded "
+    "dropDuplicates would grow state forever on a real stream).",
+)
+def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import read_events_stream, run_to_completion
+
+    stage = tempfile.mkdtemp(prefix="events_stream_dd_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-1.parquet")
+    stream = read_events_stream(spark, stage)
+    # Watermark wider than the fixture's event-time span: both copies of
+    # every event fall inside the dedup horizon, so the second copy is
+    # always recognized (on a live stream the horizon bounds state size).
+    deduped = stream.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"t_dedup_{uuid.uuid4().hex[:8]}"
+    q = run_to_completion(deduped, name, output_mode="append")
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
     "stateful_user_profiles_stream",
     oracle="""
     SELECT user_id,
