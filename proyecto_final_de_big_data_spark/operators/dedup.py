@@ -399,6 +399,63 @@ def jaccard_pairs_index(
     )
 
 
+def jaccard_pairs_hashed_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """:func:`jaccard_pairs_index` over 64-bit shingle HASHES: one Arrow
+    pass shingles+hashes each doc (`shingle_hash_arrays`), then the
+    inverted index joins on longs instead of shingle strings — ~8 bytes
+    per key through the shuffle rather than the gram text.
+
+    Identical output to the string variant absent a 64-bit collision
+    (~1e-9 at 1e5 distinct shingles). Use wherever the consumer treats
+    pairs as sets (recall contracts, dedup keep-lists); keep the string
+    variant where a SQL oracle recomputes shingle strings and compares
+    Jaccard VALUES.
+    """
+    sh = shingle_hash_arrays(df, id_col, text_col, shingle_n).select(
+        F.col(id_col), F.explode("__shash").alias("__shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    if max_doc_freq is not None:
+        under_cap = (
+            sh.groupBy("__shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("__shingle")
+        )
+        sh = sh.join(under_cap, "__shingle", "left_semi")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.__shingle") == F.col("b.__shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sz", "__sza"), "id_a"
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sz", "__szb"), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.col("__common") / (F.col("__sza") + F.col("__szb") - F.col("__common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
