@@ -178,6 +178,43 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_join_profile",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_events,
+           avg(e.value) AS avg_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    description="Stream-static join: the events stream is enriched against "
+    "the static customer dimension (user_id = c_custkey) inside the "
+    "streaming query — the standard streaming-enrichment pattern, where the "
+    "static side is re-planned per micro-batch and broadcast — then "
+    "aggregated per market segment (complete mode) and hash-checked against "
+    "the plain batch join GROUP BY.",
+)
+def q_stream_static_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import read_events_stream, run_to_completion
+
+    stage = tempfile.mkdtemp(prefix="events_stream_sj_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
+    stream = read_events_stream(spark, stage)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(cust, stream.user_id == cust.c_custkey, "inner")
+    agg = joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value")
+    )
+    name = f"t_sjoin_{uuid.uuid4().hex[:8]}"
+    q = run_to_completion(agg, name, output_mode="complete")
+    q.stop()
+    return spark.table(name)
+
+
+@register(
     "stateful_user_profiles_stream",
     oracle="""
     SELECT user_id,
