@@ -215,6 +215,85 @@ def q_stream_static_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_stream_parity",
+    oracle="""
+    SELECT window_start, count(*) AS n_events, sum(value) AS sum_value
+    FROM (
+        SELECT unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+               value
+        FROM events
+    )
+    GROUP BY 1
+    """,
+    description="The sliding 2h/1h window run as an ACTUAL stream (complete "
+    "mode, availableNow) against the same every-event-in-two-windows oracle "
+    "as the batch variant — stream == batch for overlapping windows too.",
+)
+def q_sliding_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import read_events_stream, run_to_completion
+
+    stage = tempfile.mkdtemp(prefix="events_stream_sl_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
+    stream = read_events_stream(spark, stage)
+    agg = (
+        stream.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    name = f"t_sliding_{uuid.uuid4().hex[:8]}"
+    q = run_to_completion(agg, name, output_mode="complete")
+    q.stop()
+    return spark.table(name)
+
+
+@register(
+    "stream_file_sink_round_trip",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, sum(round(value * 100))::BIGINT AS total_cents
+    FROM events
+    GROUP BY 1
+    """,
+    description="Streaming FILE sink: the events stream is written to a "
+    "parquet sink with a checkpoint (append mode, availableNow), read back "
+    "as a batch table, and profiled against the source oracle — gating the "
+    "persistent-sink + checkpoint path the memory-sink contracts skip. "
+    "Values compared in exact integer cents (2-decimal fixture), avoiding "
+    "float-summation-order noise across engines.",
+)
+def q_stream_file_sink_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.windows import read_events_stream
+
+    stage = tempfile.mkdtemp(prefix="events_stream_fs_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
+    out = tempfile.mkdtemp(prefix="events_sink_")
+    ckpt = tempfile.mkdtemp(prefix="events_ckpt_")
+    stream = read_events_stream(spark, stage)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0)).cast("long").alias("total_cents"),
+    )
+
+
+@register(
     "stateful_user_profiles_stream",
     oracle="""
     SELECT user_id,
