@@ -27,6 +27,8 @@ def export_table(
         writer = writer.partitionBy(*partition_by)
     if fmt == "parquet":
         writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
     elif fmt == "csv":
         writer.option("header", "true").csv(path)
     elif fmt == "json":
@@ -36,9 +38,11 @@ def export_table(
 
 
 def read_exported(spark: SparkSession, path: str, fmt: str) -> DataFrame:
-    """Round-trip reader (reference S6/S11): header CSV / JSON / parquet."""
+    """Round-trip reader (reference S6/S11): header CSV / JSON / parquet / ORC."""
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     if fmt == "csv":
         return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     if fmt == "json":

@@ -113,6 +113,19 @@ def q_export_round_trip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "export_round_trip_orc",
+    oracle=_ROUND_TRIP_ORACLE,
+    description="ORC format coverage: aggregate -> columnar ORC sink -> "
+    "spark.read.orc source, value-exact (the second columnar format next "
+    "to parquet; both read vectorized).",
+)
+def q_export_round_trip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="export_rt_orc_")
+    export_table(_priority_agg(spark, sf_dir), out, fmt="orc")
+    return read_exported(spark, out, "orc").select("priority", "n_orders", "total_price")
+
+
+@register(
     "export_round_trip_partitioned",
     oracle=_ROUND_TRIP_ORACLE,
     description="S7 through the gate: partitioned parquet sink "
