@@ -313,3 +313,26 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+@register(
+    "cube_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           count(*) AS n_rows, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="CUBE aggregate — every grouping-set combination including "
+    "per-column marginals ROLLUP skips; grouping_id distinguishes a genuine "
+    "NULL key from a subtotal row (identical bit layout in Spark and "
+    "DuckDB's GROUPING()).",
+)
+def q_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
