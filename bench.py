@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -84,7 +85,9 @@ def main() -> None:
             t0 = time.perf_counter()
             q.spark_fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(samples)[len(samples) // 2], 4)
+        # statistics.median averages the middle pair on even run counts;
+        # the previous upper-middle pick biased 2-run timings high.
+        timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

@@ -59,6 +59,13 @@ def asof_join(
     newest right payload onto each left row. One Exchange total; no
     nested-loop join in the plan (asserted in
     ``tests/test_plan_quality.py``).
+
+    NULL-key semantics follow SQL equality (``NULL = NULL`` is not
+    true): NULL-key right rows are dropped before the union, so a
+    NULL-key left row always carries a NULL payload — matching DuckDB's
+    ``ASOF JOIN ... ON l.k = r.k``, which never matches NULL keys.
+    Without the filter the window's ``partitionBy`` would group NULL
+    keys together and silently pair them.
     """
     right_tag, left_tag = (0, 1) if inclusive else (1, 0)
     lcols = list(left.columns)
@@ -68,7 +75,7 @@ def asof_join(
         F.lit(left_tag).alias("__tag"),
         F.struct(*lcols).alias("__left"),
     )
-    r_tagged = right.select(
+    r_tagged = right.where(F.col(key).isNotNull()).select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(right_tag).alias("__tag"),
@@ -129,7 +136,11 @@ def interval_join(
     interval length — a shorter grain explodes the right side, a longer
     one inflates per-bucket candidate lists; both degrade gracefully,
     neither is O(|L|·|R|). Degenerate intervals (start >= end) never
-    match.
+    match: their sequence stop is clamped to the start bucket with
+    ``greatest`` so a corrupted row with end years before start emits
+    exactly ONE inert bucket row (the range predicate can never hold)
+    instead of a multi-million-row descending sequence — and, unlike a
+    pre-filter, the row still surfaces as unmatched under outer joins.
 
     Duplicate avoidance: an interval spanning k buckets appears k times,
     but a left row joins it only in the left row's own single bucket, so
@@ -151,14 +162,14 @@ def interval_join(
         return F.unix_micros(F.col(col).cast("timestamp"))
 
     lb = left.withColumn("__bucket", F.floor(_micros(left_ts) / us))
+    seq_start = F.floor(_micros(right_start) / us)
+    # Clamp so stop >= start: Spark generates a DESCENDING sequence when
+    # stop < start, which would explode a corrupted end<=start interval
+    # into millions of bucket rows.
+    seq_stop = F.greatest(F.floor((_micros(right_end) - 1) / us), seq_start)
     rb = right.withColumn(
         "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(_micros(right_start) / us),
-                F.floor((_micros(right_end) - 1) / us),
-            )
-        ),
+        F.explode(F.sequence(seq_start, seq_stop)),
     ).select(
         *([F.col(key).alias("__rk")] if key else []),
         F.col("__bucket"),

@@ -54,25 +54,22 @@ def _hash64(values) -> np.ndarray:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition up to the session's default parallelism
-    when the input arrives in fewer partitions (e.g. one small parquet
-    file locally) — otherwise a per-partition Arrow pass runs on one
-    core. On a real corpus (many input splits) this is a no-op, keeping
-    the map-only stages genuinely shuffle-free.
+    """Round-robin repartition to the session's default parallelism so a
+    small local input (e.g. one parquet file) doesn't run a whole
+    per-partition Arrow pass on one core.
 
-    The partition-count probe (``df.rdd.getNumPartitions()``) forces a
-    plan conversion per call — cheap locally, measurable at cluster
-    driver scale, so it is gated on ``spark.graft.spreadSmallInputs``
-    (default true; set false on real clusters, where inputs arrive in
-    many splits and the probe is pure overhead).
+    Gated on ``spark.graft.spreadSmallInputs`` (default true — right for
+    local/dev, where inputs genuinely arrive in one or two splits and
+    need the spread). Set false on a real cluster: inputs there arrive
+    in many splits already, and with the gate off this is a pure no-op —
+    no partition-count probe (an ``.rdd`` probe would force a plan
+    conversion per call), no shuffle, keeping the map-only dedup stages
+    genuinely shuffle-free at scale.
     """
     spark = df.sparkSession
     if (spark.conf.get("spark.graft.spreadSmallInputs", "true") or "true").lower() != "true":
         return df
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _splitmix64(base: np.ndarray, num_streams: int) -> np.ndarray:

@@ -11,9 +11,11 @@ go to a fresh ``tempfile.mkdtemp`` dir per invocation.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -136,6 +138,53 @@ def q_export_round_trip_partitioned(spark: SparkSession, sf_dir: str) -> DataFra
     out = tempfile.mkdtemp(prefix="export_rt_part_")
     export_table(_priority_agg(spark, sf_dir), out, fmt="parquet", partition_by=("priority",))
     return read_exported(spark, out, "parquet").select("priority", "n_orders", "total_price")
+
+
+@register(
+    "manifest_ingest_contract",
+    oracle="""
+    SELECT 'region.parquet' AS file_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM pragma_table_info('region')) AS n_cols,
+           '02' AS month, TRUE AS size_positive, CAST(2 AS BIGINT) AS n_manifest_rows
+    UNION ALL
+    SELECT 'nation.parquet',
+           (SELECT CAST(count(*) AS BIGINT) FROM pragma_table_info('nation')),
+           '01', TRUE, CAST(2 AS BIGINT)
+    """,
+    description="S1-S3 (io/ingest.py) through the gate: download two fixture "
+    "files over file:// URLs, probe their parquet schemas, upsert the JSON "
+    "manifest, then RE-ingest the first file under a new month — the "
+    "replace-then-append upsert must swap the old record, not append. The "
+    "manifest is read back as the engine's ingestion-audit table and its "
+    "(file_name, probed column count, month, size>0, total rows) are pinned "
+    "against the fixtures' own schemas in the oracle.",
+)
+def q_manifest_ingest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.ingest import build_manifest_record, download_file, manifest_table, upsert_manifest
+
+    out = tempfile.mkdtemp(prefix="ingest_manifest_")
+    try:
+        manifest = os.path.join(out, "manifest.json")
+        for name, month in (("region.parquet", "01"), ("nation.parquet", "01")):
+            dest = os.path.join(out, name)
+            download_file(f"file://{sf_dir}/{name}", dest)
+            upsert_manifest(manifest, build_manifest_record(name, dest, 2024, month))
+        # Re-ingest region under month 02: replace semantics, not append.
+        dest = os.path.join(out, "region.parquet")
+        download_file(f"file://{sf_dir}/region.parquet", dest, force=True)
+        upsert_manifest(manifest, build_manifest_record("region.parquet", dest, 2024, "02"))
+        audit = manifest_table(spark, manifest)
+        result = audit.select(
+            "file_name",
+            F.size("columns").cast("long").alias("n_cols"),
+            "month",
+            (F.col("size_bytes") > 0).alias("size_positive"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_manifest_rows"),
+        )
+        # Eager: the staging dir (manifest included) is removed on return.
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 @register(

@@ -13,11 +13,45 @@ Spark window semantics pinned for the oracle:
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .registry import register
+
+
+def _stage_events(sf_dir: str, prefix: str, copies: int = 1) -> str:
+    """Stage the events fixture into a fresh directory (the file stream
+    source requires a directory; N copies -> N source files). Callers
+    own the directory and must ``shutil.rmtree`` it in a ``finally`` —
+    stream-mode queries run repeatedly in a long-lived bench session and
+    leaked staging dirs add up."""
+    stage = tempfile.mkdtemp(prefix=prefix)
+    for i in range(copies):
+        shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-{i}.parquet")
+    return stage
+
+
+def _drain_stream(
+    spark: SparkSession, df: DataFrame, name_prefix: str, output_mode: str
+) -> DataFrame:
+    """Run a bounded stream into a memory sink, return the drained result
+    as an eager catalog-independent frame (tiny — localCheckpoint is
+    cheap and detaches it from the sink table), and drop the sink table
+    so repeated runs don't accumulate one temp view per invocation."""
+    from ..streaming.windows import run_to_completion
+
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = run_to_completion(df, name, output_mode=output_mode)
+    q.stop()
+    try:
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
 
 
 @register(
@@ -112,27 +146,22 @@ def q_session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contract rather than an in-repo test.",
 )
 def q_tumbling_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-    import uuid
+    from ..streaming.windows import read_events_stream
 
-    from ..streaming.windows import read_events_stream, run_to_completion
-
-    stage = tempfile.mkdtemp(prefix="events_stream_tw_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
-    stream = read_events_stream(spark, stage)
-    agg = (
-        stream.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
-        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
-    )
-    name = f"t_tumbling_{uuid.uuid4().hex[:8]}"
-    # Complete mode: every window is (re-)emitted on the final trigger,
-    # so the drained table is the full result even for windows a
-    # watermark would still hold open in append mode.
-    q = run_to_completion(agg, name, output_mode="complete")
-    q.stop()
-    return spark.table(name)
+    stage = _stage_events(sf_dir, "events_stream_tw_")
+    try:
+        stream = read_events_stream(spark, stage)
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+            .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        )
+        # Complete mode: every window is (re-)emitted on the final
+        # trigger, so the drained table is the full result even for
+        # windows a watermark would still hold open in append mode.
+        return _drain_stream(spark, agg, "t_tumbling", "complete")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @register(
@@ -151,30 +180,22 @@ def q_tumbling_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dropDuplicates would grow state forever on a real stream).",
 )
 def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-    import uuid
+    from ..streaming.windows import read_events_stream
 
-    from ..streaming.windows import read_events_stream, run_to_completion
-
-    stage = tempfile.mkdtemp(prefix="events_stream_dd_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-1.parquet")
-    stream = read_events_stream(spark, stage)
-    # Watermark wider than the fixture's event-time span: both copies of
-    # every event fall inside the dedup horizon, so the second copy is
-    # always recognized (on a live stream the horizon bounds state size).
-    deduped = stream.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
-        ["event_id"]
-    )
-    name = f"t_dedup_{uuid.uuid4().hex[:8]}"
-    q = run_to_completion(deduped, name, output_mode="append")
-    q.stop()
-    return (
-        spark.table(name)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
+    stage = _stage_events(sf_dir, "events_stream_dd_", copies=2)
+    try:
+        stream = read_events_stream(spark, stage)
+        # Watermark wider than the fixture's event-time span: both copies
+        # of every event fall inside the dedup horizon, so the second copy
+        # is always recognized (on a live stream the horizon bounds state
+        # size).
+        deduped = stream.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        drained = _drain_stream(spark, deduped, "t_dedup", "append")
+        return drained.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @register(
@@ -194,24 +215,19 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the plain batch join GROUP BY.",
 )
 def q_stream_static_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-    import uuid
+    from ..streaming.windows import read_events_stream
 
-    from ..streaming.windows import read_events_stream, run_to_completion
-
-    stage = tempfile.mkdtemp(prefix="events_stream_sj_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
-    stream = read_events_stream(spark, stage)
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = stream.join(cust, stream.user_id == cust.c_custkey, "inner")
-    agg = joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
-        F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value")
-    )
-    name = f"t_sjoin_{uuid.uuid4().hex[:8]}"
-    q = run_to_completion(agg, name, output_mode="complete")
-    q.stop()
-    return spark.table(name)
+    stage = _stage_events(sf_dir, "events_stream_sj_")
+    try:
+        stream = read_events_stream(spark, stage)
+        cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        joined = stream.join(cust, stream.user_id == cust.c_custkey, "inner")
+        agg = joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+            F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value")
+        )
+        return _drain_stream(spark, agg, "t_sjoin", "complete")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @register(
@@ -231,24 +247,19 @@ def q_stream_static_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as the batch variant — stream == batch for overlapping windows too.",
 )
 def q_sliding_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-    import uuid
+    from ..streaming.windows import read_events_stream
 
-    from ..streaming.windows import read_events_stream, run_to_completion
-
-    stage = tempfile.mkdtemp(prefix="events_stream_sl_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
-    stream = read_events_stream(spark, stage)
-    agg = (
-        stream.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
-    )
-    name = f"t_sliding_{uuid.uuid4().hex[:8]}"
-    q = run_to_completion(agg, name, output_mode="complete")
-    q.stop()
-    return spark.table(name)
+    stage = _stage_events(sf_dir, "events_stream_sl_")
+    try:
+        stream = read_events_stream(spark, stage)
+        agg = (
+            stream.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        )
+        return _drain_stream(spark, agg, "t_sliding", "complete")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @register(
@@ -266,31 +277,37 @@ def q_sliding_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "float-summation-order noise across engines.",
 )
 def q_stream_file_sink_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from ..streaming.windows import read_events_stream
 
-    stage = tempfile.mkdtemp(prefix="events_stream_fs_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
+    stage = _stage_events(sf_dir, "events_stream_fs_")
     out = tempfile.mkdtemp(prefix="events_sink_")
     ckpt = tempfile.mkdtemp(prefix="events_ckpt_")
-    stream = read_events_stream(spark, stage)
-    q = (
-        stream.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    back = spark.read.parquet(out)
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100, 0)).cast("long").alias("total_cents"),
-    )
+    try:
+        stream = read_events_stream(spark, stage)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        back = spark.read.parquet(out)
+        result = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0)).cast("long").alias("total_cents"),
+        )
+        # Eager: the sink/checkpoint dirs are removed on return, so the
+        # tiny profile must be computed (and detached from them) now.
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @register(
@@ -314,28 +331,23 @@ def q_stream_file_sink_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame
     "cannot.",
 )
 def q_stateful_user_profiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-    import uuid
-
     from ..streaming.stateful import user_profile_stream
-    from ..streaming.windows import read_events_stream, run_to_completion
+    from ..streaming.windows import read_events_stream
 
-    # The file stream source requires a directory; stage the single
-    # fixture file into one (single file -> single micro-batch, which is
-    # what makes the update-mode output equal the batch GROUP BY).
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/part-0.parquet")
-    stream = read_events_stream(spark, stage)
-    name = f"t_stateful_{uuid.uuid4().hex[:8]}"
-    q = run_to_completion(user_profile_stream(stream), name, output_mode="update")
-    q.stop()
-    # mean_value * n recovers the running total; *100 + round lands on the
-    # exact integer cent (float error ~1e-10 << 0.5).
-    return spark.table(name).select(
-        "user_id",
-        "n_events",
-        F.round(F.col("mean_value") * F.col("n_events") * 100, 0)
-        .cast("long")
-        .alias("total_cents"),
-    )
+    # Single file -> single micro-batch, which is what makes the
+    # update-mode output equal the batch GROUP BY.
+    stage = _stage_events(sf_dir, "events_stream_")
+    try:
+        stream = read_events_stream(spark, stage)
+        drained = _drain_stream(spark, user_profile_stream(stream), "t_stateful", "update")
+        # mean_value * n recovers the running total; *100 + round lands on
+        # the exact integer cent (float error ~1e-10 << 0.5).
+        return drained.select(
+            "user_id",
+            "n_events",
+            F.round(F.col("mean_value") * F.col("n_events") * 100, 0)
+            .cast("long")
+            .alias("total_cents"),
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

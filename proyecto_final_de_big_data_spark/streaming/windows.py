@@ -47,7 +47,18 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     from ..io.ingest import probe_parquet_ts_unit
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if probe_parquet_ts_unit(path) == "ns":
+    unit = probe_parquet_ts_unit(path)
+    if unit is None:
+        # A blind TimestampType schema against a TIMESTAMP(NANOS) file
+        # (with a session-level nanosAsLong possibly still set) fails the
+        # stream with an opaque physical/declared type mismatch — fail
+        # loudly at the source instead.
+        raise RuntimeError(
+            f"could not determine the parquet timestamp unit of 'ts' in {path} "
+            "(pyarrow footer probe failed or column missing); refusing to guess "
+            "a readStream schema — see io.ingest.probe_parquet_ts_unit"
+        )
+    if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = (
             spark.readStream.schema(_events_schema(T.LongType()))
@@ -102,5 +113,9 @@ def run_to_completion(df: DataFrame, query_name: str, output_mode: str = "append
         .trigger(availableNow=True)
         .start()
     )
-    q.processAllAvailable()
+    try:
+        q.processAllAvailable()
+    except Exception:
+        q.stop()  # don't leak a live query on a failed drain
+        raise
     return q

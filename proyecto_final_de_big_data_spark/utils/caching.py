@@ -28,7 +28,15 @@ from pyspark.sql import DataFrame
 def materialize_and_release(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
     """Eagerly compute ``result`` (localCheckpoint: executes the plan,
     cuts lineage), then unpersist every frame in ``intermediates``.
-    Intermediates are released even when the computation fails."""
+    Intermediates are released even when the computation fails.
+
+    Fault-tolerance caveat: ``localCheckpoint`` blocks are executor-local
+    and NOT fault-tolerant — with the lineage truncated, losing an
+    executor makes the result unrecoverable and fails the job. Fine in
+    local mode and for ephemeral query results; on a real cluster prefer
+    reliable ``checkpoint()`` to a durable ``checkpointDir`` (or write
+    the — small — result to a table) when the frame must survive
+    executor loss."""
     try:
         return result.localCheckpoint(eager=True)
     finally:

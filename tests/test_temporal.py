@@ -147,6 +147,46 @@ def test_interval_join_no_key_global_windows(spark):
     assert [r["event_id"] for r in out.collect()] == [1]
 
 
+def test_asof_null_keys_never_match(spark):
+    # SQL equality semantics: a NULL-key left row must NOT pick up a
+    # NULL-key right payload (DuckDB ASOF JOIN ON l.k = r.k never
+    # matches NULLs) even though the window partitions NULLs together.
+    left = spark.createDataFrame(
+        [(1, None, _ts("2024-01-01 10:00:00")), (2, 10, _ts("2024-01-01 12:00:00"))],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts("2024-01-01 09:00:00"), "nullkey"), (10, _ts("2024-01-01 11:00:00"), "b")],
+        "k long, rts timestamp, payload string",
+    )
+    out = asof_join(left, right, "k", "ts", "rts", ["payload"])
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows[1]["payload"] is None
+    assert rows[2]["payload"] == "b"
+
+
+def test_interval_join_degenerate_interval_is_inert(spark):
+    # A corrupted end<=start interval must emit O(1) bucket rows (not a
+    # descending multi-year sequence) and never match, while a row-count
+    # probe on the bucketed right side stays tiny.
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01 10:00:00"))], ["event_id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            # end three years BEFORE start — would be ~1096 descending
+            # daily buckets without the greatest() clamp
+            (1, _ts("2024-01-01 00:00:00"), _ts("2021-01-01 00:00:00"), "bad"),
+            (1, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:00:00"), "empty"),
+            (1, _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00"), "good"),
+        ],
+        ["k", "s", "e", "name"],
+    )
+    out = interval_join(left, right, "k", "ts", "s", "e", bucket="1 day")
+    rows = out.collect()
+    assert [r["name"] for r in rows] == ["good"]
+
+
 def test_interval_join_plan_has_no_nested_loop(spark):
     left = _mk_left(spark)
     right = spark.createDataFrame(
