@@ -57,14 +57,31 @@ def probe_parquet_columns(path: str, logger: logging.Logger | None = None) -> li
     return []
 
 
+#: probe_parquet_ts_unit result meaning "the probe itself broke" (e.g.
+#: pyarrow missing, unreadable footer) — distinct from ``None``, which
+#: means the probe RAN and the column is absent / not a timestamp.
+TS_UNIT_UNKNOWN = "unknown"
+
+
 def probe_parquet_ts_unit(path: str, column: str = "ts", logger: logging.Logger | None = None) -> str | None:
     """Timestamp unit ('ns' | 'us' | 'ms' | 's') of ``column`` from the
-    parquet footer, or None when the column is absent / not a timestamp /
-    the probe fails. Accepts a file or a directory of part files (first
+    parquet footer. Accepts a file or a directory of part files (first
     ``*.parquet`` wins — one footer read, no data scan). Used by the
     streaming source to pick a read schema that matches the physical type
     instead of assuming one fixture vintage (fixtures have shipped both
-    TIMESTAMP(NANOS) and TIMESTAMP(MICROS))."""
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS)).
+
+    Three-state result so callers can tell "the data is wrong" from "the
+    probe is broken" (they warrant opposite reactions — see
+    ``streaming.windows.read_events_stream``):
+
+    - unit string — the column is a parquet timestamp of that unit;
+    - ``None`` — the probe ran fine and the column is absent or not a
+      timestamp (a genuine data/schema problem);
+    - ``TS_UNIT_UNKNOWN`` — the probe infrastructure itself failed
+      (pyarrow missing, unreadable footer); the file may still be
+      perfectly readable. Degrades, never raises.
+    """
     log = logger or get_logger("ingest")
     try:
         import pyarrow.parquet as pq
@@ -77,7 +94,10 @@ def probe_parquet_ts_unit(path: str, column: str = "ts", logger: logging.Logger 
             if not parts:
                 return None
             probe = parts[0]
-        field_type = pq.ParquetFile(probe).schema_arrow.field(column).type
+        schema = pq.ParquetFile(probe).schema_arrow
+        if column not in schema.names:
+            return None
+        field_type = schema.field(column).type
         import pyarrow.types as pat
 
         if pat.is_timestamp(field_type):
@@ -85,7 +105,7 @@ def probe_parquet_ts_unit(path: str, column: str = "ts", logger: logging.Logger 
         return None
     except Exception as err:  # noqa: BLE001 — probe must degrade, not raise
         log.warning("ts-unit probe failed for %s: %s", path, err)
-        return None
+        return TS_UNIT_UNKNOWN
 
 
 def build_manifest_record(file_name: str, path: str, year: int | str, month: str) -> dict:

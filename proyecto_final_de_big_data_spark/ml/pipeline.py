@@ -30,6 +30,12 @@ class TrainConfig:
     num_trees: int = 100
     seed: int = 42
     train_fraction: float = 0.8
+    # Indexing determinism knobs. The training default (frequencyDesc +
+    # keep) matches the reference's scripts/04_train_sparkml.py:89-93;
+    # contract queries set alphabetAsc + error so the index function is
+    # a pure, oracle-computable dense rank over the sorted label set.
+    string_order_type: str = "frequencyDesc"
+    handle_invalid: str = "keep"
 
 
 def build_pipeline(df: DataFrame, cfg: TrainConfig) -> tuple[Pipeline, list[str], list[str]]:
@@ -52,7 +58,8 @@ def build_pipeline(df: DataFrame, cfg: TrainConfig) -> tuple[Pipeline, list[str]
             StringIndexer(
                 inputCols=categorical,
                 outputCols=[f"{c}__idx" for c in categorical],
-                handleInvalid="keep",
+                handleInvalid=cfg.handle_invalid,
+                stringOrderType=cfg.string_order_type,
             )
         )
         stages.append(

@@ -135,12 +135,14 @@ def interval_join(
     filter within bucket matches. Pick ``bucket`` near the typical
     interval length — a shorter grain explodes the right side, a longer
     one inflates per-bucket candidate lists; both degrade gracefully,
-    neither is O(|L|·|R|). Degenerate intervals (start >= end) never
-    match: their sequence stop is clamped to the start bucket with
-    ``greatest`` so a corrupted row with end years before start emits
-    exactly ONE inert bucket row (the range predicate can never hold)
-    instead of a multi-million-row descending sequence — and, unlike a
-    pre-filter, the row still surfaces as unmatched under outer joins.
+    neither is O(|L|·|R|). Degenerate intervals (start >= end, or either
+    bound NULL) never match: the sequence bounds are NULL-coalesced and
+    clamped with ``greatest`` so such a row emits exactly ONE inert
+    bucket row (the range predicate can never hold) instead of a
+    multi-million-row descending sequence (end << start) or a silent
+    explode-drop (NULL bound) — and, unlike a pre-filter, the row still
+    surfaces as unmatched under right/full outer joins, symmetrically
+    for NULL-start and NULL-end.
 
     Duplicate avoidance: an interval spanning k buckets appears k times,
     but a left row joins it only in the left row's own single bucket, so
@@ -162,11 +164,19 @@ def interval_join(
         return F.unix_micros(F.col(col).cast("timestamp"))
 
     lb = left.withColumn("__bucket", F.floor(_micros(left_ts) / us))
-    seq_start = F.floor(_micros(right_start) / us)
+    start_b = F.floor(_micros(right_start) / us)
+    end_b = F.floor((_micros(right_end) - 1) / us)
+    # NULL-bound symmetry: a right row with EITHER bound NULL emits
+    # exactly one inert bucket row (the range predicate is NULL there,
+    # so it can never match) instead of vanishing through
+    # sequence(NULL, ...) -> NULL -> explode-drop. Inner-join results
+    # are unchanged; under right/full outer joins both NULL-start and
+    # NULL-end rows now consistently surface as unmatched.
+    seq_start = F.coalesce(start_b, end_b, F.lit(0))
     # Clamp so stop >= start: Spark generates a DESCENDING sequence when
     # stop < start, which would explode a corrupted end<=start interval
     # into millions of bucket rows.
-    seq_stop = F.greatest(F.floor((_micros(right_end) - 1) / us), seq_start)
+    seq_stop = F.greatest(F.coalesce(end_b, start_b, F.lit(0)), seq_start)
     rb = right.withColumn(
         "__bucket",
         F.explode(F.sequence(seq_start, seq_stop)),

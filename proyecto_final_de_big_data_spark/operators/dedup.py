@@ -58,18 +58,32 @@ def _spread(df: DataFrame) -> DataFrame:
     small local input (e.g. one parquet file) doesn't run a whole
     per-partition Arrow pass on one core.
 
-    Gated on ``spark.graft.spreadSmallInputs`` (default true — right for
-    local/dev, where inputs genuinely arrive in one or two splits and
-    need the spread). Set false on a real cluster: inputs there arrive
-    in many splits already, and with the gate off this is a pure no-op —
-    no partition-count probe (an ``.rdd`` probe would force a plan
-    conversion per call), no shuffle, keeping the map-only dedup stages
-    genuinely shuffle-free at scale.
+    Gated on ``spark.graft.spreadSmallInputs``; the default is
+    master-aware so the scale-safe side wins when nobody sets it: on a
+    ``local[*]`` master it defaults ON (dev inputs genuinely arrive in
+    one or two splits and need the spread), on any cluster master it
+    defaults OFF (inputs arrive in many splits already; an unconditional
+    ``repartition`` would inject a full corpus shuffle into signature
+    stages that are otherwise map-only, and could even repartition DOWN
+    below the input's split count). Setting the conf explicitly
+    overrides the default either way. No ``.rdd`` partition-count probe
+    in any path — that would force a plan conversion per call.
     """
     spark = df.sparkSession
-    if (spark.conf.get("spark.graft.spreadSmallInputs", "true") or "true").lower() != "true":
+    if not _should_spread(
+        spark.conf.get("spark.master", ""),
+        spark.conf.get("spark.graft.spreadSmallInputs", None),
+    ):
         return df
     return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _should_spread(master: str, conf_value: str | None) -> bool:
+    """Master-aware default for the small-input spread (pure, unit-tested):
+    explicit conf wins; otherwise spread only under a local master."""
+    if conf_value is not None and str(conf_value).strip() != "":
+        return str(conf_value).lower() == "true"
+    return master.startswith("local")
 
 
 def _splitmix64(base: np.ndarray, num_streams: int) -> np.ndarray:

@@ -15,7 +15,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -174,13 +174,18 @@ def q_manifest_ingest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         download_file(f"file://{sf_dir}/region.parquet", dest, force=True)
         upsert_manifest(manifest, build_manifest_record("region.parquet", dest, 2024, "02"))
         audit = manifest_table(spark, manifest)
+        # Total-row annotation via grouped count + broadcast cross join —
+        # NOT an unpartitioned window (WindowExec with no PARTITION BY
+        # funnels everything through one task; harmless on a 2-row
+        # manifest but the exact pattern operators/rollup.py warns about,
+        # and this file models best practice).
+        total = audit.agg(F.count(F.lit(1)).alias("n_manifest_rows"))
         result = audit.select(
             "file_name",
             F.size("columns").cast("long").alias("n_cols"),
             "month",
             (F.col("size_bytes") > 0).alias("size_positive"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_manifest_rows"),
-        )
+        ).crossJoin(F.broadcast(total))
         # Eager: the staging dir (manifest included) is removed on return.
         return result.localCheckpoint(eager=True)
     finally:
@@ -298,4 +303,44 @@ def _bucketed_orders_customer_join(spark: SparkSession, sf_dir: str) -> DataFram
         f"t_orders_{sfx}",
         f"t_cust_{sfx}",
         F.col("o_custkey") == F.col("c_custkey"),
+    )
+
+
+@register(
+    "quarter_resolution_contract",
+    oracle="""
+    SELECT lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE month(o_orderdate) IN (4, 5, 6)
+    GROUP BY 1
+    """,
+    description="F10/C3 through the gate: the real CLI parser "
+    "(cli.build_parser) parses `etl --year 2024 --quarter 2`, the parsed "
+    "namespace flows through utils.dates.resolve_months (reference "
+    "src/utils/fechas.py:11-32), and the resolved zero-padded month list "
+    "drives a partition-style month filter over orders. The oracle filters "
+    "on the quarter's literal months, so a wrong quarter map, a broken "
+    "mutual-exclusion wire-up, or unpadded month strings all produce a "
+    "different (or empty) result and break the hash.",
+)
+def q_quarter_resolution_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..cli import build_parser
+    from ..utils.dates import resolve_months
+
+    args = build_parser().parse_args(
+        ["etl", "--year", "2024", "--quarter", "2",
+         "--raw-root", sf_dir, "--curated-root", os.path.join(tempfile.gettempdir(), "unused")]
+    )
+    months = resolve_months(args.month, args.months, args.quarter)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    month_col = F.lpad(F.month("o_orderdate").cast("string"), 2, "0")
+    return (
+        orders.where(month_col.isin(months))
+        .groupBy(month_col.alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
     )

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..ml.pipeline import TrainConfig, metrics_frame, train_and_evaluate
+from ..ml.pipeline import TrainConfig, build_pipeline, metrics_frame, train_and_evaluate
 from .registry import register
 
 
@@ -57,4 +57,73 @@ def q_ml_score_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.avg(F.abs(err)).alias("mae"),
         F.sqrt(F.avg(F.pow(err, F.lit(2)))).alias("rmse"),
+    )
+
+
+@register(
+    "ml_feature_matrix_contract",
+    oracle="""
+    SELECT returnflag,
+           CAST(row_number() OVER (ORDER BY returnflag) - 1 AS DOUBLE) AS flag_idx,
+           n_rows,
+           CAST(3 + (SELECT count(DISTINCT l_returnflag) - 1 FROM lineitem) AS INT)
+               AS feature_dim,
+           sum_quantity, sum_discount, sum_tax
+    FROM (
+        SELECT l_returnflag AS returnflag,
+               count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_quantity,
+               round(sum(l_discount), 2) AS sum_discount,
+               round(sum(l_tax), 2) AS sum_tax
+        FROM lineitem
+        GROUP BY 1
+    )
+    """,
+    description="M1-M3 through the hash gate: the SAME build_pipeline the "
+    "training loop uses (minus the regressor stage) fits StringIndexer -> "
+    "OneHotEncoder -> VectorAssembler over lineitem with deterministic "
+    "knobs (alphabetAsc ordering, handleInvalid=error), then the assembled "
+    "vector is torn back apart with vector_to_array and its numeric slots "
+    "summed per label. The oracle recomputes the index as a dense rank over "
+    "the sorted label set and the one-hot width as distinct-1 (dropLast), "
+    "so a wrong index order, a dropped assembler input, or a mis-sized "
+    "encoding all break the hash. Fit metrics stay range-pinned in pytest "
+    "(parallelism-dependent, SURVEY §7).",
+)
+def q_ml_feature_matrix_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.functions import vector_to_array
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", "l_returnflag", "l_extendedprice"
+    )
+    cfg = TrainConfig(
+        label="l_extendedprice",
+        numeric_features=["l_quantity", "l_discount", "l_tax"],
+        categorical_features=["l_returnflag"],
+        string_order_type="alphabetAsc",
+        handle_invalid="error",
+    )
+    pipeline, _, _ = build_pipeline(li, cfg)
+    feature_stages = Pipeline(stages=pipeline.getStages()[:-1])  # drop the regressor
+    assembled = feature_stages.fit(li).transform(li)
+    f = vector_to_array("features")
+    return (
+        assembled.select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_returnflag__idx").alias("flag_idx"),
+            f.alias("f"),
+        )
+        .groupBy("returnflag", "flag_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(F.size("f")).cast("int").alias("feature_dim"),
+            F.round(F.sum(F.col("f")[0]), 2).alias("sum_quantity"),
+            F.round(F.sum(F.col("f")[1]), 2).alias("sum_discount"),
+            F.round(F.sum(F.col("f")[2]), 2).alias("sum_tax"),
+        )
+        .select(
+            "returnflag", "flag_idx", "n_rows", "feature_dim",
+            "sum_quantity", "sum_discount", "sum_tax",
+        )
     )

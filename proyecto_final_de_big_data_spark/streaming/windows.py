@@ -44,20 +44,32 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     path; micros/millis read natively as TimestampType. UTC is pinned so
     event-time windows match the timezone-free oracle.
     """
-    from ..io.ingest import probe_parquet_ts_unit
+    from ..io.ingest import TS_UNIT_UNKNOWN, probe_parquet_ts_unit
+    from ..utils.logging import get_logger
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     unit = probe_parquet_ts_unit(path)
     if unit is None:
-        # A blind TimestampType schema against a TIMESTAMP(NANOS) file
-        # (with a session-level nanosAsLong possibly still set) fails the
-        # stream with an opaque physical/declared type mismatch — fail
-        # loudly at the source instead.
+        # The probe RAN and 'ts' is absent or not a timestamp: a blind
+        # TimestampType schema would fail the stream later with an opaque
+        # physical/declared type mismatch — fail loudly at the source.
         raise RuntimeError(
-            f"could not determine the parquet timestamp unit of 'ts' in {path} "
-            "(pyarrow footer probe failed or column missing); refusing to guess "
-            "a readStream schema — see io.ingest.probe_parquet_ts_unit"
+            f"'ts' in {path} is missing or not a parquet timestamp column; "
+            "refusing to guess a readStream schema — see "
+            "io.ingest.probe_parquet_ts_unit"
         )
+    if unit == TS_UNIT_UNKNOWN:
+        # The probe INFRASTRUCTURE failed (e.g. pyarrow unavailable) —
+        # the file itself may be fine. Fall back to the standard
+        # TimestampType schema (correct for MICROS/MILLIS vintages)
+        # rather than turning a working read into a hard failure; a
+        # NANOS fixture will still error out at stream start.
+        get_logger("streaming").warning(
+            "ts-unit probe unavailable for %s; assuming TIMESTAMP(MICROS)-"
+            "compatible schema (a TIMESTAMP(NANOS) file will fail at read)",
+            path,
+        )
+        unit = "us"
     if unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = (

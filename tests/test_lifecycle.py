@@ -270,3 +270,62 @@ def test_cli_run_unknown_query(tmp_path):
 
     rc = main(["run", "--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path), "--queries", "nope"])
     assert rc == 1
+
+
+def test_probe_ts_unit_three_state(tmp_path):
+    # unit string for a real timestamp column; None when the probe RAN
+    # and the column is absent/non-timestamp; TS_UNIT_UNKNOWN when the
+    # probe infrastructure fails (unreadable footer) — callers must be
+    # able to tell "data is wrong" from "probe is broken" (r4 advice).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from proyecto_final_de_big_data_spark.io.ingest import (
+        TS_UNIT_UNKNOWN,
+        probe_parquet_ts_unit,
+    )
+
+    good = tmp_path / "good.parquet"
+    pq.write_table(
+        pa.table({"ts": pa.array([0, 1], type=pa.timestamp("us")), "x": [1, 2]}), good
+    )
+    assert probe_parquet_ts_unit(str(good)) == "us"
+    assert probe_parquet_ts_unit(str(good), column="x") is None
+    assert probe_parquet_ts_unit(str(good), column="absent") is None
+
+    bad = tmp_path / "bad.parquet"
+    bad.write_bytes(b"not parquet at all")
+    assert probe_parquet_ts_unit(str(bad)) == TS_UNIT_UNKNOWN
+
+
+def test_read_events_stream_probe_failure_falls_back(spark, tmp_path, monkeypatch):
+    # Probe-infrastructure failure must NOT hard-fail a readable
+    # MICROS fixture: the reader falls back to the TimestampType schema
+    # with a warning instead of raising (r4 advice).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from proyecto_final_de_big_data_spark.streaming import windows as W
+
+    d = tmp_path / "events"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1], type=pa.int64()),
+                "ts": pa.array([1_700_000_000_000_000], type=pa.timestamp("us")),
+                "user_id": pa.array([7], type=pa.int64()),
+                "event_type": ["click"],
+                "value": pa.array([1.5], type=pa.float64()),
+                "props": ["{}"],
+            }
+        ),
+        d / "part-0.parquet",
+    )
+    monkeypatch.setattr(
+        "proyecto_final_de_big_data_spark.io.ingest.probe_parquet_ts_unit",
+        lambda path, column="ts", logger=None: "unknown",
+    )
+    stream = W.read_events_stream(spark, str(d))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"

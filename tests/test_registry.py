@@ -39,18 +39,23 @@ def test_window_covers_every_family():
     # One representative per family must sit inside the checked window.
     for probe in [
         "kpis",                      # marts
-        "cumulative_hour_share",     # dashboard analytics / windows
+        "weighted_avg_price_by_priority",  # dashboard analytics
         "revenue_by_nation",         # relational joins
         "union_distinct_customers",  # set ops
+        "cube_returnflag_status",    # grouping sets (ROLLUP twin rotated out)
         "dedup_exact_stats",         # dedup
         "minhash_recall",            # approximate-dedup contracts
         "media_frame_sample",        # multimodal
         "knn_ann_ivf_recall",        # similarity search
         "tumbling_hourly_counts",    # streaming windows
+        "stream_dedup_counts",       # real-stream mode (dedup/join/sink)
         "stateful_user_profiles_stream",  # custom stateful streaming
         "ml_train_metrics",          # ML loop
+        "ml_feature_matrix_contract",     # ML feature hash gate
         "canonicalize_contract",     # canonicalization
         "export_round_trip_csv",     # export/sources
+        "manifest_ingest_contract",  # ingest manifest (S1-S3)
+        "quarter_resolution_contract",    # F10/C3 month resolution
         "bucketed_colocated_join",   # bucketed storage
         "salted_event_type_stats",   # skew mitigation
     ]:

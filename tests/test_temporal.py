@@ -197,3 +197,31 @@ def test_interval_join_plan_has_no_nested_loop(spark):
     plan = _explain(out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_null_bounds_symmetric(spark):
+    # Either bound NULL -> exactly one inert bucket row: never matches
+    # under inner, and BOTH null-start and null-end rows surface as
+    # unmatched under a right outer join (r4 advice: the two cases were
+    # previously asymmetric — null-start rows explode-dropped entirely).
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01 10:00:00"))], ["event_id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, None, _ts("2024-01-02 00:00:00"), "null_start"),
+            (1, _ts("2024-01-01 00:00:00"), None, "null_end"),
+            (1, None, None, "null_both"),
+            (1, _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00"), "good"),
+        ],
+        "k long, s timestamp, e timestamp, name string",
+    )
+    inner = interval_join(left, right, "k", "ts", "s", "e", bucket="1 day")
+    assert [r["name"] for r in inner.collect()] == ["good"]
+
+    outer = interval_join(left, right, "k", "ts", "s", "e", bucket="1 day", how="right")
+    rows = outer.collect()
+    matched = sorted(r["name"] for r in rows if r["event_id"] is not None)
+    unmatched = sorted(r["name"] for r in rows if r["event_id"] is None)
+    assert matched == ["good"]
+    assert unmatched == ["null_both", "null_end", "null_start"]
