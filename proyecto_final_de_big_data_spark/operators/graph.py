@@ -1,0 +1,153 @@
+"""Distributed connected components over an edge list — the clustering
+step that turns near-duplicate PAIRS (MinHash / SimHash / embedding LSH,
+``operators/dedup.py``) into dedup CLUSTERS, so a curation pipeline can
+keep one canonical document per group of mutual near-duplicates instead
+of dropping both ends of every pair independently.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014 — public
+literature; no GraphFrames dependency). Each round is two groupBy
+shuffles keyed on node id; the edge set contracts toward a forest of
+stars centered at each component's minimum node id in O(log n) rounds
+(2-3 rounds for the clique-like clusters near-dup dedup produces).
+Everything is DataFrame-native: no driver-side adjacency, no
+``collect`` — the only per-round driver traffic is a 3-value
+convergence aggregate.
+
+Scale notes (100 TB posture):
+- the working set is the EDGE list (near-dup pairs), orders of
+  magnitude smaller than the corpus that produced it;
+- each round ends in ``localCheckpoint`` to truncate lineage — without
+  it the plan doubles every round and planning cost, not data, becomes
+  the bottleneck (swap for ``checkpoint`` + a checkpoint dir on a real
+  cluster where executor loss must be survivable);
+- convergence is detected with a count + order-insensitive xxhash64
+  checksum (summed as decimal(38) so it cannot overflow): one tiny
+  aggregate per round instead of an ``exceptAll`` anti-join over the
+  full edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct (src>dst) orientation, self-loops dropped."""
+    e = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias("src"),
+        F.least(F.col(src), F.col(dst)).alias("dst"),
+    )
+    return e.where(F.col("src") != F.col("dst")).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For every node u: attach each strictly-larger neighbor to
+    min(N(u) ∪ {u}). Keeps (bigger, smaller) orientation."""
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = sym.groupBy("src").agg(F.min("dst").alias("__nbr_min"))
+    m = m.select("src", F.least(F.col("src"), F.col("__nbr_min")).alias("__m"))
+    out = (
+        sym.join(m, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+    )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For every node u: attach u and all its smaller-or-equal neighbors
+    to the minimum of that set."""
+    # e is (src > dst) oriented, so per src the smaller neighbors are
+    # exactly its dst values.
+    grouped = e.groupBy("src").agg(F.min("dst").alias("__m"))
+    nbrs = e.join(grouped, "src").select(
+        F.col("dst").alias("src"), F.col("__m").alias("dst")
+    )
+    selfs = grouped.select("src", F.col("__m").alias("dst"))
+    out = nbrs.union(selfs)
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def _checksum(e: DataFrame) -> tuple:
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        F.sum(F.col("src").cast("decimal(38,0)") + F.col("dst").cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return (row["n"], row["h"], row["s"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """``(node, component)`` for every node appearing in ``edges``; the
+    component label is the minimum node id of the component.
+
+    Only nodes that occur in the edge list are returned — callers
+    wanting singleton rows union the untouched ids back with
+    ``component = node`` (a dedup pipeline typically doesn't: untouched
+    docs are kept as-is).
+
+    Raises ``RuntimeError`` if the star-contraction hasn't converged
+    after ``max_iterations`` alternating rounds (log₂ of the largest
+    component's node count is the expected round count, so 20 covers
+    any realistic graph; hitting the cap means the input is
+    pathological, and returning a half-contracted labeling would
+    silently split components).
+    """
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    prev = _checksum(e)
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    # Fixpoint edges form stars (node -> center). A center's own rows
+    # only appear as src on other nodes' edges, so its component is
+    # itself: take min(dst) per node and union the centers back in.
+    nodes_to_center = e.groupBy("src").agg(F.min("dst").alias("component"))
+    centers = e.select(F.col("dst").alias("src")).distinct().join(
+        nodes_to_center.select("src"), "src", "left_anti"
+    ).select("src", F.col("src").alias("component"))
+    return (
+        nodes_to_center.select(
+            F.least(F.col("src"), F.col("component")).alias("component"),
+            F.col("src").alias("node"),
+        )
+        .select("node", "component")
+        .union(centers.select(F.col("src").alias("node"), "component"))
+    )
+
+
+def cluster_dedup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Fuzzy-dedup keep-list: collapse each connected component of the
+    near-dup pair graph to its minimum-id member and keep every row of
+    ``df`` that is either untouched by any pair or its component's
+    canonical representative.
+
+    This is the component-aware upgrade of pairwise dedup: with pairs
+    A-B and B-C, pairwise keep-min drops B and C; component dedup keeps
+    exactly one of {A, B, C} (A), which is the semantics an LLM-corpus
+    curation pass wants.
+    """
+    comp = connected_components(pairs, pair_a, pair_b)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

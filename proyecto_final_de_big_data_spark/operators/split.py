@@ -78,3 +78,59 @@ def split_case_sql(key_sql: str, fractions: dict[str, float], out: str = "split"
             f" < '{_hex_threshold(cum)}' THEN '{label}'"
         )
     return "CASE " + " ".join(parts) + f" ELSE '{labels[-1][0]}' END AS {out}"
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    stratum_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep each row with
+    probability ``fractions[stratum]`` decided by the md5 band of its
+    ``key`` — the quota-sampling step of corpus curation (e.g. keep 10%
+    of English, 100% of low-resource languages) made reproducible.
+
+    ``sampleBy`` (the RNG equivalent) draws per-partition random
+    numbers: resuming a pipeline, changing partitioning, or re-running
+    on another cluster yields a DIFFERENT sample. Hash banding keys the
+    decision to row content, so every engine and run keeps exactly the
+    same rows (the DuckDB oracle re-states the same predicate), rows
+    sharing a key stay together, and the filter is a pure projection —
+    no shuffle, no RNG state, pushdown-friendly.
+
+    Strata absent from ``fractions`` fall back to ``default_fraction``
+    (0.0 = drop, the curation default for unexpected strata: failing
+    open would silently flood the sample).
+    """
+    key_col = F.col(key).cast("string")
+    prefix = F.substring(F.md5(key_col), 1, _HEX_DIGITS)
+    cond = None
+    for stratum, frac in fractions.items():
+        this = (F.col(stratum_col) == F.lit(stratum)) & (
+            prefix < F.lit(_hex_threshold(frac))
+        )
+        cond = this if cond is None else cond | this
+    others = ~F.col(stratum_col).isin(list(fractions)) & (
+        prefix < F.lit(_hex_threshold(default_fraction))
+    )
+    cond = others if cond is None else cond | others
+    return df.where(cond)
+
+
+def stratified_sample_predicate_sql(
+    key_sql: str, fractions: dict[str, float], stratum_sql: str, default_fraction: float = 0.0
+) -> str:
+    """The equivalent ANSI/DuckDB WHERE predicate — oracle queries state
+    the SAME keep-decision verbatim."""
+    prefix = f"substring(md5(CAST({key_sql} AS VARCHAR)), 1, {_HEX_DIGITS})"
+    clauses = [
+        f"({stratum_sql} = '{s}' AND {prefix} < '{_hex_threshold(f)}')"
+        for s, f in fractions.items()
+    ]
+    strata = ", ".join(f"'{s}'" for s in fractions)
+    clauses.append(
+        f"({stratum_sql} NOT IN ({strata}) AND {prefix} < '{_hex_threshold(default_fraction)}')"
+    )
+    return "(" + " OR ".join(clauses) + ")"

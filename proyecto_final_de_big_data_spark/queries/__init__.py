@@ -59,17 +59,23 @@ _VERIFICATION_WINDOW = [
     # temporal joins (as-of / interval — extension operators)
     "events_asof_last_order",
     "events_in_first_day_window",
-    # LLM-pipeline: dedup / split / text / similarity contracts
+    # LLM-pipeline: dedup / split / text / similarity contracts.
+    # near_dup_clusters subsumes ngram_jaccard_pairs (its recursive-CTE
+    # oracle recomputes the same exact-Jaccard pair set, then checks the
+    # component contraction on top); stratified_sample_profile gates the
+    # new deterministic quota-sampling operator. ngram_jaccard_pairs
+    # (4× green) and media_features (4× green, media_frame_sample stays)
+    # rotate out to make room.
     "dedup_exact_stats",
     "doc_hash_split_profile",
-    "ngram_jaccard_pairs",
+    "near_dup_clusters",
+    "stratified_sample_profile",
     "minhash_recall",
     "simhash_banding_lossless",
     "embedding_near_dup_recall",
     "text_stats_by_lang",
     "curation_pipeline_profile",
     # multimodal
-    "media_features",
     "media_frame_sample",
     # similarity search
     "knn_bruteforce",

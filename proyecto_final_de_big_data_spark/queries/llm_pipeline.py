@@ -713,3 +713,102 @@ def q_embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(l2_norm(v)).alias("avg_norm"),
         F.avg(F.col("embedding").getItem(0).cast("double")).alias("avg_first_dim"),
     )
+
+
+@register(
+    "near_dup_clusters",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS w
+        FROM documents WHERE doc_id < 500
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(w) >= 3 THEN
+                       list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [text] END
+               ) AS sh
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT component, count(*) AS n_docs, max(node) AS max_doc
+    FROM (
+        SELECT a AS node, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    )
+    GROUP BY component
+    """,
+    description="Fuzzy-dedup CLUSTERS: the exact word-3-gram Jaccard pair "
+    "graph (threshold 0.5, doc_id < 500 — the same pair set the "
+    "ngram_jaccard_pairs gate pins) contracted to connected components via "
+    "alternating large-star/small-star (operators/graph.py, Kiveris et al. "
+    "SoCC 2014), profiled per cluster. The oracle recomputes components "
+    "with a recursive-CTE transitive closure, so a split, merged, or "
+    "mislabeled component breaks the hash. At corpus scale the same "
+    "operator consumes MinHash-LSH pairs — the edge list, not the corpus, "
+    "is the working set.",
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_pairs_index
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = jaccard_pairs_index(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").alias("max_doc"),
+    )
+
+
+_STRATA_FRACTIONS = {"en": 0.1, "zh": 0.5, "de": 1.0}
+
+
+def _strata_oracle() -> str:
+    from ..operators.split import stratified_sample_predicate_sql
+
+    pred = stratified_sample_predicate_sql("doc_id", _STRATA_FRACTIONS, "lang")
+    return f"""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE {pred}
+    GROUP BY 1
+    """
+
+
+@register(
+    "stratified_sample_profile",
+    oracle=_strata_oracle(),
+    description="Deterministic per-stratum quota sampling "
+    "(operators/split.py stratified_hash_sample): keep 10% of English, "
+    "50% of Chinese, all German, drop unlisted languages — each keep "
+    "decision an md5 band of doc_id, so the sample is identical across "
+    "engines, runs, and partitionings (unlike sampleBy's per-partition "
+    "RNG). The oracle restates the same predicate verbatim via "
+    "stratified_sample_predicate_sql — one source of truth for both "
+    "sides — and pins the per-language survivor counts and char mass.",
+)
+def q_stratified_sample_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    sampled = stratified_hash_sample(docs, "doc_id", _STRATA_FRACTIONS, "lang")
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -1,0 +1,83 @@
+"""Connected-components (operators/graph.py): correctness against a
+driver-side union-find on deterministic and randomized graphs, plus the
+component-aware dedup keep-list semantics."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from proyecto_final_de_big_data_spark.operators.graph import (
+    cluster_dedup_keep,
+    connected_components,
+)
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _cc_dict(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+
+def test_cc_chain_and_separate_component(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    assert _cc_dict(spark, edges) == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cc_duplicate_reversed_and_self_edges(spark):
+    edges = [(2, 1), (1, 2), (1, 1), (2, 3), (3, 1)]
+    assert _cc_dict(spark, edges) == {1: 1, 2: 1, 3: 1}
+
+
+def test_cc_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
+def test_cc_matches_union_find_randomized(spark):
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes))
+        for _ in range(80)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    assert _cc_dict(spark, edges) == _uf_components(edges)
+
+
+def test_cc_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iterations=0)
+
+
+def test_cluster_dedup_keep_transitive(spark):
+    # Pairs A-B and B-C: pairwise keep-min would drop B and C; the
+    # component-aware keep-list keeps exactly one of {A,B,C} plus the
+    # untouched doc.
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "solo")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"] for r in cluster_dedup_keep(df, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 9]

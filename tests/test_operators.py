@@ -278,3 +278,57 @@ def test_hash_split_proportions_roughly_match(spark):
     }
     assert abs(got["train"] / 5000 - 0.8) < 0.03
     assert abs(got["test"] / 5000 - 0.2) < 0.03
+
+
+def test_stratified_hash_sample_deterministic_and_quota(spark):
+    from proyecto_final_de_big_data_spark.operators.split import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)], ["id", "lang"]
+    )
+    frac = {"en": 0.25, "de": 1.0}
+    a = stratified_hash_sample(df, "id", frac, "lang")
+    b = stratified_hash_sample(df.repartition(13), "id", frac, "lang")  # partition-invariant
+    rows_a = {(r["id"], r["lang"]) for r in a.collect()}
+    rows_b = {(r["id"], r["lang"]) for r in b.collect()}
+    assert rows_a == rows_b
+    by_lang = {r["lang"]: r["n"] for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["de"] == 1000          # fraction 1.0 keeps everything
+    assert abs(by_lang["en"] / 1000 - 0.25) < 0.05  # md5 bands ~ uniform
+
+
+def test_stratified_hash_sample_default_drops_unlisted(spark):
+    from proyecto_final_de_big_data_spark.operators.split import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "xx"), (3, "xx"), (4, "en")], ["id", "lang"]
+    )
+    kept = stratified_hash_sample(df, "id", {"en": 1.0}, "lang")
+    assert sorted(r["lang"] for r in kept.collect()) == ["en", "en"]
+    # fail-open variant: unlisted strata kept in full when asked
+    all_kept = stratified_hash_sample(df, "id", {"en": 1.0}, "lang", default_fraction=1.0)
+    assert all_kept.count() == 4
+
+
+def test_stratified_sample_sql_predicate_matches_engine(spark, tmp_path):
+    # The SQL twin must reproduce the exact keep set in DuckDB.
+    import duckdb
+
+    from proyecto_final_de_big_data_spark.operators.split import (
+        stratified_hash_sample,
+        stratified_sample_predicate_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "xx"][i % 3]) for i in range(300)], ["id", "lang"]
+    )
+    frac = {"en": 0.3, "de": 0.7}
+    engine = sorted(r["id"] for r in stratified_hash_sample(df, "id", frac, "lang").collect())
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    pred = stratified_sample_predicate_sql("id", frac, "lang")
+    oracle = sorted(
+        r[0] for r in con.execute(f"SELECT id FROM t WHERE {pred}").fetchall()
+    )
+    assert engine == oracle
