@@ -66,10 +66,14 @@ _VERIFICATION_WINDOW = [
     # new deterministic quota-sampling operator. ngram_jaccard_pairs
     # (4× green) and media_features (4× green, media_frame_sample stays)
     # rotate out to make room.
-    "dedup_exact_stats",
+    # (dedup_exact_stats, 4x green, rotated out — near_dup_clusters and
+    # curation_pipeline_profile keep the dedup family gated;
+    # knn_bruteforce, 3x green, rotated out — the IVF pair stays.)
     "doc_hash_split_profile",
     "near_dup_clusters",
     "stratified_sample_profile",
+    "pack_chunks_profile",
+    "decontamination_profile",
     "minhash_recall",
     "simhash_banding_lossless",
     "embedding_near_dup_recall",
@@ -78,7 +82,6 @@ _VERIFICATION_WINDOW = [
     # multimodal
     "media_frame_sample",
     # similarity search
-    "knn_bruteforce",
     "knn_ann_ivf",
     "knn_ann_ivf_recall",
     "embedding_norms_by_label",

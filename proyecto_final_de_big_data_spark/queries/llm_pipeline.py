@@ -812,3 +812,113 @@ def q_stratified_sample_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "pack_chunks_profile",
+    oracle=r"""
+    WITH toks AS (
+        SELECT lang, doc_id,
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens
+        FROM documents
+    ), pos AS (
+        SELECT lang, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+        FROM toks
+    )
+    SELECT lang,
+           CAST(floor(start_off / 256) AS BIGINT) AS chunk_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(CASE WHEN floor((start_off + greatest(n_tokens, 1) - 1) / 256)
+                              > floor(start_off / 256)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+    FROM pos
+    GROUP BY 1, 2
+    """,
+    description="Sequence packing (operators/packing.py): per-language token "
+    "streams in doc_id order are cut into 256-token training chunks "
+    "(concatenate-and-chunk, docs may straddle boundaries — the real "
+    "pretraining prep semantics). Profiles each chunk by docs starting in "
+    "it, their token mass, and straddler count; the oracle restates the "
+    "identical running-sum assignment, so any drift in ordering, token "
+    "counting, or offset math breaks the hash. Sharded window: one shuffle "
+    "on lang, no global sort.",
+)
+def q_pack_chunks_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import with_pack_chunks
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    packed = with_pack_chunks(docs, "n_tokens", 256, "lang", "doc_id")
+    return packed.groupBy("lang", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum((F.col("n_chunks_spanned") > 1).cast("long")).alias("n_straddlers"),
+    )
+
+
+@register(
+    "decontamination_profile",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT * FROM documents WHERE doc_id < 500 AND doc_id % 97 != 0
+    ), bench AS (
+        SELECT * FROM documents WHERE doc_id % 97 = 0
+    ), c_sh AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(
+                   CASE WHEN len(w) >= 3 THEN
+                       list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [text] END
+               )) AS shingle
+        FROM (SELECT doc_id, lang, text,
+                     list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+              FROM corpus)
+    ), b_sh AS (
+        SELECT DISTINCT unnest(list_distinct(
+                   CASE WHEN len(w) >= 3 THEN
+                       list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [text] END
+               )) AS shingle
+        FROM (SELECT text,
+                     list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+              FROM bench)
+    ), overlap AS (
+        SELECT c.doc_id, count(*) AS n_hits
+        FROM c_sh c JOIN b_sh b ON c.shingle = b.shingle
+        GROUP BY 1
+    )
+    SELECT corpus.lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN overlap.n_hits IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(sum(coalesce(overlap.n_hits, 0)) AS BIGINT) AS total_hits
+    FROM corpus LEFT JOIN overlap ON corpus.doc_id = overlap.doc_id
+    GROUP BY 1
+    """,
+    description="Benchmark decontamination (operators/decontaminate.py): "
+    "documents sharing any word-3-gram with a pseudo-benchmark slice "
+    "(doc_id % 97 == 0) are flagged; per-language counts of flagged docs "
+    "and total overlapping shingles are hash-pinned against a DuckDB "
+    "restatement. Scale shape: benchmark shingle set broadcasts, the "
+    "corpus never shuffles — only overlap hits move.",
+)
+def q_decontamination_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontaminate import contamination_flags
+
+    all_docs = load_table(spark, sf_dir, "documents")
+    corpus = all_docs.filter((F.col("doc_id") < 500) & (F.col("doc_id") % 97 != 0))
+    bench = all_docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = contamination_flags(corpus, bench, "doc_id", "text", shingle_n=3)
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_contaminated").cast("long")).alias("n_contaminated"),
+        F.sum("n_contaminated_ngrams").cast("long").alias("total_hits"),
+    )

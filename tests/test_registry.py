@@ -43,7 +43,10 @@ def test_window_covers_every_family():
         "revenue_by_nation",         # relational joins
         "union_distinct_customers",  # set ops
         "cube_returnflag_status",    # grouping sets (ROLLUP twin rotated out)
-        "dedup_exact_stats",         # dedup
+        "near_dup_clusters",         # dedup (pairs -> components)
+        "pack_chunks_profile",       # sequence packing
+        "decontamination_profile",   # benchmark decontamination
+        "stratified_sample_profile", # deterministic quota sampling
         "minhash_recall",            # approximate-dedup contracts
         "media_frame_sample",        # multimodal
         "knn_ann_ivf_recall",        # similarity search
