@@ -50,7 +50,9 @@ _VERIFICATION_WINDOW = [
     "event_props_json_profile",
     "approx_distinct_contract",
     # relational capability (joins / set ops / windows / grouping sets)
-    "pricing_summary",
+    # (pricing_summary, 4x green, rotated out — the agg family keeps
+    # kpis/top_suppliers/outlier_clipped_kpis in-window and the plan
+    # audit still covers its shape.)
     "revenue_by_nation",
     "customers_without_orders",
     "union_distinct_customers",
@@ -94,6 +96,7 @@ _VERIFICATION_WINDOW = [
     "sliding_stream_parity",
     "stream_dedup_counts",
     "stream_static_join_profile",
+    "stream_stream_join_parity",
     "stream_file_sink_round_trip",
     "stateful_user_profiles_stream",
     # ML loop

@@ -764,11 +764,15 @@ def q_embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is the working set.",
 )
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import jaccard_pairs_index
+    # Hashed-shingle index (long join keys, one Arrow pass) rather than
+    # the string index: only the pair SET feeds the components, so the
+    # 64-bit shingle-collision risk (~1e-9) is the whole divergence
+    # surface — same trade minhash_recall documents.
+    from ..operators.dedup import jaccard_pairs_hashed_index
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    pairs = jaccard_pairs_index(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    pairs = jaccard_pairs_hashed_index(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -351,3 +351,52 @@ def q_stateful_user_profiles_stream(spark: SparkSession, sf_dir: str) -> DataFra
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "stream_stream_join_parity",
+    oracle="""
+    SELECT a.event_type AS a_type,
+           count(*) AS n_pairs,
+           CAST(sum(round((b.value - a.value) * 100)) AS BIGINT) AS cents_diff
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+    description="STREAM-STREAM inner join (the one streaming join mode the "
+    "stream-static contract cannot cover): two event streams watermarked 2h "
+    "join on user_id within a (0, 1h] event-time band — the time-range "
+    "predicate is what lets the state store expire buffered rows past the "
+    "watermark horizon, the 100-TB-stream consideration. Joined pairs drain "
+    "append-mode and are profiled per left event type; value deltas compare "
+    "in exact integer cents. The oracle is the identical batch self-join.",
+)
+def q_stream_stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import read_events_stream
+
+    stage_a = _stage_events(sf_dir, "events_ssj_a_")
+    stage_b = _stage_events(sf_dir, "events_ssj_b_")
+    try:
+        sa = read_events_stream(spark, stage_a).withWatermark("ts", "2 hours").alias("a")
+        sb = read_events_stream(spark, stage_b).withWatermark("ts", "2 hours").alias("b")
+        joined = sa.join(
+            sb,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("interval 1 hour")),
+            "inner",
+        ).select(
+            F.col("a.event_type").alias("a_type"),
+            F.round((F.col("b.value") - F.col("a.value")) * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        drained = _drain_stream(spark, joined, "t_ssjoin", "append")
+        return drained.groupBy("a_type").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("cents").alias("cents_diff"),
+        )
+    finally:
+        shutil.rmtree(stage_a, ignore_errors=True)
+        shutil.rmtree(stage_b, ignore_errors=True)

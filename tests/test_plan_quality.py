@@ -126,3 +126,39 @@ def test_interval_join_plan_is_hash_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # bucketing turned the range predicate into an equi-join
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_decontamination_benchmark_side_broadcasts(spark, sf_dir):
+    # The benchmark shingle set must broadcast (eval sets are tiny); a
+    # SortMergeJoin here would shuffle the full corpus shingle explode.
+    plan = _plan(spark, sf_dir, "decontamination_profile")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_chunks_single_shard_shuffle(spark, sf_dir):
+    # Sharded window: exactly one Exchange before the window (the shard
+    # hashpartitioning) on the packing side; never a global
+    # single-partition sort.
+    plan = _plan(spark, sf_dir, "pack_chunks_profile")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_stratified_sample_is_pure_filter(spark, sf_dir):
+    # The keep decision is a projection+filter over the scan — no
+    # shuffle, no RNG; only the profiling groupBy exchanges.
+    from proyecto_final_de_big_data_spark.catalog import load_table
+    from proyecto_final_de_big_data_spark.operators.split import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    sampled = stratified_hash_sample(docs, "doc_id", {"en": 0.25}, "lang")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sampled.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Filter" in plan
