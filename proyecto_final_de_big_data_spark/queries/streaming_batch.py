@@ -37,16 +37,35 @@ def _stage_events(sf_dir: str, prefix: str, copies: int = 1) -> str:
 
 
 def _drain_stream(
-    spark: SparkSession, df: DataFrame, name_prefix: str, output_mode: str
+    spark: SparkSession,
+    df: DataFrame,
+    name_prefix: str,
+    output_mode: str,
+    shuffle_partitions: int = 8,
 ) -> DataFrame:
     """Run a bounded stream into a memory sink, return the drained result
     as an eager catalog-independent frame (tiny — localCheckpoint is
     cheap and detaches it from the sink table), and drop the sink table
-    so repeated runs don't accumulate one temp view per invocation."""
+    so repeated runs don't accumulate one temp view per invocation.
+
+    A streaming query pins its state-partition count from
+    ``spark.sql.shuffle.partitions`` AT START (one state-store instance
+    per partition, each with open/commit overhead per micro-batch), so
+    the conf is dropped to ``shuffle_partitions`` around ``start()`` and
+    restored after: these contract streams hold a bounded fixture, and
+    paying 32 state stores to shuffle 20k rows is pure machinery cost.
+    A production deployment sizes this to key cardinality/throughput —
+    the restore keeps the session's batch queries at their tuned value.
+    """
     from ..streaming.windows import run_to_completion
 
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = run_to_completion(df, name, output_mode=output_mode)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = run_to_completion(df, name, output_mode=output_mode)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     q.stop()
     try:
         return spark.table(name).localCheckpoint(eager=True)
@@ -284,14 +303,21 @@ def q_stream_file_sink_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame
     ckpt = tempfile.mkdtemp(prefix="events_ckpt_")
     try:
         stream = read_events_stream(spark, stage)
-        q = (
-            stream.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        # Same state-partition bound as _drain_stream (conf is pinned at
+        # stream start; restored for the session's batch queries).
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
         try:
             q.processAllAvailable()
         finally:
@@ -362,6 +388,7 @@ def q_stateful_user_profiles_stream(spark: SparkSession, sf_dir: str) -> DataFra
     FROM events a JOIN events b
       ON a.user_id = b.user_id
      AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.user_id % 5 = 0 AND b.user_id % 5 = 0
     GROUP BY 1
     """,
     description="STREAM-STREAM inner join (the one streaming join mode the "
@@ -378,8 +405,23 @@ def q_stream_stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_a = _stage_events(sf_dir, "events_ssj_a_")
     stage_b = _stage_events(sf_dir, "events_ssj_b_")
     try:
-        sa = read_events_stream(spark, stage_a).withWatermark("ts", "2 hours").alias("a")
-        sb = read_events_stream(spark, stage_b).withWatermark("ts", "2 hours").alias("b")
+        # One user slice (20%) on BOTH sides: the join mechanism, state
+        # expiry, and parity check are identical, but buffered state —
+        # the whole fixture lands in one micro-batch — stays bounded as
+        # SF grows (the contract's cost should be machinery, not volume).
+        user_slice = F.col("user_id") % 5 == 0
+        sa = (
+            read_events_stream(spark, stage_a)
+            .where(user_slice)
+            .withWatermark("ts", "2 hours")
+            .alias("a")
+        )
+        sb = (
+            read_events_stream(spark, stage_b)
+            .where(user_slice)
+            .withWatermark("ts", "2 hours")
+            .alias("b")
+        )
         joined = sa.join(
             sb,
             (F.col("a.user_id") == F.col("b.user_id"))
