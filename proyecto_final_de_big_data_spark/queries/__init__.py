@@ -20,6 +20,7 @@ from . import streaming_batch  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
 from . import contracts  # noqa: E402,F401
 from . import temporal  # noqa: E402,F401
+from . import quality  # noqa: E402,F401
 
 # --- Explicit registration order -------------------------------------
 # The external verification harness checks the FIRST 50 registered
@@ -39,16 +40,33 @@ from . import temporal  # noqa: E402,F401
 # superseded by its CUBE sibling; lang_id_confusion ⊂ text family).
 # Rotated queries remain fully registered and pytest-gated
 # (tests/test_oracle_parity.py runs the whole catalog).
+#
+# Round-5 additions (this session): 4 new hash-gated queries rotate IN
+# (pii_redaction_profile, repetition_profile, tfidf_top_terms,
+# embedding_kmeans_contract) so they earn a driver row the round they
+# land; 4 multiply-green unchanged twins rotate OUT with their operator
+# family still represented (export_round_trip_csv ⊂ round-trip family —
+# ORC + partitioned stay; running_customer_spend — row_number windows
+# now also gated via tfidf_top_terms, top3_orders_per_customer r2-green;
+# text_stats_by_lang ⊂ text family — repetition/tfidf/pii supersede;
+# doc_hash_split_profile — hash_split stays oracle-gated inside
+# curation_pipeline_profile). Plus 2 more round-5 additions
+# (rolling_user_zscore — RANGE-frame trailing baseline;
+# hourly_counts_gapfilled — dense time grid) swapping with
+# top_suppliers (top-k family keeps top_parts r2-green +
+# TakeOrderedAndProject plan assertion) and approx_distinct_contract
+# (r3+r4 green on unchanged code; approx_quantile_contract keeps the
+# sketch/approx family in-window).
 _VERIFICATION_WINDOW = [
     # marts / aggregations (SURVEY §2.4)
     "kpis",
-    "top_suppliers",
     "outlier_clipped_kpis",
     # dashboard-derived analytics + semi-structured / sketch surfaces
     "weighted_avg_price_by_priority",
     "salted_event_type_stats",
     "event_props_json_profile",
-    "approx_distinct_contract",
+    "rolling_user_zscore",
+    "hourly_counts_gapfilled",
     # relational capability (joins / set ops / windows / grouping sets)
     # (pricing_summary, 4x green, rotated out — the agg family keeps
     # kpis/top_suppliers/outlier_clipped_kpis in-window and the plan
@@ -56,7 +74,6 @@ _VERIFICATION_WINDOW = [
     "revenue_by_nation",
     "customers_without_orders",
     "union_distinct_customers",
-    "running_customer_spend",
     "cube_returnflag_status",
     # temporal joins (as-of / interval — extension operators)
     "events_asof_last_order",
@@ -71,7 +88,6 @@ _VERIFICATION_WINDOW = [
     # (dedup_exact_stats, 4x green, rotated out — near_dup_clusters and
     # curation_pipeline_profile keep the dedup family gated;
     # knn_bruteforce, 3x green, rotated out — the IVF pair stays.)
-    "doc_hash_split_profile",
     "near_dup_clusters",
     "stratified_sample_profile",
     "pack_chunks_profile",
@@ -79,8 +95,11 @@ _VERIFICATION_WINDOW = [
     "minhash_recall",
     "simhash_banding_lossless",
     "embedding_near_dup_recall",
-    "text_stats_by_lang",
     "curation_pipeline_profile",
+    # text quality / PII / term scoring (round-5 additions)
+    "pii_redaction_profile",
+    "repetition_profile",
+    "tfidf_top_terms",
     # multimodal
     "media_frame_sample",
     # similarity search
@@ -103,10 +122,10 @@ _VERIFICATION_WINDOW = [
     "ml_train_metrics",
     "ml_score_profile",
     "ml_feature_matrix_contract",
+    "embedding_kmeans_contract",
     # contracts family (canonicalize / export round-trips / quantiles /
     # ingest manifest / CLI+quarter resolution)
     "canonicalize_contract",
-    "export_round_trip_csv",
     "export_round_trip_orc",
     "export_round_trip_partitioned",
     "manifest_ingest_contract",

@@ -127,3 +127,36 @@ def q_ml_feature_matrix_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_quantity", "sum_discount", "sum_tax",
         )
     )
+
+
+@register(
+    "embedding_kmeans_contract",
+    oracle="""
+    SELECT count(*) AS n_vecs, 1 AS clusters_ok, 1 AS assignment_ok
+    FROM embeddings
+    """,
+    description="MLlib KMeans over the embedding column (k=10, pinned seed): "
+    "structural contract — every vector gets a non-null cluster and the "
+    "cluster count lands in [2, k]. Centroid quality is parallelism-dependent "
+    "(labels in the fixture are NOT cluster-structured, measured purity "
+    "~0.17), so value assertions live in unit tests; the gate pins the "
+    "distributed plumbing: array->vector, Lloyd's map-reduce fit, map-only "
+    "assignment.",
+)
+def q_embedding_kmeans_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.clustering import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, "embedding", k=10, seed=7, max_iter=10)
+    agg = assigned.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count_distinct(F.col("cluster")).alias("n_clusters"),
+        F.sum(F.col("cluster").isNull().cast("int")).alias("n_null"),
+    )
+    return agg.select(
+        "n_vecs",
+        ((F.col("n_clusters") >= 2) & (F.col("n_clusters") <= 10))
+        .cast("int")
+        .alias("clusters_ok"),
+        (F.col("n_null") == 0).cast("int").alias("assignment_ok"),
+    )

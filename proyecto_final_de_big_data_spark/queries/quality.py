@@ -1,0 +1,172 @@
+"""Text-quality / PII / term-scoring queries over ``documents`` —
+round-5 additions to the LLM-curation extension surface.
+
+Every query here carries a full DuckDB value-hash oracle: the regex
+patterns are restricted to the Java-regex ∩ RE2 common subset, doubles
+are rounded identically on both sides before any ranking, and the PII
+fixture is injected with the same deterministic expression in both
+engines (the synthetic corpus contains no organic PII, so the gate
+would otherwise verify only that zero equals zero).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.pii import with_pii_stats
+from ..operators.quality import with_repetition_stats
+from ..operators.tfidf import top_terms_by_tfidf
+from .registry import register
+
+
+@register(
+    "pii_redaction_profile",
+    oracle=r"""
+    WITH inj AS (
+        SELECT source, doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN
+                   text || ' contact u' || doc_id::VARCHAR
+                        || '@example.com at 10.1.'
+                        || (doc_id % 200)::VARCHAR
+                        || '.7 call 555-123-4567'
+               ELSE text END AS t
+        FROM documents
+    ), red AS (
+        SELECT source, doc_id, t,
+               len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+               len(regexp_extract_all(t,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+               len(regexp_extract_all(t,
+                   '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS rt
+        FROM inj
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_injected,
+           sum(n_email)::BIGINT AS n_email,
+           sum(n_ipv4)::BIGINT AS n_ipv4,
+           sum(n_phone)::BIGINT AS n_phone,
+           sum(len(t) - len(rt))::BIGINT AS chars_removed
+    FROM red
+    GROUP BY source
+    """,
+    description="PII detect+redact profile per source. The corpus has no "
+    "organic PII, so a deterministic doc_id-derived email/IP/phone clause is "
+    "appended to every third document by the SAME expression in both engines; "
+    "the gate then verifies the regex detection counts and the redaction "
+    "byte-shrink agree. Projection-only at scale (operators/pii.py).",
+)
+def q_pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.1."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 call 555-123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+    staged = docs.withColumn("t", injected)
+    stats = with_pii_stats(staged, "t")
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("doc_id") % 3 == 0).cast("long")).alias("n_injected"),
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum("n_phone").alias("n_phone"),
+        F.sum(F.length("t") - F.length("redacted_text")).alias("chars_removed"),
+    )
+
+
+@register(
+    "repetition_profile",
+    oracle=r"""
+    WITH t AS (
+        SELECT source,
+               list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+        FROM documents
+    ), r AS (
+        SELECT source,
+               CASE WHEN len(w) > 0
+                    THEN len(list_distinct(w))::DOUBLE / len(w) END AS d1,
+               CASE WHEN len(w) >= 2 THEN
+                   len(list_distinct(list_transform(
+                       generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1])))::DOUBLE / (len(w) - 1)
+               ELSE 1.0 END AS d2
+        FROM t
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(d1), 6) AS avg_distinct_word_ratio,
+           round(avg(d2), 6) AS avg_distinct_bigram_ratio,
+           sum(CASE WHEN d1 < 0.4 OR d2 < 0.6 THEN 1 ELSE 0 END)::BIGINT
+               AS n_repetitive
+    FROM r
+    GROUP BY source
+    """,
+    description="Gopher-style repetition signals per source: duplicate-word "
+    "and duplicate-bigram fractions computed as higher-order-function "
+    "projections (array_distinct/transform — NO explode shuffle), flags at "
+    "d1<0.4 / d2<0.6. The scale-correct formulation: at 100 TB each document "
+    "is scored inside the scan stage.",
+)
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = with_repetition_stats(docs, "text")
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("distinct_word_ratio"), 6).alias("avg_distinct_word_ratio"),
+        F.round(F.avg("distinct_bigram_ratio"), 6).alias("avg_distinct_bigram_ratio"),
+        F.sum(F.col("repetitive").cast("long")).alias("n_repetitive"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> len(x) > 0)) AS word
+        FROM documents
+    ), tfreq AS (
+        SELECT lang, word, count(*) AS tf_count FROM tok GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tfreq.lang, tfreq.word, tfreq.tf_count,
+               round(tfreq.tf_count
+                     * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+                   AS tfidf
+        FROM tfreq JOIN dfreq ON tfreq.word = dfreq.word CROSS JOIN n
+    )
+    SELECT lang, word, tf_count, tfidf, rn::INT AS rn
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY lang ORDER BY tfidf DESC, word ASC) AS rn
+        FROM scored
+    )
+    WHERE rn <= 5
+    """,
+    description="Top-5 terms per language by smoothed tf-idf "
+    "(idf = ln((N+1)/(df+1)) + 1). Scores are rounded to 6 decimals BEFORE "
+    "ranking so the (score DESC, word ASC) tie-break replays identically in "
+    "both engines. Map-side-combined aggregations + one term-keyed shuffle "
+    "join; corpus size enters as a broadcast one-row frame.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return top_terms_by_tfidf(docs, "lang", id_col="doc_id", text_col="text", k=5)

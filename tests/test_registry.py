@@ -56,7 +56,13 @@ def test_window_covers_every_family():
         "ml_train_metrics",          # ML loop
         "ml_feature_matrix_contract",     # ML feature hash gate
         "canonicalize_contract",     # canonicalization
-        "export_round_trip_csv",     # export/sources
+        "export_round_trip_partitioned",  # export/sources (CSV twin rotated out)
+        "pii_redaction_profile",     # PII redaction
+        "repetition_profile",        # repetition/quality signals
+        "tfidf_top_terms",           # term scoring
+        "embedding_kmeans_contract",  # unsupervised clustering
+        "rolling_user_zscore",       # RANGE-frame rolling baseline
+        "hourly_counts_gapfilled",   # dense time grid
         "manifest_ingest_contract",  # ingest manifest (S1-S3)
         "quarter_resolution_contract",    # F10/C3 month resolution
         "bucketed_colocated_join",   # bucketed storage
