@@ -103,8 +103,8 @@ def _splitmix64(base: np.ndarray, num_streams: int) -> np.ndarray:
     return z
 
 
-def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
-    """Keep exactly one row (min id) per distinct content tuple.
+def content_digest(content_cols: list[str]) -> Column:
+    """md5 digest of a content tuple, NULL-safe.
 
     NULLs are digested as an explicit sentinel: ``concat_ws`` silently
     skips nulls, which would conflate ``(NULL, 'x')`` with ``('x',)``
@@ -113,7 +113,12 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     parts = [
         F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00")) for c in content_cols
     ]
-    digest = F.md5(F.concat_ws("\x1f", *parts)).alias("__digest")
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct content tuple."""
+    digest = content_digest(content_cols).alias("__digest")
     keep = (
         df.select(digest, F.col(id_col))
         .groupBy("__digest")
@@ -122,6 +127,31 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     # Broadcast-join back when the keeper set is small; at scale Catalyst
     # picks a shuffle join on id_col, which is fine (both sides keyed).
     return df.join(keep, id_col, "left_semi")
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    historical: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Dedup an incoming batch against an already-ingested corpus, then
+    within itself — the steady-state shape of a continuously-ingesting
+    training-data pipeline (full-corpus re-dedup per increment would be
+    O(corpus) per batch; this is O(batch + digest-index probe)).
+
+    Scale shape: the historical side collapses to its distinct content
+    digests (a 32-char projection — the corpus text never moves), the
+    batch anti-joins on digest (uniform md5 keys, no skew), and the
+    survivor set runs the ordinary min-id exact dedup. Three
+    digest-keyed shuffles, all carrying digests + ids, never payloads.
+    """
+    digest = content_digest(content_cols).alias("__digest")
+    hist_digests = historical.select(digest).distinct()
+    novel = batch.withColumn("__digest", content_digest(content_cols)).join(
+        hist_digests, "__digest", "left_anti"
+    )
+    return exact_dedup(novel.drop("__digest"), content_cols, id_col)
 
 
 def word_shingles(col: str | Column, n: int = 3) -> Column:

@@ -56,7 +56,13 @@ from . import quality  # noqa: E402,F401
 # top_suppliers (top-k family keeps top_parts r2-green +
 # TakeOrderedAndProject plan assertion) and approx_distinct_contract
 # (r3+r4 green on unchanged code; approx_quantile_contract keeps the
-# sketch/approx family in-window).
+# sketch/approx family in-window). And 2 final round-5 additions
+# (incremental_dedup_profile, temperature_mix_profile) swapping with
+# two ROWS-ONLY entries whose hash-gated siblings stay in-window
+# (knn_ann_ivf — knn_ann_ivf_recall is the IVF hash gate;
+# ml_score_profile — ml_train_metrics + ml_feature_matrix_contract +
+# embedding_kmeans_contract keep the ML family gated): a net upgrade
+# from 2 rows-only checks to 2 exact-hash gates.
 _VERIFICATION_WINDOW = [
     # marts / aggregations (SURVEY §2.4)
     "kpis",
@@ -100,10 +106,11 @@ _VERIFICATION_WINDOW = [
     "pii_redaction_profile",
     "repetition_profile",
     "tfidf_top_terms",
+    "incremental_dedup_profile",
+    "temperature_mix_profile",
     # multimodal
     "media_frame_sample",
     # similarity search
-    "knn_ann_ivf",
     "knn_ann_ivf_recall",
     "embedding_norms_by_label",
     # streaming: batch-window parity + real-stream mode (dedup /
@@ -120,7 +127,6 @@ _VERIFICATION_WINDOW = [
     "stateful_user_profiles_stream",
     # ML loop
     "ml_train_metrics",
-    "ml_score_profile",
     "ml_feature_matrix_contract",
     "embedding_kmeans_contract",
     # contracts family (canonicalize / export round-trips / quantiles /

@@ -926,3 +926,128 @@ def q_decontamination_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_contaminated").cast("long")).alias("n_contaminated"),
         F.sum("n_contaminated_ngrams").cast("long").alias("total_hits"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5: incremental dedup + temperature mixing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "incremental_dedup_profile",
+    oracle="""
+    WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+    batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        UNION ALL
+        SELECT doc_id + 10000, text FROM documents
+        WHERE doc_id < 250 AND doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 20000, text FROM documents
+        WHERE doc_id >= 250 AND doc_id % 11 = 0
+    ),
+    hd AS (SELECT DISTINCT md5(text) AS d FROM hist),
+    b AS (SELECT doc_id, md5(text) AS d FROM batch),
+    surv AS (
+        SELECT b.* FROM b
+        WHERE NOT EXISTS (SELECT 1 FROM hd WHERE hd.d = b.d)
+    ),
+    kept AS (SELECT d, min(doc_id) AS doc_id FROM surv GROUP BY d)
+    SELECT (SELECT count(*) FROM b) AS n_batch,
+           ((SELECT count(*) FROM b) - (SELECT count(*) FROM surv))::BIGINT
+               AS n_dropped_historical,
+           ((SELECT count(*) FROM surv) - (SELECT count(*) FROM kept))::BIGINT
+               AS n_dropped_within,
+           (SELECT count(*) FROM kept)::BIGINT AS n_kept
+    """,
+    description="Incremental dedup of an incoming batch against an "
+    "already-ingested corpus (historical = doc_id<250), then within itself — "
+    "the steady-state shape of a continuously-ingesting pipeline. The fixture "
+    "has no organic cross-half duplicates, so both engines inject the SAME "
+    "deterministic re-keyed copies (every 7th historical doc, every 11th "
+    "batch doc) to exercise both drop paths. Scale: historical collapses to "
+    "a distinct-digest projection; anti-join + min-id keeper on uniform md5 "
+    "keys (operators/dedup.py:incremental_dedup).",
+)
+def q_incremental_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import content_digest, incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    hist = docs.filter(did < 250)
+    batch = (
+        docs.filter(did >= 250)
+        .unionByName(
+            hist.filter(did % 7 == 0).withColumn("doc_id", did + F.lit(10000))
+        )
+        .unionByName(
+            docs.filter((did >= 250) & (did % 11 == 0)).withColumn(
+                "doc_id", did + F.lit(20000)
+            )
+        )
+    )
+    hd = hist.select(content_digest(["text"]).alias("__digest")).distinct()
+    surv = batch.withColumn("__digest", content_digest(["text"])).join(
+        hd, "__digest", "left_anti"
+    )
+    kept = incremental_dedup(batch, hist, ["text"], "doc_id")
+    n_batch = batch.agg(F.count(F.lit(1)).alias("n_batch"))
+    n_surv = surv.agg(F.count(F.lit(1)).alias("n_surv"))
+    n_kept = kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        n_batch.crossJoin(F.broadcast(n_surv))
+        .crossJoin(F.broadcast(n_kept))
+        .select(
+            "n_batch",
+            (F.col("n_batch") - F.col("n_surv")).alias("n_dropped_historical"),
+            (F.col("n_surv") - F.col("n_kept")).alias("n_dropped_within"),
+            "n_kept",
+        )
+    )
+
+
+@register(
+    "temperature_mix_profile",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    m AS (SELECT min(n_docs) AS n_min FROM c),
+    r AS (SELECT lang, n_docs,
+                 CAST(round(1000000 * pow(n_docs::DOUBLE / n_min, -0.5), 0)
+                      AS BIGINT) AS scaled
+          FROM c, m),
+    k AS (
+        SELECT d.lang, count(*) AS n_kept
+        FROM documents d JOIN r ON d.lang = r.lang
+        WHERE (d.doc_id * 2654435761) % 1000000 < r.scaled
+        GROUP BY d.lang
+    )
+    SELECT r.lang, r.n_docs, round(r.scaled / 1000000.0, 6) AS rate,
+           coalesce(k.n_kept, 0)::BIGINT AS n_kept
+    FROM r LEFT JOIN k ON r.lang = k.lang
+    """,
+    description="Temperature-alpha=0.5 language resampling (keep rate "
+    "(n_lang/n_min)^(alpha-1), rarest language keeps 100%) — the standard "
+    "multilingual-corpus smoothing recipe. The keep decision is an "
+    "exact-integer Knuth-hash band (no float comparison reaches any row; "
+    "the one pow() per STRATUM is rounded to 1e-6 before use), so the "
+    "assignment is reproducible across engines/runs/partitionings. One "
+    "aggregation pass + broadcast of per-stratum rates + pure-projection "
+    "filter (operators/mixing.py).",
+)
+def q_temperature_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixing import hash_band, temperature_rates
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = temperature_rates(docs, "lang", alpha=0.5)
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "scaled_rate")), "lang")
+        .filter(hash_band("doc_id") < F.col("scaled_rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.round(F.col("scaled_rate") / 1_000_000.0, 6).alias("rate"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )

@@ -1,0 +1,71 @@
+"""Unit tests for incremental dedup and temperature mixing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from proyecto_final_de_big_data_spark.operators.dedup import (
+    content_digest,
+    incremental_dedup,
+)
+from proyecto_final_de_big_data_spark.operators.mixing import (
+    hash_band,
+    temperature_mix,
+    temperature_rates,
+)
+
+
+def test_incremental_dedup_drops_historical_then_within(spark):
+    hist = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "text"])
+    batch = spark.createDataFrame(
+        [(10, "a"), (11, "c"), (12, "c"), (13, "d")], ["id", "text"]
+    )
+    kept = incremental_dedup(batch, hist, ["text"], "id")
+    got = sorted((r["id"], r["text"]) for r in kept.collect())
+    # "a" is historical (dropped); "c" dups within batch (min id 11 kept).
+    assert got == [(11, "c"), (13, "d")]
+
+
+def test_incremental_dedup_empty_historical(spark):
+    hist = spark.createDataFrame([], "id INT, text STRING")
+    batch = spark.createDataFrame([(1, "x"), (2, "x")], ["id", "text"])
+    assert [r["id"] for r in incremental_dedup(batch, hist, ["text"], "id").collect()] == [1]
+
+
+def test_content_digest_null_vs_empty(spark):
+    df = spark.createDataFrame([(1, None), (2, "")], "id INT, text STRING")
+    out = df.select(content_digest(["text"]).alias("d")).collect()
+    assert out[0]["d"] != out[1]["d"]
+
+
+def test_hash_band_range_and_determinism(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["k"])
+    bands = [r["b"] for r in df.select(hash_band("k").alias("b")).collect()]
+    assert all(0 <= b < 1_000_000 for b in bands)
+    # ~uniform: both halves populated.
+    assert min(bands) < 100_000 and max(bands) > 900_000
+
+
+def test_temperature_rates_rarest_keeps_all(spark):
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {r["lang"]: r["scaled_rate"] for r in temperature_rates(df, "lang", 0.5).collect()}
+    assert rates["small"] == 1_000_000  # (10/10)^-0.5 == 1
+    assert rates["big"] == round(1_000_000 * (90 / 10) ** -0.5)
+
+
+def test_temperature_mix_alpha_one_is_identity(spark):
+    rows = [(i, "a") for i in range(50)] + [(100 + i, "b") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    # alpha=1 -> rate 1.0 everywhere -> every row survives.
+    assert temperature_mix(df, "lang", "doc_id", alpha=1.0).count() == 55
+
+
+def test_temperature_mix_downsamples_common_stratum(spark):
+    rows = [(i, "common") for i in range(400)] + [(1000 + i, "rare") for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = temperature_mix(df, "lang", "doc_id", alpha=0.5)
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["rare"] == 25  # rarest stratum keeps 100%
+    # common keeps ~ (400/25)^-0.5 = 25% — allow generous hash-noise band.
+    assert 60 <= got["common"] <= 140

@@ -1,0 +1,111 @@
+"""Property-based tests for the round-5 operators: invariants over
+arbitrary inputs (SURVEY §5 "Property tests"), complementing the
+fixture-pinned unit tests.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from proyecto_final_de_big_data_spark.operators.dedup import exact_dedup, incremental_dedup
+from proyecto_final_de_big_data_spark.operators.pii import PII_PATTERNS, redact_pii
+from proyecto_final_de_big_data_spark.operators.quality import (
+    distinct_bigram_ratio,
+    distinct_word_ratio,
+    words,
+)
+from proyecto_final_de_big_data_spark.operators.timegrid import gap_filled_counts
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_word = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+_pii_bits = st.sampled_from(
+    ["bob@mail.example.com", "10.0.0.99", "555-123-4567", "x.y+z@sub.domain.org"]
+)
+
+
+@given(
+    docs=st.lists(
+        st.lists(_word | _pii_bits, min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_pii_redaction_idempotent_and_exhaustive(spark, docs):
+    """After one redaction pass no pattern matches remain, so a second
+    pass is the identity."""
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], ["id", "text"])
+    once = df.select("id", redact_pii("text").alias("t"))
+    counts = once.select(
+        *[
+            F.size(F.regexp_extract_all("t", F.lit(p), F.lit(0))).alias(k)
+            for k, (p, _) in PII_PATTERNS.items()
+        ]
+    ).collect()
+    assert all(r[k] == 0 for r in counts for k in PII_PATTERNS)
+    twice = once.select("id", redact_pii(F.col("t")).alias("t"))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(docs=st.lists(st.lists(_word, min_size=1, max_size=15).map(" ".join), min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_repetition_ratios_bounded_and_exact_on_distinct(spark, docs):
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], ["id", "text"])
+    out = df.select(
+        "id",
+        "text",
+        distinct_word_ratio(words("text")).alias("d1"),
+        distinct_bigram_ratio(words("text")).alias("d2"),
+    ).collect()
+    for r in out:
+        toks = r["text"].split()
+        assert 0 < r["d1"] <= 1 and 0 < r["d2"] <= 1
+        assert (r["d1"] == 1.0) == (len(set(toks)) == len(toks))
+
+
+@given(
+    offsets=st.lists(st.integers(min_value=0, max_value=72 * 3600), min_size=1, max_size=30)
+)
+@settings(**_SETTINGS)
+def test_gap_fill_dense_axis_and_count_conservation(spark, offsets):
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=s)) for i, s in enumerate(offsets)]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    got = sorted(gap_filled_counts(df, ts_col="ts").collect(), key=lambda r: r["bucket"])
+    assert sum(r["n_events"] for r in got) == len(offsets)
+    # dense axis: consecutive hour buckets, min..max inclusive
+    buckets = [r["bucket"] for r in got]
+    assert all(
+        (b2 - b1) == dt.timedelta(hours=1) for b1, b2 in zip(buckets, buckets[1:])
+    )
+
+
+@given(
+    hist=st.lists(_word, min_size=0, max_size=10),
+    batch=st.lists(_word, min_size=1, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_incremental_dedup_set_identity(spark, hist, batch):
+    """kept texts == batch texts minus historical texts, one row each —
+    and equals exact_dedup(batch) with historical contents filtered out."""
+    hdf = spark.createDataFrame([(i, t) for i, t in enumerate(hist)], "id INT, text STRING")
+    bdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch)], "id INT, text STRING"
+    )
+    kept = incremental_dedup(bdf, hdf, ["text"], "id").collect()
+    assert sorted(r["text"] for r in kept) == sorted(set(batch) - set(hist))
+    baseline = {
+        r["text"]: r["id"]
+        for r in exact_dedup(bdf, ["text"], "id").collect()
+        if r["text"] not in set(hist)
+    }
+    assert {r["text"]: r["id"] for r in kept} == baseline

@@ -44,6 +44,8 @@ def test_window_covers_every_family():
         "union_distinct_customers",  # set ops
         "cube_returnflag_status",    # grouping sets (ROLLUP twin rotated out)
         "near_dup_clusters",         # dedup (pairs -> components)
+        "incremental_dedup_profile",  # batch-vs-corpus incremental dedup
+        "temperature_mix_profile",   # temperature-scaled stratum mixing
         "pack_chunks_profile",       # sequence packing
         "decontamination_profile",   # benchmark decontamination
         "stratified_sample_profile", # deterministic quota sampling
