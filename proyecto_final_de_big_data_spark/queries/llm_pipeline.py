@@ -1038,16 +1038,13 @@ def q_temperature_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.mixing import hash_band, temperature_rates
 
     docs = load_table(spark, sf_dir, "documents")
-    rates = temperature_rates(docs, "lang", alpha=0.5)
-    kept = (
-        docs.join(F.broadcast(rates.select("lang", "scaled_rate")), "lang")
-        .filter(hash_band("doc_id") < F.col("scaled_rate"))
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-    )
-    return rates.join(kept, "lang", "left").select(
-        "lang",
-        "n_docs",
-        F.round(F.col("scaled_rate") / 1_000_000.0, 6).alias("rate"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    # rates referenced exactly ONCE so the corpus is scanned twice total
+    # (count pass + keep pass — the semantic minimum), not re-scanned
+    # per reference; the keep decision folds into the profile agg.
+    rates = temperature_rates(docs, "lang", alpha=0.5).select("lang", "scaled_rate")
+    joined = docs.join(F.broadcast(rates), "lang")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.max("scaled_rate") / 1_000_000.0, 6).alias("rate"),
+        F.sum((hash_band("doc_id") < F.col("scaled_rate")).cast("long")).alias("n_kept"),
     )

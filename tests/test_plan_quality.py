@@ -162,3 +162,39 @@ def test_stratified_sample_is_pure_filter(spark, sf_dir):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "Filter" in plan
+
+
+def test_temperature_mix_rates_broadcast(spark, sf_dir):
+    # Per-stratum rates must reach the corpus as a broadcast, never by
+    # shuffling the fact side on the stratum key.
+    plan = _plan(spark, sf_dir, "temperature_mix_profile")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_aggs_are_partial_plus_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert plan.count("HashAggregate") >= 4  # tf and df aggs, each 2-phase
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_and_repetition_prune_to_used_columns(spark, sf_dir):
+    # Projection-only scoring must not drag unused columns through the scan.
+    for name in ("pii_redaction_profile", "repetition_profile"):
+        plan = _plan(spark, sf_dir, name)
+        scan = plan.split("ReadSchema")[1][:300]
+        assert "text" in scan and "lang" not in scan, name
+
+
+def test_rolling_zscore_single_window_exchange(spark, sf_dir):
+    # One shuffle for the user_id window, one for the final event_type
+    # agg — no third Exchange from accidental repartitioning.
+    plan = _plan(spark, sf_dir, "rolling_user_zscore")
+    assert plan.count("Window") >= 1
+    body = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert body.count("Exchange") <= 2
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "incremental_dedup_profile")
+    assert "CartesianProduct" not in plan
