@@ -6,6 +6,7 @@ pipelines the library exposes.
     python -m proyecto_final_de_big_data_spark.cli download --year 2024 --quarter 1 ...
     python -m proyecto_final_de_big_data_spark.cli etl --year 2024 --months 1,2 ...
     python -m proyecto_final_de_big_data_spark.cli run --queries kpis,pricing_summary ...
+    python -m proyecto_final_de_big_data_spark.cli curate --input docs.parquet --output curated/ ...
     python -m proyecto_final_de_big_data_spark.cli train --algo gbt ...
     python -m proyecto_final_de_big_data_spark.cli score --model ... --input ...
 
@@ -80,6 +81,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--queries", default="all", help="comma list of registry names, or 'all'")
     p.add_argument("--fmt", default="parquet", choices=["parquet", "csv", "json"])
     p.add_argument("--single-file", action="store_true")
+
+    p = sub.add_parser("curate", help="document-curation pass: PII/quality/dedup/mix/split")
+    _add_spark_args(p)
+    p.add_argument("--input", required=True, help="documents parquet (id/text columns)")
+    p.add_argument("--output", required=True, help="curated parquet root")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--no-pii-redaction", action="store_true")
+    p.add_argument("--min-quality", type=float, default=None)
+    p.add_argument("--drop-repetitive", action="store_true")
+    p.add_argument("--dedup", default="exact", choices=["exact", "incremental", "none"])
+    p.add_argument("--historical", default=None, help="ingested-corpus parquet (incremental dedup)")
+    p.add_argument("--mix-stratum-col", default=None, help="e.g. lang — enables temperature mixing")
+    p.add_argument("--mix-alpha", type=float, default=0.5)
+    p.add_argument("--split", default="train=0.9,eval=0.1", help="'none' to skip")
 
     p = sub.add_parser("train", help="fit + evaluate + save regression pipeline (04)")
     _add_spark_args(p)
@@ -159,6 +175,40 @@ def cmd_run(args, log) -> int:
     return 0
 
 
+def cmd_curate(args, log) -> int:
+    from .pipelines.curation import (
+        CurationConfig,
+        curate_documents,
+        write_curated_documents,
+    )
+
+    if args.dedup == "incremental" and not args.historical:
+        raise ValueError("--dedup incremental requires --historical")
+    split = None
+    if args.split and args.split != "none":
+        split = {}
+        for part in args.split.split(","):
+            name, frac = part.split("=")
+            split[name.strip()] = float(frac)
+    spark = _session(args)
+    cfg = CurationConfig(
+        id_col=args.id_col,
+        text_col=args.text_col,
+        redact_pii=not args.no_pii_redaction,
+        min_quality=args.min_quality,
+        drop_repetitive=args.drop_repetitive,
+        dedup=args.dedup,
+        mix_stratum_col=args.mix_stratum_col,
+        mix_alpha=args.mix_alpha,
+        split_fractions=split,
+    )
+    historical = spark.read.parquet(args.historical) if args.historical else None
+    curated = curate_documents(spark.read.parquet(args.input), cfg, historical)
+    write_curated_documents(curated, args.output)
+    log.info("curated documents written to %s", args.output)
+    return 0
+
+
 def cmd_train(args, log) -> int:
     from .io.export import export_table
     from .ml.pipeline import TrainConfig, metrics_frame, save_model, train_and_evaluate
@@ -206,6 +256,7 @@ COMMANDS = {
     "download": cmd_download,
     "etl": cmd_etl,
     "run": cmd_run,
+    "curate": cmd_curate,
     "train": cmd_train,
     "score": cmd_score,
 }

@@ -101,7 +101,12 @@ _VERIFICATION_WINDOW = [
     "minhash_recall",
     "simhash_banding_lossless",
     "embedding_near_dup_recall",
-    "curation_pipeline_profile",
+    # curation_pipeline_profile (r4-green, unchanged) rotates out for its
+    # superset: curate_documents_contract replays the FULL composed
+    # pipeline (PII redact -> repetition filter -> exact dedup ->
+    # temperature mixing -> hash split) stage-for-stage in SQL, so the
+    # clean/dedup/split composition it gated stays covered.
+    "curate_documents_contract",
     # text quality / PII / term scoring (round-5 additions)
     "pii_redaction_profile",
     "repetition_profile",

@@ -1048,3 +1048,85 @@ def q_temperature_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("scaled_rate") / 1_000_000.0, 6).alias("rate"),
         F.sum((hash_band("doc_id") < F.col("scaled_rate")).cast("long")).alias("n_kept"),
     )
+
+
+def _curate_oracle() -> str:
+    from ..operators.pii import PII_PATTERNS
+    from ..operators.split import split_case_sql
+
+    (em, em_t), (ip, ip_t), (ph, ph_t) = PII_PATTERNS.values()
+    case = split_case_sql("doc_id", {"train": 0.9, "eval": 0.1})
+    return f"""
+    WITH red AS (
+        SELECT doc_id, lang,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{em}', '{em_t}', 'g'),
+                   '{ip}', '{ip_t}', 'g'),
+                   '{ph}', '{ph_t}', 'g') AS t
+        FROM documents
+    ), rep AS (
+        SELECT doc_id, lang, t,
+               list_filter(string_split_regex(t, '\\s+'), x -> len(x) > 0) AS w
+        FROM red
+    ), kept AS (
+        SELECT doc_id, lang, t FROM rep
+        WHERE NOT coalesce(
+            (CASE WHEN len(w) > 0
+                  THEN len(list_distinct(w))::DOUBLE / len(w) END) < 0.4
+            OR (CASE WHEN len(w) >= 2 THEN
+                    len(list_distinct(list_transform(
+                        generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1])))::DOUBLE / (len(w) - 1)
+                ELSE 1.0 END) < 0.6,
+            false)
+    ), dedup AS (
+        SELECT * FROM kept
+        WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(t))
+    ), c AS (
+        SELECT lang, count(*) AS n FROM dedup GROUP BY 1
+    ), m AS (
+        SELECT min(n) AS n_min FROM c
+    ), r AS (
+        SELECT lang, CAST(round(1000000 * pow(n::DOUBLE / n_min, -0.5), 0)
+                          AS BIGINT) AS scaled
+        FROM c, m
+    ), mixed AS (
+        SELECT d.doc_id, d.lang, d.t
+        FROM dedup d JOIN r ON d.lang = r.lang
+        WHERE (d.doc_id * 2654435761) % 1000000 < r.scaled
+    )
+    SELECT split, count(*) AS n_docs, sum(len(t))::BIGINT AS total_chars,
+           count(DISTINCT lang)::BIGINT AS n_langs
+    FROM (SELECT lang, t, {case} FROM mixed)
+    GROUP BY split
+    """
+
+
+@register(
+    "curate_documents_contract",
+    oracle=_curate_oracle(),
+    description="End-to-end contract for the composed curation pipeline "
+    "(pipelines/curation.py): PII redact -> repetition filter -> exact dedup "
+    "-> temperature-0.5 language mixing -> deterministic 90/10 split, "
+    "profiled per split. The oracle replays EVERY stage in the same order "
+    "(stage order is semantic: docs differing only in PII must collapse in "
+    "dedup; mixing rates are computed on dedup survivors). Each stage also "
+    "carries its own isolated gate query; this one pins the composition.",
+)
+def q_curate_documents_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines.curation import CurationConfig, curate_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    cfg = CurationConfig(
+        drop_repetitive=True,
+        dedup="exact",
+        mix_stratum_col="lang",
+        mix_alpha=0.5,
+        split_fractions={"train": 0.9, "eval": 0.1},
+    )
+    curated = curate_documents(docs, cfg)
+    return curated.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

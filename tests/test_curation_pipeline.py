@@ -1,0 +1,99 @@
+"""Composition tests for the document-curation pipeline + its CLI."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from proyecto_final_de_big_data_spark.pipelines.curation import (
+    CurationConfig,
+    curate_documents,
+    write_curated_documents,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "mail a@b.io please", "en"),
+            (2, "mail a@b.io please", "en"),      # exact dup of 1
+            (3, "x x x x x x x x", "en"),          # repetitive
+            (4, "a perfectly ordinary sentence with words", "fr"),
+            (5, "short", "fr"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+
+
+def test_curate_full_pass(spark):
+    cfg = CurationConfig(drop_repetitive=True, split_fractions={"train": 0.5, "eval": 0.5})
+    out = curate_documents(_docs(spark), cfg).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 4, 5]  # dup 2 and repetitive 3 dropped
+    by_id = {r["doc_id"]: r for r in out}
+    assert "<EMAIL>" in by_id[1]["text"] and "a@b.io" not in by_id[1]["text"]
+    assert all(r["split"] in {"train", "eval"} for r in out)
+
+
+def test_curate_redaction_precedes_dedup(spark):
+    # Two docs that differ ONLY in their PII must collapse after
+    # redaction — stage order is semantic, not cosmetic.
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io now"), (2, "mail c@d.org now")], ["doc_id", "text"]
+    )
+    cfg = CurationConfig(split_fractions=None)
+    assert curate_documents(df, cfg).count() == 1
+
+
+def test_curate_incremental_requires_historical(spark):
+    with pytest.raises(ValueError, match="historical"):
+        curate_documents(_docs(spark), CurationConfig(dedup="incremental"))
+
+
+def test_curate_incremental_vs_corpus(spark):
+    hist = spark.createDataFrame([(0, "mail <EMAIL> please")], ["doc_id", "text"])
+    df = _docs(spark).select("doc_id", "text")
+    cfg = CurationConfig(dedup="incremental", split_fractions=None)
+    out = curate_documents(df, cfg, historical=hist)
+    # docs 1/2 redact to the historical text -> dropped entirely.
+    assert 1 not in {r["doc_id"] for r in out.collect()}
+
+
+def test_curate_mixing_drops_no_stratum_col_confusion(spark):
+    cfg = CurationConfig(mix_stratum_col="lang", mix_alpha=1.0, split_fractions=None)
+    out = curate_documents(_docs(spark), cfg)
+    # alpha=1 keeps everything that survived dedup; helper cols dropped.
+    assert set(out.columns) == {"doc_id", "text", "lang"}
+    assert out.count() == 4
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    from proyecto_final_de_big_data_spark.cli import main
+
+    out_root = str(tmp_path / "curated")
+    rc = main(
+        [
+            "curate",
+            "--master", "local[2]",
+            "--input", f"{SF}/documents.parquet",
+            "--output", out_root,
+            "--mix-stratum-col", "lang",
+            "--split", "train=0.8,eval=0.2",
+        ]
+    )
+    assert rc == 0
+    back = spark.read.parquet(out_root)
+    assert {"doc_id", "text", "split"} <= set(back.columns)
+    n = back.count()
+    assert 0 < n <= 500
+    assert back.filter(F.col("split") == "train").count() > 0
+
+
+def test_write_curated_documents_plain_when_unsplit(spark, tmp_path):
+    cfg = CurationConfig(split_fractions=None)
+    out = curate_documents(_docs(spark), cfg)
+    root = str(tmp_path / "plain")
+    write_curated_documents(out, root)
+    assert spark.read.parquet(root).count() == out.count()

@@ -46,6 +46,7 @@ def test_window_covers_every_family():
         "near_dup_clusters",         # dedup (pairs -> components)
         "incremental_dedup_profile",  # batch-vs-corpus incremental dedup
         "temperature_mix_profile",   # temperature-scaled stratum mixing
+        "curate_documents_contract",  # composed curation pipeline
         "pack_chunks_profile",       # sequence packing
         "decontamination_profile",   # benchmark decontamination
         "stratified_sample_profile", # deterministic quota sampling
