@@ -25,13 +25,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _KNUTH = 2654435761
+_KNUTH_HI = 1999999973
 _RESOLUTION = 1_000_000
+# Keys are first folded into [0, 1e12) so every later product stays
+# far below 2^63: a raw key * KNUTH would overflow int64 for keys
+# >= ~3.47e9 (job failure under Spark's ANSI default, silent negative
+# band — row always kept — with ANSI off).
+_KEY_SPAN = 1_000_000_000_000
 
 
 def hash_band(key_col) -> F.Column:
-    """Exact-integer pseudo-uniform band in [0, 1e6) from an integer key."""
+    """Exact-integer pseudo-uniform band in [0, 1e6) from an integer key.
+
+    Overflow- and sign-safe by construction: ``pmod`` folds the key
+    into [0, 1e12), the two 10^6 limbs are mixed with independent odd
+    constants (so ids differing only above the low limb still spread),
+    and the largest intermediate is < 5e15 — no int64 wrap, identical
+    BIGINT arithmetic in any engine (``hash_band_sql`` states the same
+    expression for oracles). Keys >= 1e12 alias onto the folded span —
+    acceptable for a sampling band, documented here.
+    """
     c = F.col(key_col) if isinstance(key_col, str) else key_col
-    return (c.cast("long") * F.lit(_KNUTH)) % F.lit(_RESOLUTION)
+    k = F.pmod(c.cast("long"), F.lit(_KEY_SPAN))
+    lo = k % F.lit(_RESOLUTION)
+    # (k - lo) is an exact multiple of RESOLUTION and < 2^40, so the
+    # double division is exact and the cast loses nothing.
+    hi = ((k - lo) / F.lit(_RESOLUTION)).cast("long")
+    return F.pmod(lo * F.lit(_KNUTH) + hi * F.lit(_KNUTH_HI), F.lit(_RESOLUTION))
+
+
+def hash_band_sql(key_sql: str) -> str:
+    """The equivalent ANSI/DuckDB expression — oracles state the SAME
+    band arithmetic (pure BIGINT; `//` floor-division on the
+    already-non-negative folded key)."""
+    k = f"((({key_sql}) % {_KEY_SPAN} + {_KEY_SPAN}) % {_KEY_SPAN})"
+    return (
+        f"((({k} % {_RESOLUTION}) * {_KNUTH}"
+        f" + ({k} // {_RESOLUTION}) * {_KNUTH_HI}) % {_RESOLUTION})"
+    )
 
 
 def temperature_rates(

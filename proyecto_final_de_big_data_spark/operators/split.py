@@ -100,21 +100,35 @@ def stratified_hash_sample(
     sharing a key stay together, and the filter is a pure projection —
     no shuffle, no RNG state, pushdown-friendly.
 
-    Strata absent from ``fractions`` fall back to ``default_fraction``
-    (0.0 = drop, the curation default for unexpected strata: failing
-    open would silently flood the sample).
+    Strata absent from ``fractions`` — including NULL strata — fall
+    back to ``default_fraction`` (0.0 = drop, the curation default for
+    unexpected strata: failing open would silently flood the sample).
+    A fraction >= 1.0 keeps EVERY row of its stratum (explicit
+    short-circuit: the hex band ``prefix < 'ffffffff'`` alone would
+    silently drop the ~2^-32 of rows whose md5 prefix is exactly
+    'ffffffff' — ~25 rows per 100 billion in a keep-everything
+    stratum).
     """
     key_col = F.col(key).cast("string")
     prefix = F.substring(F.md5(key_col), 1, _HEX_DIGITS)
+
+    def band(frac: float):
+        if frac >= 1.0:
+            return F.lit(True)
+        if frac <= 0.0:
+            return F.lit(False)
+        return prefix < F.lit(_hex_threshold(frac))
+
     cond = None
     for stratum, frac in fractions.items():
-        this = (F.col(stratum_col) == F.lit(stratum)) & (
-            prefix < F.lit(_hex_threshold(frac))
-        )
+        this = (F.col(stratum_col) == F.lit(stratum)) & band(frac)
         cond = this if cond is None else cond | this
-    others = ~F.col(stratum_col).isin(list(fractions)) & (
-        prefix < F.lit(_hex_threshold(default_fraction))
-    )
+    # coalesce: `col NOT IN (...)` is NULL (not True) for a NULL
+    # stratum, which would silently drop NULL-stratum rows regardless
+    # of default_fraction.
+    others = F.coalesce(
+        ~F.col(stratum_col).isin(list(fractions)), F.lit(True)
+    ) & band(default_fraction)
     cond = others if cond is None else cond | others
     return df.where(cond)
 
@@ -123,14 +137,23 @@ def stratified_sample_predicate_sql(
     key_sql: str, fractions: dict[str, float], stratum_sql: str, default_fraction: float = 0.0
 ) -> str:
     """The equivalent ANSI/DuckDB WHERE predicate — oracle queries state
-    the SAME keep-decision verbatim."""
+    the SAME keep-decision verbatim (including the frac>=1.0
+    short-circuit and NULL-stratum default handling above)."""
     prefix = f"substring(md5(CAST({key_sql} AS VARCHAR)), 1, {_HEX_DIGITS})"
+
+    def band_sql(frac: float) -> str:
+        if frac >= 1.0:
+            return "TRUE"
+        if frac <= 0.0:
+            return "FALSE"
+        return f"{prefix} < '{_hex_threshold(frac)}'"
+
     clauses = [
-        f"({stratum_sql} = '{s}' AND {prefix} < '{_hex_threshold(f)}')"
-        for s, f in fractions.items()
+        f"({stratum_sql} = '{s}' AND {band_sql(f)})" for s, f in fractions.items()
     ]
     strata = ", ".join(f"'{s}'" for s in fractions)
     clauses.append(
-        f"({stratum_sql} NOT IN ({strata}) AND {prefix} < '{_hex_threshold(default_fraction)}')"
+        f"(({stratum_sql} IS NULL OR {stratum_sql} NOT IN ({strata}))"
+        f" AND {band_sql(default_fraction)})"
     )
     return "(" + " OR ".join(clauses) + ")"

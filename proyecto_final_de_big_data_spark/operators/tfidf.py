@@ -25,6 +25,7 @@ def top_terms_by_tfidf(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-``k`` terms per ``group_col`` by smoothed tf-idf.
 
@@ -32,8 +33,18 @@ def top_terms_by_tfidf(
     score = tf * idf, rounded to 6 decimals BEFORE ranking so the
     (score DESC, term ASC) tie-break is reproducible bit-for-bit by a
     SQL oracle computing the same doubles.
+
+    The exploded token frame feeds BOTH aggregations; un-persisted,
+    each reference re-scans and re-explodes the whole corpus
+    (cache-lifetime contract, utils/caching.py). Default: persist the
+    tokens, eagerly materialize the — tiny — top-k result, release the
+    cache. ``materialize=False`` returns the fully lazy plan instead
+    (plan inspection / further composition; the caller owns any
+    caching, and the double token explode is back).
     """
     tok = df.select(id_col, group_col, F.explode(words(text_col)).alias("word"))
+    if materialize:
+        tok = tok.persist()
     tf = tok.groupBy(group_col, "word").agg(F.count(F.lit(1)).alias("tf_count"))
     dfreq = tok.groupBy("word").agg(F.count_distinct(F.col(id_col)).alias("df"))
     total = df.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -50,8 +61,13 @@ def top_terms_by_tfidf(
         )
     )
     w = Window.partitionBy(group_col).orderBy(F.desc("tfidf"), F.asc("word"))
-    return (
+    out = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(group_col, "word", "tf_count", "tfidf", "rn")
     )
+    if not materialize:
+        return out
+    from ..utils.caching import materialize_and_release
+
+    return materialize_and_release(out, tok)

@@ -19,22 +19,32 @@ def gap_filled_counts(
     ts_col: str = "ts",
     grain: str = "hour",
     value_col: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Dense per-``grain`` counts (and optional value sums, rounded to 6
     decimals) with empty buckets present as zeros.
 
     Returns columns: ``bucket`` (timestamp), ``n_events`` (bigint),
     and ``sum_value`` when ``value_col`` is given.
+
+    The aggregate is referenced twice (bounds + the grid join) and
+    Spark does NOT unify the two subplans (their column pruning
+    differs, so no ReusedExchange). Default: persist the
+    bucket-count-sized aggregate so the corpus is genuinely read once,
+    eagerly materialize the (equally small) gap-filled result, release
+    the cache. ``materialize=False`` returns the lazy plan (plan
+    inspection / composition; the caller owns caching).
+    min(date_trunc(ts)) == date_trunc(min(ts)), so deriving bounds
+    from the aggregate leaves the grid identical either way.
     """
     bucket = F.date_trunc(grain, F.col(ts_col))
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col is not None:
         aggs.append(F.round(F.sum(value_col), 6).alias("sum_value"))
     counts = df.groupBy(bucket.alias("bucket")).agg(*aggs)
-    bounds = df.agg(
-        F.date_trunc(grain, F.min(ts_col)).alias("b0"),
-        F.date_trunc(grain, F.max(ts_col)).alias("b1"),
-    )
+    if materialize:
+        counts = counts.persist()
+    bounds = counts.agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
     grid = bounds.select(
         F.explode(
             F.sequence(F.col("b0"), F.col("b1"), F.expr(f"interval 1 {grain}"))
@@ -45,4 +55,8 @@ def gap_filled_counts(
     )
     if value_col is not None:
         out = out.withColumn("sum_value", F.coalesce(F.col("sum_value"), F.lit(0.0)))
-    return out
+    if not materialize:
+        return out
+    from ..utils.caching import materialize_and_release
+
+    return materialize_and_release(out, counts)

@@ -1006,9 +1006,10 @@ def q_incremental_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "temperature_mix_profile",
-    oracle="""
+def _mix_oracle() -> str:
+    from ..operators.mixing import hash_band_sql
+
+    return f"""
     WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
     m AS (SELECT min(n_docs) AS n_min FROM c),
     r AS (SELECT lang, n_docs,
@@ -1018,13 +1019,18 @@ def q_incremental_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     k AS (
         SELECT d.lang, count(*) AS n_kept
         FROM documents d JOIN r ON d.lang = r.lang
-        WHERE (d.doc_id * 2654435761) % 1000000 < r.scaled
+        WHERE {hash_band_sql("d.doc_id")} < r.scaled
         GROUP BY d.lang
     )
     SELECT r.lang, r.n_docs, round(r.scaled / 1000000.0, 6) AS rate,
            coalesce(k.n_kept, 0)::BIGINT AS n_kept
     FROM r LEFT JOIN k ON r.lang = k.lang
-    """,
+    """
+
+
+@register(
+    "temperature_mix_profile",
+    oracle=_mix_oracle(),
     description="Temperature-alpha=0.5 language resampling (keep rate "
     "(n_lang/n_min)^(alpha-1), rarest language keeps 100%) — the standard "
     "multilingual-corpus smoothing recipe. The keep decision is an "
@@ -1051,6 +1057,7 @@ def q_temperature_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curate_oracle() -> str:
+    from ..operators.mixing import hash_band_sql
     from ..operators.pii import PII_PATTERNS
     from ..operators.split import split_case_sql
 
@@ -1093,7 +1100,7 @@ def _curate_oracle() -> str:
     ), mixed AS (
         SELECT d.doc_id, d.lang, d.t
         FROM dedup d JOIN r ON d.lang = r.lang
-        WHERE (d.doc_id * 2654435761) % 1000000 < r.scaled
+        WHERE {hash_band_sql("d.doc_id")} < r.scaled
     )
     SELECT split, count(*) AS n_docs, sum(len(t))::BIGINT AS total_chars,
            count(DISTINCT lang)::BIGINT AS n_langs

@@ -69,3 +69,54 @@ def test_temperature_mix_downsamples_common_stratum(spark):
     assert got["rare"] == 25  # rarest stratum keeps 100%
     # common keeps ~ (400/25)^-0.5 = 25% — allow generous hash-noise band.
     assert 60 <= got["common"] <= 140
+
+
+def test_hash_band_large_and_negative_keys(spark):
+    """Regression: key * KNUTH overflowed int64 for keys >= ~3.47e9
+    (ANSI crash / silent negative band). The folded two-limb mix must
+    stay in [0, 1e6) for any int64 key and agree with the SQL twin."""
+    import duckdb
+
+    from proyecto_final_de_big_data_spark.operators.mixing import hash_band_sql
+
+    keys = [0, 1, 3, -3, 999_999, 5_000_000_000, 2**62, -(2**62), 123_456_789_012_345]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {r["k"]: r["b"] for r in df.select("k", hash_band("k").alias("b")).collect()}
+    for k in keys:
+        assert 0 <= got[k] < 1_000_000, (k, got[k])
+        oracle = duckdb.sql(f"SELECT {hash_band_sql(str(k))} AS b").fetchone()[0]
+        assert got[k] == oracle, (k, got[k], oracle)
+
+
+def test_temperature_mix_survives_snowflake_ids(spark):
+    rows = [(5_000_000_000 + i, "a") for i in range(40)] + [(2**61 + i, "b") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_mix(df, "lang", "doc_id", alpha=0.5)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("b") == 10  # rarest stratum keeps 100%
+    assert 0 < got.get("a", 0) < 40  # common stratum genuinely downsampled
+
+
+def test_stratified_sample_null_stratum_follows_default(spark):
+    from proyecto_final_de_big_data_spark.operators.split import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, None)], "doc_id INT, lang STRING"
+    )
+    keep_all = stratified_hash_sample(df, "doc_id", {"en": 1.0}, "lang", default_fraction=1.0)
+    assert sorted(r["doc_id"] for r in keep_all.collect()) == [1, 2, 3]
+    drop_default = stratified_hash_sample(df, "doc_id", {"en": 1.0}, "lang", default_fraction=0.0)
+    assert sorted(r["doc_id"] for r in drop_default.collect()) == [1]
+
+
+def test_stratified_predicate_sql_short_circuits_extremes(spark):
+    from proyecto_final_de_big_data_spark.operators.split import (
+        stratified_sample_predicate_sql,
+    )
+
+    sql = stratified_sample_predicate_sql("doc_id", {"a": 1.0, "b": 0.0}, "lang", 1.0)
+    # frac >= 1.0 must not depend on a hex band ('ffffffff' drops ~2^-32
+    # of a keep-everything stratum); frac <= 0 must be a plain FALSE.
+    assert "'ffffffff'" not in sql
+    assert "TRUE" in sql and "FALSE" in sql
+    assert "IS NULL" in sql  # NULL strata follow the default branch
