@@ -110,6 +110,7 @@ _VERIFICATION_WINDOW = [
     # text quality / PII / term scoring (round-5 additions)
     "pii_redaction_profile",
     "repetition_profile",
+    "boilerplate_removal_profile",
     "tfidf_top_terms",
     "incremental_dedup_profile",
     "temperature_mix_profile",
@@ -121,7 +122,9 @@ _VERIFICATION_WINDOW = [
     # streaming: batch-window parity + real-stream mode (dedup /
     # stream-static join / sliding parity / file sink) + stateful
     "tumbling_hourly_counts",
-    "sliding_2h_counts",
+    # sliding_2h_counts (r2+r4 green, unchanged) rotates out for
+    # boilerplate_removal_profile below — sliding-window semantics stay
+    # gated end-to-end by sliding_stream_parity (real-stream ≡ batch).
     "session_windows_per_user",
     "tumbling_stream_parity",
     "sliding_stream_parity",

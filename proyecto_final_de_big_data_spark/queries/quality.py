@@ -170,3 +170,62 @@ def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return top_terms_by_tfidf(docs, "lang", id_col="doc_id", text_col="text", k=5)
+
+
+@register(
+    "boilerplate_removal_profile",
+    oracle=r"""
+    WITH inj AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 4 = 0
+                    THEN 'subscribe to our newsletter today ' || text
+               ELSE text END AS t
+        FROM documents
+    ), w AS (
+        SELECT doc_id, source, t,
+               list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0) AS wl
+        FROM inj
+    ), tok AS (
+        SELECT doc_id, i, wl[i] AS word, ((i - 1) // 5)::INT AS seg_id
+        FROM w, unnest(generate_series(1, len(wl))) AS s(i)
+    ), segs AS (
+        SELECT doc_id, seg_id, string_agg(word, ' ' ORDER BY i) AS seg_text
+        FROM tok GROUP BY 1, 2
+    ), dfq AS (
+        SELECT seg_text, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY 1
+    ), clean AS (
+        SELECT doc_id, string_agg(seg_text, ' ' ORDER BY seg_id) AS ct
+        FROM (SELECT s.* FROM segs s JOIN dfq USING (seg_text) WHERE seg_df < 3)
+        GROUP BY doc_id
+    )
+    SELECT w.source,
+           count(*) AS n_docs,
+           sum(CASE WHEN w.doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_injected,
+           sum(len(w.t) - len(coalesce(clean.ct, '')))::BIGINT AS chars_removed
+    FROM w LEFT JOIN clean ON w.doc_id = clean.doc_id
+    GROUP BY w.source
+    """,
+    description="C4-style boilerplate pruning at sub-document granularity: "
+    "5-word segments occurring in >= 3 distinct documents are dropped and "
+    "survivors reassembled in order. The corpus has no organic boilerplate, "
+    "so both engines PREPEND the same deterministic disclaimer to every 4th "
+    "document (prepended, not appended, so it lands segment-aligned); the "
+    "gate verifies the removal byte-shrink agrees. Document-level dedup "
+    "never sees cross-document repeated chrome — this operator is the "
+    "missing granularity (operators/boilerplate.py).",
+)
+def q_boilerplate_removal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.boilerplate import remove_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("subscribe to our newsletter today "), F.col("text")),
+    ).otherwise(F.col("text"))
+    staged = docs.select("doc_id", "source", injected.alias("t"))
+    cleaned = remove_boilerplate(staged, "doc_id", "t", seg_words=5, max_doc_freq=3)
+    return cleaned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("doc_id") % 4 == 0).cast("long")).alias("n_injected"),
+        F.sum(F.length("t") - F.length("clean_text")).alias("chars_removed"),
+    )

@@ -47,6 +47,7 @@ def test_window_covers_every_family():
         "incremental_dedup_profile",  # batch-vs-corpus incremental dedup
         "temperature_mix_profile",   # temperature-scaled stratum mixing
         "curate_documents_contract",  # composed curation pipeline
+        "boilerplate_removal_profile",  # sub-document boilerplate pruning
         "pack_chunks_profile",       # sequence packing
         "decontamination_profile",   # benchmark decontamination
         "stratified_sample_profile", # deterministic quota sampling
