@@ -175,21 +175,36 @@ def cmd_run(args, log) -> int:
     return 0
 
 
+def _parse_split(spec: str | None) -> dict[str, float] | None:
+    """'train=0.9,eval=0.1' -> {'train': 0.9, 'eval': 0.1}; 'none'/empty
+    -> None. Clear usage errors for malformed parts and duplicates."""
+    if not spec or spec == "none":
+        return None
+    split: dict[str, float] = {}
+    for part in spec.split(","):
+        name, eq, frac = part.partition("=")
+        name = name.strip()
+        if not eq or not name:
+            raise ValueError(
+                f"malformed --split part {part!r}; expected name=fraction "
+                "(e.g. train=0.9,eval=0.1) or 'none'"
+            )
+        try:
+            value = float(frac)
+        except ValueError:
+            raise ValueError(f"--split fraction for {name!r} is not a number: {frac!r}")
+        if name in split:
+            raise ValueError(f"duplicate --split name {name!r}")
+        split[name] = value
+    return split
+
+
 def cmd_curate(args, log) -> int:
-    from .pipelines.curation import (
-        CurationConfig,
-        curate_documents,
-        write_curated_documents,
-    )
+    from .pipelines.curation import CurationConfig, run_curation
 
     if args.dedup == "incremental" and not args.historical:
         raise ValueError("--dedup incremental requires --historical")
-    split = None
-    if args.split and args.split != "none":
-        split = {}
-        for part in args.split.split(","):
-            name, frac = part.split("=")
-            split[name.strip()] = float(frac)
+    split = _parse_split(args.split)
     spark = _session(args)
     cfg = CurationConfig(
         id_col=args.id_col,
@@ -203,8 +218,9 @@ def cmd_curate(args, log) -> int:
         split_fractions=split,
     )
     historical = spark.read.parquet(args.historical) if args.historical else None
-    curated = curate_documents(spark.read.parquet(args.input), cfg, historical)
-    write_curated_documents(curated, args.output)
+    # run_curation materializes by WRITING the sink (no corpus-sized
+    # localCheckpoint) and releases the pinned stages afterwards.
+    run_curation(spark.read.parquet(args.input), cfg, args.output, historical)
     log.info("curated documents written to %s", args.output)
     return 0
 

@@ -26,6 +26,7 @@ def top_terms_by_tfidf(
     text_col: str = "text",
     k: int = 5,
     materialize: bool = True,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-``k`` terms per ``group_col`` by smoothed tf-idf.
 
@@ -47,7 +48,15 @@ def top_terms_by_tfidf(
         tok = tok.persist()
     tf = tok.groupBy(group_col, "word").agg(F.count(F.lit(1)).alias("tf_count"))
     dfreq = tok.groupBy("word").agg(F.count_distinct(F.col(id_col)).alias("df"))
-    total = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    if n_docs is not None:
+        # Caller-supplied corpus size: skips the third reference to df —
+        # pass it when df is an expensive derived frame rather than a
+        # bare scan (the extra count there replays the whole upstream
+        # plan; tokenless docs also make a tok-derived count wrong, so
+        # it cannot be inferred from the cached tokens).
+        total = df.sparkSession.range(1).select(F.lit(n_docs).alias("n_docs"))
+    else:
+        total = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "word")
         .crossJoin(F.broadcast(total))

@@ -10,10 +10,25 @@ scan) run FIRST so the shuffling stages (dedup digest groupBy) see the
 already-shrunk corpus; mixing and split are again pure projections on
 the survivors.
 
+Cache lifetime (utils/caching.py contract): dedup references its input
+twice (digest groupBy + semi-join back) and mixing references ITS
+input twice (rates aggregation + keep filter) — the inputs differ, so
+each multi-reference stage pins its own input. Two consumption paths
+own the release differently:
+
+- ``run_curation`` (the production/CLI path) builds lazily, writes the
+  parquet sink — the one real materialization — and unpersists the
+  pinned stages. The corpus is never localCheckpoint'ed.
+- ``curate_documents`` (contract/fixture path, also fine for small
+  corpora) eagerly materializes the result and releases the pins;
+  callers that want full laziness pass ``materialize=False`` and own
+  any caching themselves (no pins are created).
+
 Every stage is individually oracle-gated by its own registry query
 (pii_redaction_profile, repetition_profile, dedup_exact_*,
 incremental_dedup_profile, temperature_mix_profile,
-doc_hash_split_profile); this module only composes them.
+doc_hash_split_profile); the composition itself is gated end-to-end by
+curate_documents_contract.
 """
 
 from __future__ import annotations
@@ -29,6 +44,8 @@ from ..operators.pii import redact_pii
 from ..operators.quality import with_repetition_stats
 from ..operators.split import hash_split
 from ..operators.text import quality_score
+
+_DEDUP_MODES = ("exact", "incremental", "none")
 
 
 @dataclass
@@ -46,17 +63,35 @@ class CurationConfig:
     )
 
 
-def curate_documents(
+def build_curation(
     df: DataFrame,
     cfg: CurationConfig,
     historical: DataFrame | None = None,
-) -> DataFrame:
-    """Run the configured curation pass; returns the curated frame
-    (with ``split`` column when ``split_fractions`` is set).
+    pin: bool = True,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Assemble the lazy curated frame. Returns ``(curated, pinned)``
+    where ``pinned`` lists the persisted stage inputs the CALLER must
+    unpersist after materializing (empty when ``pin=False``).
 
-    ``historical`` is required when ``cfg.dedup == "incremental"`` —
-    the already-ingested corpus the new batch is deduped against.
+    Validation happens before any persist so a bad config cannot leak
+    a pinned frame.
     """
+    if cfg.dedup not in _DEDUP_MODES:
+        raise ValueError(f"unknown dedup mode {cfg.dedup!r}; use {_DEDUP_MODES}")
+    if cfg.dedup == "incremental" and historical is None:
+        raise ValueError("dedup='incremental' requires a historical frame")
+
+    pinned: list[DataFrame] = []
+
+    def _pin(frame: DataFrame) -> DataFrame:
+        if not pin:
+            return frame
+        from pyspark import StorageLevel
+
+        p = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.append(p)
+        return p
+
     out = df
     if cfg.redact_pii:
         out = out.withColumn(cfg.text_col, redact_pii(cfg.text_col))
@@ -65,42 +100,66 @@ def curate_documents(
     if cfg.drop_repetitive:
         out = with_repetition_stats(out, cfg.text_col).filter(~F.col("repetitive"))
         out = out.drop("distinct_word_ratio", "distinct_bigram_ratio", "repetitive")
-    # Cache-lifetime discipline (utils/caching.py contract): dedup's
-    # digest-groupBy + semi-join-back and mixing's rates + keep-filter
-    # each reference their input TWICE. Un-persisted, that re-runs the
-    # regex/HOF projection chain above once per reference; persist the
-    # filtered corpus across the multi-reference stages and release it
-    # before returning. At cluster scale this spills MEMORY_AND_DISK —
-    # the same stage-materialization a production pipeline gets by
-    # writing the filtered corpus before dedup.
-    staged = None
     if cfg.dedup != "none" or cfg.mix_stratum_col is not None:
-        from pyspark import StorageLevel
-
-        out = staged = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out = _pin(out)  # dedup (or mixing) reads this twice
     if cfg.dedup == "exact":
         out = exact_dedup(out, [cfg.text_col], cfg.id_col)
     elif cfg.dedup == "incremental":
-        if historical is None:
-            raise ValueError("dedup='incremental' requires a historical frame")
         out = incremental_dedup(out, historical, [cfg.text_col], cfg.id_col)
-    elif cfg.dedup != "none":
-        raise ValueError(f"unknown dedup mode {cfg.dedup!r}")
     if cfg.mix_stratum_col is not None:
+        if cfg.dedup != "none":
+            # Mixing reads the DEDUP OUTPUT twice; its rates branch
+            # prunes columns differently from its keep branch, so Spark
+            # does not unify the duplicate dedup subplans — pin it too.
+            out = _pin(out)
         out = temperature_mix(
             out, cfg.mix_stratum_col, cfg.id_col, alpha=cfg.mix_alpha
         ).drop("n_docs", "scaled_rate")
     if cfg.split_fractions:
         out = hash_split(out, cfg.id_col, cfg.split_fractions)
-    if staged is not None:
-        from ..utils.caching import materialize_and_release
+    return out, pinned
 
-        # Eagerly compute the curated frame and release the staged
-        # cache (localCheckpoint: executor-local, see caching.py for
-        # the fault-tolerance caveat — at cluster scale write the
-        # curated corpus to its sink instead of holding it).
-        out = materialize_and_release(out, staged)
-    return out
+
+def curate_documents(
+    df: DataFrame,
+    cfg: CurationConfig,
+    historical: DataFrame | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Run the configured curation pass; returns the curated frame
+    (with ``split`` column when ``split_fractions`` is set).
+
+    Default: eagerly materializes the result (localCheckpoint) and
+    releases the pinned stages — right for contracts/fixtures and
+    small corpora; see caching.py for the executor-local caveat. For a
+    corpus-sized result use :func:`run_curation` (writes the sink, no
+    checkpoint) or ``materialize=False`` (fully lazy, no pins, caller
+    owns caching — multi-reference stages will recompute their
+    inputs).
+    """
+    out, pinned = build_curation(df, cfg, historical, pin=materialize)
+    if not materialize:
+        return out
+    from ..utils.caching import materialize_and_release
+
+    return materialize_and_release(out, *pinned)
+
+
+def run_curation(
+    df: DataFrame,
+    cfg: CurationConfig,
+    output_root: str,
+    historical: DataFrame | None = None,
+) -> None:
+    """Production path: build lazily, materialize ONCE by writing the
+    parquet sink, release the pinned stages. The curated corpus never
+    passes through a localCheckpoint."""
+    out, pinned = build_curation(df, cfg, historical, pin=True)
+    try:
+        write_curated_documents(out, output_root)
+    finally:
+        for p in pinned:
+            p.unpersist(blocking=True)
 
 
 def write_curated_documents(df: DataFrame, root: str) -> None:

@@ -41,4 +41,7 @@ def materialize_and_release(result: DataFrame, *intermediates: DataFrame) -> Dat
         return result.localCheckpoint(eager=True)
     finally:
         for df in intermediates:
-            df.unpersist()
+            # blocking: the release is observable immediately (tests and
+            # long-lived sessions can rely on the cache being gone, not
+            # merely scheduled for removal).
+            df.unpersist(blocking=True)

@@ -97,3 +97,78 @@ def test_write_curated_documents_plain_when_unsplit(spark, tmp_path):
     root = str(tmp_path / "plain")
     write_curated_documents(out, root)
     assert spark.read.parquet(root).count() == out.count()
+
+
+def _persisted_ids(spark) -> set:
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().keySet().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def _n_persisted(spark) -> int:
+    return len(_persisted_ids(spark))
+
+
+def test_bad_dedup_mode_raises_before_any_persist(spark):
+    from proyecto_final_de_big_data_spark.pipelines.curation import build_curation
+
+    before = _n_persisted(spark)
+    with pytest.raises(ValueError, match="unknown dedup mode"):
+        build_curation(_docs(spark), CurationConfig(dedup="minhash"))
+    assert _n_persisted(spark) == before  # validation precedes the pin
+
+
+def test_run_curation_writes_and_releases_pins(spark, tmp_path):
+    import gc
+
+    from proyecto_final_de_big_data_spark.pipelines.curation import run_curation
+
+    gc.collect()
+    before = _persisted_ids(spark)  # leftovers from other tests are excluded by id
+    root = str(tmp_path / "curated_run")
+    cfg = CurationConfig(mix_stratum_col="lang", split_fractions={"train": 0.5, "eval": 0.5})
+    run_curation(_docs(spark), cfg, root)
+    # the write path must leave NOTHING NEW cached — no stage pins, no
+    # corpus-sized localCheckpoint.
+    assert _persisted_ids(spark) - before == set()
+    back = spark.read.parquet(root)
+    assert back.count() > 0 and "split" in back.columns
+
+
+def test_curate_documents_releases_pins(spark):
+    import gc
+
+    gc.collect()
+    before = _persisted_ids(spark)
+    out = curate_documents(_docs(spark), CurationConfig(mix_stratum_col="lang"))
+    # Stage pins are released; the ONLY surviving new entry is the
+    # eagerly checkpointed result itself (blocks freed when `out` is
+    # GC'd).
+    assert len(_persisted_ids(spark) - before) <= 1
+    assert out.count() > 0
+
+
+def test_parse_split_errors():
+    from proyecto_final_de_big_data_spark.cli import _parse_split
+
+    assert _parse_split("none") is None
+    assert _parse_split("train=0.9,eval=0.1") == {"train": 0.9, "eval": 0.1}
+    with pytest.raises(ValueError, match="malformed --split part 'train:0.9'"):
+        _parse_split("train:0.9,eval:0.1")
+    with pytest.raises(ValueError, match="not a number"):
+        _parse_split("train=x")
+    with pytest.raises(ValueError, match="duplicate --split name 'train'"):
+        _parse_split("train=0.9,train=0.05,eval=0.05")
+
+
+def test_tfidf_caller_supplied_n_docs_matches(spark):
+    from proyecto_final_de_big_data_spark.operators.tfidf import top_terms_by_tfidf
+
+    df = spark.createDataFrame(
+        [(1, "g", "a b c"), (2, "g", "a b"), (3, "g", "a")], ["doc_id", "grp", "text"]
+    )
+    auto = top_terms_by_tfidf(df, "grp", k=3)
+    manual = top_terms_by_tfidf(df, "grp", k=3, n_docs=3)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, manual.collect()))
