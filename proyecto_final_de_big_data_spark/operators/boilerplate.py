@@ -15,6 +15,17 @@ segment-keyed join back → ordered reassembly via
 ``array_sort(collect_list(struct(pos, text)))`` (deterministic without
 relying on ``collect_list`` order). Everything is built-in expressions;
 the shuffled rows carry segments and counts, never whole documents.
+The frequency table is filtered BEFORE the join-back, so boilerplate
+segments — by definition the hottest join keys — never enter the
+shuffle join; surviving keys are bounded at ``max_doc_freq`` rows.
+
+The segment frame feeds two branches (frequency aggregation + the
+join-back) and Spark does not unify the duplicate subplans, so
+segmentation runs twice per call. At 100 TB the production form
+stage-writes the segment table once and reads it for both branches
+(the same stance as ``pipelines/curation.py``'s write path);
+persisting a corpus-sized intermediate inside a library operator would
+pin executor storage the caller never asked for.
 """
 
 from __future__ import annotations
@@ -66,8 +77,31 @@ def remove_boilerplate(
     boilerplate survive with an empty ``clean_text`` (visible to
     downstream length filters, rather than silently vanishing).
     """
-    segs = segment_frequencies(df, id_col, text_col, seg_words)
-    kept = segs.filter(F.col("seg_df") < max_doc_freq)
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(words(text_col)).alias("pos", "word"),
+    ).withColumn("seg_id", (F.col("pos") / seg_words).cast("int"))
+    segs = tok.groupBy(id_col, "seg_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("seg_text")
+    )
+    dfreq = segs.groupBy("seg_text").agg(
+        F.count_distinct(F.col(id_col)).alias("seg_df")
+    )
+    # Filter the frequency table BEFORE the join-back: boilerplate
+    # segments are by definition the hottest join keys (a disclaimer in
+    # 10^9 documents is 10^9 rows behind one key) — and they are exactly
+    # the rows being discarded. Dropping them on the 1-row-per-segment
+    # side first means the hot keys never enter the shuffle join at all;
+    # the surviving keys are bounded at max_doc_freq rows each.
+    kept = segs.join(
+        dfreq.filter(F.col("seg_df") < max_doc_freq).select("seg_text"), "seg_text"
+    )
     clean = kept.groupBy(id_col).agg(
         F.concat_ws(
             " ",
