@@ -121,10 +121,11 @@ _VERIFICATION_WINDOW = [
     "embedding_norms_by_label",
     # streaming: batch-window parity + real-stream mode (dedup /
     # stream-static join / sliding parity / file sink) + stateful
-    "tumbling_hourly_counts",
-    # sliding_2h_counts (r2+r4 green, unchanged) rotates out for
-    # boilerplate_removal_profile below — sliding-window semantics stay
-    # gated end-to-end by sliding_stream_parity (real-stream ≡ batch).
+    # tumbling_hourly_counts and sliding_2h_counts (each r2+r4 green,
+    # unchanged) rotate out for boilerplate_removal_profile and
+    # stream_pii_curation_round_trip — tumbling/sliding window semantics
+    # stay gated end-to-end by the *_stream_parity pair (real-stream ≡
+    # batch on the same windows).
     "session_windows_per_user",
     "tumbling_stream_parity",
     "sliding_stream_parity",
@@ -132,6 +133,7 @@ _VERIFICATION_WINDOW = [
     "stream_static_join_profile",
     "stream_stream_join_parity",
     "stream_file_sink_round_trip",
+    "stream_pii_curation_round_trip",
     "stateful_user_profiles_stream",
     # ML loop
     "ml_train_metrics",

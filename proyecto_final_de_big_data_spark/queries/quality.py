@@ -229,3 +229,111 @@ def q_boilerplate_removal_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum((F.col("doc_id") % 4 == 0).cast("long")).alias("n_injected"),
         F.sum(F.length("t") - F.length("clean_text")).alias("chars_removed"),
     )
+
+
+def _stream_curation_oracle() -> str:
+    from ..operators.pii import PII_PATTERNS
+
+    (em, em_t), (ip, ip_t), (ph, ph_t) = PII_PATTERNS.values()
+    return f"""
+    WITH inj AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' contact u' || doc_id::VARCHAR || '@example.com'
+               ELSE text END AS t
+        FROM documents
+    ), red AS (
+        SELECT source, t,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{em}', '{em_t}', 'g'),
+                   '{ip}', '{ip_t}', 'g'),
+                   '{ph}', '{ph_t}', 'g') AS ct
+        FROM inj
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN t <> ct THEN 1 ELSE 0 END)::BIGINT AS n_redacted,
+           sum(len(t) - len(ct))::BIGINT AS chars_removed
+    FROM red
+    GROUP BY source
+    """
+
+
+@register(
+    "stream_pii_curation_round_trip",
+    oracle=_stream_curation_oracle(),
+    description="Text curation as a REAL Structured Stream: the documents "
+    "fixture arrives through a file source, PII redaction runs as a "
+    "stream-safe projection, and curated rows land in a checkpointed parquet "
+    "sink (append, availableNow) that is read back and profiled against the "
+    "batch SQL oracle — gating that the curation operators compose with the "
+    "streaming engine, not just batch. Deterministic email injection on "
+    "every 3rd document gives the redaction signal (corpus has no organic "
+    "PII).",
+)
+def q_stream_pii_curation_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.pii import redact_pii
+
+    stage = tempfile.mkdtemp(prefix="docs_stream_")
+    out = tempfile.mkdtemp(prefix="docs_curated_sink_")
+    ckpt = tempfile.mkdtemp(prefix="docs_curated_ckpt_")
+    try:
+        shutil.copy(f"{sf_dir}/documents.parquet", f"{stage}/part-0.parquet")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).parquet(stage)
+        injected = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.col("text"))
+        curated = stream.select(
+            "doc_id", "source", injected.alias("t")
+        ).withColumn("ct", redact_pii("t"))
+        # Same state-partition bound as the other stream-mode contracts
+        # (conf pinned at stream start, restored for batch queries).
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                curated.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        back = spark.read.parquet(out)
+        result = back.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("t") != F.col("ct")).cast("long")).alias("n_redacted"),
+            F.sum(F.length("t") - F.length("ct")).alias("chars_removed"),
+        )
+        # Eager: the sink/checkpoint dirs are removed on return.
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -54,7 +54,9 @@ def test_window_covers_every_family():
         "minhash_recall",            # approximate-dedup contracts
         "media_frame_sample",        # multimodal
         "knn_ann_ivf_recall",        # similarity search
-        "tumbling_hourly_counts",    # streaming windows
+        "tumbling_stream_parity",    # streaming windows (batch twins rotated
+                                     # out; parity pair gates the semantics)
+        "stream_pii_curation_round_trip",  # streaming text curation
         "stream_dedup_counts",       # real-stream mode (dedup/join/sink)
         "stateful_user_profiles_stream",  # custom stateful streaming
         "ml_train_metrics",          # ML loop
