@@ -109,3 +109,26 @@ def test_incremental_dedup_set_identity(spark, hist, batch):
         if r["text"] not in set(hist)
     }
     assert {r["text"]: r["id"] for r in kept} == baseline
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_boilerplate_identity_when_threshold_above_corpus(spark, docs):
+    """With max_doc_freq > n_docs nothing is boilerplate: clean_text must
+    be the single-space rejoin of the original tokens, in order."""
+    from proyecto_final_de_big_data_spark.operators.boilerplate import (
+        remove_boilerplate,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    out = {r["doc_id"]: r["clean_text"] for r in remove_boilerplate(
+        df, seg_words=3, max_doc_freq=len(docs) + 1
+    ).collect()}
+    for i, d in enumerate(docs):
+        assert out[i] == " ".join(d.split())
