@@ -100,10 +100,15 @@ def connected_components(
     pathological, and returning a half-contracted labeling would
     silently split components).
     """
-    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    # Lazy checkpoints: the convergence checksum immediately below is
+    # the action that materializes each round's frame, so an eager
+    # checkpoint would run every round twice (one job to checkpoint,
+    # one to aggregate). Lazy folds both into the checksum's single job
+    # while still truncating lineage for the next round.
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
     prev = _checksum(e)
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:
             break

@@ -81,8 +81,11 @@ _VERIFICATION_WINDOW = [
     "customers_without_orders",
     "union_distinct_customers",
     "cube_returnflag_status",
-    # temporal joins (as-of / interval — extension operators)
-    "events_asof_last_order",
+    # temporal joins (as-of / interval — extension operators).
+    # events_asof_last_order (r4-green, re-verified on the NULL-key fix,
+    # unchanged since) rotates out for semantic_dedup_profile;
+    # events_in_first_day_window keeps the temporal family in-window and
+    # covers the round-5 NULL-bound symmetry change.
     "events_in_first_day_window",
     # LLM-pipeline: dedup / split / text / similarity contracts.
     # near_dup_clusters subsumes ngram_jaccard_pairs (its recursive-CTE
@@ -107,7 +110,12 @@ _VERIFICATION_WINDOW = [
     # temperature mixing -> hash split) stage-for-stage in SQL, so the
     # clean/dedup/split composition it gated stays covered.
     "curate_documents_contract",
+    # semantic dedup (SemDeDup cluster-then-prune — round-5 addition;
+    # composes ivf_assign + within-cell cosine + connected-components
+    # keep, with a full recursive-CTE oracle)
+    "semantic_dedup_profile",
     # text quality / PII / term scoring (round-5 additions)
+    "lm_quality_by_lang",
     "pii_redaction_profile",
     "repetition_profile",
     "boilerplate_removal_profile",
@@ -116,9 +124,11 @@ _VERIFICATION_WINDOW = [
     "temperature_mix_profile",
     # multimodal
     "media_frame_sample",
-    # similarity search
+    # similarity search. embedding_norms_by_label (r4-green, unchanged
+    # built-in array fold) rotates out for lm_quality_by_lang — the
+    # embedding family keeps knn_ann_ivf_recall, embedding_kmeans_contract
+    # and semantic_dedup_profile in-window.
     "knn_ann_ivf_recall",
-    "embedding_norms_by_label",
     # streaming: batch-window parity + real-stream mode (dedup /
     # stream-static join / sliding parity / file sink) + stateful
     # tumbling_hourly_counts and sliding_2h_counts (each r2+r4 green,

@@ -1137,3 +1137,111 @@ def q_curate_documents_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup: cluster-then-prune)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "semantic_dedup_profile",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id < 300
+    ), planted AS (
+        SELECT vec_id + 1000000 AS vec_id, list_transform(ev, x -> x * 1.01) AS ev
+        FROM base WHERE vec_id < 20
+    ), v AS (
+        SELECT * FROM base UNION ALL SELECT * FROM planted
+    ), cents AS (
+        SELECT vec_id AS cid,
+               list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))) AS ce
+        FROM v WHERE vec_id < 8
+    ), assign AS (
+        SELECT vec_id, ev, cid AS cell FROM (
+            SELECT v.vec_id, v.ev, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.ev, c.ce) DESC, c.cid ASC
+                   ) AS rn
+            FROM v CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.ev, b.ev)
+                / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev)))
+              >= 0.95
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), dropped AS (
+        SELECT a AS node FROM reach GROUP BY a HAVING a > least(a, min(b))
+    )
+    SELECT (SELECT count(*) FROM v) AS n_vecs,
+           (SELECT count(*) FROM pairs) AS n_pairs,
+           (SELECT count(*) FROM pairs WHERE id_b = id_a + 1000000) AS n_twin_pairs,
+           (SELECT count(*) FROM v) - (SELECT count(*) FROM dropped) AS n_kept
+    """,
+    description="SemDeDup-style semantic dedup (operators/semdedup.py, "
+    "Abbas et al. 2023): coarse-quantize embeddings into cells around an "
+    "explicit 8-centroid model (vectors 0..7, L2-normalized — id-addressed "
+    "so the oracle can restate the exact same model), form pairs WITHIN "
+    "cells only, prune cosine >= 0.95 components to their min-id member. "
+    "Corpus = vec_id < 300 plus 20 planted direction-identical twins "
+    "(x1.01, ids +1e6): scale-invariant argmax assignment means a twin can "
+    "never straddle a cell boundary, so all 20 twin pairs MUST survive the "
+    "cluster bound — the oracle recomputes assignment, within-cell pairs, "
+    "and the transitive-closure keep set, pinning n_twin_pairs=20 and the "
+    "kept count. Integer-only output; every float comparison sits at a "
+    "wide margin (twin cosine 1.0 vs threshold 0.95, isotropic cell-score "
+    "gaps ~0.1).",
+)
+def q_semantic_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import cluster_dedup_keep
+    from ..operators.semdedup import centroids_by_ids, semantic_dedup_pairs
+    from ..operators.similarity import as_double_array
+    from ..utils.caching import materialize_and_release
+
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", as_double_array("embedding").alias("embedding"))
+    )
+    planted = base.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    centroids = centroids_by_ids(corpus, list(range(8)))
+    # Persist the cell assignment (bounded: 320 rows here) — it feeds
+    # BOTH sides of the within-cell self-join, so without it the Arrow
+    # scoring pass and the corpus scan run twice. Likewise persist the
+    # pair frame: it feeds two aggregates and the component-keep branch.
+    from ..operators.similarity_ivf import ivf_assign
+
+    assigned = ivf_assign(corpus, centroids).persist()
+    pairs = semantic_dedup_pairs(
+        corpus, centroids, threshold=0.95, assigned=assigned
+    ).persist()
+    kept = cluster_dedup_keep(corpus, pairs.select("id_a", "id_b"), "vec_id")
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("id_b") == F.col("id_a") + 1000000).cast("int")).alias(
+            "n_twin_pairs"
+        ),
+    )
+    profile = (
+        corpus.agg(F.count(F.lit(1)).alias("n_vecs"))
+        .crossJoin(stats)
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+        .select("n_vecs", "n_pairs", "n_twin_pairs", "n_kept")
+    )
+    return materialize_and_release(profile, pairs, assigned)

@@ -22,6 +22,64 @@ from .registry import register
 
 
 @register(
+    "lm_quality_by_lang",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS w
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, lang, unnest(w) AS word FROM toks
+    ), counts AS (
+        SELECT word, count(*) AS c FROM tok GROUP BY 1
+    ), vocab AS (
+        SELECT word, c FROM counts ORDER BY c DESC, word ASC LIMIT 20
+    ), consts AS (
+        SELECT sum(c) AS n_in, count(*) AS v FROM vocab
+    ), scored AS (
+        SELECT t.doc_id, t.lang,
+               ln((coalesce(vb.c, 0) + 1)::DOUBLE / (k.n_in + k.v + 1)) AS lp,
+               (vb.c IS NULL)::INT AS oov
+        FROM tok t LEFT JOIN vocab vb ON t.word = vb.word
+        CROSS JOIN consts k
+    ), doc AS (
+        SELECT doc_id, lang, count(*) AS n_tokens,
+               sum(oov) AS n_oov, -avg(lp) AS nll
+        FROM scored GROUP BY 1, 2
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(nll), 4) AS avg_nll,
+           round(avg(n_oov::DOUBLE / n_tokens), 4) AS avg_oov_rate,
+           round(min(nll), 4) AS min_nll
+    FROM doc GROUP BY 1
+    """,
+    description="CCNet-style corpus-fit LM quality scoring "
+    "(operators/lm_score.py): add-one-smoothed unigram model with an "
+    "explicit OOV bucket, vocab capped at the top-20 words (count desc, "
+    "word asc — deterministic tie-break stated identically on both sides). "
+    "The synthetic fixture has 31 distinct words, so the 20-word cap forces "
+    "the OOV path to actually fire (measured avg_oov_rate ~0.32). "
+    "Per-language mean/min document NLL and OOV rate, rounded to "
+    "4 decimals on both sides. Scale shape: vocab fit is one map-side-"
+    "combined shuffle, top-K compiles to TakeOrderedAndProject, scoring is "
+    "a broadcast join + per-doc partial aggregation — the corpus token "
+    "stream never shuffles un-combined.",
+)
+def q_lm_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm_score import score_documents, unigram_counts, unigram_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_vocab(unigram_counts(docs), vocab_size=20)
+    doc_scores = score_documents(docs, vocab, "doc_id", "text", carry_cols=["lang"])
+    return doc_scores.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doc_nll"), 4).alias("avg_nll"),
+        F.round(F.avg(F.col("n_oov") / F.col("n_tokens")), 4).alias("avg_oov_rate"),
+        F.round(F.min("doc_nll"), 4).alias("min_nll"),
+    )
+
+
+@register(
     "pii_redaction_profile",
     oracle=r"""
     WITH inj AS (

@@ -213,3 +213,53 @@ def test_rolling_zscore_single_window_exchange(spark, sf_dir):
 def test_incremental_dedup_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "incremental_dedup_profile")
     assert "CartesianProduct" not in plan
+
+
+def _operator_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_semantic_dedup_cell_assignment_is_map_only(spark, sf_dir):
+    # SemDeDup: the cell assignment must be a pure projection (Arrow
+    # batch matmul) over the scan — no Exchange until the within-cell
+    # self-join; the pair formation must be a hash join on cell, never
+    # a cartesian/nested-loop over the corpus.
+    from proyecto_final_de_big_data_spark.catalog import load_table
+    from proyecto_final_de_big_data_spark.operators.semdedup import (
+        centroids_by_ids,
+        semantic_dedup_pairs,
+    )
+    from proyecto_final_de_big_data_spark.operators.similarity_ivf import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids_by_ids(emb, list(range(4)))
+    assign_plan = _operator_plan(ivf_assign(emb, cents))
+    assert "Exchange" not in assign_plan
+    pair_plan = _operator_plan(semantic_dedup_pairs(emb, cents, threshold=0.95))
+    assert "CartesianProduct" not in pair_plan
+    assert "BroadcastNestedLoopJoin" not in pair_plan
+
+
+def test_lm_vocab_topk_and_broadcast_scoring(spark, sf_dir):
+    # Unigram LM: the vocab cut must compile to TakeOrderedAndProject
+    # (per-partition top-K + K-row merge, no global sort) and the
+    # scoring join must broadcast the vocab — the corpus token stream
+    # must never sort-merge on the word key.
+    from proyecto_final_de_big_data_spark.catalog import load_table
+    from proyecto_final_de_big_data_spark.operators.lm_score import (
+        score_documents,
+        unigram_counts,
+        unigram_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_vocab(unigram_counts(docs), 20)
+    assert "TakeOrderedAndProject" in _operator_plan(vocab)
+    score_plan = _operator_plan(score_documents(docs, vocab, "doc_id", "text"))
+    assert "BroadcastHashJoin" in score_plan
+    assert "SortMergeJoin" not in score_plan
+    # per-doc partial aggregation before the exchange
+    assert score_plan.count("HashAggregate") >= 2
