@@ -36,15 +36,15 @@ from pyspark.sql import functions as F
 from .quality import words
 
 
-def segment_frequencies(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    seg_words: int = 5,
-) -> DataFrame:
-    """(doc, segment) rows with each segment's corpus-wide document
-    frequency attached. Columns: ``id_col``, ``seg_id``, ``seg_text``,
-    ``seg_df``."""
+def _segments(
+    df: DataFrame, id_col: str, text_col: str, seg_words: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared segmentation core: (segs, dfreq) where ``segs`` is one row
+    per (doc, seg_id) with the reassembled ``seg_text`` and ``dfreq`` is
+    each distinct segment's corpus-wide document frequency. Both public
+    entry points build on this, so the inspection API
+    (:func:`segment_frequencies`) always describes exactly what
+    :func:`remove_boilerplate` removes."""
     tok = df.select(
         F.col(id_col),
         F.posexplode(words(text_col)).alias("pos", "word"),
@@ -61,6 +61,19 @@ def segment_frequencies(
     dfreq = segs.groupBy("seg_text").agg(
         F.count_distinct(F.col(id_col)).alias("seg_df")
     )
+    return segs, dfreq
+
+
+def segment_frequencies(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 5,
+) -> DataFrame:
+    """(doc, segment) rows with each segment's corpus-wide document
+    frequency attached. Columns: ``id_col``, ``seg_id``, ``seg_text``,
+    ``seg_df``."""
+    segs, dfreq = _segments(df, id_col, text_col, seg_words)
     return segs.join(dfreq, "seg_text")
 
 
@@ -77,22 +90,7 @@ def remove_boilerplate(
     boilerplate survive with an empty ``clean_text`` (visible to
     downstream length filters, rather than silently vanishing).
     """
-    tok = df.select(
-        F.col(id_col),
-        F.posexplode(words(text_col)).alias("pos", "word"),
-    ).withColumn("seg_id", (F.col("pos") / seg_words).cast("int"))
-    segs = tok.groupBy(id_col, "seg_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda s: s["word"],
-            ),
-        ).alias("seg_text")
-    )
-    dfreq = segs.groupBy("seg_text").agg(
-        F.count_distinct(F.col(id_col)).alias("seg_df")
-    )
+    segs, dfreq = _segments(df, id_col, text_col, seg_words)
     # Filter the frequency table BEFORE the join-back: boilerplate
     # segments are by definition the hottest join keys (a disclaimer in
     # 10^9 documents is 10^9 rows behind one key) — and they are exactly

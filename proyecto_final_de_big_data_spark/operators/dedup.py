@@ -116,11 +116,26 @@ def content_digest(content_cols: list[str]) -> Column:
     return F.md5(F.concat_ws("\x1f", *parts))
 
 
-def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
-    """Keep exactly one row (min id) per distinct content tuple."""
-    digest = content_digest(content_cols).alias("__digest")
+def exact_dedup(
+    df: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+    digest_col: str | None = None,
+) -> DataFrame:
+    """Keep exactly one row (min id) per distinct content tuple.
+
+    ``digest_col``: name of an ALREADY-COMPUTED ``content_digest``
+    column to group on instead of re-hashing ``content_cols`` — pass it
+    when the caller has just materialized the digest for its own join
+    (``incremental_dedup``), so the full text isn't md5'd twice.
+    """
+    key = (
+        F.col(digest_col).alias("__digest")
+        if digest_col is not None
+        else content_digest(content_cols).alias("__digest")
+    )
     keep = (
-        df.select(digest, F.col(id_col))
+        df.select(key, F.col(id_col))
         .groupBy("__digest")
         .agg(F.min(id_col).alias(id_col))
     )
@@ -151,7 +166,11 @@ def incremental_dedup(
     novel = batch.withColumn("__digest", content_digest(content_cols)).join(
         hist_digests, "__digest", "left_anti"
     )
-    return exact_dedup(novel.drop("__digest"), content_cols, id_col)
+    # Reuse the digest the anti-join just carried — re-deriving it from
+    # content_cols would md5 the full payload of every survivor twice.
+    return exact_dedup(novel, content_cols, id_col, digest_col="__digest").drop(
+        "__digest"
+    )
 
 
 def word_shingles(col: str | Column, n: int = 3) -> Column:

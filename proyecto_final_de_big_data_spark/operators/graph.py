@@ -94,11 +94,14 @@ def connected_components(
     docs are kept as-is).
 
     Raises ``RuntimeError`` if the star-contraction hasn't converged
-    after ``max_iterations`` alternating rounds (log₂ of the largest
-    component's node count is the expected round count, so 20 covers
-    any realistic graph; hitting the cap means the input is
-    pathological, and returning a half-contracted labeling would
-    silently split components).
+    after ``max_iterations`` alternating rounds. Convergence is
+    OBSERVED, not predicted: a graph needing k contraction rounds needs
+    ``max_iterations >= k + 1``, because the k-th round still changes
+    the edge set and only the (k+1)-th no-change round proves the
+    fixpoint. k is ~log₂ of the largest component's node count, so the
+    default 20 leaves ≥ 2× margin for any graph that fits on hardware;
+    hitting the cap means the input is pathological, and returning a
+    half-contracted labeling would silently split components.
     """
     # Lazy checkpoints: the convergence checksum immediately below is
     # the action that materializes each round's frame, so an eager

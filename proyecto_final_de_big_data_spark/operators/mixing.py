@@ -44,9 +44,17 @@ def hash_band(key_col) -> F.Column:
     BIGINT arithmetic in any engine (``hash_band_sql`` states the same
     expression for oracles). Keys >= 1e12 alias onto the folded span —
     acceptable for a sampling band, documented here.
+
+    NULL keys band to 0 (coalesce before the arithmetic): a NULL would
+    otherwise propagate through the whole expression and the downstream
+    ``band < rate`` filter would drop the row SILENTLY — sampling must
+    be deterministic, not key-hygiene-dependent. Integer-castable keys
+    only; for string/binary keys use :func:`key_band`, which folds them
+    through md5 first (a bare ``cast('long')`` on a non-numeric string
+    is NULL, which would send every row to band 0).
     """
     c = F.col(key_col) if isinstance(key_col, str) else key_col
-    k = F.pmod(c.cast("long"), F.lit(_KEY_SPAN))
+    k = F.pmod(F.coalesce(c.cast("long"), F.lit(0)), F.lit(_KEY_SPAN))
     lo = k % F.lit(_RESOLUTION)
     # (k - lo) is an exact multiple of RESOLUTION and < 2^40, so the
     # double division is exact and the cast loses nothing.
@@ -58,11 +66,50 @@ def hash_band_sql(key_sql: str) -> str:
     """The equivalent ANSI/DuckDB expression — oracles state the SAME
     band arithmetic (pure BIGINT; `//` floor-division on the
     already-non-negative folded key)."""
-    k = f"((({key_sql}) % {_KEY_SPAN} + {_KEY_SPAN}) % {_KEY_SPAN})"
+    k = f"(((coalesce({key_sql}, 0)) % {_KEY_SPAN} + {_KEY_SPAN}) % {_KEY_SPAN})"
     return (
         f"((({k} % {_RESOLUTION}) * {_KNUTH}"
         f" + ({k} // {_RESOLUTION}) * {_KNUTH_HI}) % {_RESOLUTION})"
     )
+
+
+_INTEGRAL_TYPES = {"byte", "short", "int", "integer", "bigint", "long"}
+
+
+def _md5_fold(c: F.Column) -> F.Column:
+    """Portable string-key → BIGINT fold: the first 15 md5 hex chars as
+    an integer (< 2^60, no int64 wrap). NULL keys fold as the empty
+    string — deterministic, never a silent drop."""
+    h = F.md5(F.coalesce(c.cast("string"), F.lit("")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def md5_fold_sql(key_sql: str) -> str:
+    """DuckDB twin of the md5 fold (hex-literal cast)."""
+    return (
+        f"(('0x' || substr(md5(coalesce(CAST({key_sql} AS VARCHAR), ''))"
+        f", 1, 15))::BIGINT)"
+    )
+
+
+def key_band(df: DataFrame, key_col: str) -> F.Column:
+    """Schema-aware band: integer-typed keys go straight to
+    :func:`hash_band`; everything else (string/uuid/binary ids) folds
+    through md5 first. The naive alternative — ``cast('long')`` on a
+    string id — is NULL, which under the old code silently dropped
+    EVERY row of a string-keyed corpus (or failed the job under ANSI
+    mode). Restate with :func:`key_band_sql` on the same type test.
+    """
+    dtype = df.schema[key_col].dataType.simpleString()
+    if dtype in _INTEGRAL_TYPES:
+        return hash_band(key_col)
+    return hash_band(_md5_fold(F.col(key_col)))
+
+
+def key_band_sql(key_sql: str, integral: bool = True) -> str:
+    """SQL twin of :func:`key_band`; pass ``integral=False`` for
+    string-keyed corpora."""
+    return hash_band_sql(key_sql if integral else md5_fold_sql(key_sql))
 
 
 def temperature_rates(
@@ -93,8 +140,25 @@ def temperature_mix(
     alpha: float = 0.5,
 ) -> DataFrame:
     """Rows of ``df`` surviving temperature-``alpha`` resampling, with
-    the stratum's ``n_docs``/``scaled_rate`` columns attached."""
-    rates = temperature_rates(df, stratum_col, alpha)
-    return df.join(F.broadcast(rates), stratum_col).filter(
-        hash_band(key_col) < F.col("scaled_rate")
+    the stratum's ``n_docs``/``scaled_rate`` columns attached.
+
+    NULL strata are a stratum: the rate join is null-safe (``<=>``), so
+    rows with a NULL stratum get their own group's rate instead of the
+    old behavior — counted by ``temperature_rates`` (where a tiny NULL
+    group could become ``n_min`` and deflate every real stratum) but
+    then silently DROPPED by the equi-join. If NULL strata are garbage,
+    filter them out before mixing; this operator won't eat them for
+    you. String/uuid keys are supported via the schema-aware
+    :func:`key_band` (an integer cast on them would be NULL).
+    """
+    rates = temperature_rates(df, stratum_col, alpha).withColumnRenamed(
+        stratum_col, "__stratum"
+    )
+    return (
+        df.join(
+            F.broadcast(rates),
+            F.col(stratum_col).eqNullSafe(F.col("__stratum")),
+        )
+        .drop("__stratum")
+        .filter(key_band(df, key_col) < F.col("scaled_rate"))
     )

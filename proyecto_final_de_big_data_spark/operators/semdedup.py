@@ -56,18 +56,22 @@ def centroids_by_ids(
     """
     import math
 
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"duplicate centroid ids: {sorted(ids)}")
     rows = (
         corpus.filter(F.col(id_col).isin([int(i) for i in ids]))
         .select(F.col(id_col).alias("__id"), as_double_array(vec_col).alias("__v"))
-        .orderBy("__id")
         .collect()
     )
-    if len(rows) != len(ids):
-        got = {r["__id"] for r in rows}
-        raise ValueError(f"centroid ids missing from corpus: {sorted(set(ids) - got)}")
+    by_id = {r["__id"]: list(r["__v"]) for r in rows}
+    missing = [i for i in ids if i not in by_id]
+    if missing:
+        raise ValueError(f"centroid ids missing from corpus: {missing}")
     cents = []
-    for r in rows:
-        v = list(r["__v"])
+    # Caller order, not sorted order: cell index i must correspond to
+    # ids[i] so callers can correlate assignments back to the model.
+    for i in ids:
+        v = by_id[i]
         norm = math.sqrt(sum(x * x for x in v)) or 1.0
         cents.append([x / norm for x in v])
     return cents
@@ -126,6 +130,24 @@ def semantic_dedup_keep(
     """Rows of ``corpus`` surviving semantic dedup: each connected
     component of the within-cell near-dup graph keeps its minimum-id
     member (``graph.cluster_dedup_keep`` — so chains A~B, B~C collapse
-    to A even when A and C were never directly paired)."""
-    pairs = semantic_dedup_pairs(corpus, centroids, id_col, vec_col, threshold)
-    return cluster_dedup_keep(corpus, pairs.select("id_a", "id_b"), id_col)
+    to A even when A and C were never directly paired).
+
+    Cache lifetime: the cell assignment feeds BOTH sides of the
+    within-cell self-join, so it is persisted here for the pair
+    computation (one Arrow scoring pass instead of two) and released
+    before returning — ``cluster_dedup_keep`` materializes the edge
+    list inside its connected-components rounds (per-round
+    ``localCheckpoint``), after which the assignment is genuinely
+    unreferenced; the returned keep-frame depends only on the corpus
+    scan and the (checkpointed) component labels.
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).persist()
+    try:
+        pairs = semantic_dedup_pairs(
+            corpus, centroids, id_col, vec_col, threshold, assigned=assigned
+        )
+        # Eager: connected_components runs its convergence loop (and
+        # checkpoints the edges) during this call, consuming `assigned`.
+        return cluster_dedup_keep(corpus, pairs.select("id_a", "id_b"), id_col)
+    finally:
+        assigned.unpersist(blocking=False)

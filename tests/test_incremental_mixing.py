@@ -120,3 +120,74 @@ def test_stratified_predicate_sql_short_circuits_extremes(spark):
     assert "'ffffffff'" not in sql
     assert "TRUE" in sql and "FALSE" in sql
     assert "IS NULL" in sql  # NULL strata follow the default branch
+
+
+# ---------------------------------------------------------------------------
+# Review fixes: string/NULL keys, NULL strata, digest reuse
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_string_keys_not_silently_dropped(spark):
+    # A string/uuid id column must NOT produce an empty mix: the old
+    # cast('long') path banded every row to NULL and the filter ate the
+    # whole corpus silently.
+    rows = [(f"doc-{i}", "en") for i in range(200)] + [
+        (f"doc-x{i}", "de") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "url_id string, lang string")
+    out = temperature_mix(df, "lang", "url_id", alpha=1.0)
+    # alpha=1 is identity: every row must survive
+    assert out.count() == 220
+
+
+def test_temperature_mix_null_stratum_gets_own_rate(spark):
+    # NULL strata are a stratum: counted AND kept via the null-safe
+    # join (previously counted but silently dropped by the equi-join).
+    rows = [(i, "en") for i in range(100)] + [(1000 + i, None) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, "lang", "doc_id", alpha=1.0)
+    assert out.count() == 103  # identity at alpha=1, NULL rows included
+    assert out.filter(F.col("lang").isNull()).count() == 3
+
+
+def test_hash_band_null_key_bands_to_zero(spark):
+    df = spark.createDataFrame([(None,), (7,)], "k bigint")
+    bands = [r["b"] for r in df.select(hash_band("k").alias("b")).collect()]
+    assert bands[0] is not None  # NULL key no longer propagates
+    from proyecto_final_de_big_data_spark.operators.mixing import hash_band_sql
+
+    import duckdb
+
+    oracle = duckdb.sql(f"SELECT {hash_band_sql('NULL')} AS b").fetchone()[0]
+    assert bands[0] == oracle
+
+
+def test_md5_fold_matches_duckdb(spark):
+    from proyecto_final_de_big_data_spark.operators.mixing import (
+        key_band,
+        key_band_sql,
+    )
+
+    import duckdb
+
+    keys = ["abc", "doc-17", "", "ünïcode", None]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = [
+        r["b"] for r in df.select(key_band(df, "k").alias("b")).collect()
+    ]
+    for k, g in zip(keys, got):
+        lit = "NULL" if k is None else "'" + k.replace("'", "''") + "'"
+        exp = duckdb.sql(
+            f"SELECT {key_band_sql(lit, integral=False)} AS b"
+        ).fetchone()[0]
+        assert g == exp, (k, g, exp)
+
+
+def test_incremental_dedup_reuses_digest_schema_unchanged(spark):
+    hist = spark.createDataFrame([(1, "a")], "id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "a"), (11, "b"), (12, "b")], "id long, text string"
+    )
+    out = incremental_dedup(batch, hist, ["text"], "id")
+    assert out.columns == ["id", "text"]  # no __digest leakage
+    assert sorted(r["id"] for r in out.collect()) == [11]

@@ -80,6 +80,20 @@ def test_centroids_by_ids_missing_id_raises(spark):
         centroids_by_ids(corpus, [0, 99])
 
 
+def test_centroids_by_ids_respects_caller_order(spark):
+    # cell index i must correspond to ids[i]
+    corpus = _corpus(spark)
+    cents = centroids_by_ids(corpus, [1, 0])
+    assert cents[0] == [0.0, 1.0, 0.0, 0.0]  # id 1 first, as asked
+    assert cents[1] == [1.0, 0.0, 0.0, 0.0]
+
+
+def test_centroids_by_ids_duplicate_ids_raise(spark):
+    corpus = _corpus(spark)
+    with pytest.raises(ValueError, match="duplicate"):
+        centroids_by_ids(corpus, [0, 0])
+
+
 def test_scale_invariant_assignment_keeps_twins_same_cell(spark):
     # A scaled twin (v and 1.01*v) must always land in its original's
     # cell — the property the semantic_dedup_profile gate leans on.
