@@ -1,0 +1,81 @@
+"""Corpus snapshot diffing: classify every document id across two
+snapshots of a dataset as added / removed / changed / unchanged — the
+audit primitive behind dataset versioning ("what moved between last
+month's crawl and this one?") and incremental-pipeline validation
+("the delta the ingest claims it applied is the delta that landed").
+
+Scale shape (100 TB snapshots): each side collapses to
+``(id, content_digest)`` — a 32-char projection, the payload never
+moves — then one full-outer shuffle join keyed on the id. Both sides
+are keyed identically, so at scale this is the minimal movement the
+semantics allow; with both snapshots bucketed by id
+(``io/bucketed.py``) the join is exchange-free. Status is a pure
+projection over the join result.
+
+Digest semantics are shared with the dedup family
+(``dedup.content_digest``: NULL-safe, multi-column with an explicit
+separator), so "changed" here and "duplicate" there agree on what
+content identity means.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import content_digest
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """One row per document id appearing in either snapshot:
+    ``(id_col, status)`` with status in
+    ``{'added', 'removed', 'changed', 'unchanged'}``.
+
+    A duplicate id WITHIN a snapshot is a data error this operator
+    surfaces rather than hides: ids are digest-reduced with
+    ``count(*)`` attached, and any id whose count exceeds 1 on either
+    side gets status ``'ambiguous'`` instead of a content verdict.
+    """
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy(F.col(id_col)).agg(
+            # min() is deterministic under duplicate ids; the n-column
+            # flags them so no verdict is silently wrong.
+            F.min(content_digest(content_cols)).alias(f"__d_{side}"),
+            F.count(F.lit(1)).alias(f"__n_{side}"),
+        )
+
+    joined = keyed(old, "old").join(keyed(new, "new"), id_col, "full_outer")
+    status = (
+        F.when(
+            (F.coalesce(F.col("__n_old"), F.lit(0)) > 1)
+            | (F.coalesce(F.col("__n_new"), F.lit(0)) > 1),
+            F.lit("ambiguous"),
+        )
+        .when(F.col("__d_old").isNull(), F.lit("added"))
+        .when(F.col("__d_new").isNull(), F.lit("removed"))
+        .when(F.col("__d_old") == F.col("__d_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(F.col(id_col), status.alias("status"))
+
+
+def snapshot_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Per-status counts and id checksums — the one-screen audit row.
+    Columns: ``status``, ``n_docs``, ``id_sum`` (order-insensitive
+    checksum so two engines can compare WHICH ids landed in each
+    bucket, not just how many)."""
+    diff = snapshot_diff(old, new, id_col, content_cols)
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(id_col).cast("decimal(38,0)")).cast("long").alias("id_sum"),
+    )

@@ -67,8 +67,12 @@ _VERIFICATION_WINDOW = [
     # marts / aggregations (SURVEY §2.4)
     "kpis",
     "outlier_clipped_kpis",
-    # dashboard-derived analytics + semi-structured / sketch surfaces
-    "weighted_avg_price_by_priority",
+    # dashboard-derived analytics + semi-structured / sketch surfaces.
+    # weighted_avg_price_by_priority (r2+r4 green, rollup.py unchanged
+    # this round) rotates out for text_quality_classifier_contract —
+    # the weighted-rollup family keeps priority_share_of_total /
+    # cumulative_hour_share multi-round-green behind the window and the
+    # D2 operator is unchanged.
     "salted_event_type_stats",
     "event_props_json_profile",
     "rolling_user_zscore",
@@ -77,9 +81,12 @@ _VERIFICATION_WINDOW = [
     # (pricing_summary, 4x green, rotated out — the agg family keeps
     # kpis/top_suppliers/outlier_clipped_kpis in-window and the plan
     # audit still covers its shape.)
+    # union_distinct_customers (r4 green; intersect/except r2-green
+    # twins, set-op code unchanged since r2) rotates out for
+    # snapshot_diff_profile, whose full-outer diff join extends the
+    # same relational surface.
     "revenue_by_nation",
     "customers_without_orders",
-    "union_distinct_customers",
     "cube_returnflag_status",
     # temporal joins (as-of / interval — extension operators).
     # events_asof_last_order (r4-green, re-verified on the NULL-key fix,
@@ -110,6 +117,8 @@ _VERIFICATION_WINDOW = [
     # temperature mixing -> hash split) stage-for-stage in SQL, so the
     # clean/dedup/split composition it gated stays covered.
     "curate_documents_contract",
+    # dataset-versioning audit (snapshot diff — round-5 addition)
+    "snapshot_diff_profile",
     # semantic dedup (SemDeDup cluster-then-prune — round-5 addition;
     # composes ivf_assign + within-cell cosine + connected-components
     # keep, with a full recursive-CTE oracle)
@@ -149,6 +158,7 @@ _VERIFICATION_WINDOW = [
     "ml_train_metrics",
     "ml_feature_matrix_contract",
     "embedding_kmeans_contract",
+    "text_quality_classifier_contract",
     # contracts family (canonicalize / export round-trips / quantiles /
     # ingest manifest / CLI+quarter resolution)
     "canonicalize_contract",

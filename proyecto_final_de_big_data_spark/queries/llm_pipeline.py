@@ -1245,3 +1245,54 @@ def q_semantic_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_vecs", "n_pairs", "n_twin_pairs", "n_kept")
     )
     return materialize_and_release(profile, pairs, assigned)
+
+
+# --------------------------------------------------------------------------
+# Corpus snapshot diffing (dataset versioning audit)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_diff_profile",
+    oracle="""
+    WITH old_snap AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 400
+    ), new_snap AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        FROM documents WHERE doc_id >= 100
+    ), j AS (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.text = n.text THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+    )
+    SELECT status, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
+    FROM j GROUP BY 1
+    """,
+    description="Dataset-versioning audit (operators/snapshot.py): two "
+    "snapshots derived deterministically from the corpus (old = doc_id<400; "
+    "new = doc_id>=100 with every 7th document's text revised), diffed to "
+    "added/removed/changed/unchanged per id via content digests — each side "
+    "collapses to (id, 32-char digest) so the payload never moves, then one "
+    "id-keyed full-outer join. The oracle replays the same snapshots and "
+    "statuses by direct text comparison (digest equality == text equality) "
+    "and pins per-status counts AND an order-insensitive id checksum, so a "
+    "single misclassified document breaks the hash.",
+)
+def q_snapshot_diff_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.snapshot import snapshot_diff_summary
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old_snap = docs.filter(F.col("doc_id") < 400)
+    new_snap = docs.filter(F.col("doc_id") >= 100).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff_summary(old_snap, new_snap, "doc_id", ["text"])

@@ -160,3 +160,62 @@ def q_embedding_kmeans_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("clusters_ok"),
         (F.col("n_null") == 0).cast("int").alias("assignment_ok"),
     )
+
+
+@register(
+    "text_quality_classifier_contract",
+    oracle="""
+    SELECT count(*) FILTER (WHERE doc_id % 2 = 1) AS n_scored,
+           1 AS probs_ok, 1 AS acc_ok
+    FROM documents
+    """,
+    description="Model-based quality filtering (ml/text_classifier.py): "
+    "RegexTokenizer -> HashingTF (stateless feature hashing, no vocab fit) "
+    "-> IDF -> LogisticRegression, the fastText-classifier role of public "
+    "LLM pipelines. Every 5th document is degraded to a synthetic spam "
+    "token and labeled 0; the model trains on even doc_ids and scores odd "
+    "ones. The gate pins the plumbing: every held-out doc scored, all "
+    "probabilities valid, and >= 90% holdout accuracy on the separable "
+    "synthetic labels (measured ~1.0; coefficient values are partitioning-"
+    "dependent, so exact-value assertions live nowhere — same stance as "
+    "the M1-M7 gates).",
+)
+def q_text_quality_classifier_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.text_classifier import (
+        TextClassifierConfig,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    degraded = F.col("doc_id") % 5 == 0
+    labeled = docs.select(
+        "doc_id",
+        F.when(degraded, F.lit("zzqx zzqx zzqx zzqx zzqx"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(degraded, F.lit(0.0)).otherwise(F.lit(1.0)).alias("label"),
+    )
+    train = labeled.filter(F.col("doc_id") % 2 == 0)
+    test = labeled.filter(F.col("doc_id") % 2 == 1)
+    cfg = TextClassifierConfig(n_features=1024, max_iter=20)
+    model = train_quality_classifier(train, cfg)
+    scored = score_quality(model, test)
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(
+            (
+                F.col("quality_prob").isNull()
+                | (F.col("quality_prob") < 0)
+                | (F.col("quality_prob") > 1)
+            ).cast("int")
+        ).alias("n_bad_prob"),
+        F.avg(
+            (F.col("keep") == (F.col("label") == 1.0)).cast("double")
+        ).alias("acc"),
+    )
+    return agg.select(
+        "n_scored",
+        (F.col("n_bad_prob") == 0).cast("int").alias("probs_ok"),
+        (F.col("acc") >= 0.9).cast("int").alias("acc_ok"),
+    )

@@ -68,3 +68,59 @@ def test_metrics_frame_single_row(spark):
     rows = mf.collect()
     assert len(rows) == 1
     assert rows[0]["algorithm"] == "lr"
+
+
+# ---------------------------------------------------------------------------
+# Text quality classifier (ml/text_classifier.py)
+# ---------------------------------------------------------------------------
+
+
+def test_text_classifier_separates_planted_spam(spark):
+    from pyspark.sql import functions as F
+
+    from proyecto_final_de_big_data_spark.ml.text_classifier import (
+        TextClassifierConfig,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    good = [(i, f"alpha beta gamma delta {i % 7}", 1.0) for i in range(60)]
+    spam = [(1000 + i, "zzqx zzqx zzqx zzqx", 0.0) for i in range(60)]
+    df = spark.createDataFrame(good + spam, "doc_id long, text string, label double")
+    train = df.filter(F.col("doc_id") % 2 == 0)
+    test = df.filter(F.col("doc_id") % 2 == 1)
+    model = train_quality_classifier(
+        train, TextClassifierConfig(n_features=256, max_iter=20)
+    )
+    scored = score_quality(model, test)
+    # output schema: original columns + quality_prob + keep, no ML residue
+    assert set(scored.columns) == {"doc_id", "text", "label", "quality_prob", "keep"}
+    rows = scored.collect()
+    acc = sum(1 for r in rows if r["keep"] == (r["label"] == 1.0)) / len(rows)
+    assert acc >= 0.95  # trivially separable by the spam token feature
+    assert all(0.0 <= r["quality_prob"] <= 1.0 for r in rows)
+
+
+def test_text_classifier_scoring_is_map_only(spark):
+    import contextlib
+    import io
+
+    from proyecto_final_de_big_data_spark.ml.text_classifier import (
+        TextClassifierConfig,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta", float(i % 2)) for i in range(40)],
+        "doc_id long, text string, label double",
+    )
+    model = train_quality_classifier(
+        df, TextClassifierConfig(n_features=64, max_iter=5)
+    )
+    scored = score_quality(model, df)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scored.explain("formatted")
+    # the 100-TB scoring path must be a pure projection over the scan
+    assert "Exchange" not in buf.getvalue()

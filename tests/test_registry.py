@@ -39,9 +39,11 @@ def test_window_covers_every_family():
     # One representative per family must sit inside the checked window.
     for probe in [
         "kpis",                      # marts
-        "weighted_avg_price_by_priority",  # dashboard analytics
-        "revenue_by_nation",         # relational joins
-        "union_distinct_customers",  # set ops
+        "revenue_by_nation",         # relational joins (weighted-rollup
+                                     # and set-op twins rotated out after
+                                     # multi-round green; snapshot diff's
+                                     # full-outer join extends the surface)
+        "snapshot_diff_profile",     # dataset-versioning audit
         "cube_returnflag_status",    # grouping sets (ROLLUP twin rotated out)
         "near_dup_clusters",         # dedup (pairs -> components)
         "incremental_dedup_profile",  # batch-vs-corpus incremental dedup
@@ -67,6 +69,9 @@ def test_window_covers_every_family():
         "repetition_profile",        # repetition/quality signals
         "tfidf_top_terms",           # term scoring
         "embedding_kmeans_contract",  # unsupervised clustering
+        "text_quality_classifier_contract",  # model-based quality filter
+        "semantic_dedup_profile",    # SemDeDup cluster-then-prune
+        "lm_quality_by_lang",        # corpus-fit LM scoring
         "rolling_user_zscore",       # RANGE-frame rolling baseline
         "hourly_counts_gapfilled",   # dense time grid
         "manifest_ingest_contract",  # ingest manifest (S1-S3)
