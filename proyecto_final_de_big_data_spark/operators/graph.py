@@ -159,3 +159,91 @@ def cluster_dedup_keep(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def component_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Per-component winner under a quality ordering: one row
+    ``(component, kept_id, kept_score, n_docs)`` per connected component
+    of the near-dup pair graph, where the winner is the member with the
+    HIGHEST ``score_col`` (ties broken by lowest id — fully
+    deterministic, so two engines agree on every winner).
+
+    This is the quality-aware half of keep-best dedup
+    (:func:`cluster_dedup_keep_best`); it is exposed separately because
+    curation audits want to SEE the winner table (who survived, at what
+    score, out of how many) before committing to the drop.
+
+    Scale shape: the working set is component membership — edge-list
+    sized, orders of magnitude below the corpus — joined once against
+    the corpus's ``(id, score)`` projection (two columns, never the
+    payload). The ``row_number`` window partitions BY component;
+    near-dup components are small (they contract in 2-3 star rounds),
+    so no single window partition can become a straggler the way an
+    unpartitioned window would.
+    """
+    comp = connected_components(pairs, pair_a, pair_b)
+    return _representatives(df, comp, id_col, score_col)
+
+
+def _representatives(
+    df: DataFrame, comp: DataFrame, id_col: str, score_col: str
+) -> DataFrame:
+    """Winner table from an already-contracted ``(node, component)``
+    labeling — shared so keep-best dedup runs the star contraction
+    exactly once."""
+    from pyspark.sql import Window
+
+    members = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("__score")),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__score").desc(), F.col("node").asc()
+    )
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .where(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("kept_id"),
+            F.col("__score").alias("kept_score"),
+            F.col("__n").alias("n_docs"),
+        )
+    )
+
+
+def cluster_dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Keep-BEST fuzzy dedup: collapse each near-dup component to its
+    highest-``score_col`` member (ties → lowest id) instead of
+    :func:`cluster_dedup_keep`'s min-id convention.
+
+    Min-id keep is arbitrary: with a quality signal available (LM
+    quality, length, classifier score), a curation pass should keep the
+    best copy of each duplicated document, not whichever crawled first.
+    Rows untouched by any pair are kept as-is; a component member whose
+    id is missing from ``df`` simply never becomes the winner (the
+    winner is picked among members present in ``df``).
+    """
+    comp = connected_components(pairs, pair_a, pair_b)
+    winners = _representatives(df, comp, id_col, score_col)
+    losers = comp.join(
+        winners.select(F.col("kept_id").alias("node")),
+        "node",
+        "left_anti",
+    ).select(F.col("node").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

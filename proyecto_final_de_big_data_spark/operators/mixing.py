@@ -162,3 +162,72 @@ def temperature_mix(
         .drop("__stratum")
         .filter(key_band(df, key_col) < F.col("scaled_rate"))
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    id_col: str,
+    cap: int,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Per-group contribution cap (the Gopher/RefinedWeb per-domain
+    cap): keep at most ``cap`` rows per group — the ``cap`` best by
+    ``score_col`` (ties, or no score at all, broken by ascending
+    ``id_col``, so the kept set is deterministic across engines, runs,
+    and partitionings).
+
+    Temperature mixing (:func:`temperature_mix`) rescales strata
+    multiplicatively; a cap is the complementary HARD bound — one
+    megadomain (or one spammy source) cannot contribute more than
+    ``cap`` documents no matter how large it is.
+
+    Scale shape — the point of this implementation is what it does NOT
+    sort. A naive ``row_number`` over every group sorts the whole
+    corpus. Here one map-side-combined aggregation finds the groups
+    actually over the cap; with a long-tail group distribution that set
+    is small, so it broadcasts, and the corpus splits into:
+
+    - under-cap rows → kept verbatim, no sort, no shuffle beyond the
+      broadcast-hash probe;
+    - over-cap rows (only those groups' rows) → ``row_number`` window
+      partitioned by group, ``<= cap`` filter.
+
+    NULL group keys are a group (null-safe grouping is ``groupBy``'s
+    native behavior, and the split predicates below use a null-safe
+    probe), matching :func:`temperature_mix`'s stance: this operator
+    never silently eats rows.
+
+    A single over-cap group with billions of rows still lands its sort
+    on one window partition; the refinement at that scale is a per-group
+    ``percentile_approx`` score threshold pre-prune (keep rows within
+    the approximation's rank-error margin of the cut, then rank only
+    the survivors). Not wired here — the two-phase split is already
+    exact and covers the long-tail case that dominates real corpora.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    over = (
+        df.groupBy(*groups)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > cap)
+        .select(*groups)
+    )
+    cond = None
+    for g in groups:
+        c = df[g].eqNullSafe(over[g])
+        cond = c if cond is None else (cond & c)
+    under_rows = df.join(F.broadcast(over), cond, "left_anti")
+    over_rows = df.join(F.broadcast(over), cond, "left_semi")
+
+    from pyspark.sql import Window
+
+    order = (
+        [F.col(score_col).desc()] if score_col is not None else []
+    ) + [F.col(id_col).asc()]
+    w = Window.partitionBy(*groups).orderBy(*order)
+    capped = (
+        over_rows.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    return under_rows.unionByName(capped)

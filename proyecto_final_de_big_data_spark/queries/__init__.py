@@ -85,8 +85,11 @@ _VERIFICATION_WINDOW = [
     # twins, set-op code unchanged since r2) rotates out for
     # snapshot_diff_profile, whose full-outer diff join extends the
     # same relational surface.
+    # customers_without_orders (r4 green — a 0-row anti-join match, the
+    # weakest hash in the window; left-anti stays plan-asserted and the
+    # relational family keeps revenue_by_nation + CUBE) rotates out for
+    # cluster_keep_best_profile.
     "revenue_by_nation",
-    "customers_without_orders",
     "cube_returnflag_status",
     # temporal joins (as-of / interval — extension operators).
     # events_asof_last_order (r4-green, re-verified on the NULL-key fix,
@@ -105,6 +108,10 @@ _VERIFICATION_WINDOW = [
     # curation_pipeline_profile keep the dedup family gated;
     # knn_bruteforce, 3x green, rotated out — the IVF pair stays.)
     "near_dup_clusters",
+    # Quality-aware keep-best winners over the SAME pair graph
+    # near_dup_clusters pins (round-5 addition, new gate rotates in the
+    # round it lands).
+    "cluster_keep_best_profile",
     "stratified_sample_profile",
     "pack_chunks_profile",
     "decontamination_profile",
@@ -131,6 +138,13 @@ _VERIFICATION_WINDOW = [
     "tfidf_top_terms",
     "incremental_dedup_profile",
     "temperature_mix_profile",
+    # Per-(source, lang) hard contribution cap (round-5 addition; the
+    # complementary bound to temperature mixing). Rotates in the round
+    # it lands; order_to_ship_latency_by_month (r4 green, F1/F9
+    # duration+padding expressions unchanged since, and the same
+    # date-part surface stays gated by quarter_resolution_contract)
+    # rotates out to keep the window at 50.
+    "source_cap_profile",
     # multimodal
     "media_frame_sample",
     # similarity search. embedding_norms_by_label (r4-green, unchanged
@@ -166,7 +180,6 @@ _VERIFICATION_WINDOW = [
     "export_round_trip_partitioned",
     "manifest_ingest_contract",
     "quarter_resolution_contract",
-    "order_to_ship_latency_by_month",
     "approx_quantile_contract",
     "bucketed_colocated_join",
 ]

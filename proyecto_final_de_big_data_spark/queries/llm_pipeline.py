@@ -1296,3 +1296,119 @@ def q_snapshot_diff_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return snapshot_diff_summary(old_snap, new_snap, "doc_id", ["text"])
+
+
+@register(
+    "cluster_keep_best_profile",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS w
+        FROM documents WHERE doc_id < 500
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(w) >= 3 THEN
+                       list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [text] END
+               ) AS sh
+        FROM toks
+    ), prs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION
+        SELECT id_b, id_a FROM prs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+        SELECT a AS node, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    ), scored AS (
+        SELECT c.component, c.node, d.n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT component, node AS kept_doc,
+           CAST(n_chars AS BIGINT) AS kept_chars, n_docs
+    FROM (
+        SELECT component, node, n_chars,
+               count(*) OVER (PARTITION BY component) AS n_docs,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, node) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+    description="Quality-aware fuzzy-dedup winners "
+    "(operators/graph.py component_representatives): the exact word-3-gram "
+    "Jaccard pair graph (threshold 0.5, doc_id < 500 — the identical pair "
+    "set near_dup_clusters pins) contracted to connected components, then "
+    "each component collapsed to its LONGEST member (n_chars desc, id asc "
+    "tie-break) instead of the arbitrary min-id convention — the keep-best "
+    "semantics a curation pass with a quality signal wants. The oracle "
+    "recomputes components via a recursive-CTE transitive closure and picks "
+    "winners with an identically-ordered row_number, so a wrong winner, a "
+    "split component, or a wrong member count each break the hash.",
+)
+def q_cluster_keep_best_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_pairs_hashed_index
+    from ..operators.graph import component_representatives
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = jaccard_pairs_hashed_index(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    reps = component_representatives(
+        docs.select("doc_id", "n_chars"), pairs, "doc_id", "n_chars"
+    )
+    return reps.select(
+        "component",
+        F.col("kept_id").alias("kept_doc"),
+        F.col("kept_score").cast("long").alias("kept_chars"),
+        "n_docs",
+    )
+
+
+@register(
+    "source_cap_profile",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source, lang
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    )
+    SELECT source, lang, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM ranked WHERE rn <= 6 GROUP BY 1, 2
+    """,
+    description="Per-(source, lang) contribution cap at 6 documents "
+    "(operators/mixing.py cap_per_group — the Gopher/RefinedWeb per-domain "
+    "hard bound, complementary to temperature mixing's multiplicative "
+    "rescale), keeping the longest documents first (n_chars desc, doc_id "
+    "asc tie-break). The implementation sorts ONLY over-cap groups: one "
+    "map-side-combined count pass finds groups above the cap, that small "
+    "set broadcasts, under-cap rows pass through sort-free and only "
+    "over-cap groups' rows enter the row_number window. At sf0.01 the "
+    "(source, lang) sizes straddle the cap, so BOTH branches execute and "
+    "the union is pinned. The oracle ranks every group directly; per-group "
+    "kept counts, char mass, and an order-insensitive id checksum must all "
+    "match.",
+)
+def q_source_cap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixing import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    kept = cap_per_group(docs, ["source", "lang"], "doc_id", 6, "n_chars")
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

@@ -81,3 +81,53 @@ def test_cluster_dedup_keep_transitive(spark):
         r["doc_id"] for r in cluster_dedup_keep(df, pairs, "doc_id").collect()
     )
     assert kept == [1, 9]
+
+
+def test_component_representatives_picks_highest_score_then_lowest_id(spark):
+    from proyecto_final_de_big_data_spark.operators.graph import (
+        component_representatives,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (10, 1), (11, 2), (99, 7)],
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    reps = {
+        r["component"]: (r["kept_id"], r["kept_score"], r["n_docs"])
+        for r in component_representatives(df, pairs, "doc_id", "score").collect()
+    }
+    # component 1 = {1,2,3,4}: top score 30 shared by 2 and 3 -> lowest id 2
+    # component 10 = {10,11}: 11 wins on score
+    assert reps == {1: (2, 30, 4), 10: (11, 2, 2)}
+
+
+def test_cluster_dedup_keep_best_vs_keep_min(spark):
+    from proyecto_final_de_big_data_spark.operators.graph import (
+        cluster_dedup_keep_best,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (99, 7)],
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in cluster_dedup_keep_best(df, pairs, "doc_id", "score").collect()
+    )
+    # keep-min would keep doc 1; keep-best keeps 2 (score 30, lowest id
+    # among the tied); untouched doc 99 survives either way.
+    assert kept == [2, 99]
+
+
+def test_cluster_dedup_keep_best_no_pairs_is_identity(spark):
+    from proyecto_final_de_big_data_spark.operators.graph import (
+        cluster_dedup_keep_best,
+    )
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, score long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert cluster_dedup_keep_best(df, pairs, "doc_id", "score").count() == 2

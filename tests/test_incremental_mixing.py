@@ -191,3 +191,61 @@ def test_incremental_dedup_reuses_digest_schema_unchanged(spark):
     out = incremental_dedup(batch, hist, ["text"], "id")
     assert out.columns == ["id", "text"]  # no __digest leakage
     assert sorted(r["id"] for r in out.collect()) == [11]
+
+
+def test_cap_per_group_exercises_both_branches(spark):
+    from proyecto_final_de_big_data_spark.operators.mixing import cap_per_group
+
+    rows = [("big", i, 100 - i) for i in range(10)] + [("small", 100 + i, i) for i in range(3)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, score long")
+    kept = cap_per_group(df, "src", "doc_id", 5, "score").collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["src"], []).append(r["doc_id"])
+    # over-cap group keeps its 5 best scores (ids 0..4 have scores 100..96)
+    assert sorted(by_src["big"]) == [0, 1, 2, 3, 4]
+    # under-cap group passes through untouched
+    assert sorted(by_src["small"]) == [100, 101, 102]
+
+
+def test_cap_per_group_tie_breaks_by_id_and_no_score(spark):
+    from proyecto_final_de_big_data_spark.operators.mixing import cap_per_group
+
+    df = spark.createDataFrame(
+        [("a", 5, 1), ("a", 3, 1), ("a", 9, 1), ("a", 1, 1)],
+        "src string, doc_id long, score long",
+    )
+    # all scores tied -> lowest ids win
+    assert sorted(
+        r["doc_id"] for r in cap_per_group(df, "src", "doc_id", 2, "score").collect()
+    ) == [1, 3]
+    # no score at all -> pure ascending-id cap
+    assert sorted(
+        r["doc_id"] for r in cap_per_group(df, "src", "doc_id", 3).collect()
+    ) == [1, 3, 5]
+
+
+def test_cap_per_group_null_group_is_a_group(spark):
+    from proyecto_final_de_big_data_spark.operators.mixing import cap_per_group
+
+    df = spark.createDataFrame(
+        [(None, 1, 9), (None, 2, 8), (None, 3, 7), ("x", 4, 1)],
+        "src string, doc_id long, score long",
+    )
+    kept = cap_per_group(df, "src", "doc_id", 2, "score").collect()
+    assert sorted(r["doc_id"] for r in kept if r["src"] is None) == [1, 2]
+    assert sorted(r["doc_id"] for r in kept if r["src"] == "x") == [4]
+
+
+def test_cap_per_group_multi_column_group(spark):
+    from proyecto_final_de_big_data_spark.operators.mixing import cap_per_group
+
+    df = spark.createDataFrame(
+        [("a", "en", 1, 5), ("a", "en", 2, 6), ("a", "de", 3, 1), ("b", "en", 4, 1)],
+        "src string, lang string, doc_id long, score long",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in cap_per_group(df, ["src", "lang"], "doc_id", 1, "score").collect()
+    )
+    assert kept == [2, 3, 4]

@@ -263,3 +263,35 @@ def test_lm_vocab_topk_and_broadcast_scoring(spark, sf_dir):
     assert "SortMergeJoin" not in score_plan
     # per-doc partial aggregation before the exchange
     assert score_plan.count("HashAggregate") >= 2
+
+
+def test_cap_per_group_sorts_only_over_cap_groups(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "source_cap_profile")
+    # both split probes are broadcast (the over-cap group set is tiny)
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "BroadcastHashJoin LeftSemi" in plan
+    # Spark's rank-limit pushdown pre-prunes each map partition to the
+    # cap before the window shuffle — the property that keeps the sorted
+    # slice bounded at scale
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    # the under-cap (anti) branch must not sort: in the plan tree the
+    # Union's non-last (anti) branch lines carry a ':' continuation
+    # marker, so a Sort on a ':'-marked line would mean the passthrough
+    # branch started sorting. Every Sort must live in the semi branch's
+    # window/WindowGroupLimit pipeline (unmarked last-child lines).
+    tree = plan.split("\n\n")[0]
+    for ln in tree.splitlines():
+        if "Sort" in ln:
+            assert ":" not in ln.split("Sort")[0], f"sort in passthrough branch: {ln}"
+
+
+def test_keep_best_winner_window_is_component_partitioned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cluster_keep_best_profile")
+    # every window in the plan partitions BY component — never the
+    # unpartitioned-window straggler shape
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs, "expected winner-selection windows in the plan"
+    assert all(s.startswith("component") for s in specs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -46,6 +46,8 @@ def test_window_covers_every_family():
         "snapshot_diff_profile",     # dataset-versioning audit
         "cube_returnflag_status",    # grouping sets (ROLLUP twin rotated out)
         "near_dup_clusters",         # dedup (pairs -> components)
+        "cluster_keep_best_profile",  # quality-aware keep-best dedup
+        "source_cap_profile",        # per-domain contribution cap
         "incremental_dedup_profile",  # batch-vs-corpus incremental dedup
         "temperature_mix_profile",   # temperature-scaled stratum mixing
         "curate_documents_contract",  # composed curation pipeline
