@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drop-repetitive", action="store_true")
     p.add_argument("--dedup", default="exact", choices=["exact", "incremental", "none"])
     p.add_argument("--historical", default=None, help="ingested-corpus parquet (incremental dedup)")
+    p.add_argument("--cap-group-cols", default=None, help="comma list (e.g. source,lang) — enables the hard per-group cap")
+    p.add_argument("--cap-max", type=int, default=0, help="max rows kept per cap group")
+    p.add_argument("--cap-score-col", default=None, help="keep highest values first (default: lowest ids)")
     p.add_argument("--mix-stratum-col", default=None, help="e.g. lang — enables temperature mixing")
     p.add_argument("--mix-alpha", type=float, default=0.5)
     p.add_argument("--split", default="train=0.9,eval=0.1", help="'none' to skip")
@@ -213,6 +216,13 @@ def cmd_curate(args, log) -> int:
         min_quality=args.min_quality,
         drop_repetitive=args.drop_repetitive,
         dedup=args.dedup,
+        cap_group_cols=(
+            [c.strip() for c in args.cap_group_cols.split(",") if c.strip()]
+            if args.cap_group_cols
+            else None
+        ),
+        cap_max_rows=args.cap_max,
+        cap_score_col=args.cap_score_col,
         mix_stratum_col=args.mix_stratum_col,
         mix_alpha=args.mix_alpha,
         split_fractions=split,

@@ -1,8 +1,8 @@
 """Document-curation pipeline: the training-data analogue of the
 trips ETL (``pipelines/etl.py``) — compose the curation operators into
 one configured pass: PII redaction → quality/repetition filtering →
-dedup (exact or incremental vs an ingested corpus) → temperature
-mixing → deterministic split.
+dedup (exact or incremental vs an ingested corpus) → per-group
+contribution cap → temperature mixing → deterministic split.
 
 Stage order is load-bearing for scale: the projection-only stages
 (PII regexes, repetition signals, quality score — all fused into the
@@ -26,9 +26,10 @@ own the release differently:
 
 Every stage is individually oracle-gated by its own registry query
 (pii_redaction_profile, repetition_profile, dedup_exact_*,
-incremental_dedup_profile, temperature_mix_profile,
-doc_hash_split_profile); the composition itself is gated end-to-end by
-curate_documents_contract.
+incremental_dedup_profile, source_cap_profile,
+temperature_mix_profile, doc_hash_split_profile); the composition
+itself is gated end-to-end by curate_documents_contract (which runs
+with the cap stage enabled).
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import exact_dedup, incremental_dedup
-from ..operators.mixing import temperature_mix
+from ..operators.mixing import cap_per_group, temperature_mix
 from ..operators.pii import redact_pii
 from ..operators.quality import with_repetition_stats
 from ..operators.split import hash_split
@@ -56,6 +57,13 @@ class CurationConfig:
     min_quality: float | None = None  # drop docs scoring below (0..1)
     drop_repetitive: bool = False
     dedup: str = "exact"  # "exact" | "incremental" | "none"
+    # hard per-group contribution cap (Gopher-style per-domain bound),
+    # applied to dedup survivors BEFORE mixing: the cap bounds what any
+    # one source may contribute; mixing then rescales strata on the
+    # capped corpus. cap_score_col=None caps by ascending id.
+    cap_group_cols: list[str] | None = None
+    cap_max_rows: int = 0
+    cap_score_col: str | None = None
     mix_stratum_col: str | None = None
     mix_alpha: float = 0.5
     split_fractions: dict[str, float] | None = field(
@@ -80,6 +88,9 @@ def build_curation(
         raise ValueError(f"unknown dedup mode {cfg.dedup!r}; use {_DEDUP_MODES}")
     if cfg.dedup == "incremental" and historical is None:
         raise ValueError("dedup='incremental' requires a historical frame")
+    cap_active = bool(cfg.cap_group_cols)
+    if cap_active and cfg.cap_max_rows < 1:
+        raise ValueError("cap_group_cols requires cap_max_rows >= 1")
 
     pinned: list[DataFrame] = []
 
@@ -100,17 +111,26 @@ def build_curation(
     if cfg.drop_repetitive:
         out = with_repetition_stats(out, cfg.text_col).filter(~F.col("repetitive"))
         out = out.drop("distinct_word_ratio", "distinct_bigram_ratio", "repetitive")
-    if cfg.dedup != "none" or cfg.mix_stratum_col is not None:
-        out = _pin(out)  # dedup (or mixing) reads this twice
+    if cfg.dedup != "none" or cap_active or cfg.mix_stratum_col is not None:
+        out = _pin(out)  # the first multi-reference stage reads this 2-3×
     if cfg.dedup == "exact":
         out = exact_dedup(out, [cfg.text_col], cfg.id_col)
     elif cfg.dedup == "incremental":
         out = incremental_dedup(out, historical, [cfg.text_col], cfg.id_col)
-    if cfg.mix_stratum_col is not None:
+    if cap_active:
         if cfg.dedup != "none":
-            # Mixing reads the DEDUP OUTPUT twice; its rates branch
-            # prunes columns differently from its keep branch, so Spark
-            # does not unify the duplicate dedup subplans — pin it too.
+            # The cap reads the DEDUP OUTPUT three times (count pass +
+            # both split probes); Spark does not unify the duplicate
+            # dedup subplans — pin it.
+            out = _pin(out)
+        out = cap_per_group(
+            out, cfg.cap_group_cols, cfg.id_col, cfg.cap_max_rows, cfg.cap_score_col
+        )
+    if cfg.mix_stratum_col is not None:
+        if cfg.dedup != "none" or cap_active:
+            # Mixing reads ITS input twice; its rates branch prunes
+            # columns differently from its keep branch, so the upstream
+            # subplans would otherwise run twice — pin it too.
             out = _pin(out)
         out = temperature_mix(
             out, cfg.mix_stratum_col, cfg.id_col, alpha=cfg.mix_alpha

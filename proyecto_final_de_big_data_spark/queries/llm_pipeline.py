@@ -1065,18 +1065,18 @@ def _curate_oracle() -> str:
     case = split_case_sql("doc_id", {"train": 0.9, "eval": 0.1})
     return f"""
     WITH red AS (
-        SELECT doc_id, lang,
+        SELECT doc_id, lang, source,
                regexp_replace(regexp_replace(regexp_replace(text,
                    '{em}', '{em_t}', 'g'),
                    '{ip}', '{ip_t}', 'g'),
                    '{ph}', '{ph_t}', 'g') AS t
         FROM documents
     ), rep AS (
-        SELECT doc_id, lang, t,
+        SELECT doc_id, lang, source, t,
                list_filter(string_split_regex(t, '\\s+'), x -> len(x) > 0) AS w
         FROM red
     ), kept AS (
-        SELECT doc_id, lang, t FROM rep
+        SELECT doc_id, lang, source, t FROM rep
         WHERE NOT coalesce(
             (CASE WHEN len(w) > 0
                   THEN len(list_distinct(w))::DOUBLE / len(w) END) < 0.4
@@ -1089,8 +1089,14 @@ def _curate_oracle() -> str:
     ), dedup AS (
         SELECT * FROM kept
         WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(t))
+    ), capped AS (
+        SELECT doc_id, lang, t FROM (
+            SELECT doc_id, lang, t,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM dedup
+        ) WHERE rn <= 15
     ), c AS (
-        SELECT lang, count(*) AS n FROM dedup GROUP BY 1
+        SELECT lang, count(*) AS n FROM capped GROUP BY 1
     ), m AS (
         SELECT min(n) AS n_min FROM c
     ), r AS (
@@ -1099,7 +1105,7 @@ def _curate_oracle() -> str:
         FROM c, m
     ), mixed AS (
         SELECT d.doc_id, d.lang, d.t
-        FROM dedup d JOIN r ON d.lang = r.lang
+        FROM capped d JOIN r ON d.lang = r.lang
         WHERE {hash_band_sql("d.doc_id")} < r.scaled
     )
     SELECT split, count(*) AS n_docs, sum(len(t))::BIGINT AS total_chars,
@@ -1114,19 +1120,25 @@ def _curate_oracle() -> str:
     oracle=_curate_oracle(),
     description="End-to-end contract for the composed curation pipeline "
     "(pipelines/curation.py): PII redact -> repetition filter -> exact dedup "
-    "-> temperature-0.5 language mixing -> deterministic 90/10 split, "
-    "profiled per split. The oracle replays EVERY stage in the same order "
-    "(stage order is semantic: docs differing only in PII must collapse in "
-    "dedup; mixing rates are computed on dedup survivors). Each stage also "
-    "carries its own isolated gate query; this one pins the composition.",
+    "-> per-source cap (15, ascending-id keep) -> temperature-0.5 language "
+    "mixing -> deterministic 90/10 split, profiled per split. The oracle "
+    "replays EVERY stage in the same order (stage order is semantic: docs "
+    "differing only in PII must collapse in dedup; the cap bounds dedup "
+    "survivors; mixing rates are computed on the CAPPED corpus). Each stage "
+    "also carries its own isolated gate query; this one pins the "
+    "composition.",
 )
 def q_curate_documents_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipelines.curation import CurationConfig, curate_documents
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
     cfg = CurationConfig(
         drop_repetitive=True,
         dedup="exact",
+        cap_group_cols=["source"],
+        cap_max_rows=15,
         mix_stratum_col="lang",
         mix_alpha=0.5,
         split_fractions={"train": 0.9, "eval": 0.1},

@@ -172,3 +172,52 @@ def test_tfidf_caller_supplied_n_docs_matches(spark):
     auto = top_terms_by_tfidf(df, "grp", k=3)
     manual = top_terms_by_tfidf(df, "grp", k=3, n_docs=3)
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, manual.collect()))
+
+
+def test_curate_cap_stage_bounds_each_group(spark):
+    df = spark.createDataFrame(
+        [(i, f"unique document number {i} with plenty of words", "s1" if i < 8 else "s2")
+         for i in range(10)],
+        ["doc_id", "text", "src"],
+    )
+    cfg = CurationConfig(
+        redact_pii=False,
+        dedup="none",
+        cap_group_cols=["src"],
+        cap_max_rows=3,
+        split_fractions=None,
+    )
+    out = curate_documents(df, cfg).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r["doc_id"])
+    # over-cap s1 (8 docs) capped to its 3 lowest ids; under-cap s2 intact
+    assert sorted(by_src["s1"]) == [0, 1, 2]
+    assert sorted(by_src["s2"]) == [8, 9]
+
+
+def test_curate_cap_requires_positive_max(spark):
+    cfg = CurationConfig(cap_group_cols=["lang"], cap_max_rows=0)
+    with pytest.raises(ValueError, match="cap_max_rows"):
+        curate_documents(_docs(spark), cfg)
+
+
+def test_cli_curate_with_cap(spark, tmp_path):
+    from proyecto_final_de_big_data_spark.cli import main
+
+    out_root = str(tmp_path / "capped")
+    rc = main(
+        [
+            "curate",
+            "--master", "local[2]",
+            "--input", f"{SF}/documents.parquet",
+            "--output", out_root,
+            "--cap-group-cols", "source",
+            "--cap-max", "5",
+            "--split", "none",
+        ]
+    )
+    assert rc == 0
+    back = spark.read.parquet(out_root)
+    per_src = back.groupBy("source").count().collect()
+    assert per_src and all(r["count"] <= 5 for r in per_src)
