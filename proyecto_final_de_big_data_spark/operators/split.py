@@ -80,6 +80,47 @@ def split_case_sql(key_sql: str, fractions: dict[str, float], out: str = "split"
     return "CASE " + " ".join(parts) + f" ELSE '{labels[-1][0]}' END AS {out}"
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    out: str = "split",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Leakage-safe split at near-duplicate-CLUSTER granularity.
+
+    ``hash_split`` keyed on the document id still lets two NEAR-duplicate
+    documents land in different splits — the classic train/eval leak that
+    inflates held-out metrics (an eval doc whose 95%-identical twin was
+    trained on). Here the split key is the connected component of the
+    near-dup pair graph: every member of a dup cluster receives the split
+    of its component label (the cluster's minimum id), so a cluster is
+    atomically train OR eval; docs with no near-dup split by their own id
+    as before.
+
+    ``pairs`` is any near-dup edge list — exact n-gram Jaccard,
+    MinHash-LSH, SimHash, or embedding-cosine pairs all produce the
+    ``(id_a, id_b)`` shape this consumes.
+
+    Scale shape: components run on the EDGE LIST only (dedup-pair scale,
+    orders of magnitude below corpus scale); the one corpus-side cost is
+    a single equi-join of the component map onto ``df``, which AQE
+    broadcasts whenever the dup set is small. The split itself stays a
+    pure projection of the joined key — deterministic across runs,
+    partitionings, and engines (same md5 banding as ``hash_split``).
+    """
+    from .graph import connected_components
+
+    comp = connected_components(pairs, src, dst).select(
+        F.col("node").alias(id_col), F.col("component").alias("__cs_component")
+    )
+    joined = df.join(comp, id_col, "left")
+    key = F.coalesce(F.col("__cs_component"), F.col(id_col))
+    return joined.withColumn(out, split_column(key, fractions)).drop("__cs_component")
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key: str,

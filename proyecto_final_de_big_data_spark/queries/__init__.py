@@ -116,7 +116,12 @@ _VERIFICATION_WINDOW = [
     "pack_chunks_profile",
     "decontamination_profile",
     "minhash_recall",
-    "simhash_banding_lossless",
+    # simhash_banding_lossless (r3+r4 green, operators/simhash.py
+    # unchanged since r3) rotates out for cluster_safe_split_profile —
+    # the leakage-safe cluster-keyed split (round-5 addition, new gate
+    # rotates in the round it lands); the near-dup contract family keeps
+    # minhash_recall + embedding_near_dup_recall in-window.
+    "cluster_safe_split_profile",
     "embedding_near_dup_recall",
     # curation_pipeline_profile (r4-green, unchanged) rotates out for its
     # superset: curate_documents_contract replays the FULL composed

@@ -780,6 +780,86 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_split_oracle() -> str:
+    from ..operators.split import split_case_sql
+
+    case = split_case_sql(
+        "coalesce(c.component, d.doc_id)", {"train": 0.9, "eval": 0.1}
+    )
+    return rf"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS w
+        FROM documents WHERE doc_id < 500
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(w) >= 3 THEN
+                       list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [text] END
+               ) AS sh
+        FROM toks
+    ), prs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION
+        SELECT id_b, id_a FROM prs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+        SELECT a AS node, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+    FROM (
+        SELECT d.doc_id, d.n_chars, {case}
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        WHERE d.doc_id < 500
+    ) d
+    GROUP BY split
+    """
+
+
+@register(
+    "cluster_safe_split_profile",
+    oracle=_cluster_split_oracle(),
+    description="Leakage-safe train/eval split (operators/split.py "
+    "cluster_safe_split): the word-3-gram Jaccard pair graph (threshold "
+    "0.5, doc_id < 500 — the exact pair set near_dup_clusters pins) is "
+    "contracted to connected components, and the 90/10 md5-band split is "
+    "keyed on the COMPONENT label so near-duplicates can never straddle "
+    "train and eval. The oracle recomputes components via recursive-CTE "
+    "transitive closure and restates the identical coalesce(component, "
+    "doc_id) CASE banding; per-split doc counts, char sums, and id sums "
+    "pin the exact membership, so a single doc split by its own id "
+    "instead of its cluster's breaks the hash. At corpus scale the same "
+    "operator consumes MinHash-LSH pairs: components run at edge-list "
+    "scale and the corpus pays one AQE-broadcastable equi-join.",
+)
+def q_cluster_safe_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_pairs_hashed_index
+    from ..operators.split import cluster_safe_split
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = jaccard_pairs_hashed_index(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    split = cluster_safe_split(docs, pairs, "doc_id", {"train": 0.9, "eval": 0.1})
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 _STRATA_FRACTIONS = {"en": 0.1, "zh": 0.5, "de": 1.0}
 
 

@@ -131,3 +131,51 @@ def test_cluster_dedup_keep_best_no_pairs_is_identity(spark):
     df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, score long")
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert cluster_dedup_keep_best(df, pairs, "doc_id", "score").count() == 2
+
+
+# ---------------------------------------------------------------- split
+
+
+def test_cluster_safe_split_keeps_clusters_together(spark):
+    from proyecto_final_de_big_data_spark.operators.split import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    # 40 docs; docs (4k, 4k+1, 4k+2) form a near-dup chain, 4k+3 is a
+    # singleton — every cluster must land whole in one split.
+    docs = spark.createDataFrame([(i, i * 10) for i in range(40)], "doc_id long, n long")
+    pairs = spark.createDataFrame(
+        [(4 * k, 4 * k + 1) for k in range(10)]
+        + [(4 * k + 1, 4 * k + 2) for k in range(10)],
+        "id_a long, id_b long",
+    )
+    out = cluster_safe_split(docs, pairs, "doc_id", {"train": 0.5, "eval": 0.5})
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(rows) == set(range(40))  # left join keeps every doc
+    for k in range(10):
+        assert rows[4 * k] == rows[4 * k + 1] == rows[4 * k + 2]
+    # cluster members carry the COMPONENT label's split, singletons
+    # their own — i.e. member 4k+2 matches hash_split of key 4k, and
+    # singleton 4k+3 matches hash_split of its own id.
+    own = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", {"train": 0.5, "eval": 0.5}).collect()
+    }
+    for k in range(10):
+        assert rows[4 * k + 2] == own[4 * k]
+        assert rows[4 * k + 3] == own[4 * k + 3]
+
+
+def test_cluster_safe_split_empty_pairs_degenerates_to_hash_split(spark):
+    from proyecto_final_de_big_data_spark.operators.split import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    fr = {"train": 0.8, "eval": 0.2}
+    a = {r["doc_id"]: r["split"] for r in cluster_safe_split(docs, pairs, "doc_id", fr).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", fr).collect()}
+    assert a == b
