@@ -164,6 +164,103 @@ def temperature_mix(
     )
 
 
+def epoch_weights(df: DataFrame, stratum_col: str, alpha: float = 0.5) -> DataFrame:
+    """Per-stratum REPEAT factors for temperature-``alpha`` upsampling:
+    ``(stratum_col, n_docs, w_scaled)`` with
+    ``w_scaled = round(1e6 * (n_s / n_max)^(alpha-1))``.
+
+    Normalized so the LARGEST stratum trains exactly one epoch and every
+    rarer stratum repeats ``>= 1`` times — the mirror image of
+    :func:`temperature_rates` (which keeps the rarest at 100% and throws
+    data away). Upsampling preserves every document; the cost moves from
+    discarded data to corpus volume, which is the trade training
+    pipelines usually want for low-resource strata.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    nmax = counts.agg(F.max("n_docs").alias("n_max"))
+    return (
+        counts.crossJoin(F.broadcast(nmax))
+        .withColumn(
+            "w_scaled",
+            F.round(
+                F.lit(float(_RESOLUTION))
+                * F.pow(F.col("n_docs") / F.col("n_max"), F.lit(alpha - 1.0)),
+                0,
+            ).cast("long"),
+        )
+        .drop("n_max")
+    )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    alpha: float | None = 0.5,
+    weights: dict[str, float] | None = None,
+    out: str = "epoch",
+) -> DataFrame:
+    """Deterministic fractional-epoch resampling: each row of stratum
+    ``s`` with repeat factor ``w_s`` is emitted ``floor(w_s)`` times,
+    plus one more for the hash-band fraction ``frac(w_s)`` of rows —
+    so the stratum's expected volume is exactly ``w_s × n_s`` and the
+    realized copy count per ROW is a pure function of its key. The
+    ``out`` column numbers the copies 1..n (the "epoch" index) so
+    downstream packing/shuffling can interleave epochs.
+
+    Two modes: ``alpha`` derives ``w_s = (n_s/n_max)^(alpha-1) >= 1``
+    from the corpus (one aggregation + broadcast — see
+    :func:`epoch_weights`); an explicit ``weights`` dict maps strata to
+    arbitrary factors with absent strata defaulting to 1.0, and factors
+    BELOW 1 degrade gracefully to deterministic downsampling (0 full
+    copies + fractional keep) — one operator expresses the whole
+    up/down mixing plan.
+
+    Scale shape: the explode multiplies row COUNT before any wide op,
+    but adds no shuffle — weights arrive by broadcast (or a literal
+    when-chain in dict mode), the copy decision is the same exact-integer
+    band as :func:`temperature_mix`, and ``sequence(1, n)`` is only
+    evaluated after an ``n >= 1`` filter (``sequence`` infers a NEGATIVE
+    step when start > stop, so an unguarded ``sequence(1, 0)`` would
+    emit [1, 0] — two phantom copies — instead of zero rows).
+    Materializing epochs at curation time is deliberate: the written
+    corpus is exactly what the trainer reads, with no sampling state
+    smuggled into the training loop.
+    """
+    if (weights is None) == (alpha is None):
+        raise ValueError("pass exactly one of alpha= or weights=")
+    if weights is None:
+        rates = epoch_weights(df, stratum_col, alpha).select(
+            F.col(stratum_col).alias("__stratum"), "w_scaled"
+        )
+        joined = df.join(
+            F.broadcast(rates),
+            F.col(stratum_col).eqNullSafe(F.col("__stratum")),
+        ).drop("__stratum")
+    else:
+        if any(w < 0 for w in weights.values()):
+            raise ValueError("repeat factors must be >= 0")
+        w_col = None
+        for s, w in weights.items():
+            scaled = F.lit(int(round(w * _RESOLUTION)))
+            cond = F.col(stratum_col) == F.lit(s)
+            w_col = F.when(cond, scaled) if w_col is None else w_col.when(cond, scaled)
+        w_col = F.lit(_RESOLUTION) if w_col is None else w_col.otherwise(F.lit(_RESOLUTION))
+        joined = df.withColumn("w_scaled", w_col)
+    frac = F.col("w_scaled") % F.lit(_RESOLUTION)
+    # (w - frac) is an exact multiple of RESOLUTION, so the double
+    # division is exact and the cast loses nothing (same limb split as
+    # hash_band above).
+    full = ((F.col("w_scaled") - frac) / F.lit(_RESOLUTION)).cast("long")
+    n = full + (key_band(df, key_col) < frac).cast("long")
+    return (
+        joined.withColumn("__n", n)
+        .filter(F.col("__n") >= 1)
+        .withColumn(out, F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n"))))
+        .drop("__n", "w_scaled")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: list[str] | str,

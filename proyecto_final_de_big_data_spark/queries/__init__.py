@@ -122,7 +122,13 @@ _VERIFICATION_WINDOW = [
     # rotates in the round it lands); the near-dup contract family keeps
     # minhash_recall + embedding_near_dup_recall in-window.
     "cluster_safe_split_profile",
-    "embedding_near_dup_recall",
+    # embedding_near_dup_recall (r3+r4 green, operators/similarity_ann.py
+    # unchanged since r3) rotates out for epoch_upsample_profile — the
+    # data-preserving epoch-weighting mirror of temperature mixing
+    # (round-5 addition, new gate rotates in the round it lands); the
+    # embedding near-dup surface keeps knn_ann_ivf_recall +
+    # semantic_dedup_profile in-window.
+    "epoch_upsample_profile",
     # curation_pipeline_profile (r4-green, unchanged) rotates out for its
     # superset: curate_documents_contract replays the FULL composed
     # pipeline (PII redact -> repetition filter -> exact dedup ->

@@ -1136,6 +1136,64 @@ def q_temperature_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _epoch_oracle() -> str:
+    from ..operators.mixing import hash_band_sql
+
+    band = hash_band_sql("d.doc_id")
+    return f"""
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    m AS (SELECT max(n_docs) AS n_max FROM c),
+    r AS (SELECT lang,
+                 CAST(round(1000000 * pow(n_docs::DOUBLE / n_max, -0.5), 0)
+                      AS BIGINT) AS w
+          FROM c, m),
+    e AS (
+        SELECT d.lang, d.doc_id, d.n_chars,
+               (r.w - r.w % 1000000) / 1000000
+                 + CASE WHEN {band} < r.w % 1000000 THEN 1 ELSE 0 END AS n
+        FROM documents d JOIN r ON d.lang = r.lang
+    ),
+    x AS (
+        SELECT lang, doc_id, n_chars,
+               unnest(range(1, CAST(n AS BIGINT) + 1)) AS epoch
+        FROM e WHERE n >= 1
+    )
+    SELECT lang, count(*) AS n_rows,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(max(epoch) AS BIGINT) AS max_epoch,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM x GROUP BY lang
+    """
+
+
+@register(
+    "epoch_upsample_profile",
+    oracle=_epoch_oracle(),
+    description="Temperature-alpha=0.5 EPOCH UPSAMPLING "
+    "(operators/mixing.py epoch_upsample): repeat factor "
+    "(n_lang/n_max)^(alpha-1) >= 1 normalized so the largest language "
+    "trains one epoch; each doc is emitted floor(w) times plus one more "
+    "for the Knuth-hash-band fraction of keys, numbered by an epoch "
+    "column — the data-preserving mirror of temperature_mix (which "
+    "discards). The oracle restates the integer limb-split and band "
+    "arithmetic and replays the explode via unnest(range), so a wrong "
+    "copy count for a single doc breaks the hash. No shuffle beyond the "
+    "one stratum-count aggregation + broadcast; sequence() is guarded "
+    "against its descending-step inference.",
+)
+def q_epoch_upsample_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixing import epoch_upsample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    up = epoch_upsample(docs, "lang", "doc_id", alpha=0.5)
+    return up.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("epoch").alias("max_epoch"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def _curate_oracle() -> str:
     from ..operators.mixing import hash_band_sql
     from ..operators.pii import PII_PATTERNS

@@ -249,3 +249,75 @@ def test_cap_per_group_multi_column_group(spark):
         for r in cap_per_group(df, ["src", "lang"], "doc_id", 1, "score").collect()
     )
     assert kept == [2, 3, 4]
+
+
+# ------------------------------------------------------- epoch upsample
+
+
+def _band_py(key: int) -> int:
+    span, res = 1_000_000_000_000, 1_000_000
+    k = key % span
+    return (k % res * 2654435761 + k // res * 1999999973) % res
+
+
+def test_epoch_upsample_alpha_preserves_every_doc(spark):
+    from proyecto_final_de_big_data_spark.operators.mixing import epoch_upsample
+
+    # 'big' 40 docs (1 epoch exactly), 'rare' 10 docs (w = 4^0.5 = 2.0)
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "rare") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = epoch_upsample(df, "lang", "doc_id", alpha=0.5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert set(by_doc) == {i for i in range(40)} | {100 + i for i in range(10)}
+    for i in range(40):
+        assert by_doc[i] == [1]  # largest stratum: exactly one epoch
+    for i in range(10):
+        assert sorted(by_doc[100 + i]) == [1, 2]  # w=2.0 exact: two epochs
+
+
+def test_epoch_upsample_fractional_weight_matches_band(spark):
+    from proyecto_final_de_big_data_spark.operators.mixing import epoch_upsample
+
+    df = spark.createDataFrame([(i, "s") for i in range(200)], "doc_id long, lang string")
+    out = epoch_upsample(df, "lang", "doc_id", alpha=None, weights={"s": 2.25}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for i in range(200):
+        want = 2 + (1 if _band_py(i) < 250_000 else 0)
+        assert sorted(by_doc[i]) == list(range(1, want + 1)), i
+    n3 = sum(1 for v in by_doc.values() if len(v) == 3)
+    assert 0 < n3 < 200  # the fractional band actually splits the stratum
+
+
+def test_epoch_upsample_subunit_weight_downsamples(spark):
+    from proyecto_final_de_big_data_spark.operators.mixing import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "thin") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    out = epoch_upsample(df, "lang", "doc_id", alpha=None, weights={"thin": 0.3}).collect()
+    kept_thin = {r["doc_id"] for r in out if r["lang"] == "thin"}
+    assert kept_thin == {
+        i for i in range(0, 200, 2) if _band_py(i) < 300_000
+    }  # w<1: 0 full copies + deterministic fractional keep
+    assert all(r["epoch"] == 1 for r in out)
+    # absent stratum defaults to weight 1.0 — untouched
+    assert sum(1 for r in out if r["lang"] == "keep") == 100
+
+
+def test_epoch_upsample_argument_validation(spark):
+    import pytest as _pytest
+
+    from proyecto_final_de_big_data_spark.operators.mixing import epoch_upsample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+    with _pytest.raises(ValueError, match="exactly one"):
+        epoch_upsample(df, "lang", "doc_id", alpha=0.5, weights={"a": 2.0})
+    with _pytest.raises(ValueError, match="exactly one"):
+        epoch_upsample(df, "lang", "doc_id", alpha=None, weights=None)
+    with _pytest.raises(ValueError, match=">= 0"):
+        epoch_upsample(df, "lang", "doc_id", alpha=None, weights={"a": -1.0})
