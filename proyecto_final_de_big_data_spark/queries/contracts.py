@@ -344,3 +344,42 @@ def q_quarter_resolution_contract(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "compaction_contract",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           TRUE AS fewer_files,
+           TRUE AS plan_matched
+    FROM documents
+    """,
+    description="Small-file compaction (io/compact.py) through the gate: the "
+    "documents table is deliberately fragmented into 48 task-sized parquet "
+    "files, then compacted to ceil(bytes/target) files via the one budgeted "
+    "round-robin shuffle. The compacted copy must read back with the exact "
+    "row count and char sum the oracle computes from the ORIGINAL table "
+    "(lossless rewrite), the output file count must be strictly below the "
+    "fragment count, and the written count must equal the byte-planned "
+    "count — a codec/plan drift flips plan_matched and breaks the hash.",
+)
+def q_compaction_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.compact import compact_dataset
+
+    frag = tempfile.mkdtemp(prefix="compact_frag_")
+    out = tempfile.mkdtemp(prefix="compact_out_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(48).write.mode("overwrite").parquet(frag)
+    report = compact_dataset(spark, frag, out, target_file_bytes=32 * 1024 * 1024)
+    shutil.rmtree(frag, ignore_errors=True)  # out stays: the return reads it lazily
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("total_chars"),
+    ).select(
+        "n_rows",
+        "total_chars",
+        F.lit(report.n_written_files < report.n_input_files).alias("fewer_files"),
+        F.lit(report.n_written_files == report.n_planned_files).alias("plan_matched"),
+    )
