@@ -64,6 +64,60 @@ def snapshot_diff(
     return joined.select(F.col(id_col), status.alias("status"))
 
 
+# 2^61: headroom so a per-row fold (< 2^60) times any realistic group
+# size sums inside DECIMAL(38,0) and the reduced value still fits BIGINT.
+_CHECKSUM_MOD = 1 << 61
+
+
+def release_manifest(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    id_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Content-addressed release audit: one row per group with
+    ``(group_cols..., n_rows, id_sum, content_checksum)``.
+
+    The checksum is an ORDER-INSENSITIVE reduction of per-row content
+    digests — each row's ``content_digest`` folds to an integer (first
+    15 md5 hex chars) and the group sums them mod 2^61 — so two
+    independently produced copies of a release (different engine, run,
+    partitioning, row order) agree on the checksum iff they agree on
+    the multiset of row contents. This is the publish-side complement
+    of :func:`snapshot_diff`: diff tells you WHAT moved between two
+    snapshots you hold; the manifest is the portable fingerprint you
+    ship WITH a release so a consumer can verify their copy without
+    ever seeing yours.
+
+    Scale shape: one map-side-combined aggregation over a pure
+    projection (md5 + substring + integer fold) — no joins, no second
+    pass, payload never shuffles beyond the grouped partial sums. The
+    fold is exact-integer end to end (DECIMAL(38,0) partial sums), so
+    any SQL engine can restate it verbatim — no float drift surface.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    folded = F.conv(
+        F.substring(content_digest(content_cols), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    return df.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(id_col).cast("decimal(38,0)")).cast("long").alias("id_sum"),
+        F.pmod(F.sum(folded), F.lit(_CHECKSUM_MOD).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("content_checksum"),
+    )
+
+
+def content_checksum_sql(digest_sql: str) -> str:
+    """DuckDB twin of the manifest checksum for a given digest
+    expression (e.g. ``md5(text)``) — HUGEINT partial sums, same 2^61
+    reduction."""
+    return (
+        f"CAST(sum((('0x' || substr({digest_sql}, 1, 15))::BIGINT)::HUGEINT)"
+        f" % {_CHECKSUM_MOD} AS BIGINT)"
+    )
+
+
 def snapshot_diff_summary(
     old: DataFrame,
     new: DataFrame,

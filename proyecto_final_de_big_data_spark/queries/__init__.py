@@ -66,7 +66,12 @@ from . import quality  # noqa: E402,F401
 _VERIFICATION_WINDOW = [
     # marts / aggregations (SURVEY §2.4)
     "kpis",
-    "outlier_clipped_kpis",
+    # outlier_clipped_kpis (r2+r3+r4 green, operators/clean.py unchanged
+    # since r4) rotates out for compaction_contract — the small-file
+    # compaction maintenance pass (round-5 addition, new gate rotates in
+    # the round it lands); the one-pass quantile family keeps
+    # approx_quantile_contract (same operator file) in-window.
+    "compaction_contract",
     # dashboard-derived analytics + semi-structured / sketch surfaces.
     # weighted_avg_price_by_priority (r2+r4 green, rollup.py unchanged
     # this round) rotates out for text_quality_classifier_contract —
@@ -74,13 +79,18 @@ _VERIFICATION_WINDOW = [
     # cumulative_hour_share multi-round-green behind the window and the
     # D2 operator is unchanged.
     "salted_event_type_stats",
-    "event_props_json_profile",
+    # event_props_json_profile (r3+r4 green, its JSON-function query
+    # untouched this round) rotates out for release_manifest_contract —
+    # the content-addressed release fingerprint (round-5 addition, new
+    # gate rotates in the round it lands), pairing with
+    # snapshot_diff_profile to keep the dataset-versioning surface
+    # driver-gated end to end.
+    "release_manifest_contract",
     "rolling_user_zscore",
     "hourly_counts_gapfilled",
     # relational capability (joins / set ops / windows / grouping sets)
     # (pricing_summary, 4x green, rotated out — the agg family keeps
-    # kpis/top_suppliers/outlier_clipped_kpis in-window and the plan
-    # audit still covers its shape.)
+    # kpis in-window and the plan audit still covers its shape.)
     # union_distinct_customers (r4 green; intersect/except r2-green
     # twins, set-op code unchanged since r2) rotates out for
     # snapshot_diff_profile, whose full-outer diff join extends the

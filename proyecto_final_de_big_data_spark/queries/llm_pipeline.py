@@ -1448,6 +1448,38 @@ def q_snapshot_diff_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff_summary(old_snap, new_snap, "doc_id", ["text"])
 
 
+def _manifest_oracle() -> str:
+    from ..operators.snapshot import content_checksum_sql
+
+    return f"""
+    SELECT lang, source, count(*) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           {content_checksum_sql("md5(text)")} AS content_checksum
+    FROM documents
+    GROUP BY lang, source
+    """
+
+
+@register(
+    "release_manifest_contract",
+    oracle=_manifest_oracle(),
+    description="Content-addressed release manifest (operators/snapshot.py "
+    "release_manifest): per (lang, source) group, row count, id checksum, "
+    "and an ORDER-INSENSITIVE content checksum — per-row md5 digests fold "
+    "to integers and sum mod 2^61 in exact DECIMAL arithmetic, so two "
+    "independently produced copies of a release agree on the checksum iff "
+    "they agree on the multiset of row contents. The oracle restates the "
+    "identical fold in HUGEINT, so one flipped byte in one document's text "
+    "anywhere in the corpus breaks the gate. One map-side-combined "
+    "aggregation over a pure projection — no joins, payload never moves.",
+)
+def q_release_manifest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.snapshot import release_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return release_manifest(docs, ["lang", "source"], "doc_id", ["text"])
+
+
 @register(
     "cluster_keep_best_profile",
     oracle=r"""

@@ -45,3 +45,48 @@ def test_snapshot_diff_summary_counts(spark):
         for r in snapshot_diff_summary(old, new, "id", ["text"]).collect()
     }
     assert got == {"removed": (1, 1), "changed": (1, 2), "added": (1, 3)}
+
+
+# ------------------------------------------------------ release manifest
+
+
+def test_release_manifest_order_and_partitioning_invariant(spark):
+    from proyecto_final_de_big_data_spark.operators.snapshot import release_manifest
+
+    rows = [(i, f"doc {i}", "en" if i % 2 else "de") for i in range(100)]
+    a = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    b = (
+        spark.createDataFrame(list(reversed(rows)), "doc_id long, text string, lang string")
+        .repartition(7)
+    )
+    ma = {r["lang"]: r for r in release_manifest(a, "lang", "doc_id", ["text"]).collect()}
+    mb = {r["lang"]: r for r in release_manifest(b, "lang", "doc_id", ["text"]).collect()}
+    for lang in ("en", "de"):
+        assert ma[lang]["n_rows"] == mb[lang]["n_rows"] == 50
+        assert ma[lang]["id_sum"] == mb[lang]["id_sum"]
+        assert ma[lang]["content_checksum"] == mb[lang]["content_checksum"]
+
+
+def test_release_manifest_detects_single_byte_change(spark):
+    from proyecto_final_de_big_data_spark.operators.snapshot import release_manifest
+
+    rows = [(i, f"doc {i}", "en") for i in range(50)]
+    tampered = [(i, ("doc 7x" if i == 7 else f"doc {i}"), "en") for i in range(50)]
+    a = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    b = spark.createDataFrame(tampered, "doc_id long, text string, lang string")
+    ca = release_manifest(a, "lang", "doc_id", ["text"]).collect()[0]
+    cb = release_manifest(b, "lang", "doc_id", ["text"]).collect()[0]
+    assert ca["n_rows"] == cb["n_rows"] and ca["id_sum"] == cb["id_sum"]
+    assert ca["content_checksum"] != cb["content_checksum"]
+
+
+def test_release_manifest_null_content_is_digested_not_skipped(spark):
+    from proyecto_final_de_big_data_spark.operators.snapshot import release_manifest
+
+    a = spark.createDataFrame([(1, None, "en"), (2, "x", "en")],
+                              "doc_id long, text string, lang string")
+    b = spark.createDataFrame([(1, "", "en"), (2, "x", "en")],
+                              "doc_id long, text string, lang string")
+    ca = release_manifest(a, "lang", "doc_id", ["text"]).collect()[0]
+    cb = release_manifest(b, "lang", "doc_id", ["text"]).collect()[0]
+    assert ca["content_checksum"] != cb["content_checksum"]  # NULL != ''
