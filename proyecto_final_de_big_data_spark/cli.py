@@ -91,14 +91,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-pii-redaction", action="store_true")
     p.add_argument("--min-quality", type=float, default=None)
     p.add_argument("--drop-repetitive", action="store_true")
-    p.add_argument("--dedup", default="exact", choices=["exact", "incremental", "none"])
+    p.add_argument("--dedup", default="exact", choices=["exact", "incremental", "minhash", "none"])
     p.add_argument("--historical", default=None, help="ingested-corpus parquet (incremental dedup)")
+    p.add_argument("--minhash-threshold", type=float, default=0.7, help="Jaccard cutoff for near-dup pairs (minhash dedup / cluster-safe split)")
+    p.add_argument("--dedup-score-col", default=None, help="keep the highest-scoring member per near-dup cluster (minhash dedup)")
     p.add_argument("--cap-group-cols", default=None, help="comma list (e.g. source,lang) — enables the hard per-group cap")
     p.add_argument("--cap-max", type=int, default=0, help="max rows kept per cap group")
     p.add_argument("--cap-score-col", default=None, help="keep highest values first (default: lowest ids)")
-    p.add_argument("--mix-stratum-col", default=None, help="e.g. lang — enables temperature mixing")
+    p.add_argument("--mix-stratum-col", default=None, help="e.g. lang — enables stratum mixing")
     p.add_argument("--mix-alpha", type=float, default=0.5)
+    p.add_argument("--mix-mode", default="temperature", choices=["temperature", "epochs"], help="downsample over-represented strata, or repeat rare strata (adds an epoch column)")
     p.add_argument("--split", default="train=0.9,eval=0.1", help="'none' to skip")
+    p.add_argument("--split-mode", default="hash", choices=["hash", "cluster_safe"], help="cluster_safe keys the split on near-dup components so near-duplicates never straddle splits")
 
     p = sub.add_parser("train", help="fit + evaluate + save regression pipeline (04)")
     _add_spark_args(p)
@@ -216,6 +220,8 @@ def cmd_curate(args, log) -> int:
         min_quality=args.min_quality,
         drop_repetitive=args.drop_repetitive,
         dedup=args.dedup,
+        minhash_threshold=args.minhash_threshold,
+        dedup_score_col=args.dedup_score_col,
         cap_group_cols=(
             [c.strip() for c in args.cap_group_cols.split(",") if c.strip()]
             if args.cap_group_cols
@@ -225,7 +231,9 @@ def cmd_curate(args, log) -> int:
         cap_score_col=args.cap_score_col,
         mix_stratum_col=args.mix_stratum_col,
         mix_alpha=args.mix_alpha,
+        mix_mode=args.mix_mode,
         split_fractions=split,
+        split_mode=args.split_mode,
     )
     historical = spark.read.parquet(args.historical) if args.historical else None
     # run_curation materializes by WRITING the sink (no corpus-sized

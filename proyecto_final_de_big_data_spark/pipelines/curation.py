@@ -1,8 +1,11 @@
 """Document-curation pipeline: the training-data analogue of the
 trips ETL (``pipelines/etl.py``) — compose the curation operators into
 one configured pass: PII redaction → quality/repetition filtering →
-dedup (exact or incremental vs an ingested corpus) → per-group
-contribution cap → temperature mixing → deterministic split.
+dedup (exact, incremental vs an ingested corpus, or MinHash near-dup
+with min-id/keep-best survivors) → per-group contribution cap →
+stratum mixing (temperature downsampling or epoch upsampling) →
+deterministic split (by id, or cluster-safe by near-dup component so
+surviving near-duplicates never straddle train/eval).
 
 Stage order is load-bearing for scale: the projection-only stages
 (PII regexes, repetition signals, quality score — all fused into the
@@ -26,8 +29,9 @@ own the release differently:
 
 Every stage is individually oracle-gated by its own registry query
 (pii_redaction_profile, repetition_profile, dedup_exact_*,
-incremental_dedup_profile, source_cap_profile,
-temperature_mix_profile, doc_hash_split_profile); the composition
+incremental_dedup_profile, minhash_recall + cluster_keep_best_profile,
+source_cap_profile, temperature_mix_profile, epoch_upsample_profile,
+doc_hash_split_profile, cluster_safe_split_profile); the composition
 itself is gated end-to-end by curate_documents_contract (which runs
 with the cap stage enabled).
 """
@@ -39,14 +43,17 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import exact_dedup, incremental_dedup
-from ..operators.mixing import cap_per_group, temperature_mix
+from ..operators.dedup import exact_dedup, incremental_dedup, minhash_dedup_pairs
+from ..operators.graph import cluster_dedup_keep, cluster_dedup_keep_best
+from ..operators.mixing import cap_per_group, epoch_upsample, temperature_mix
 from ..operators.pii import redact_pii
 from ..operators.quality import with_repetition_stats
-from ..operators.split import hash_split
+from ..operators.split import cluster_safe_split, hash_split
 from ..operators.text import quality_score
 
-_DEDUP_MODES = ("exact", "incremental", "none")
+_DEDUP_MODES = ("exact", "incremental", "minhash", "none")
+_MIX_MODES = ("temperature", "epochs")
+_SPLIT_MODES = ("hash", "cluster_safe")
 
 
 @dataclass
@@ -56,7 +63,11 @@ class CurationConfig:
     redact_pii: bool = True
     min_quality: float | None = None  # drop docs scoring below (0..1)
     drop_repetitive: bool = False
-    dedup: str = "exact"  # "exact" | "incremental" | "none"
+    dedup: str = "exact"  # "exact" | "incremental" | "minhash" | "none"
+    # minhash mode: LSH near-dup pairs -> connected components -> one
+    # survivor per cluster (highest dedup_score_col, or min id when None)
+    minhash_threshold: float = 0.7
+    dedup_score_col: str | None = None
     # hard per-group contribution cap (Gopher-style per-domain bound),
     # applied to dedup survivors BEFORE mixing: the cap bounds what any
     # one source may contribute; mixing then rescales strata on the
@@ -66,9 +77,19 @@ class CurationConfig:
     cap_score_col: str | None = None
     mix_stratum_col: str | None = None
     mix_alpha: float = 0.5
+    # "temperature" discards rows of over-represented strata;
+    # "epochs" preserves every row and REPEATS rare strata instead
+    # (adds an `epoch` copy-index column — see mixing.epoch_upsample).
+    mix_mode: str = "temperature"
     split_fractions: dict[str, float] | None = field(
         default_factory=lambda: {"train": 0.9, "eval": 0.1}
     )
+    # "hash" splits by document id; "cluster_safe" recomputes MinHash
+    # near-dup pairs on the corpus entering the split and keys the split
+    # on the pair graph's connected components, so near-duplicates that
+    # SURVIVED curation (e.g. dedup='exact'/'none', or pairs below the
+    # dedup threshold) still cannot straddle train/eval.
+    split_mode: str = "hash"
 
 
 def build_curation(
@@ -88,6 +109,14 @@ def build_curation(
         raise ValueError(f"unknown dedup mode {cfg.dedup!r}; use {_DEDUP_MODES}")
     if cfg.dedup == "incremental" and historical is None:
         raise ValueError("dedup='incremental' requires a historical frame")
+    if cfg.dedup_score_col is not None and cfg.dedup != "minhash":
+        raise ValueError("dedup_score_col applies only to dedup='minhash'")
+    if cfg.mix_mode not in _MIX_MODES:
+        raise ValueError(f"unknown mix mode {cfg.mix_mode!r}; use {_MIX_MODES}")
+    if cfg.split_mode not in _SPLIT_MODES:
+        raise ValueError(f"unknown split mode {cfg.split_mode!r}; use {_SPLIT_MODES}")
+    if cfg.split_mode == "cluster_safe" and not cfg.split_fractions:
+        raise ValueError("split_mode='cluster_safe' requires split_fractions")
     cap_active = bool(cfg.cap_group_cols)
     if cap_active and cfg.cap_max_rows < 1:
         raise ValueError("cap_group_cols requires cap_max_rows >= 1")
@@ -117,6 +146,17 @@ def build_curation(
         out = exact_dedup(out, [cfg.text_col], cfg.id_col)
     elif cfg.dedup == "incremental":
         out = incremental_dedup(out, historical, [cfg.text_col], cfg.id_col)
+    elif cfg.dedup == "minhash":
+        # Near-dup pairs at edge-list scale; the keep-list join reads
+        # `out` again on top of the signature pass — the pin above
+        # covers both references.
+        pairs = minhash_dedup_pairs(
+            out, cfg.id_col, cfg.text_col, threshold=cfg.minhash_threshold
+        )
+        if cfg.dedup_score_col is not None:
+            out = cluster_dedup_keep_best(out, pairs, cfg.id_col, cfg.dedup_score_col)
+        else:
+            out = cluster_dedup_keep(out, pairs, cfg.id_col)
     if cap_active:
         if cfg.dedup != "none":
             # The cap reads the DEDUP OUTPUT three times (count pass +
@@ -132,11 +172,26 @@ def build_curation(
             # columns differently from its keep branch, so the upstream
             # subplans would otherwise run twice — pin it too.
             out = _pin(out)
-        out = temperature_mix(
-            out, cfg.mix_stratum_col, cfg.id_col, alpha=cfg.mix_alpha
-        ).drop("n_docs", "scaled_rate")
+        if cfg.mix_mode == "temperature":
+            out = temperature_mix(
+                out, cfg.mix_stratum_col, cfg.id_col, alpha=cfg.mix_alpha
+            ).drop("n_docs", "scaled_rate")
+        else:
+            out = epoch_upsample(
+                out, cfg.mix_stratum_col, cfg.id_col, alpha=cfg.mix_alpha
+            )
     if cfg.split_fractions:
-        out = hash_split(out, cfg.id_col, cfg.split_fractions)
+        if cfg.split_mode == "cluster_safe":
+            # Pairs recomputed on the corpus ENTERING the split (its own
+            # signature pass + the keyed join back) — pin the input so
+            # the whole upstream pipeline doesn't run twice.
+            out = _pin(out)
+            pairs = minhash_dedup_pairs(
+                out, cfg.id_col, cfg.text_col, threshold=cfg.minhash_threshold
+            )
+            out = cluster_safe_split(out, pairs, cfg.id_col, cfg.split_fractions)
+        else:
+            out = hash_split(out, cfg.id_col, cfg.split_fractions)
     return out, pinned
 
 

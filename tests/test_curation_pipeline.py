@@ -116,7 +116,7 @@ def test_bad_dedup_mode_raises_before_any_persist(spark):
 
     before = _n_persisted(spark)
     with pytest.raises(ValueError, match="unknown dedup mode"):
-        build_curation(_docs(spark), CurationConfig(dedup="minhash"))
+        build_curation(_docs(spark), CurationConfig(dedup="simhashish"))
     assert _n_persisted(spark) == before  # validation precedes the pin
 
 
@@ -221,3 +221,115 @@ def test_cli_curate_with_cap(spark, tmp_path):
     back = spark.read.parquet(out_root)
     per_src = back.groupBy("source").count().collect()
     assert per_src and all(r["count"] <= 5 for r in per_src)
+
+
+def _near_dup_docs(spark):
+    # Docs 1/2 are near-duplicates (one word differs in a long text),
+    # 3 is unrelated, 4 near-dups with nothing.
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight")
+    return spark.createDataFrame(
+        [
+            (1, base + " end", "en", 0.2),
+            (2, base + " fin", "en", 0.9),
+            (3, "completely different content about big data engines and "
+                "distributed shuffles running on many machines", "en", 0.5),
+            (4, "another standalone document speaking of embeddings and "
+                "vector search at corpus scale for training sets", "fr", 0.4),
+        ],
+        ["doc_id", "text", "lang", "score"],
+    )
+
+
+def test_curate_minhash_dedup_keeps_min_id(spark):
+    cfg = CurationConfig(
+        redact_pii=False, dedup="minhash", minhash_threshold=0.5,
+        split_fractions=None,
+    )
+    out = curate_documents(_near_dup_docs(spark), cfg).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3, 4]  # 2 collapsed into 1
+
+
+def test_curate_minhash_dedup_keep_best_by_score(spark):
+    cfg = CurationConfig(
+        redact_pii=False, dedup="minhash", minhash_threshold=0.5,
+        dedup_score_col="score", split_fractions=None,
+    )
+    out = curate_documents(_near_dup_docs(spark), cfg).collect()
+    assert sorted(r["doc_id"] for r in out) == [2, 3, 4]  # higher-score twin wins
+
+
+def test_curate_epoch_mixing_preserves_and_repeats(spark):
+    docs = spark.createDataFrame(
+        [(i, f"unique document text number {i} here", "big" if i < 40 else "rare")
+         for i in range(50)],
+        ["doc_id", "text", "lang"],
+    )
+    cfg = CurationConfig(
+        redact_pii=False, dedup="none",
+        mix_stratum_col="lang", mix_alpha=0.5, mix_mode="epochs",
+        split_fractions=None,
+    )
+    out = curate_documents(docs, cfg).collect()
+    assert "epoch" in out[0].asDict()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert set(by_doc) == set(range(50))  # nothing discarded
+    for i in range(40):
+        assert by_doc[i] == [1]  # big stratum: one epoch
+    for i in range(40, 50):
+        assert sorted(by_doc[i]) == [1, 2]  # (40/10)^0.5 = 2.0 epochs exactly
+
+
+def test_curate_cluster_safe_split_keeps_near_dups_together(spark):
+    cfg = CurationConfig(
+        redact_pii=False, dedup="none",
+        split_fractions={"train": 0.5, "eval": 0.5},
+        split_mode="cluster_safe", minhash_threshold=0.5,
+    )
+    out = curate_documents(_near_dup_docs(spark), cfg).collect()
+    splits = {r["doc_id"]: r["split"] for r in out}
+    assert set(splits) == {1, 2, 3, 4}
+    assert splits[1] == splits[2]  # the near-dup pair cannot straddle
+
+
+def test_curate_mode_validation(spark):
+    with pytest.raises(ValueError, match="mix mode"):
+        curate_documents(_docs(spark), CurationConfig(mix_mode="nope"))
+    with pytest.raises(ValueError, match="split mode"):
+        curate_documents(_docs(spark), CurationConfig(split_mode="nope"))
+    with pytest.raises(ValueError, match="cluster_safe"):
+        curate_documents(
+            _docs(spark),
+            CurationConfig(split_fractions=None, split_mode="cluster_safe"),
+        )
+    with pytest.raises(ValueError, match="dedup_score_col"):
+        curate_documents(
+            _docs(spark), CurationConfig(dedup="exact", dedup_score_col="score")
+        )
+
+
+def test_cli_curate_minhash_cluster_safe(spark, tmp_path):
+    from proyecto_final_de_big_data_spark.cli import main
+
+    out_root = str(tmp_path / "nd")
+    rc = main(
+        [
+            "curate",
+            "--master", "local[2]",
+            "--input", f"{SF}/documents.parquet",
+            "--output", out_root,
+            "--dedup", "minhash",
+            "--minhash-threshold", "0.6",
+            "--mix-stratum-col", "lang",
+            "--mix-mode", "epochs",
+            "--split", "train=0.8,eval=0.2",
+            "--split-mode", "cluster_safe",
+        ]
+    )
+    assert rc == 0
+    back = spark.read.parquet(out_root)
+    assert {"split", "epoch"} <= set(back.columns)
+    assert back.count() > 0
+    assert back.select("split").distinct().count() <= 2
