@@ -295,3 +295,33 @@ def test_keep_best_winner_window_is_component_partitioned(spark, sf_dir):
     assert all(s.startswith("component") for s in specs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_release_manifest_is_single_pass_agg(spark, sf_dir):
+    # One partial+final aggregation over a pure projection: no joins, no
+    # windows, exactly one Exchange (the grouped final agg).
+    import re
+
+    plan = _plan(spark, sf_dir, "release_manifest_contract")
+    # formatted mode prints each node in the tree AND a detail block —
+    # count detail headers, which appear exactly once per node.
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_epoch_upsample_rates_broadcast_and_explode(spark, sf_dir):
+    # Stratum weights reach the corpus as a broadcast; the copies come
+    # from a Generate (explode) — never a shuffle of the fact side.
+    plan = _plan(spark, sf_dir, "epoch_upsample_profile")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate" in plan
+
+
+def test_cluster_safe_split_no_cartesian(spark, sf_dir):
+    # Component labels attach to the corpus by an equi-join on the id;
+    # the split itself stays a projection (no extra Exchange after it).
+    plan = _plan(spark, sf_dir, "cluster_safe_split_profile")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
