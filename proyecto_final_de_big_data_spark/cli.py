@@ -120,6 +120,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", required=True)
     p.add_argument("--output", required=True)
 
+    p = sub.add_parser("profile", help="one-pass per-column table profile (EDA)")
+    _add_spark_args(p)
+    p.add_argument("--input", required=True, help="parquet path")
+    p.add_argument("--cols", default=None, help="comma list (default: all columns)")
+    p.add_argument("--exact-distinct", action="store_true", help="exact count(DISTINCT) instead of the HLL sketch")
+    p.add_argument("--output", default=None, help="write the profile as parquet instead of printing")
+
     return parser
 
 
@@ -286,6 +293,24 @@ def cmd_score(args, log) -> int:
     return 0
 
 
+def cmd_profile(args, log) -> int:
+    from .operators.profile import profile_columns
+
+    spark = _session(args)
+    cols = (
+        [c.strip() for c in args.cols.split(",") if c.strip()] if args.cols else None
+    )
+    prof = profile_columns(
+        spark.read.parquet(args.input), cols, exact_distinct=args.exact_distinct
+    )
+    if args.output:
+        prof.coalesce(1).write.mode("overwrite").parquet(args.output)
+        log.info("profile written to %s", args.output)
+    else:
+        prof.show(truncate=False)
+    return 0
+
+
 COMMANDS = {
     "download": cmd_download,
     "etl": cmd_etl,
@@ -293,6 +318,7 @@ COMMANDS = {
     "curate": cmd_curate,
     "train": cmd_train,
     "score": cmd_score,
+    "profile": cmd_profile,
 }
 
 

@@ -383,3 +383,51 @@ def q_compaction_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(report.n_written_files < report.n_input_files).alias("fewer_files"),
         F.lit(report.n_written_files == report.n_planned_files).alias("plan_matched"),
     )
+
+
+@register(
+    "table_profile_contract",
+    oracle="""
+    SELECT 'doc_id' AS column, count(*) AS n_rows,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_str,
+           CAST(max(doc_id) AS VARCHAR) AS max_str,
+           avg(doc_id) AS mean_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+           CAST(max(lang) AS VARCHAR), NULL::DOUBLE
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT source), CAST(min(source) AS VARCHAR),
+           CAST(max(source) AS VARCHAR), NULL::DOUBLE
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*),
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+           CAST(max(n_chars) AS VARCHAR), avg(n_chars)
+    FROM documents
+    """,
+    description="One-pass table profiler (operators/profile.py): per-column "
+    "null/distinct/min/max/mean for four documents columns computed in a "
+    "SINGLE aggregation (every stat is an agg expression — partial+final "
+    "combine, one Exchange carrying one row per partition), then unpivoted "
+    "via stack() over the one-row result. exact_distinct=True here so the "
+    "oracle can restate count(DISTINCT) verbatim; the scale default is the "
+    "mergeable HLL sketch. Queued for the r6 window rotation (the r5 window "
+    "is saturated with first-verification entries); DuckDB-parity covered "
+    "by tests/test_oracle_parity.py meanwhile.",
+)
+def q_table_profile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(
+        docs, ["doc_id", "lang", "source", "n_chars"], exact_distinct=True
+    )
