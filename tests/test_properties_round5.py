@@ -132,3 +132,98 @@ def test_boilerplate_identity_when_threshold_above_corpus(spark, docs):
     ).collect()}
     for i, d in enumerate(docs):
         assert out[i] == " ".join(d.split())
+
+
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(min_value=0.0, max_value=4.0, allow_nan=False),
+        min_size=1,
+        max_size=3,
+    ),
+    n=st.integers(min_value=1, max_value=40),
+)
+@settings(**_SETTINGS)
+def test_epoch_upsample_copy_count_invariants(spark, weights, n):
+    """Every surviving row has floor(w) or ceil(w) copies numbered 1..k,
+    and rows of weight-1.0 (or absent) strata are exactly preserved."""
+    from proyecto_final_de_big_data_spark.operators.mixing import epoch_upsample
+
+    strata = ["a", "b", "c", "d"]  # 'd' is never in weights -> 1.0
+    df = spark.createDataFrame(
+        [(i, strata[i % 4]) for i in range(n)], "doc_id long, lang string"
+    )
+    out = epoch_upsample(df, "lang", "doc_id", alpha=None, weights=weights).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    import math
+
+    for i in range(n):
+        w = weights.get(strata[i % 4], 1.0)
+        k = len(by_doc.get(i, []))
+        lo, hi = math.floor(round(w * 1e6) / 1e6), math.ceil(round(w * 1e6) / 1e6)
+        assert lo <= k <= hi, (i, w, k)
+        if k:
+            assert sorted(by_doc[i]) == list(range(1, k + 1))
+        if strata[i % 4] == "d":
+            assert k == 1  # absent stratum: untouched
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda p: p[0] != p[1]),
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_cluster_safe_split_never_splits_a_component(spark, edges):
+    """For ANY pair graph, two docs connected by any path land in the
+    same split, and every doc appears exactly once."""
+    from proyecto_final_de_big_data_spark.operators.split import cluster_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(26)], "doc_id long")
+    pairs = spark.createDataFrame(edges or [], "id_a long, id_b long")
+    out = cluster_safe_split(docs, pairs, "doc_id", {"train": 0.7, "eval": 0.3}).collect()
+    splits = {r["doc_id"]: r["split"] for r in out}
+    assert len(out) == 26 and set(splits) == set(range(26))
+
+    # driver-side union-find as the reference component labeling
+    parent = list(range(26))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        assert splits[a] == splits[b] or find(a) != find(b)
+    for x in range(26):
+        assert splits[x] == splits[find(x)]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.text(alphabet="xyz ", max_size=8),
+                  st.sampled_from(["g1", "g2"])),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_release_manifest_permutation_invariant_checksum(spark, rows):
+    """The manifest is a pure function of the row multiset per group:
+    shuffling row order and partitioning never changes any column."""
+    from proyecto_final_de_big_data_spark.operators.snapshot import release_manifest
+
+    schema = "doc_id long, text string, grp string"
+    a = spark.createDataFrame(rows, schema)
+    b = spark.createDataFrame(list(reversed(rows)), schema).repartition(5)
+    ka = sorted(map(tuple, release_manifest(a, "grp", "doc_id", ["text"]).collect()))
+    kb = sorted(map(tuple, release_manifest(b, "grp", "doc_id", ["text"]).collect()))
+    assert ka == kb
