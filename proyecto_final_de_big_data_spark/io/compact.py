@@ -29,7 +29,7 @@ from __future__ import annotations
 import math
 import os
 from dataclasses import dataclass
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -53,7 +53,9 @@ def dataset_file_sizes(df: DataFrame) -> list[int]:
     for uri in df.inputFiles():
         parsed = urlparse(uri)
         if parsed.scheme in ("file", ""):
-            sizes.append(os.stat(parsed.path).st_size)
+            # inputFiles() returns percent-encoded URIs (a path with a
+            # space lists as %20) — decode before stat'ing.
+            sizes.append(os.stat(unquote(parsed.path)).st_size)
         else:  # pragma: no cover - exercised only on cluster filesystems
             jvm = spark._jvm
             jpath = jvm.org.apache.hadoop.fs.Path(uri)

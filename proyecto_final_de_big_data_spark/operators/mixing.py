@@ -196,7 +196,7 @@ def epoch_upsample(
     df: DataFrame,
     stratum_col: str,
     key_col: str,
-    alpha: float | None = 0.5,
+    alpha: float | None = None,
     weights: dict[str, float] | None = None,
     out: str = "epoch",
 ) -> DataFrame:
@@ -208,7 +208,8 @@ def epoch_upsample(
     ``out`` column numbers the copies 1..n (the "epoch" index) so
     downstream packing/shuffling can interleave epochs.
 
-    Two modes: ``alpha`` derives ``w_s = (n_s/n_max)^(alpha-1) >= 1``
+    Two modes (mutually exclusive; no argument at all means
+    ``alpha=0.5``): ``alpha`` derives ``w_s = (n_s/n_max)^(alpha-1) >= 1``
     from the corpus (one aggregation + broadcast — see
     :func:`epoch_weights`); an explicit ``weights`` dict maps strata to
     arbitrary factors with absent strata defaulting to 1.0, and factors
@@ -227,8 +228,10 @@ def epoch_upsample(
     corpus is exactly what the trainer reads, with no sampling state
     smuggled into the training loop.
     """
-    if (weights is None) == (alpha is None):
-        raise ValueError("pass exactly one of alpha= or weights=")
+    if weights is not None and alpha is not None:
+        raise ValueError("pass at most one of alpha= or weights=")
+    if weights is None and alpha is None:
+        alpha = 0.5  # documented default: temperature-0.5 weights
     if weights is None:
         rates = epoch_weights(df, stratum_col, alpha).select(
             F.col(stratum_col).alias("__stratum"), "w_scaled"

@@ -51,7 +51,9 @@ def profile_columns(
 
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in names:
-        col = F.col(c)
+        # Column references are PARSED (dots -> struct access, stray
+        # backticks -> syntax error) — quote the raw name explicitly.
+        col = F.col("`" + c.replace("`", "``") + "`")
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nulls_{c}"))
         aggs.append(
             (F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col))
@@ -66,11 +68,21 @@ def profile_columns(
     wide = df.agg(*aggs)
 
     # stack() unpivots the single aggregate row; each tuple is
-    # (literal column name, its five stat columns).
+    # (literal column name, its five stat columns). Column names are
+    # data here (string literal) and identifiers there — escape both, or
+    # one odd ingested header (quote/backtick/backslash) breaks the
+    # whole profile with a ParseException.
+    def lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    def ident(s: str) -> str:
+        return "`" + s.replace("`", "``") + "`"
+
     parts = []
     for c in names:
-        parts += [f"'{c}'", f"`__nulls_{c}`", f"`__dist_{c}`",
-                  f"`__min_{c}`", f"`__max_{c}`", f"`__mean_{c}`"]
+        parts += [lit(c)] + [
+            ident(f"__{stat}_{c}") for stat in ("nulls", "dist", "min", "max", "mean")
+        ]
     stacked = wide.select(
         F.col("__n_rows").alias("n_rows"),
         F.expr(

@@ -99,19 +99,42 @@ def release_manifest(
     folded = F.conv(
         F.substring(content_digest(content_cols), 1, 15), 16, 10
     ).cast("decimal(38,0)")
+    mod = F.lit(_CHECKSUM_MOD).cast("decimal(38,0)")
     return df.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col(id_col).cast("decimal(38,0)")).cast("long").alias("id_sum"),
-        F.pmod(F.sum(folded), F.lit(_CHECKSUM_MOD).cast("decimal(38,0)"))
+        # id_sum gets the same 2^61 reduction as the content checksum:
+        # an unreduced cast would go NULL on int64 overflow (non-ANSI)
+        # for exactly the group sizes this module claims to serve.
+        F.pmod(F.sum(F.col(id_col).cast("decimal(38,0)")), mod)
         .cast("long")
-        .alias("content_checksum"),
+        .alias("id_sum"),
+        F.pmod(F.sum(folded), mod).cast("long").alias("content_checksum"),
     )
+
+
+def content_digest_sql(content_cols: list[str]) -> str:
+    """DuckDB twin of ``dedup.content_digest`` — the SAME NULL sentinel
+    (``chr(0)||'NULL'||chr(0)``) and ``chr(31)`` separator, so NULL
+    content contributes to the checksum instead of md5(NULL) propagating
+    NULL and silently vanishing from the oracle's sum."""
+    parts = ", ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'NULL' || chr(0))"
+        for c in content_cols
+    )
+    return f"md5(concat_ws(chr(31), {parts}))"
+
+
+def id_sum_sql(id_sql: str) -> str:
+    """DuckDB twin of the reduced id checksum."""
+    return f"CAST(sum(CAST({id_sql} AS HUGEINT)) % {_CHECKSUM_MOD} AS BIGINT)"
 
 
 def content_checksum_sql(digest_sql: str) -> str:
     """DuckDB twin of the manifest checksum for a given digest
-    expression (e.g. ``md5(text)``) — HUGEINT partial sums, same 2^61
-    reduction."""
+    expression — HUGEINT partial sums, same 2^61 reduction. Pass
+    :func:`content_digest_sql`'s output (NOT a bare ``md5(col)``: on a
+    NULL value md5 propagates NULL and ``sum`` would silently skip the
+    row, diverging from the engine's sentinel digest)."""
     return (
         f"CAST(sum((('0x' || substr({digest_sql}, 1, 15))::BIGINT)::HUGEINT)"
         f" % {_CHECKSUM_MOD} AS BIGINT)"

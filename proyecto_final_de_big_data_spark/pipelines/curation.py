@@ -104,6 +104,14 @@ def build_curation(
 
     Validation happens before any persist so a bad config cannot leak
     a pinned frame.
+
+    Laziness caveat: the MinHash pair stage (``dedup='minhash'`` or
+    ``split_mode='cluster_safe'``) runs Spark jobs at BUILD time — pair
+    verification materializes its (small) pair table eagerly — so those
+    modes execute the upstream stages once during assembly. With
+    ``pin=True`` that work is cached and reused at materialization;
+    with ``pin=False`` the upstream recomputes, so callers composing
+    those modes lazily should own caching themselves.
     """
     if cfg.dedup not in _DEDUP_MODES:
         raise ValueError(f"unknown dedup mode {cfg.dedup!r}; use {_DEDUP_MODES}")
@@ -120,6 +128,17 @@ def build_curation(
     cap_active = bool(cfg.cap_group_cols)
     if cap_active and cfg.cap_max_rows < 1:
         raise ValueError("cap_group_cols requires cap_max_rows >= 1")
+    if cfg.dedup == "minhash" or cfg.split_mode == "cluster_safe":
+        # The MinHash signature mapInPandas declares a long id column;
+        # fail HERE with a clear message, not hours into the run with an
+        # opaque Arrow conversion error. (hash_split / key_band handle
+        # string ids; the near-dup path currently does not.)
+        id_type = dict(df.dtypes).get(cfg.id_col)
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"dedup='minhash' / split_mode='cluster_safe' require an "
+                f"integer id column; {cfg.id_col!r} is {id_type!r}"
+            )
 
     pinned: list[DataFrame] = []
 
@@ -184,10 +203,17 @@ def build_curation(
         if cfg.split_mode == "cluster_safe":
             # Pairs recomputed on the corpus ENTERING the split (its own
             # signature pass + the keyed join back) — pin the input so
-            # the whole upstream pipeline doesn't run twice.
+            # the whole upstream pipeline doesn't run twice. The
+            # signature pass sees each doc ONCE even after epoch
+            # upsampling (dropDuplicates on the id): every copy of a doc
+            # is content-identical, so signing copies would only multiply
+            # the Arrow pass and fan the verify joins out k_a*k_b.
             out = _pin(out)
             pairs = minhash_dedup_pairs(
-                out, cfg.id_col, cfg.text_col, threshold=cfg.minhash_threshold
+                out.select(cfg.id_col, cfg.text_col).dropDuplicates([cfg.id_col]),
+                cfg.id_col,
+                cfg.text_col,
+                threshold=cfg.minhash_threshold,
             )
             out = cluster_safe_split(out, pairs, cfg.id_col, cfg.split_fractions)
         else:

@@ -1449,12 +1449,16 @@ def q_snapshot_diff_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _manifest_oracle() -> str:
-    from ..operators.snapshot import content_checksum_sql
+    from ..operators.snapshot import (
+        content_checksum_sql,
+        content_digest_sql,
+        id_sum_sql,
+    )
 
     return f"""
     SELECT lang, source, count(*) AS n_rows,
-           CAST(sum(doc_id) AS BIGINT) AS id_sum,
-           {content_checksum_sql("md5(text)")} AS content_checksum
+           {id_sum_sql("doc_id")} AS id_sum,
+           {content_checksum_sql(content_digest_sql(["text"]))} AS content_checksum
     FROM documents
     GROUP BY lang, source
     """

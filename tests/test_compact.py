@@ -51,3 +51,15 @@ def test_compact_respects_target_size(spark, tmp_path):
     assert report.n_written_files == report.n_planned_files
     assert report.n_written_files < report.n_input_files
     assert spark.read.parquet(out).count() == 50_000
+
+
+def test_compact_handles_paths_with_spaces(spark, tmp_path):
+    frag = str(tmp_path / "dir with spaces" / "frag")
+    out = str(tmp_path / "out")
+    spark.range(100).write.parquet(frag)
+    # inputFiles() percent-encodes the space; sizes must still resolve
+    sizes = dataset_file_sizes(spark.read.parquet(frag))
+    assert sizes and all(s > 0 for s in sizes)
+    report = compact_dataset(spark, frag, out, target_file_bytes=1 << 30)
+    assert report.n_written_files == 1
+    assert spark.read.parquet(out).count() == 100

@@ -333,3 +333,12 @@ def test_cli_curate_minhash_cluster_safe(spark, tmp_path):
     assert {"split", "epoch"} <= set(back.columns)
     assert back.count() > 0
     assert back.select("split").distinct().count() <= 2
+
+
+def test_curate_minhash_rejects_string_ids_upfront(spark):
+    df = spark.createDataFrame(
+        [("a", "some text here for the corpus")], ["doc_id", "text"]
+    )
+    cfg = CurationConfig(redact_pii=False, dedup="minhash", split_fractions=None)
+    with pytest.raises(ValueError, match="integer id column"):
+        curate_documents(df, cfg)

@@ -315,9 +315,11 @@ def test_epoch_upsample_argument_validation(spark):
     from proyecto_final_de_big_data_spark.operators.mixing import epoch_upsample
 
     df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
-    with _pytest.raises(ValueError, match="exactly one"):
+    with _pytest.raises(ValueError, match="at most one"):
         epoch_upsample(df, "lang", "doc_id", alpha=0.5, weights={"a": 2.0})
-    with _pytest.raises(ValueError, match="exactly one"):
-        epoch_upsample(df, "lang", "doc_id", alpha=None, weights=None)
     with _pytest.raises(ValueError, match=">= 0"):
-        epoch_upsample(df, "lang", "doc_id", alpha=None, weights={"a": -1.0})
+        epoch_upsample(df, "lang", "doc_id", weights={"a": -1.0})
+    # no argument at all defaults to alpha=0.5; weights alone is the
+    # natural call and must not be rejected
+    assert epoch_upsample(df, "lang", "doc_id").count() == 1
+    assert epoch_upsample(df, "lang", "doc_id", weights={"a": 2.0}).count() == 2

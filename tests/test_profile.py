@@ -7,6 +7,8 @@ import pytest
 
 from proyecto_final_de_big_data_spark.operators.profile import profile_columns
 
+SF = "/root/testdata/sf0.001"
+
 
 def _frame(spark):
     return spark.createDataFrame(
@@ -73,7 +75,7 @@ def test_cli_profile(spark, tmp_path):
         [
             "profile",
             "--master", "local[2]",
-            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--input", f"{SF}/documents.parquet",
             "--cols", "doc_id,lang",
             "--exact-distinct",
             "--output", out,
@@ -84,3 +86,11 @@ def test_cli_profile(spark, tmp_path):
     assert set(back) == {"doc_id", "lang"}
     assert back["doc_id"]["n_nulls"] == 0
     assert back["doc_id"]["n_distinct"] == back["doc_id"]["n_rows"]
+
+
+def test_profile_handles_awkward_column_names(spark):
+    df = spark.createDataFrame([(1, 2)], ["o'clock", "back`tick"])
+    rows = {r["column"]: r for r in profile_columns(df, exact_distinct=True).collect()}
+    assert set(rows) == {"o'clock", "back`tick"}
+    assert rows["o'clock"]["min_str"] == "1"
+    assert rows["back`tick"]["max_str"] == "2"

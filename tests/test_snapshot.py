@@ -90,3 +90,39 @@ def test_release_manifest_null_content_is_digested_not_skipped(spark):
     ca = release_manifest(a, "lang", "doc_id", ["text"]).collect()[0]
     cb = release_manifest(b, "lang", "doc_id", ["text"]).collect()[0]
     assert ca["content_checksum"] != cb["content_checksum"]  # NULL != ''
+
+
+def test_release_manifest_null_row_changes_checksum(spark):
+    # A NULL-content row must CONTRIBUTE to the checksum (sentinel
+    # digest), not vanish — adding one must change the fingerprint.
+    from proyecto_final_de_big_data_spark.operators.snapshot import release_manifest
+
+    base = [(1, "x", "en")]
+    with_null = base + [(2, None, "en")]
+    schema = "doc_id long, text string, lang string"
+    ca = release_manifest(spark.createDataFrame(base, schema), "lang", "doc_id", ["text"]).collect()[0]
+    cb = release_manifest(spark.createDataFrame(with_null, schema), "lang", "doc_id", ["text"]).collect()[0]
+    assert ca["content_checksum"] != cb["content_checksum"]
+
+
+def test_release_manifest_sql_twins_match_engine_on_nulls(spark):
+    import duckdb
+
+    from proyecto_final_de_big_data_spark.operators.snapshot import (
+        content_checksum_sql,
+        content_digest_sql,
+        id_sum_sql,
+        release_manifest,
+    )
+
+    rows = [(1, None, "en"), (2, "x", "en"), (3, "", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = release_manifest(df, "lang", "doc_id", ["text"]).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = con.execute(
+        f"SELECT {id_sum_sql('doc_id')}, "
+        f"{content_checksum_sql(content_digest_sql(['text']))} FROM t"
+    ).fetchone()
+    assert (got["id_sum"], got["content_checksum"]) == want
