@@ -93,3 +93,63 @@ def profile_columns(
     return stacked.select(
         "column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str", "mean_val"
     )
+
+
+def histogram_int(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Equi-width histogram over an integer column with EXPLICIT
+    ``[lo, hi]`` bounds: ``(bin, n_rows, min_val, max_val)``, one output
+    row per non-empty bin.
+
+    The bin index is pure integer arithmetic —
+    ``bin = ((v - lo) * n_bins) div (hi - lo + 1)`` — so every engine
+    bins identically: no float edge can land a boundary value in a
+    different bucket on a different platform (the failure mode of
+    ``width_bucket``-style double math). Intermediate ``(v-lo)*n_bins``
+    stays under int64 for ``range × n_bins < 2^63`` — ~9e18, far past
+    any real histogram. Rows outside the declared bounds are dropped
+    (the caller declared the domain; out-of-range rows belong in a
+    separate data-quality count, not silently clamped into edge bins).
+
+    One aggregation over a filtered projection — partial+final combine,
+    a single Exchange of at most ``n_bins`` rows per partition.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if hi < lo:
+        raise ValueError("hi must be >= lo")
+    v = F.col(col).cast("long")
+    span = hi - lo + 1
+    scaled = (v - F.lit(lo)) * F.lit(n_bins)
+    # exact integer floor-division: (scaled - scaled % span) / span
+    bin_col = ((scaled - F.pmod(scaled, F.lit(span))) / F.lit(span)).cast("long")
+    return (
+        df.where(v.between(lo, hi))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(v).alias("min_val"),
+            F.max(v).alias("max_val"),
+        )
+    )
+
+
+def histogram_int_sql(
+    table: str, col: str, n_bins: int, lo: int, hi: int
+) -> str:
+    """DuckDB twin of :func:`histogram_int` — identical integer
+    floor-division binning."""
+    span = hi - lo + 1
+    b = f"((({col} - {lo}) * {n_bins}) // {span})"
+    return f"""
+    SELECT {b} AS bin, count(*) AS n_rows,
+           min({col}) AS min_val, max({col}) AS max_val
+    FROM {table}
+    WHERE {col} BETWEEN {lo} AND {hi}
+    GROUP BY 1
+    """

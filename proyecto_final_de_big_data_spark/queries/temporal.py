@@ -100,3 +100,64 @@ def q_events_in_first_day_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_first_day"), F.min("ts").alias("first_ts")
     )
+
+
+@register(
+    "scd2_user_state_history",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS snap_day,
+               arg_max(event_type, event_id) AS state
+        FROM events WHERE user_id < 100
+        GROUP BY 1, 2
+    ), flagged AS (
+        SELECT user_id, snap_day, state,
+               CASE WHEN row_number() OVER w = 1
+                         OR state IS DISTINCT FROM lag(state) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY snap_day)
+    ), versioned AS (
+        SELECT user_id, snap_day, state,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY snap_day) AS ver
+        FROM flagged
+    ), runs AS (
+        SELECT user_id, ver, min(state) AS state, min(snap_day) AS valid_from
+        FROM versioned GROUP BY user_id, ver
+    )
+    SELECT user_id, state,
+           CAST(valid_from AS VARCHAR) AS valid_from,
+           CAST(lead(valid_from) OVER w2 AS VARCHAR) AS valid_to,
+           (lead(valid_from) OVER w2 IS NULL) AS is_current
+    FROM runs
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+    description="SCD Type-2 dimension history (operators/scd.py): each "
+    "user's daily state (event_type of the day's max event_id — a "
+    "deterministic snapshot attr) collapses into validity intervals via "
+    "NULL-safe change detection (lag over the content digest), a running "
+    "version counter, and a lead() for the exclusive valid_to. The oracle "
+    "replays the identical window algebra on raw attributes (IS DISTINCT "
+    "FROM), so a missed or phantom change anywhere in the history breaks "
+    "the hash. One real shuffle: all three window/agg steps share the "
+    "user_id partitioning. Queued for the r6 window rotation; "
+    "DuckDB-parity covered by tests/test_oracle_parity.py meanwhile.",
+)
+def q_scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_from_snapshots
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("snap_day")
+    ).agg(F.max_by("event_type", "event_id").alias("state"))
+    hist = scd2_from_snapshots(daily, "user_id", ["state"], "snap_day")
+    # ISO strings for the gate: a NULLABLE date column dodges Spark's
+    # pandas datetime coercion (object dtype) while DuckDB emits
+    # datetime64, so the raw types would never canonicalize equal.
+    return hist.select(
+        "user_id",
+        "state",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    )

@@ -94,3 +94,50 @@ def test_profile_handles_awkward_column_names(spark):
     assert set(rows) == {"o'clock", "back`tick"}
     assert rows["o'clock"]["min_str"] == "1"
     assert rows["back`tick"]["max_str"] == "2"
+
+
+def test_histogram_int_bins_exact(spark):
+    from proyecto_final_de_big_data_spark.operators.profile import histogram_int
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    out = {r["bin"]: r for r in histogram_int(df, "v", 4, 0, 99).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for b in range(4):
+        assert out[b]["n_rows"] == 25
+        assert out[b]["min_val"] == b * 25 and out[b]["max_val"] == b * 25 + 24
+
+
+def test_histogram_int_drops_out_of_range_and_validates(spark):
+    from proyecto_final_de_big_data_spark.operators.profile import histogram_int
+
+    df = spark.createDataFrame([(-5,), (0,), (9,), (10,), (50,)], "v long")
+    out = histogram_int(df, "v", 2, 0, 9).collect()
+    assert sum(r["n_rows"] for r in out) == 2  # -5, 10, 50 dropped
+    with pytest.raises(ValueError, match="n_bins"):
+        histogram_int(df, "v", 0, 0, 9)
+    with pytest.raises(ValueError, match="hi"):
+        histogram_int(df, "v", 2, 9, 0)
+
+
+def test_histogram_int_matches_duckdb_twin(spark):
+    import duckdb
+
+    from proyecto_final_de_big_data_spark.operators.profile import (
+        histogram_int,
+        histogram_int_sql,
+    )
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted(
+        map(tuple, histogram_int(df, "n_chars", 7, 0, 3000).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(
+        map(tuple, con.execute(
+            histogram_int_sql("documents", "n_chars", 7, 0, 3000)
+        ).fetchall())
+    )
+    assert got == want and got
