@@ -90,6 +90,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--text-col", default="text")
     p.add_argument("--no-pii-redaction", action="store_true")
     p.add_argument("--min-quality", type=float, default=None)
+    p.add_argument("--blocklist-terms", default=None, help="comma list of literal terms; matching docs are dropped")
     p.add_argument("--drop-repetitive", action="store_true")
     p.add_argument("--dedup", default="exact", choices=["exact", "incremental", "minhash", "none"])
     p.add_argument("--historical", default=None, help="ingested-corpus parquet (incremental dedup)")
@@ -225,6 +226,11 @@ def cmd_curate(args, log) -> int:
         text_col=args.text_col,
         redact_pii=not args.no_pii_redaction,
         min_quality=args.min_quality,
+        blocklist_terms=(
+            [t.strip() for t in args.blocklist_terms.split(",") if t.strip()]
+            if args.blocklist_terms
+            else None
+        ),
         drop_repetitive=args.drop_repetitive,
         dedup=args.dedup,
         minhash_threshold=args.minhash_threshold,

@@ -1,6 +1,7 @@
 """Document-curation pipeline: the training-data analogue of the
 trips ETL (``pipelines/etl.py``) — compose the curation operators into
-one configured pass: PII redaction → quality/repetition filtering →
+one configured pass: PII redaction → blocklist content filtering →
+quality/repetition filtering →
 dedup (exact, incremental vs an ingested corpus, or MinHash near-dup
 with min-id/keep-best survivors) → per-group contribution cap →
 stratum mixing (temperature downsampling or epoch upsampling) →
@@ -43,6 +44,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.content_filter import drop_blocked
 from ..operators.dedup import exact_dedup, incremental_dedup, minhash_dedup_pairs
 from ..operators.graph import cluster_dedup_keep, cluster_dedup_keep_best
 from ..operators.mixing import cap_per_group, epoch_upsample, temperature_mix
@@ -62,6 +64,9 @@ class CurationConfig:
     text_col: str = "text"
     redact_pii: bool = True
     min_quality: float | None = None  # drop docs scoring below (0..1)
+    # drop docs matching any blocklist term (C4-style "bad words" stage;
+    # one alternation regex, a pure scan filter)
+    blocklist_terms: list[str] | None = None
     drop_repetitive: bool = False
     dedup: str = "exact"  # "exact" | "incremental" | "minhash" | "none"
     # minhash mode: LSH near-dup pairs -> connected components -> one
@@ -154,6 +159,8 @@ def build_curation(
     out = df
     if cfg.redact_pii:
         out = out.withColumn(cfg.text_col, redact_pii(cfg.text_col))
+    if cfg.blocklist_terms:
+        out = drop_blocked(out, cfg.text_col, cfg.blocklist_terms)
     if cfg.min_quality is not None:
         out = out.filter(quality_score(cfg.text_col) >= cfg.min_quality)
     if cfg.drop_repetitive:

@@ -395,3 +395,46 @@ def q_stream_pii_curation_round_trip(spark: SparkSession, sf_dir: str) -> DataFr
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _blocklist_oracle() -> str:
+    from ..operators.content_filter import blocklist_pattern
+
+    pat = blocklist_pattern(["vector", "dup", "spill"])
+    return f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN regexp_matches(text, '{pat}') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_blocked,
+           CAST(sum(CASE WHEN regexp_matches(text, '{pat}') THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN regexp_matches(text, '{pat}') THEN 0 ELSE n_chars END)
+                AS BIGINT) AS kept_chars
+    FROM documents
+    GROUP BY lang
+    """
+
+
+@register(
+    "blocklist_filter_profile",
+    oracle=_blocklist_oracle(),
+    description="Blocklist content filter (operators/content_filter.py): the "
+    "whole term list compiles into ONE alternation regex evaluated by a "
+    "single codegen'd rlike projection — no UDF, no join, a pure scan "
+    "filter regardless of term count (the C4 'bad words' stage shape). The "
+    "oracle evaluates the IDENTICAL pattern string (Java-regex ∩ RE2 "
+    "subset: escaped literals, \\b boundaries, inline (?i)) so engine and "
+    "gate agree on exactly which documents match. Queued for the r6 window "
+    "rotation; DuckDB-parity covered by tests/test_oracle_parity.py "
+    "meanwhile.",
+)
+def q_blocklist_filter_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.content_filter import blocked
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_hit = blocked("text", ["vector", "dup", "spill"])
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_hit.cast("long")).alias("n_blocked"),
+        F.sum((~is_hit).cast("long")).alias("n_kept"),
+        F.sum(F.when(~is_hit, F.col("n_chars")).otherwise(F.lit(0))).alias("kept_chars"),
+    )
