@@ -121,6 +121,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", required=True)
     p.add_argument("--output", required=True)
 
+    p = sub.add_parser("optimize", help="lakehouse maintenance: compact small files, optionally sort for data skipping")
+    _add_spark_args(p)
+    p.add_argument("--input", required=True, help="fragmented parquet dataset")
+    p.add_argument("--output", required=True, help="rewritten dataset root")
+    p.add_argument("--target-mb", type=int, default=128, help="target file size")
+    p.add_argument("--sort-by", default=None, help="comma list — also lay out row groups for skipping on these columns")
+
     p = sub.add_parser("profile", help="one-pass per-column table profile (EDA)")
     _add_spark_args(p)
     p.add_argument("--input", required=True, help="parquet path")
@@ -299,6 +306,30 @@ def cmd_score(args, log) -> int:
     return 0
 
 
+def cmd_optimize(args, log) -> int:
+    from .io.compact import compact_dataset
+
+    spark = _session(args)
+    sort_cols = (
+        [c.strip() for c in args.sort_by.split(",") if c.strip()]
+        if args.sort_by
+        else None
+    )
+    report = compact_dataset(
+        spark,
+        args.input,
+        args.output,
+        target_file_bytes=args.target_mb * 1024 * 1024,
+        sort_cols=sort_cols,
+    )
+    log.info(
+        "optimized %s -> %s: %d files (%d bytes) -> %d written (%d planned)",
+        args.input, args.output, report.n_input_files, report.input_bytes,
+        report.n_written_files, report.n_planned_files,
+    )
+    return 0
+
+
 def cmd_profile(args, log) -> int:
     from .operators.profile import profile_columns
 
@@ -324,6 +355,7 @@ COMMANDS = {
     "curate": cmd_curate,
     "train": cmd_train,
     "score": cmd_score,
+    "optimize": cmd_optimize,
     "profile": cmd_profile,
 }
 

@@ -88,18 +88,33 @@ def compact_dataset(
     in_path: str,
     out_path: str,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    sort_cols: list[str] | str | None = None,
 ) -> CompactionReport:
     """Rewrite the parquet dataset at ``in_path`` into
     ``ceil(bytes/target)`` files at ``out_path``; returns the plan/actual
     report. Round-robin ``repartition`` (not ``coalesce``) on purpose:
     coalesce would glue whole input partitions together, preserving any
     size skew between them — the compacted files should be uniform, and
-    the one shuffle is this operator's budgeted cost.
+    the one shuffle is this operator's budgeted cost. With ``sort_cols``
+    the same shuffle becomes a range partition + in-partition sort, so
+    the rewrite also lays data out for row-group skipping. Note the
+    range variant balances by ROW count on the sampled key distribution,
+    not bytes — with very skewed row widths the byte plan is
+    approximate; the report's written-vs-planned drift surfaces that.
     """
     df = spark.read.parquet(in_path)
     sizes = dataset_file_sizes(df)
     n = plan_num_files(sum(sizes), target_file_bytes)
-    df.repartition(n).write.mode("overwrite").parquet(out_path)
+    if sort_cols:
+        # Compacted AND skip-friendly in the same single shuffle: range
+        # partitioning to the byte-planned file count + in-partition
+        # sort, so row-group min/max stats come out narrow and disjoint
+        # (see io/sorted_write.py for the layout rationale).
+        cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(out_path)
     # Re-list through the scan API so the count is filesystem-agnostic
     # (os.listdir would be local-only and would miscount _SUCCESS etc.).
     written = len(spark.read.parquet(out_path).inputFiles())

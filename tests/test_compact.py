@@ -63,3 +63,47 @@ def test_compact_handles_paths_with_spaces(spark, tmp_path):
     report = compact_dataset(spark, frag, out, target_file_bytes=1 << 30)
     assert report.n_written_files == 1
     assert spark.read.parquet(out).count() == 100
+
+
+def test_compact_with_sort_cols_layout(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    frag, out = str(tmp_path / "frag"), str(tmp_path / "out")
+    spark.range(20_000).selectExpr("(id * 7919) % 20000 AS k").repartition(
+        16
+    ).write.parquet(frag)
+    report = compact_dataset(spark, frag, out, target_file_bytes=1 << 30, sort_cols="k")
+    assert report.n_written_files == 1
+    # single sorted file: each row group spans a narrow, increasing slice
+    f = glob.glob(f"{out}/*.parquet")[0]
+    meta = pq.ParquetFile(f).metadata
+    idx = meta.schema.names.index("k")
+    prev_max = -1
+    for g in range(meta.num_row_groups):
+        s = meta.row_group(g).column(idx).statistics
+        assert s.min > prev_max
+        prev_max = s.max
+    assert spark.read.parquet(out).count() == 20_000
+
+
+def test_cli_optimize(spark, tmp_path):
+    from proyecto_final_de_big_data_spark.cli import main
+
+    frag, out = str(tmp_path / "frag"), str(tmp_path / "opt")
+    spark.range(5_000).selectExpr("id AS k").repartition(10).write.parquet(frag)
+    rc = main(
+        [
+            "optimize",
+            "--master", "local[2]",
+            "--input", frag,
+            "--output", out,
+            "--target-mb", "512",
+            "--sort-by", "k",
+        ]
+    )
+    assert rc == 0
+    back = spark.read.parquet(out)
+    assert back.count() == 5_000
+    assert len(back.inputFiles()) == 1
