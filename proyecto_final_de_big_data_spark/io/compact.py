@@ -49,7 +49,10 @@ def dataset_file_sizes(df: DataFrame) -> list[int]:
     """
     spark = df.sparkSession
     sizes: list[int] = []
-    jfs = None
+    # FileSystem handles are scoped to (scheme, authority): a listing
+    # spanning buckets or hdfs+s3a would hit 'Wrong FS' if the first
+    # handle were reused for every URI.
+    fs_cache: dict[tuple[str, str], object] = {}
     for uri in df.inputFiles():
         parsed = urlparse(uri)
         if parsed.scheme in ("file", ""):
@@ -59,10 +62,11 @@ def dataset_file_sizes(df: DataFrame) -> list[int]:
         else:  # pragma: no cover - exercised only on cluster filesystems
             jvm = spark._jvm
             jpath = jvm.org.apache.hadoop.fs.Path(uri)
+            key = (parsed.scheme, parsed.netloc)
+            jfs = fs_cache.get(key)
             if jfs is None:
-                jfs = jpath.getFileSystem(
-                    spark._jsc.hadoopConfiguration()
-                )
+                jfs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                fs_cache[key] = jfs
             sizes.append(jfs.getFileStatus(jpath).getLen())
     return sizes
 
@@ -106,15 +110,14 @@ def compact_dataset(
     sizes = dataset_file_sizes(df)
     n = plan_num_files(sum(sizes), target_file_bytes)
     if sort_cols:
-        # Compacted AND skip-friendly in the same single shuffle: range
-        # partitioning to the byte-planned file count + in-partition
-        # sort, so row-group min/max stats come out narrow and disjoint
-        # (see io/sorted_write.py for the layout rationale).
-        cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
-        out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        # Compacted AND skip-friendly in the same single shuffle: the
+        # sorted-layout writer with the byte-planned file count (one
+        # recipe, owned by io/sorted_write.py).
+        from .sorted_write import write_sorted
+
+        write_sorted(df, out_path, sort_cols, n_files=n)
     else:
-        out = df.repartition(n)
-    out.write.mode("overwrite").parquet(out_path)
+        df.repartition(n).write.mode("overwrite").parquet(out_path)
     # Re-list through the scan API so the count is filesystem-agnostic
     # (os.listdir would be local-only and would miscount _SUCCESS etc.).
     written = len(spark.read.parquet(out_path).inputFiles())

@@ -126,11 +126,14 @@ def histogram_int(
     v = F.col(col).cast("long")
     span = hi - lo + 1
     scaled = (v - F.lit(lo)) * F.lit(n_bins)
-    # exact integer floor-division: (scaled - scaled % span) / span
-    bin_col = ((scaled - F.pmod(scaled, F.lit(span))) / F.lit(span)).cast("long")
+    # SQL `div` is true int64 division — a double-division reconstruction
+    # would lose exactness once scaled exceeds 2^53 and truncate into
+    # the wrong bin; `div` keeps the 2^63 bound the docstring promises.
+    filtered = df.where(v.between(lo, hi)).withColumn("__hist_scaled", scaled)
     return (
-        df.where(v.between(lo, hi))
-        .groupBy(bin_col.alias("bin"))
+        filtered.groupBy(
+            F.expr(f"__hist_scaled div {span}").cast("long").alias("bin")
+        )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.min(v).alias("min_val"),

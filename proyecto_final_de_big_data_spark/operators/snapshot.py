@@ -125,8 +125,11 @@ def content_digest_sql(content_cols: list[str]) -> str:
 
 
 def id_sum_sql(id_sql: str) -> str:
-    """DuckDB twin of the reduced id checksum."""
-    return f"CAST(sum(CAST({id_sql} AS HUGEINT)) % {_CHECKSUM_MOD} AS BIGINT)"
+    """DuckDB twin of the reduced id checksum. Double-mod because
+    DuckDB's ``%`` is sign-preserving while the engine uses ``pmod`` —
+    a negative id sum must reduce identically on both sides."""
+    s = f"sum(CAST({id_sql} AS HUGEINT))"
+    return f"CAST((({s} % {_CHECKSUM_MOD}) + {_CHECKSUM_MOD}) % {_CHECKSUM_MOD} AS BIGINT)"
 
 
 def content_checksum_sql(digest_sql: str) -> str:

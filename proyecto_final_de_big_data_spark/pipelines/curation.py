@@ -133,6 +133,10 @@ def build_curation(
     cap_active = bool(cfg.cap_group_cols)
     if cap_active and cfg.cap_max_rows < 1:
         raise ValueError("cap_group_cols requires cap_max_rows >= 1")
+    if not cap_active and (cfg.cap_max_rows > 0 or cfg.cap_score_col is not None):
+        # Mirror the dedup_score_col stance: a half-configured cap must
+        # fail loudly, not ship an uncapped corpus silently.
+        raise ValueError("cap_max_rows/cap_score_col require cap_group_cols")
     if cfg.dedup == "minhash" or cfg.split_mode == "cluster_safe":
         # The MinHash signature mapInPandas declares a long id column;
         # fail HERE with a clear message, not hours into the run with an
@@ -207,7 +211,15 @@ def build_curation(
                 out, cfg.mix_stratum_col, cfg.id_col, alpha=cfg.mix_alpha
             )
     if cfg.split_fractions:
-        if cfg.split_mode == "cluster_safe":
+        if cfg.split_mode == "cluster_safe" and cfg.dedup == "minhash":
+            # Provably empty pair set: MinHash is deterministic and both
+            # stages share cfg.minhash_threshold, so every pair the
+            # split pass could find already collapsed its component to
+            # one survivor in the dedup stage. cluster_safe_split on an
+            # empty edge list IS hash_split (unit-pinned) — skip the
+            # full-corpus signature/banding/verify recomputation.
+            out = hash_split(out, cfg.id_col, cfg.split_fractions)
+        elif cfg.split_mode == "cluster_safe":
             # Pairs recomputed on the corpus ENTERING the split (its own
             # signature pass + the keyed join back) — pin the input so
             # the whole upstream pipeline doesn't run twice. The

@@ -369,19 +369,34 @@ def q_compaction_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frag = tempfile.mkdtemp(prefix="compact_frag_")
     out = tempfile.mkdtemp(prefix="compact_out_")
-    docs = load_table(spark, sf_dir, "documents")
-    docs.repartition(48).write.mode("overwrite").parquet(frag)
-    report = compact_dataset(spark, frag, out, target_file_bytes=32 * 1024 * 1024)
-    shutil.rmtree(frag, ignore_errors=True)  # out stays: the return reads it lazily
-    back = spark.read.parquet(out)
-    return back.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("n_chars").alias("total_chars"),
-    ).select(
-        "n_rows",
-        "total_chars",
-        F.lit(report.n_written_files < report.n_input_files).alias("fewer_files"),
-        F.lit(report.n_written_files == report.n_planned_files).alias("plan_matched"),
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.repartition(48).write.mode("overwrite").parquet(frag)
+        report = compact_dataset(spark, frag, out, target_file_bytes=32 * 1024 * 1024)
+        # Profile the compacted copy EAGERLY so both temp dirs can be
+        # removed before returning — a lazy frame over the tempdir would
+        # leak a full rewritten table per verification run.
+        row = (
+            spark.read.parquet(out)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(frag, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                row["n_rows"],
+                row["total_chars"],
+                report.n_written_files < report.n_input_files,
+                report.n_written_files == report.n_planned_files,
+            )
+        ],
+        "n_rows long, total_chars long, fewer_files boolean, plan_matched boolean",
     )
 
 

@@ -1098,7 +1098,7 @@ def _mix_oracle() -> str:
           FROM c, m),
     k AS (
         SELECT d.lang, count(*) AS n_kept
-        FROM documents d JOIN r ON d.lang = r.lang
+        FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
         WHERE {hash_band_sql("d.doc_id")} < r.scaled
         GROUP BY d.lang
     )
@@ -1151,7 +1151,7 @@ def _epoch_oracle() -> str:
         SELECT d.lang, d.doc_id, d.n_chars,
                (r.w - r.w % 1000000) / 1000000
                  + CASE WHEN {band} < r.w % 1000000 THEN 1 ELSE 0 END AS n
-        FROM documents d JOIN r ON d.lang = r.lang
+        FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
     ),
     x AS (
         SELECT lang, doc_id, n_chars,
@@ -1243,7 +1243,7 @@ def _curate_oracle() -> str:
         FROM c, m
     ), mixed AS (
         SELECT d.doc_id, d.lang, d.t
-        FROM capped d JOIN r ON d.lang = r.lang
+        FROM capped d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
         WHERE {hash_band_sql("d.doc_id")} < r.scaled
     )
     SELECT split, count(*) AS n_docs, sum(len(t))::BIGINT AS total_chars,

@@ -342,3 +342,10 @@ def test_curate_minhash_rejects_string_ids_upfront(spark):
     cfg = CurationConfig(redact_pii=False, dedup="minhash", split_fractions=None)
     with pytest.raises(ValueError, match="integer id column"):
         curate_documents(df, cfg)
+
+
+def test_curate_half_configured_cap_rejected(spark):
+    with pytest.raises(ValueError, match="require cap_group_cols"):
+        curate_documents(_docs(spark), CurationConfig(cap_max_rows=5))
+    with pytest.raises(ValueError, match="require cap_group_cols"):
+        curate_documents(_docs(spark), CurationConfig(cap_score_col="n_chars"))

@@ -141,3 +141,16 @@ def test_histogram_int_matches_duckdb_twin(spark):
         ).fetchall())
     )
     assert got == want and got
+
+
+def test_histogram_int_exact_past_double_precision(spark):
+    # Regression: (hi-lo+1)*n_bins beyond 2^53 — double-division binning
+    # truncated v=3374116741 into bin-1; `div` must bin exactly.
+    from proyecto_final_de_big_data_spark.operators.profile import histogram_int
+
+    lo, hi, n_bins, v = 0, 6422844798, 482637354, 3374116741
+    span = hi - lo + 1
+    df = spark.createDataFrame([(v,)], "x long")
+    out = histogram_int(df, "x", n_bins, lo, hi).collect()
+    assert len(out) == 1
+    assert out[0]["bin"] == (v * n_bins) // span
