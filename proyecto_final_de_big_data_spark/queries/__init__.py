@@ -63,6 +63,17 @@ from . import quality  # noqa: E402,F401
 # ml_score_profile — ml_train_metrics + ml_feature_matrix_contract +
 # embedding_kmeans_contract keep the ML family gated): a net upgrade
 # from 2 rows-only checks to 2 exact-hash gates.
+# Round-6 rotation queue (late round-5 additions; the r5 window was
+# already saturated with first-verification entries, so these four new
+# gates sit behind position 50 with full DuckDB parity in
+# tests/test_oracle_parity.py until they rotate in):
+#   table_profile_contract, scd2_user_state_history,
+#   blocklist_filter_profile, compaction_contract is already in-window.
+# Rotation-OUT candidates once r5 lands green: approx_quantile_contract
+# (r3+r4+r5 on unchanged clean.py), events_in_first_day_window (r4+r5,
+# if asof.py stays unchanged), canonicalize_contract /
+# export_round_trip_partitioned (multi-round green — move the family
+# probes to their CSV/JSON round-trip twins when swapping).
 _VERIFICATION_WINDOW = [
     # marts / aggregations (SURVEY §2.4)
     "kpis",
