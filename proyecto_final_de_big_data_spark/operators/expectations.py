@@ -1,0 +1,141 @@
+"""Declarative data-quality expectations over a frame.
+
+The validation gate a lakehouse pipeline runs before publishing a
+table: not-null, domain, range, key-uniqueness, and referential checks,
+evaluated together and reported as one violations table — the engine's
+generalization of the reference's ad-hoc validity filters
+(``src/etl/clean.py``: hand-written predicates dropped rows silently;
+an expectations report says WHICH contract failed and by how much, and
+lets the caller decide drop vs fail vs quarantine).
+
+Scale shape: every ROW-level rule (not_null / range / in_set) compiles
+to one ``sum(CASE...)`` aggregate, so all of them together cost a
+single map-side-combined pass over the scan. ``unique`` adds a
+``count(DISTINCT struct(...))`` in the SAME aggregation (Spark expands
+the input once per distinct set — one extra replica, still one job).
+``foreign_key`` rules are inherently joins: each runs one left-anti
+probe against the referenced keys' distinct projection, broadcast when
+the dimension is small. Nothing collects to the driver but the final
+one-row-per-rule report.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One expectation; ``kind`` drives evaluation, ``name`` labels the
+    report row."""
+
+    name: str
+    kind: str  # not_null | range | in_set | unique | foreign_key
+    col: str | None = None
+    cols: tuple[str, ...] = ()
+    lo: float | None = None
+    hi: float | None = None
+    values: tuple = ()
+    ref: DataFrame | None = field(default=None, compare=False)
+    ref_cols: tuple[str, ...] = ()
+
+
+def not_null(col: str) -> Rule:
+    return Rule(name=f"not_null({col})", kind="not_null", col=col)
+
+
+def in_range(col: str, lo: float, hi: float) -> Rule:
+    """Violated by non-NULL values outside [lo, hi] — NULLs are
+    ``not_null``'s job, so the two rules compose without double-counting."""
+    return Rule(name=f"in_range({col},{lo},{hi})", kind="range", col=col, lo=lo, hi=hi)
+
+
+def in_set(col: str, values) -> Rule:
+    vals = tuple(values)
+    return Rule(name=f"in_set({col})", kind="in_set", col=col, values=vals)
+
+
+def unique(*cols: str) -> Rule:
+    return Rule(name=f"unique({','.join(cols)})", kind="unique", cols=tuple(cols))
+
+
+def foreign_key(cols, ref: DataFrame, ref_cols) -> Rule:
+    cols = (cols,) if isinstance(cols, str) else tuple(cols)
+    ref_cols = (ref_cols,) if isinstance(ref_cols, str) else tuple(ref_cols)
+    if len(cols) != len(ref_cols):
+        raise ValueError("foreign_key needs matching column counts")
+    return Rule(
+        name=f"foreign_key({','.join(cols)})",
+        kind="foreign_key",
+        cols=cols,
+        ref=ref,
+        ref_cols=ref_cols,
+    )
+
+
+def _violation(rule: Rule):
+    c = F.col(rule.col)
+    if rule.kind == "not_null":
+        return c.isNull()
+    if rule.kind == "range":
+        return c.isNotNull() & ((c < F.lit(rule.lo)) | (c > F.lit(rule.hi)))
+    if rule.kind == "in_set":
+        return c.isNotNull() & ~c.isin(list(rule.values))
+    raise AssertionError(rule.kind)
+
+
+def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """``(check, n_violations, passed)`` — one row per rule.
+
+    Row-level rules and uniqueness evaluate in ONE aggregation job;
+    each foreign-key rule adds one anti-join count. The report is tiny
+    (one row per rule) and built driver-side from those aggregates, so
+    it can gate a write (``if report.where(~passed).count(): raise``)
+    without re-scanning anything.
+    """
+    if not rules:
+        raise ValueError("no rules to validate")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate rule names")
+
+    aggs, agg_rules = [], []
+    fk_rules = []
+    for r in rules:
+        if r.kind == "foreign_key":
+            fk_rules.append(r)
+        elif r.kind == "unique":
+            aggs.append(
+                (
+                    F.count(F.lit(1))
+                    - F.count_distinct(F.struct(*[F.col(c) for c in r.cols]))
+                ).alias(f"__v_{len(aggs)}")
+            )
+            agg_rules.append(r)
+        else:
+            aggs.append(F.sum(_violation(r).cast("long")).alias(f"__v_{len(aggs)}"))
+            agg_rules.append(r)
+
+    counts: dict[str, int] = {}
+    if aggs:
+        row = df.agg(*aggs).collect()[0]
+        for i, r in enumerate(agg_rules):
+            counts[r.name] = int(row[f"__v_{i}"] or 0)
+    for r in fk_rules:
+        ref_keys = r.ref.select(
+            *[F.col(rc).alias(c) for c, rc in zip(r.cols, r.ref_cols)]
+        ).dropDuplicates()
+        # NULL fk values never match an equi-join and would all count as
+        # orphans; referential integrity is about NON-NULL dangling keys
+        # (null-ness is not_null's contract), so they're excluded here.
+        probe = df.select(*r.cols).na.drop(subset=list(r.cols))
+        counts[r.name] = probe.join(ref_keys, list(r.cols), "left_anti").count()
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r.name, counts[r.name], counts[r.name] == 0) for r in rules],
+        "check string, n_violations long, passed boolean",
+    )

@@ -446,3 +446,78 @@ def q_table_profile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         docs, ["doc_id", "lang", "source", "n_chars"], exact_distinct=True
     )
+
+
+@register(
+    "data_quality_contract",
+    oracle="""
+    SELECT 'not_null(o_orderkey)' AS check,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+           count(*) = count(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice,0.0,1000.0)',
+           CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0 OR o_totalprice > 1000)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_totalprice IS NOT NULL
+                     AND (o_totalprice < 0 OR o_totalprice > 1000)
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)',
+           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O','F','P')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('O','F','P')
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'foreign_key(o_custkey)',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+    """,
+    description="Data-quality expectations (operators/expectations.py): "
+    "not-null + key-uniqueness + range + domain + referential checks over "
+    "orders, reported as one violations table. All row-level rules and the "
+    "distinct-count uniqueness check evaluate in ONE aggregation pass; the "
+    "FK rule is one broadcast anti-join against customer's distinct keys. "
+    "The deliberately-tight price range yields a NONZERO pinned violation "
+    "count, so the gate verifies real counting, not just zeros. Queued for "
+    "the r6 window rotation; DuckDB-parity covered by "
+    "tests/test_oracle_parity.py meanwhile.",
+)
+def q_data_quality_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import (
+        foreign_key,
+        in_range,
+        in_set,
+        not_null,
+        unique,
+        validate,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return validate(
+        orders,
+        [
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            in_range("o_totalprice", 0.0, 1000.0),
+            in_set("o_orderstatus", ["O", "F", "P"]),
+            foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    )
