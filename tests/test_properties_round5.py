@@ -227,3 +227,43 @@ def test_release_manifest_permutation_invariant_checksum(spark, rows):
     ka = sorted(map(tuple, release_manifest(a, "grp", "doc_id", ["text"]).collect()))
     kb = sorted(map(tuple, release_manifest(b, "grp", "doc_id", ["text"]).collect()))
     assert ka == kb
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 8)),
+            st.one_of(st.none(), st.floats(-50, 150, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_expectations_counts_match_python_reference(spark, rows):
+    """validate()'s counts equal a driver-side recomputation for any
+    mix of NULLs, duplicates, and out-of-range values."""
+    from proyecto_final_de_big_data_spark.operators.expectations import (
+        in_range,
+        not_null,
+        unique,
+        validate,
+    )
+
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["check"]: r["n_violations"]
+        for r in validate(
+            df, [not_null("id"), unique("id"), in_range("v", 0.0, 100.0)]
+        ).collect()
+    }
+    ids = [a for a, _ in rows]
+    want_null = sum(1 for a in ids if a is None)
+    # count(DISTINCT struct) counts the NULL struct too, matching SQL's
+    # count(*) - count(DISTINCT ...) only up to NULL handling: Spark's
+    # struct(id) is never NULL, so distinct includes the null-id group.
+    want_dups = len(ids) - len(set(ids))
+    want_range = sum(1 for _, b in rows if b is not None and (b < 0.0 or b > 100.0))
+    assert got["not_null(id)"] == want_null
+    assert got["unique(id)"] == want_dups
+    assert got["in_range(v,0.0,100.0)"] == want_range
