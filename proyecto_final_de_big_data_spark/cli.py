@@ -104,6 +104,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mix-mode", default="temperature", choices=["temperature", "epochs"], help="downsample over-represented strata, or repeat rare strata (adds an epoch column)")
     p.add_argument("--split", default="train=0.9,eval=0.1", help="'none' to skip")
     p.add_argument("--split-mode", default="hash", choices=["hash", "cluster_safe"], help="cluster_safe keys the split on near-dup components so near-duplicates never straddle splits")
+    p.add_argument("--publish", action="store_true", help="also write release artifacts (_manifest fingerprint, _profile) next to the data")
+    p.add_argument("--manifest-group-cols", default=None, help="comma list for the manifest grouping (default: split)")
 
     p = sub.add_parser("train", help="fit + evaluate + save regression pipeline (04)")
     _add_spark_args(p)
@@ -221,45 +223,63 @@ def _parse_split(spec: str | None) -> dict[str, float] | None:
     return split
 
 
-def cmd_curate(args, log) -> int:
-    from .pipelines.curation import CurationConfig, run_curation
+def _comma_list(value: str | None) -> list[str] | None:
+    if not value:
+        return None
+    return [v.strip() for v in value.split(",") if v.strip()]
 
-    if args.dedup == "incremental" and not args.historical:
-        raise ValueError("--dedup incremental requires --historical")
-    split = _parse_split(args.split)
-    spark = _session(args)
-    cfg = CurationConfig(
+
+def _curation_config(args):
+    from .pipelines.curation import CurationConfig
+
+    return CurationConfig(
         id_col=args.id_col,
         text_col=args.text_col,
         redact_pii=not args.no_pii_redaction,
         min_quality=args.min_quality,
-        blocklist_terms=(
-            [t.strip() for t in args.blocklist_terms.split(",") if t.strip()]
-            if args.blocklist_terms
-            else None
-        ),
+        blocklist_terms=_comma_list(args.blocklist_terms),
         drop_repetitive=args.drop_repetitive,
         dedup=args.dedup,
         minhash_threshold=args.minhash_threshold,
         dedup_score_col=args.dedup_score_col,
-        cap_group_cols=(
-            [c.strip() for c in args.cap_group_cols.split(",") if c.strip()]
-            if args.cap_group_cols
-            else None
-        ),
+        cap_group_cols=_comma_list(args.cap_group_cols),
         cap_max_rows=args.cap_max,
         cap_score_col=args.cap_score_col,
         mix_stratum_col=args.mix_stratum_col,
         mix_alpha=args.mix_alpha,
         mix_mode=args.mix_mode,
-        split_fractions=split,
+        split_fractions=_parse_split(args.split),
         split_mode=args.split_mode,
     )
+
+
+def cmd_curate(args, log) -> int:
+    from .pipelines.curation import run_curation
+
+    if args.dedup == "incremental" and not args.historical:
+        raise ValueError("--dedup incremental requires --historical")
+    spark = _session(args)
+    cfg = _curation_config(args)
     historical = spark.read.parquet(args.historical) if args.historical else None
     # run_curation materializes by WRITING the sink (no corpus-sized
     # localCheckpoint) and releases the pinned stages afterwards.
     run_curation(spark.read.parquet(args.input), cfg, args.output, historical)
     log.info("curated documents written to %s", args.output)
+    if getattr(args, "publish", False):
+        from .pipelines.release import publish_release
+
+        group_cols = _comma_list(args.manifest_group_cols) or (
+            ["split"] if cfg.split_fractions else []
+        )
+        summary = publish_release(
+            spark,
+            args.output,
+            args.output,
+            cfg.id_col,
+            [cfg.text_col],
+            group_cols,
+        )
+        log.info("release artifacts published: %s", summary)
     return 0
 
 
