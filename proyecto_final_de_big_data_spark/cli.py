@@ -258,26 +258,36 @@ def cmd_curate(args, log) -> int:
 
     if args.dedup == "incremental" and not args.historical:
         raise ValueError("--dedup incremental requires --historical")
-    spark = _session(args)
+    # Everything checkable from args fails BEFORE JVM startup and long
+    # before the corpus write: split spec parse errors, and publish
+    # preconditions (discovering a missing manifest grouping only after
+    # run_curation would waste the whole curation job).
     cfg = _curation_config(args)
+    publish_group_cols = None
+    if getattr(args, "publish", False):
+        publish_group_cols = _comma_list(args.manifest_group_cols) or (
+            ["split"] if cfg.split_fractions else []
+        )
+        if not publish_group_cols:
+            raise ValueError(
+                "--publish needs --manifest-group-cols when --split none"
+            )
+    spark = _session(args)
     historical = spark.read.parquet(args.historical) if args.historical else None
     # run_curation materializes by WRITING the sink (no corpus-sized
     # localCheckpoint) and releases the pinned stages afterwards.
     run_curation(spark.read.parquet(args.input), cfg, args.output, historical)
     log.info("curated documents written to %s", args.output)
-    if getattr(args, "publish", False):
+    if publish_group_cols is not None:
         from .pipelines.release import publish_release
 
-        group_cols = _comma_list(args.manifest_group_cols) or (
-            ["split"] if cfg.split_fractions else []
-        )
         summary = publish_release(
             spark,
             args.output,
             args.output,
             cfg.id_col,
             [cfg.text_col],
-            group_cols,
+            publish_group_cols,
         )
         log.info("release artifacts published: %s", summary)
     return 0

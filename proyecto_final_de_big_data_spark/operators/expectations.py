@@ -54,11 +54,19 @@ def in_range(col: str, lo: float, hi: float) -> Rule:
 
 
 def in_set(col: str, values) -> Rule:
+    # Parameters belong in the name: two in_set rules on one column with
+    # different domains must not collide, and the report row must say
+    # WHICH domain failed.
     vals = tuple(values)
-    return Rule(name=f"in_set({col})", kind="in_set", col=col, values=vals)
+    shown = ",".join(map(str, vals))
+    return Rule(name=f"in_set({col},{{{shown}}})", kind="in_set", col=col, values=vals)
 
 
 def unique(*cols: str) -> Rule:
+    """Violated by extra copies among rows whose key columns are all
+    non-NULL. NULL keys are not uniqueness violations (matching SQL
+    ``count(DISTINCT)`` semantics and the ``in_range`` stance) — pair
+    with :func:`not_null` to forbid them."""
     return Rule(name=f"unique({','.join(cols)})", kind="unique", cols=tuple(cols))
 
 
@@ -68,7 +76,7 @@ def foreign_key(cols, ref: DataFrame, ref_cols) -> Rule:
     if len(cols) != len(ref_cols):
         raise ValueError("foreign_key needs matching column counts")
     return Rule(
-        name=f"foreign_key({','.join(cols)})",
+        name=f"foreign_key({','.join(cols)}->{','.join(ref_cols)})",
         kind="foreign_key",
         cols=cols,
         ref=ref,
@@ -108,11 +116,19 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
         if r.kind == "foreign_key":
             fk_rules.append(r)
         elif r.kind == "unique":
+            # NULL-keyed rows are excluded from BOTH counts so they are
+            # never violations here (count_distinct skips NULL inputs;
+            # the keyed struct is nulled when any key col is) — matching
+            # SQL count(col)-count(DISTINCT col) for the one-column case.
+            all_non_null = None
+            for c in r.cols:
+                nn = F.col(c).isNotNull()
+                all_non_null = nn if all_non_null is None else (all_non_null & nn)
+            keyed = F.when(all_non_null, F.struct(*[F.col(c) for c in r.cols]))
             aggs.append(
-                (
-                    F.count(F.lit(1))
-                    - F.count_distinct(F.struct(*[F.col(c) for c in r.cols]))
-                ).alias(f"__v_{len(aggs)}")
+                (F.sum(all_non_null.cast("long")) - F.count_distinct(keyed)).alias(
+                    f"__v_{len(aggs)}"
+                )
             )
             agg_rules.append(r)
         else:

@@ -56,8 +56,11 @@ def publish_release(
     profile.coalesce(1).write.mode("overwrite").json(f"{out_root}/_profile")
 
     summary: dict = {
-        "n_groups": manifest.count(),
-        "n_columns": profile.count(),
+        # Counted from the just-written KB-scale artifact, NOT by
+        # re-running the corpus aggregation (manifest.count() would be a
+        # third full scan purely for a summary integer).
+        "n_groups": spark.read.json(f"{out_root}/_manifest").count(),
+        "n_columns": len(back.columns),
     }
     if rules:
         report = validate(back, rules)
@@ -101,18 +104,30 @@ def _diverging(
     from pyspark.sql import functions as F
 
     m = mine.select(
-        *group_cols, *[F.col(c).alias(f"__m_{c}") for c in cmp_cols]
+        *[F.col(c).alias(f"__mg_{c}") for c in group_cols],
+        *[F.col(c).alias(f"__m_{c}") for c in cmp_cols],
     )
     s = shipped.select(
-        *group_cols, *[F.col(c).alias(f"__s_{c}") for c in cmp_cols]
+        *[F.col(c).alias(f"__sg_{c}") for c in group_cols],
+        *[F.col(c).alias(f"__s_{c}") for c in cmp_cols],
     )
-    joined = m.join(s, group_cols, "full_outer")
+    # NULL-SAFE group join: a NULL group value (e.g. lang=NULL) is a
+    # legitimate manifest group; plain equality would leave it unmatched
+    # on both sides and flag an untampered copy as divergent.
+    on = None
+    for c in group_cols:
+        cond = F.col(f"__mg_{c}").eqNullSafe(F.col(f"__sg_{c}"))
+        on = cond if on is None else (on & cond)
+    joined = m.join(s, on, "full_outer")
     mismatch = None
     for c in cmp_cols:
         cond = ~F.col(f"__m_{c}").eqNullSafe(F.col(f"__s_{c}"))
         mismatch = cond if mismatch is None else (mismatch | cond)
     return joined.where(mismatch).select(
-        *group_cols,
+        *[
+            F.coalesce(F.col(f"__mg_{c}"), F.col(f"__sg_{c}")).alias(c)
+            for c in group_cols
+        ],
         *[F.col(f"__m_{c}").alias(f"mine_{c}") for c in cmp_cols],
         *[F.col(f"__s_{c}").alias(f"shipped_{c}") for c in cmp_cols],
     )

@@ -457,8 +457,8 @@ def q_table_profile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     UNION ALL
     SELECT 'unique(o_orderkey)',
-           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
-           count(*) = count(DISTINCT o_orderkey)
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+           count(o_orderkey) = count(DISTINCT o_orderkey)
     FROM orders
     UNION ALL
     SELECT 'in_range(o_totalprice,0.0,1000.0)',
@@ -470,7 +470,7 @@ def q_table_profile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                THEN 1 ELSE 0 END) = 0
     FROM orders
     UNION ALL
-    SELECT 'in_set(o_orderstatus)',
+    SELECT 'in_set(o_orderstatus,{O,F,P})',
            CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
                           AND o_orderstatus NOT IN ('O','F','P')
                      THEN 1 ELSE 0 END) AS BIGINT),
@@ -479,7 +479,7 @@ def q_table_profile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                THEN 1 ELSE 0 END) = 0
     FROM orders
     UNION ALL
-    SELECT 'foreign_key(o_custkey)',
+    SELECT 'foreign_key(o_custkey->c_custkey)',
            (SELECT CAST(count(*) AS BIGINT) FROM orders o
             WHERE o.o_custkey IS NOT NULL
               AND NOT EXISTS (SELECT 1 FROM customer c

@@ -48,8 +48,8 @@ def test_validate_counts_each_rule(spark):
     # 4 rows, distinct ids {1, 2, None} -> one extra duplicate row
     assert report["unique(id)"][0] >= 1 and not report["unique(id)"][1]
     assert report["in_range(v,0.0,100.0)"] == (1, False)  # NULL v not counted
-    assert report["in_set(cat)"] == (1, False)
-    assert report["foreign_key(fk)"] == (1, False)  # 999 dangles; NULL fk excluded
+    assert report["in_set(cat,{a,b})"] == (1, False)
+    assert report["foreign_key(fk->pk)"] == (1, False)  # 999 dangles; NULL fk excluded
 
 
 def test_validate_all_pass_and_fk_null_exclusion(spark):
@@ -68,3 +68,24 @@ def test_validate_argument_errors(spark):
         validate(df, [not_null("id"), not_null("id")])
     with pytest.raises(ValueError, match="matching column counts"):
         foreign_key(["a", "b"], _dim(df.sparkSession), "pk")
+
+
+def test_unique_ignores_null_keys(spark):
+    # Two NULL ids are NOT duplicates of each other (SQL count(DISTINCT)
+    # semantics); pair with not_null to forbid them.
+    df = spark.createDataFrame([(None,), (None,), (1,), (1,)], "id long")
+    report = {r["check"]: r["n_violations"] for r in validate(df, [unique("id")]).collect()}
+    assert report["unique(id)"] == 1  # only the duplicated 1
+
+
+def test_distinct_rules_on_same_column_do_not_collide(spark):
+    df = _frame(spark)
+    report = validate(
+        df,
+        [
+            in_set("cat", ["a"]),
+            in_set("cat", ["a", "b", "zz"]),
+            foreign_key("fk", _dim(spark), "pk"),
+        ],
+    ).collect()
+    assert len(report) == 3  # parameterized names: no duplicate-name error

@@ -259,10 +259,10 @@ def test_expectations_counts_match_python_reference(spark, rows):
     }
     ids = [a for a, _ in rows]
     want_null = sum(1 for a in ids if a is None)
-    # count(DISTINCT struct) counts the NULL struct too, matching SQL's
-    # count(*) - count(DISTINCT ...) only up to NULL handling: Spark's
-    # struct(id) is never NULL, so distinct includes the null-id group.
-    want_dups = len(ids) - len(set(ids))
+    # unique() ignores NULL keys (SQL count(DISTINCT) semantics): only
+    # extra copies among NON-NULL ids are violations.
+    non_null = [a for a in ids if a is not None]
+    want_dups = len(non_null) - len(set(non_null))
     want_range = sum(1 for _, b in rows if b is not None and (b < 0.0 or b > 100.0))
     assert got["not_null(id)"] == want_null
     assert got["unique(id)"] == want_dups

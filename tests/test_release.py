@@ -100,3 +100,30 @@ def test_cli_curate_with_publish(spark, tmp_path):
     assert manifest.count() > 0
     assert {"split", "lang", "n_rows", "id_sum", "content_checksum"} <= set(manifest.columns)
     assert spark.read.json(f"{out}/_profile").count() >= 4
+
+
+def test_verify_handles_null_group_values(spark, tmp_path):
+    root = str(tmp_path / "nullgrp")
+    spark.createDataFrame(
+        [(1, "x", "en"), (2, "y", None), (3, "z", None)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(root)
+    publish_release(spark, root, root, "doc_id", ["text"], ["lang"])
+    # untampered copy with a NULL group must verify clean (null-safe join)
+    assert verify_release(spark, root, root, "doc_id", ["text"], ["lang"]).count() == 0
+
+
+def test_cli_publish_precondition_fails_fast(tmp_path):
+    from proyecto_final_de_big_data_spark.cli import main
+
+    rc = main(
+        [
+            "curate",
+            "--input", f"{SF}/documents.parquet",
+            "--output", str(tmp_path / "x"),
+            "--split", "none",
+            "--publish",
+        ]
+    )
+    assert rc == 1  # main() converts the ValueError to a nonzero exit
+    assert not (tmp_path / "x").exists()  # nothing was written before the error
