@@ -1598,3 +1598,71 @@ def q_source_cap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("kept_chars"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+@register(
+    "token_budget_selection_profile",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang, doc_id, {_QUALITY_SQL} AS q,
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE length(text) - length(replace(text, ' ', '')) + 1
+               END AS tok
+        FROM documents
+    ), binned AS (
+        SELECT lang, doc_id, CAST(floor(q * 20.0) AS BIGINT) AS bin, tok
+        FROM scored WHERE q IS NOT NULL
+    ), per_bin AS (
+        SELECT lang, bin, sum(tok) AS bin_tokens
+        FROM binned WHERE tok IS NOT NULL GROUP BY 1, 2
+    ), running AS (
+        SELECT lang, bin, bin_tokens,
+               sum(bin_tokens) OVER (PARTITION BY lang ORDER BY bin DESC
+                                     ROWS UNBOUNDED PRECEDING) AS run
+        FROM per_bin
+    ), thresholds AS (
+        SELECT lang, min(bin) AS min_keep_bin FROM running
+        WHERE run <= 3500 OR (run > 3500 AND run - bin_tokens <= 3500)
+        GROUP BY 1
+    )
+    SELECT b.lang, count(*) AS n_docs_kept,
+           CAST(sum(b.tok) AS BIGINT) AS kept_tokens,
+           min(b.bin) AS min_kept_bin,
+           CAST(sum(b.doc_id) AS BIGINT) AS id_sum
+    FROM binned b JOIN thresholds t
+      ON b.lang IS NOT DISTINCT FROM t.lang AND b.bin >= t.min_keep_bin
+    GROUP BY b.lang
+    """,
+    description="Quality-threshold data selection under a per-language "
+    "token budget (operators/selection.py — 'take the best documents "
+    "until we have N tokens of each language', the corpus-construction "
+    "counterpart to temperature mixing's rate rescale). The engine side "
+    "never sorts the corpus: per-(lang, quality-bin) token sums "
+    "map-side-combine to a thousands-row frame, the cumulative window "
+    "runs over THAT, and the per-lang threshold broadcasts back as a "
+    "map-only filter. Budget 3500 at sf0.01 makes both keep branches "
+    "execute: 'en' crosses the budget inside its top bin "
+    "(include_boundary keeps exactly that bin), 'de' walks seven bins "
+    "deep. The oracle states the identical bin algebra in SQL; kept "
+    "counts, token mass, threshold bin, and an order-insensitive id "
+    "checksum must all match.",
+)
+def q_token_budget_selection_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import quality_bin, select_within_token_budget
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .withColumn("quality", quality_score("text"))
+        .withColumn("n_tokens", token_count("text").cast("long"))
+    )
+    kept = select_within_token_budget(
+        docs, "lang", "quality", "n_tokens", budget=3500, scale=20.0,
+        include_boundary=True,
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        F.min(quality_bin("quality", 20.0)).alias("min_kept_bin"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
