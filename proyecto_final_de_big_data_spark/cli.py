@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cap-group-cols", default=None, help="comma list (e.g. source,lang) — enables the hard per-group cap")
     p.add_argument("--cap-max", type=int, default=0, help="max rows kept per cap group")
     p.add_argument("--cap-score-col", default=None, help="keep highest values first (default: lowest ids)")
+    p.add_argument("--select-stratum-col", default=None, help="e.g. lang — enables token-budget selection (best-quality bins per stratum until the budget fills)")
+    p.add_argument("--select-budget", type=int, default=0, help="per-stratum token budget")
+    p.add_argument("--select-score-col", default=None, help="existing quality column (default: built-in quality_score over --text-col)")
+    p.add_argument("--select-token-col", default=None, help="existing token-count column (default: built-in token_count over --text-col)")
+    p.add_argument("--select-strict-budget", action="store_true", help="drop the boundary bin instead of keeping it (undershoot instead of overshoot)")
     p.add_argument("--mix-stratum-col", default=None, help="e.g. lang — enables stratum mixing")
     p.add_argument("--mix-alpha", type=float, default=0.5)
     p.add_argument("--mix-mode", default="temperature", choices=["temperature", "epochs"], help="downsample over-represented strata, or repeat rare strata (adds an epoch column)")
@@ -245,6 +250,11 @@ def _curation_config(args):
         cap_group_cols=_comma_list(args.cap_group_cols),
         cap_max_rows=args.cap_max,
         cap_score_col=args.cap_score_col,
+        select_stratum_col=args.select_stratum_col,
+        select_token_budget=args.select_budget,
+        select_score_col=args.select_score_col,
+        select_token_col=args.select_token_col,
+        select_include_boundary=not args.select_strict_budget,
         mix_stratum_col=args.mix_stratum_col,
         mix_alpha=args.mix_alpha,
         mix_mode=args.mix_mode,

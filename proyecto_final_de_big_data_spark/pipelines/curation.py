@@ -4,9 +4,10 @@ one configured pass: PII redaction → blocklist content filtering →
 quality/repetition filtering →
 dedup (exact, incremental vs an ingested corpus, or MinHash near-dup
 with min-id/keep-best survivors) → per-group contribution cap →
-stratum mixing (temperature downsampling or epoch upsampling) →
-deterministic split (by id, or cluster-safe by near-dup component so
-surviving near-duplicates never straddle train/eval).
+token-budget selection (best-quality bins per stratum until a token
+budget fills) → stratum mixing (temperature downsampling or epoch
+upsampling) → deterministic split (by id, or cluster-safe by near-dup
+component so surviving near-duplicates never straddle train/eval).
 
 Stage order is load-bearing for scale: the projection-only stages
 (PII regexes, repetition signals, quality score — all fused into the
@@ -31,7 +32,8 @@ own the release differently:
 Every stage is individually oracle-gated by its own registry query
 (pii_redaction_profile, repetition_profile, dedup_exact_*,
 incremental_dedup_profile, minhash_recall + cluster_keep_best_profile,
-source_cap_profile, temperature_mix_profile, epoch_upsample_profile,
+source_cap_profile, token_budget_selection_profile,
+temperature_mix_profile, epoch_upsample_profile,
 doc_hash_split_profile, cluster_safe_split_profile); the composition
 itself is gated end-to-end by curate_documents_contract (which runs
 with the cap stage enabled).
@@ -80,6 +82,16 @@ class CurationConfig:
     cap_group_cols: list[str] | None = None
     cap_max_rows: int = 0
     cap_score_col: str | None = None
+    # quality-threshold token-budget selection (operators/selection.py),
+    # applied to the capped corpus BEFORE mixing: per stratum keep the
+    # best-quality score bins until select_token_budget tokens. Score
+    # and token columns default to the built-in quality_score /
+    # token_count expressions over text_col when left None.
+    select_stratum_col: str | None = None
+    select_token_budget: int = 0
+    select_score_col: str | None = None
+    select_token_col: str | None = None
+    select_include_boundary: bool = True
     mix_stratum_col: str | None = None
     mix_alpha: float = 0.5
     # "temperature" discards rows of over-represented strata;
@@ -137,6 +149,18 @@ def build_curation(
         # Mirror the dedup_score_col stance: a half-configured cap must
         # fail loudly, not ship an uncapped corpus silently.
         raise ValueError("cap_max_rows/cap_score_col require cap_group_cols")
+    select_active = cfg.select_stratum_col is not None
+    if select_active and cfg.select_token_budget < 1:
+        raise ValueError("select_stratum_col requires select_token_budget >= 1")
+    if not select_active and (
+        cfg.select_token_budget > 0
+        or cfg.select_score_col is not None
+        or cfg.select_token_col is not None
+    ):
+        raise ValueError(
+            "select_token_budget/select_score_col/select_token_col "
+            "require select_stratum_col"
+        )
     if cfg.dedup == "minhash" or cfg.split_mode == "cluster_safe":
         # The MinHash signature mapInPandas declares a long id column;
         # fail HERE with a clear message, not hours into the run with an
@@ -196,8 +220,33 @@ def build_curation(
         out = cap_per_group(
             out, cfg.cap_group_cols, cfg.id_col, cfg.cap_max_rows, cfg.cap_score_col
         )
-    if cfg.mix_stratum_col is not None:
+    if select_active:
+        from ..operators.selection import select_within_token_budget
+        from ..operators.text import token_count
+
         if cfg.dedup != "none" or cap_active:
+            # Selection reads its input twice (per-bin threshold
+            # aggregation + the keep filter) — pin upstream shuffle work.
+            out = _pin(out)
+        # Derived score/token columns are materialized under reserved
+        # names so the selection join sees plain columns, then dropped.
+        score_col = cfg.select_score_col or "__select_score"
+        token_col = cfg.select_token_col or "__select_tok"
+        if cfg.select_score_col is None:
+            out = out.withColumn(score_col, quality_score(cfg.text_col))
+        if cfg.select_token_col is None:
+            out = out.withColumn(token_col, token_count(cfg.text_col).cast("long"))
+        out = select_within_token_budget(
+            out,
+            cfg.select_stratum_col,
+            score_col,
+            token_col,
+            budget=cfg.select_token_budget,
+            include_boundary=cfg.select_include_boundary,
+        )
+        out = out.drop("__select_score", "__select_tok")
+    if cfg.mix_stratum_col is not None:
+        if cfg.dedup != "none" or cap_active or select_active:
             # Mixing reads ITS input twice; its rates branch prunes
             # columns differently from its keep branch, so the upstream
             # subplans would otherwise run twice — pin it too.

@@ -349,3 +349,72 @@ def test_curate_half_configured_cap_rejected(spark):
         curate_documents(_docs(spark), CurationConfig(cap_max_rows=5))
     with pytest.raises(ValueError, match="require cap_group_cols"):
         curate_documents(_docs(spark), CurationConfig(cap_score_col="n_chars"))
+
+
+def test_curate_token_budget_selection_stage(spark):
+    # 4 long high-quality docs (~40 tokens each) + junk per lang; a
+    # 100-token budget keeps the top-quality bins only.
+    def doc(i, lang, good):
+        if good:
+            text = ("a perfectly ordinary readable sentence with many plain "
+                    "words that goes on long enough to clear the length "
+                    "bonus threshold and score highly on every axis " * 2)
+        else:
+            text = "1. 2. 3. 4!!!"  # digit/punct-dense -> low bin
+        return (i, text, lang)
+
+    rows = [doc(i, "en", i < 4) for i in range(8)]
+    rows += [doc(10 + i, "fr", i < 2) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    cfg = CurationConfig(
+        redact_pii=False,
+        dedup="none",
+        select_stratum_col="lang",
+        select_token_budget=100,
+        split_fractions=None,
+    )
+    out = curate_documents(df, cfg)
+    # reserved derived columns are dropped from the output
+    assert set(out.columns) == {"doc_id", "text", "lang"}
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # junk bins fall below every threshold; high bins survive (boundary
+    # bin included by default, so the whole top bin stays even though it
+    # overshoots 100 tokens)
+    assert kept == [0, 1, 2, 3, 10, 11]
+
+
+def test_curate_selection_config_validation(spark):
+    with pytest.raises(ValueError, match="select_token_budget >= 1"):
+        curate_documents(
+            _docs(spark),
+            CurationConfig(select_stratum_col="lang", select_token_budget=0),
+        )
+    with pytest.raises(ValueError, match="require select_stratum_col"):
+        curate_documents(
+            _docs(spark), CurationConfig(select_token_budget=100)
+        )
+
+
+def test_cli_curate_with_selection(spark, tmp_path):
+    from proyecto_final_de_big_data_spark.cli import main
+
+    out_root = str(tmp_path / "selected")
+    rc = main(
+        [
+            "curate",
+            "--master", "local[2]",
+            "--input", f"{SF}/documents.parquet",
+            "--output", out_root,
+            "--dedup", "none",
+            "--select-stratum-col", "lang",
+            "--select-budget", "500",
+            "--split", "none",
+        ]
+    )
+    assert rc == 0
+    back = spark.read.parquet(out_root)
+    assert back.count() > 0
+    # budget bites: every lang's kept token mass is bounded by the
+    # budget plus one boundary bin (crudely: well under the full corpus)
+    full = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert back.count() < full
