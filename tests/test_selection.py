@@ -106,3 +106,70 @@ def test_corpus_side_is_broadcast_joined(spark):
     # side of a shuffled join.
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------
+# Property: the bin-aggregated engine implementation matches a direct
+# Python reference model of the same semantics on arbitrary inputs.
+# ---------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_row = st.tuples(
+    st.sampled_from(["a", "b", None]),                    # stratum
+    st.one_of(st.none(), st.floats(0.0, 1.0, width=32)),  # score
+    st.one_of(st.none(), st.integers(0, 50)),             # tok
+)
+
+
+def _reference(rows, budget, scale, include_boundary):
+    """Python model: per stratum, bins best-first; keep while the
+    running (non-NULL) token total stays within budget, optionally plus
+    the crossing bin."""
+    import math
+    from collections import defaultdict
+
+    bins = defaultdict(lambda: defaultdict(int))
+    for stratum, score, tok in rows:
+        if score is not None and tok is not None:
+            bins[stratum][math.floor(score * scale)] += tok
+    keep_bin = {}
+    for stratum, per_bin in bins.items():
+        run = 0
+        for b in sorted(per_bin, reverse=True):
+            crosses = run + per_bin[b] > budget
+            if not crosses or (include_boundary and run <= budget):
+                keep_bin[stratum] = b
+            if crosses:
+                break
+            run += per_bin[b]
+    kept = []
+    for i, (stratum, score, tok) in enumerate(rows):
+        if score is None or stratum not in keep_bin:
+            continue
+        if math.floor(score * scale) >= keep_bin[stratum]:
+            kept.append(i)
+    return kept
+
+
+@given(
+    rows=st.lists(_row, min_size=1, max_size=25),
+    budget=st.integers(1, 120),
+    include_boundary=st.booleans(),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_selection_matches_python_reference(spark, rows, budget, include_boundary):
+    df = spark.createDataFrame(
+        [(s, q, t, i) for i, (s, q, t) in enumerate(rows)],
+        "stratum string, score double, tok long, doc_id long",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in select_within_token_budget(
+            df, "stratum", "score", "tok", budget=budget, scale=10.0,
+            include_boundary=include_boundary,
+        ).collect()
+    )
+    assert got == _reference(rows, budget, 10.0, include_boundary)
