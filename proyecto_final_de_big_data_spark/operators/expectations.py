@@ -1,14 +1,16 @@
 """Declarative data-quality expectations over a frame.
 
 The validation gate a lakehouse pipeline runs before publishing a
-table: not-null, domain, range, key-uniqueness, and referential checks,
+table: not-null, domain, range, format (regex), key-uniqueness, and
+referential checks,
 evaluated together and reported as one violations table — the engine's
 generalization of the reference's ad-hoc validity filters
 (``src/etl/clean.py``: hand-written predicates dropped rows silently;
 an expectations report says WHICH contract failed and by how much, and
 lets the caller decide drop vs fail vs quarantine).
 
-Scale shape: every ROW-level rule (not_null / range / in_set) compiles
+Scale shape: every ROW-level rule (not_null / range / in_set /
+matches_regex) compiles
 to one ``sum(CASE...)`` aggregate, so all of them together cost a
 single map-side-combined pass over the scan. ``unique`` adds a
 ``count(DISTINCT struct(...))`` in the SAME aggregation (Spark expands
@@ -33,12 +35,13 @@ class Rule:
     report row."""
 
     name: str
-    kind: str  # not_null | range | in_set | unique | foreign_key
+    kind: str  # not_null | range | in_set | regex | unique | foreign_key
     col: str | None = None
     cols: tuple[str, ...] = ()
     lo: float | None = None
     hi: float | None = None
     values: tuple = ()
+    pattern: str | None = None
     ref: DataFrame | None = field(default=None, compare=False)
     ref_cols: tuple[str, ...] = ()
 
@@ -60,6 +63,17 @@ def in_set(col: str, values) -> Rule:
     vals = tuple(values)
     shown = ",".join(map(str, vals))
     return Rule(name=f"in_set({col},{{{shown}}})", kind="in_set", col=col, values=vals)
+
+
+def matches_regex(col: str, pattern: str) -> Rule:
+    """Violated by non-NULL values that do not FULLY match ``pattern``
+    (anchored at both ends here — callers pass the bare pattern).
+    Keep patterns inside the Java-regex ∩ RE2 subset (the
+    ``operators/pii.py`` stance) so a DuckDB ``regexp_full_match`` twin
+    replays them verbatim."""
+    return Rule(
+        name=f"matches_regex({col},{pattern})", kind="regex", col=col, pattern=pattern
+    )
 
 
 def unique(*cols: str) -> Rule:
@@ -92,6 +106,8 @@ def _violation(rule: Rule):
         return c.isNotNull() & ((c < F.lit(rule.lo)) | (c > F.lit(rule.hi)))
     if rule.kind == "in_set":
         return c.isNotNull() & ~c.isin(list(rule.values))
+    if rule.kind == "regex":
+        return c.isNotNull() & ~c.rlike(f"^(?:{rule.pattern})$")
     raise AssertionError(rule.kind)
 
 

@@ -479,6 +479,17 @@ def q_table_profile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                THEN 1 ELSE 0 END) = 0
     FROM orders
     UNION ALL
+    SELECT 'matches_regex(o_orderpriority,[1-3]-[A-Z ]+)',
+           CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                          AND NOT regexp_full_match(o_orderpriority,
+                                                    '[1-3]-[A-Z ]+')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_orderpriority IS NOT NULL
+                     AND NOT regexp_full_match(o_orderpriority,
+                                               '[1-3]-[A-Z ]+')
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
     SELECT 'foreign_key(o_custkey->c_custkey)',
            (SELECT CAST(count(*) AS BIGINT) FROM orders o
             WHERE o.o_custkey IS NOT NULL
@@ -490,11 +501,13 @@ def q_table_profile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHERE c.c_custkey = o.o_custkey)) = 0
     """,
     description="Data-quality expectations (operators/expectations.py): "
-    "not-null + key-uniqueness + range + domain + referential checks over "
+    "not-null + key-uniqueness + range + domain + format-regex + "
+    "referential checks over "
     "orders, reported as one violations table. All row-level rules and the "
     "distinct-count uniqueness check evaluate in ONE aggregation pass; the "
     "FK rule is one broadcast anti-join against customer's distinct keys. "
-    "The deliberately-tight price range yields a NONZERO pinned violation "
+    "The deliberately-tight price range AND priority format each yield a "
+    "NONZERO pinned violation "
     "count, so the gate verifies real counting, not just zeros. Queued for "
     "the r6 window rotation; DuckDB-parity covered by "
     "tests/test_oracle_parity.py meanwhile.",
@@ -504,6 +517,7 @@ def q_data_quality_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreign_key,
         in_range,
         in_set,
+        matches_regex,
         not_null,
         unique,
         validate,
@@ -518,6 +532,10 @@ def q_data_quality_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             unique("o_orderkey"),
             in_range("o_totalprice", 0.0, 1000.0),
             in_set("o_orderstatus", ["O", "F", "P"]),
+            # Deliberately tight (real priorities run 1-5): a second
+            # pinned NONZERO count, exercising the anchored-full-match
+            # semantics in the Java∩RE2 dialect both engines share.
+            matches_regex("o_orderpriority", "[1-3]-[A-Z ]+"),
             foreign_key("o_custkey", customer, "c_custkey"),
         ],
     )

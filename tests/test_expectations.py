@@ -89,3 +89,19 @@ def test_distinct_rules_on_same_column_do_not_collide(spark):
         ],
     ).collect()
     assert len(report) == 3  # parameterized names: no duplicate-name error
+
+
+def test_matches_regex_full_match_and_null_exclusion(spark):
+    from proyecto_final_de_big_data_spark.operators.expectations import matches_regex
+
+    df = spark.createDataFrame(
+        [("1-URGENT",), ("5-LOW",), ("URGENT",), ("x1-URGENT",), (None,)],
+        "pri string",
+    )
+    report = {
+        r["check"]: (r["n_violations"], r["passed"])
+        for r in validate(df, [matches_regex("pri", "[1-5]-[A-Z ]+")]).collect()
+    }
+    # full-match semantics: 'URGENT' (no prefix) and 'x1-URGENT'
+    # (leading junk — a bare rlike would accept it) violate; NULL doesn't
+    assert report["matches_regex(pri,[1-5]-[A-Z ]+)"] == (2, False)
