@@ -69,7 +69,7 @@ from . import quality  # noqa: E402,F401
 # tests/test_oracle_parity.py until they rotate in):
 #   table_profile_contract, scd2_user_state_history,
 #   blocklist_filter_profile, data_quality_contract,
-#   token_budget_selection_profile
+#   token_budget_selection_profile, session_stats_by_dow
 #   (compaction_contract is already in-window).
 # Rotation-OUT candidates once r5 lands green: approx_quantile_contract
 # (r3+r4+r5 on unchanged clean.py), events_in_first_day_window (r4+r5,

@@ -161,3 +161,64 @@ def q_scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").cast("string").alias("valid_to"),
         "is_current",
     )
+
+
+@register(
+    "session_stats_by_dow",
+    oracle="""
+    WITH us AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS t
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(t) OVER w IS NULL
+                         OR t - lag(t) OVER w > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS opens
+        FROM us
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, session_idx, count(*) AS n_events,
+               min(ts) AS session_start,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT dayofweek(session_start) + 1 AS dow,
+           count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           max(n_events) AS max_session_events,
+           round(avg(n_events), 6) AS avg_session_events,
+           round(avg(duration_s), 4) AS avg_duration_s
+    FROM sessions GROUP BY 1
+    """,
+    description="Batch sessionization (operators/sessionize.py): per-user "
+    "sessions split at 30-minute silences, profiled by session-start "
+    "day-of-week — the at-rest twin of the streaming session windows "
+    "(session_windows_per_user). One shuffle on high-cardinality user_id "
+    "shared by both window passes (lag probe + running session counter — "
+    "one Exchange, one Sort), gaps compared in integer microseconds, and "
+    "event_id as the tie-break so repeated timestamps split identically in "
+    "both engines (with ties unbroken, which physical row carries the "
+    "session-open flag — and whether its tie peers trail into the prior "
+    "session — is engine-dependent).",
+)
+def q_session_stats_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import session_stats
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sessions = session_stats(
+        ev, "user_id", "ts", gap="30 minutes", order_cols=("event_id",)
+    )
+    return sessions.groupBy(
+        F.dayofweek("session_start").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.avg("n_events"), 6).alias("avg_session_events"),
+        F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+    )
