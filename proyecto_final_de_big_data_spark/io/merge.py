@@ -1,0 +1,259 @@
+"""Partition-pruned CDC MERGE into a partitioned parquet dataset.
+
+The reference writes its lake once and never mutates it; a production
+corpus is maintained by change feeds — late-arriving corrections,
+takedown deletions, re-crawled documents. Without a table format
+(Delta/Iceberg), the idiomatic Spark shape for "apply this batch of
+upserts and deletes" is the Hive-era partition swap, and its scale
+story is entirely about what it DOESN'T touch:
+
+- **Only affected partitions move.** The set of partitions a change
+  batch touches is a delta-scale aggregation of the batch itself
+  (collected at partition granularity — the same metadata-scale
+  driver read a Delta transaction log replay performs). The base is
+  then read ``WHERE partition IN (affected)``: partition pruning at
+  the scan, so a 10 000-partition table with a 3-partition change
+  batch reads 3 partitions.
+- **The base is never shuffled.** Merge is one LEFT ANTI join of the
+  pruned base against the (broadcast) change-key set — dropping
+  replaced and deleted rows map-side — plus a ``unionByName`` of the
+  upsert payload. With the change batch broadcast, the only wide work
+  is the final partitioned write.
+- **The swap is metadata.** Output lands in a staging directory; each
+  affected partition directory is then swapped in (live dir removed,
+  staged dir moved) — a per-partition filesystem rename, never a data
+  copy. A partition whose content merges to zero rows is REMOVED —
+  the correctness hole of ``partitionOverwriteMode=dynamic``, which
+  silently leaves a stale partition in place when the new result has
+  no rows for it (nothing is written, so nothing is overwritten).
+  Staging also sidesteps Spark's (correct) refusal to overwrite a
+  path it is simultaneously reading.
+
+Semantics (documented contract, validated before any write):
+
+- ``op`` is ``'upsert'`` or ``'delete'``; anything else raises.
+- After optional ``seq_col`` collapse (latest change per
+  ``(id, partition)`` wins — standard CDC compaction), an id may have
+  at most ONE upsert row batch-wide; delete payload columns are
+  ignored (only the id matters).
+- A row whose partition value CHANGES must arrive as a delete in the
+  old partition plus an upsert in the new one (the tombstone recipe):
+  pruning means the engine cannot see — by design — a base partition
+  the batch never mentions.
+- Deletes for absent ids are no-ops; upserts for absent ids are
+  inserts (including into brand-new partitions).
+
+Row counts for the merge report ride the write itself via the
+``Observation`` API — no second pass over the merged data.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+from dataclasses import dataclass
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import functions as F
+
+_OPS = ("upsert", "delete")
+# Partition values must render to a directory token verbatim (no Hive
+# percent-escaping on our side, so no ambiguity about what the swap
+# phase should look for on disk).
+_SAFE_PARTITION = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+@dataclass(frozen=True)
+class MergeReport:
+    """What a merge did: partitions touched/removed and row movement."""
+
+    affected_partitions: tuple
+    emptied_partitions: tuple
+    n_upserts: int
+    n_deletes: int
+    n_output_rows: int
+
+
+def _partition_token(value) -> str:
+    """Directory token for a partition value (``col=<token>``)."""
+    token = str(value)
+    if value is None or not _SAFE_PARTITION.match(token):
+        raise ValueError(
+            f"partition value {value!r} does not render to a safe directory "
+            "token; this merge supports plain scalar partition values "
+            "(letters, digits, '.', '_', '-')"
+        )
+    return token
+
+
+def _is_local(path: str) -> bool:
+    return urlparse(path).scheme in ("", "file")
+
+
+def _local_path(path: str) -> str:
+    parsed = urlparse(path)
+    return parsed.path if parsed.scheme == "file" else path
+
+
+def _swap_partitions(
+    spark: SparkSession,
+    base_path: str,
+    staging_path: str,
+    partition_col: str,
+    affected: list,
+) -> list:
+    """Move each affected partition directory from staging into the
+    live dataset (remove-then-rename — metadata ops only) and return
+    the partition values whose merged content was empty (their live
+    directories are removed and nothing replaces them)."""
+    emptied = []
+    if _is_local(base_path):
+        base, staging = _local_path(base_path), _local_path(staging_path)
+        for value in affected:
+            dirname = f"{partition_col}={_partition_token(value)}"
+            live, staged = os.path.join(base, dirname), os.path.join(staging, dirname)
+            if os.path.isdir(live):
+                shutil.rmtree(live)
+            if os.path.isdir(staged):
+                shutil.move(staged, live)
+            else:
+                emptied.append(value)
+        return emptied
+    # Cluster filesystems (HDFS / object-store committers): same
+    # remove-then-rename through the Hadoop FileSystem API.
+    jvm = spark._jvm  # pragma: no cover - exercised only on cluster filesystems
+    jbase = jvm.org.apache.hadoop.fs.Path(base_path)  # pragma: no cover
+    jfs = jbase.getFileSystem(spark._jsc.hadoopConfiguration())  # pragma: no cover
+    for value in affected:  # pragma: no cover
+        dirname = f"{partition_col}={_partition_token(value)}"
+        live = jvm.org.apache.hadoop.fs.Path(base_path, dirname)
+        staged = jvm.org.apache.hadoop.fs.Path(staging_path, dirname)
+        if jfs.exists(live):
+            jfs.delete(live, True)
+        if jfs.exists(staged):
+            jfs.rename(staged, live)
+        else:
+            emptied.append(value)
+    return emptied  # pragma: no cover
+
+
+def _collapse_by_seq(
+    changes: DataFrame, id_col: str, partition_col: str, seq_col: str
+) -> DataFrame:
+    """Latest change per (id, partition) wins. Keyed on the PAIR, not
+    the id alone, so the tombstone half of a partition-move (delete in
+    the old partition, upsert in the new) survives collapse."""
+    w = Window.partitionBy(id_col, partition_col).orderBy(F.col(seq_col).desc())
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", seq_col)
+    )
+
+
+def merge_changes(
+    spark: SparkSession,
+    base_path: str,
+    changes: DataFrame,
+    *,
+    id_col: str,
+    partition_col: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    broadcast_changes: bool = True,
+) -> MergeReport:
+    """Apply a CDC batch (upserts + deletes) to the partitioned parquet
+    dataset at ``base_path``, rewriting only the partitions the batch
+    touches. See the module docstring for the semantics contract.
+
+    ``broadcast_changes`` keeps the anti-join map-side (the pruned base
+    never shuffles); set it False only when a single change batch is
+    too large to broadcast — at which point AQE picks the strategy.
+    """
+    if seq_col is not None:
+        changes = _collapse_by_seq(changes, id_col, partition_col, seq_col)
+
+    op = F.col(op_col)
+    # One delta-scale aggregation validates the whole batch before any
+    # base read or write: op-domain, partition nullability, and the
+    # id-uniqueness rules the anti-join + union semantics rely on.
+    v = changes.agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.sum(F.when(~op.isin(*_OPS), 1).otherwise(0)).alias("n_bad_ops"),
+        F.sum(F.when(F.col(partition_col).isNull(), 1).otherwise(0)).alias("n_null_parts"),
+        F.sum(F.when(op == "upsert", 1).otherwise(0)).alias("n_upserts"),
+        F.count_distinct(F.when(op == "upsert", F.col(id_col))).alias("n_upsert_ids"),
+        F.sum(F.when(op == "delete", 1).otherwise(0)).alias("n_deletes"),
+        F.count_distinct(
+            F.when(op == "delete", F.struct(id_col, partition_col))
+        ).alias("n_delete_keys"),
+    ).collect()[0]
+    if v["n_changes"] == 0:
+        return MergeReport((), (), 0, 0, 0)
+    if v["n_bad_ops"]:
+        raise ValueError(
+            f"{v['n_bad_ops']} change rows carry an op outside {_OPS} "
+            f"(column {op_col!r})"
+        )
+    if v["n_null_parts"]:
+        raise ValueError(
+            f"{v['n_null_parts']} change rows have a NULL {partition_col!r}; "
+            "partition-pruned merge cannot route them"
+        )
+    if v["n_upserts"] != v["n_upsert_ids"]:
+        raise ValueError(
+            f"{v['n_upserts'] - v['n_upsert_ids']} duplicate upsert id(s) in "
+            "the batch; pass seq_col so the latest change per key wins, or "
+            "pre-collapse the feed"
+        )
+    if v["n_deletes"] != v["n_delete_keys"]:
+        raise ValueError(
+            "duplicate delete rows for the same (id, partition); pass "
+            "seq_col so the latest change per key wins, or pre-collapse the feed"
+        )
+
+    # Partition-granularity collect: bounded by partitions-touched, not
+    # rows (the merge analogue of reading a table-format commit log).
+    affected = sorted(
+        r[0] for r in changes.select(partition_col).distinct().collect()
+    )
+    for value in affected:
+        _partition_token(value)  # fail before any write, not mid-swap
+
+    base = spark.read.parquet(base_path).where(F.col(partition_col).isin(affected))
+    missing = [c for c in base.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes are missing base columns: {missing}")
+
+    change_keys = changes.select(id_col).distinct()
+    if broadcast_changes:
+        change_keys = F.broadcast(change_keys)
+    survivors = base.join(change_keys, id_col, "left_anti")
+    upserts = changes.where(op == "upsert").select(*base.columns)
+    merged = survivors.unionByName(upserts)
+
+    obs = Observation(f"merge_{uuid.uuid4().hex[:8]}")
+    merged = merged.observe(obs, F.count(F.lit(1)).alias("n_output_rows"))
+
+    staging = base_path.rstrip("/") + f"__merge_staging_{uuid.uuid4().hex[:8]}"
+    try:
+        merged.write.partitionBy(partition_col).mode("overwrite").parquet(staging)
+        emptied = _swap_partitions(spark, base_path, staging, partition_col, affected)
+    finally:
+        if _is_local(staging):
+            shutil.rmtree(_local_path(staging), ignore_errors=True)
+        else:  # pragma: no cover - cluster filesystems
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(staging)
+            jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
+
+    return MergeReport(
+        affected_partitions=tuple(affected),
+        emptied_partitions=tuple(emptied),
+        n_upserts=int(v["n_upserts"]),
+        n_deletes=int(v["n_deletes"]),
+        n_output_rows=int(obs.get["n_output_rows"]),
+    )

@@ -539,3 +539,157 @@ def q_data_quality_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             foreign_key("o_custkey", customer, "c_custkey"),
         ],
     )
+
+
+@register(
+    "cdc_merge_contract",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, month(o_orderdate) AS o_month, o_totalprice
+        FROM orders
+    ), merged AS (
+        SELECT o_orderkey, o_month,
+               CASE WHEN o_month = 5 AND o_orderkey % 101 = 0
+                    THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice
+        FROM base
+        WHERE NOT (o_month = 3 AND o_orderkey % 97 = 0)
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_month, o_totalprice
+        FROM base WHERE o_month = 7 AND o_orderkey % 103 = 0
+    ), touched AS (
+        -- the months the change batch actually mentions (a tiny SF may
+        -- have no key matching a mod filter in some month)
+        SELECT o_month FROM base WHERE o_month = 3 AND o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_month FROM base WHERE o_month = 5 AND o_orderkey % 101 = 0
+        UNION ALL
+        SELECT o_month FROM base WHERE o_month = 7 AND o_orderkey % 103 = 0
+    )
+    SELECT o_month, count(*) AS n_orders,
+           CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+           (SELECT count(DISTINCT o_month) FROM touched) AS n_affected_partitions,
+           TRUE AS untouched_intact
+    FROM merged
+    GROUP BY o_month
+    """,
+    description="Partition-pruned CDC merge (io/merge.py) through the gate: "
+    "orders are written as a month-partitioned base table, then one change "
+    "batch applies deletes (month 3, key % 97), price updates (month 5, "
+    "key % 101) and inserts (month 7, shifted keys) in a single merge — "
+    "anti-join + union on a partition-pruned read, staged write, per-"
+    "partition directory swap. The final table is profiled per month "
+    "against an oracle that restates the merge in SQL over the original "
+    "orders; the month=1 partition's file listing (name, size, mtime) is "
+    "pinned byte-identical across the merge (untouched_intact), and the "
+    "report's touched-partition count is pinned against the distinct "
+    "months the batch actually mentions — together the on-disk proof "
+    "that a 3-partition batch rewrote 3 partitions of 12, not the table.",
+)
+def q_cdc_merge_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.merge import merge_changes
+
+    base = tempfile.mkdtemp(prefix="cdc_base_")
+    try:
+        orders_m = load_table(spark, sf_dir, "orders").withColumn(
+            "o_month", F.month("o_orderdate")
+        )
+        orders_m.write.partitionBy("o_month").mode("overwrite").parquet(base)
+
+        key, month = F.col("o_orderkey"), F.col("o_month")
+        deletes = orders_m.where((month == 3) & (key % 97 == 0)).withColumn(
+            "op", F.lit("delete")
+        )
+        updates = (
+            orders_m.where((month == 5) & (key % 101 == 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+            .withColumn("op", F.lit("upsert"))
+        )
+        inserts = (
+            orders_m.where((month == 7) & (key % 103 == 0))
+            .withColumn("o_orderkey", key + 100_000_000)
+            .withColumn("op", F.lit("upsert"))
+        )
+        changes = deletes.unionByName(updates).unionByName(inserts)
+
+        def listing(partition_dir: str):
+            full = os.path.join(base, partition_dir)
+            return sorted(
+                (f, os.stat(os.path.join(full, f)).st_size,
+                 os.stat(os.path.join(full, f)).st_mtime_ns)
+                for f in os.listdir(full)
+            )
+
+        before = listing("o_month=1")
+        report = merge_changes(
+            spark, base, changes, id_col="o_orderkey", partition_col="o_month"
+        )
+        intact = listing("o_month=1") == before
+
+        result = (
+            spark.read.parquet(base)
+            .groupBy("o_month")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0))
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .withColumn(
+                "n_affected_partitions",
+                F.lit(len(report.affected_partitions)).cast("long"),
+            )
+            .withColumn("untouched_intact", F.lit(intact))
+        )
+        # Eager: the base tempdir is removed on return.
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "media_binary_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    WHERE doc_id % 10 = 0 AND doc_id < 2000
+    """,
+    description="Raw-file multimodal ingestion (io/binary.py) through the "
+    "gate: a bounded slice of documents is materialized as loose .txt "
+    "files (the stand-in for an image/audio drop directory — the fixture "
+    "fabrication is the only driver-side step), ingested back through the "
+    "binaryFile source with a pathGlobFilter, identified from filenames "
+    "via with_path_id, and fingerprinted (byte length from the source's "
+    "own file metadata, md5 over the binary content) — all projections, "
+    "no shuffle until the comparison agg. The oracle recomputes both "
+    "fingerprints from the documents table itself, so a byte lost or "
+    "reordered anywhere in the file round trip breaks the hash.",
+)
+def q_media_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.binary import read_binary_dir, with_path_id
+
+    drop_dir = tempfile.mkdtemp(prefix="media_drop_")
+    try:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .where((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 2000))
+            .select("doc_id", "text")
+            .collect()
+        )
+        for row in docs:
+            with open(os.path.join(drop_dir, f"doc_{row['doc_id']}.txt"), "wb") as fh:
+                fh.write(row["text"].encode("utf-8"))
+        # A decoy the glob must prune at listing time.
+        with open(os.path.join(drop_dir, "README.md"), "wb") as fh:
+            fh.write(b"not media")
+
+        files = read_binary_dir(spark, drop_dir, glob="*.txt")
+        result = with_path_id(files, r"doc_(\d+)\.txt$", id_col="doc_id").select(
+            "doc_id",
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("digest"),
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(drop_dir, ignore_errors=True)

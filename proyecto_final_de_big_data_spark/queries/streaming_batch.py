@@ -442,3 +442,166 @@ def q_stream_stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage_a, ignore_errors=True)
         shutil.rmtree(stage_b, ignore_errors=True)
+
+
+@register(
+    "session_stream_parity",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM gaps
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    description="Session windows run as an ACTUAL stream (file source -> "
+    "readStream -> session_window(ts, 30 min) per user -> memory sink, "
+    "complete mode, availableNow) against the same gaps-and-islands oracle "
+    "as the batch variant — completing the tumbling/sliding/session trio "
+    "of real-stream parity gates. Session windows are the hardest of the "
+    "three for a streaming engine (windows MERGE as late events bridge "
+    "gaps), which is exactly why the stream-equals-batch contract earns "
+    "its own gate.",
+)
+def q_session_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import read_events_stream, session_counts
+
+    stage = _stage_events(sf_dir, "events_stream_sw_")
+    try:
+        stream = read_events_stream(spark, stage)
+        # session_counts carries a watermark (required shape for append
+        # mode on a live deployment); complete mode re-emits every
+        # closed-and-merged session on the final trigger, so the drain
+        # is the full result on the bounded fixture.
+        return _drain_stream(spark, session_counts(stream), "t_session", "complete")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "stream_cdc_apply_round_trip",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, month(o_orderdate) AS o_month, o_totalprice
+        FROM orders
+    ), merged AS (
+        SELECT o_orderkey, o_month,
+               CASE WHEN o_month = 5 AND o_orderkey % 101 = 0
+                    THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice
+        FROM base
+        WHERE NOT (o_month = 3 AND o_orderkey % 97 = 0)
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_month, o_totalprice
+        FROM base WHERE o_month = 7 AND o_orderkey % 103 = 0
+    )
+    SELECT o_month, count(*) AS n_orders,
+           CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+           CAST((CASE WHEN EXISTS (SELECT 1 FROM base
+                       WHERE (o_month = 3 AND o_orderkey % 97 = 0)
+                          OR (o_month = 5 AND o_orderkey % 101 = 0))
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN EXISTS (SELECT 1 FROM base
+                       WHERE o_month = 7 AND o_orderkey % 103 = 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_applied_batches
+    FROM merged
+    GROUP BY o_month
+    """,
+    description="Streaming CDC apply (streaming/cdc.py) end to end: the "
+    "same change set the batch cdc_merge_contract applies in one merge "
+    "arrives here as a FILE STREAM in two files — deletes+updates, then "
+    "inserts — with maxFilesPerTrigger=1, so foreachBatch applies one "
+    "partition-pruned merge per micro-batch against the month-partitioned "
+    "base table. The final table must profile identically to the SQL "
+    "restatement of both batches, and the count of non-empty merges the "
+    "stream applied is pinned against the batches the oracle can prove "
+    "non-empty — gating that incremental maintenance through the "
+    "streaming path converges to the same table as one-shot batch "
+    "maintenance.",
+)
+def q_stream_cdc_apply_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.cdc import apply_change_stream
+
+    base = tempfile.mkdtemp(prefix="cdc_stream_base_")
+    stage = tempfile.mkdtemp(prefix="cdc_stream_changes_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_stream_ckpt_")
+    try:
+        orders_m = load_table(spark, sf_dir, "orders").withColumn(
+            "o_month", F.month("o_orderdate")
+        )
+        orders_m.write.partitionBy("o_month").mode("overwrite").parquet(base)
+
+        key, month = F.col("o_orderkey"), F.col("o_month")
+        deletes = orders_m.where((month == 3) & (key % 97 == 0)).withColumn(
+            "op", F.lit("delete")
+        )
+        updates = (
+            orders_m.where((month == 5) & (key % 101 == 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+            .withColumn("op", F.lit("upsert"))
+        )
+        inserts = (
+            orders_m.where((month == 7) & (key % 103 == 0))
+            .withColumn("o_orderkey", key + 100_000_000)
+            .withColumn("op", F.lit("upsert"))
+        )
+        # Two change files -> two micro-batches (maxFilesPerTrigger=1).
+        batch_a = deletes.unionByName(updates).coalesce(1).localCheckpoint(eager=True)
+        batch_b = inserts.coalesce(1).localCheckpoint(eager=True)
+        batch_a.write.mode("overwrite").parquet(os.path.join(stage, "batch_a"))
+        batch_b.write.mode("overwrite").parquet(os.path.join(stage, "batch_b"))
+
+        applied: list[int] = []
+
+        def on_batch(batch_id, report):
+            if report.affected_partitions:
+                applied.append(batch_id)
+
+        schema = spark.read.parquet(os.path.join(stage, "batch_a")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+        )
+        q = apply_change_stream(
+            stream,
+            base,
+            id_col="o_orderkey",
+            partition_col="o_month",
+            checkpoint_location=ckpt,
+            query_name=f"t_cdc_{uuid.uuid4().hex[:8]}",
+            on_batch=on_batch,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        result = (
+            spark.read.parquet(base)
+            .groupBy("o_month")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0))
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .withColumn("n_applied_batches", F.lit(len(applied)).cast("long"))
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -1,0 +1,238 @@
+"""Partition-pruned CDC merge (io/merge.py): semantics, the
+untouched-partition guarantee, emptied-partition removal, seq-collapse,
+and batch validation."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from proyecto_final_de_big_data_spark.io.merge import merge_changes
+
+_SCHEMA = "id long, p string, val double"
+_CHANGE_SCHEMA = "id long, p string, val double, op string"
+
+
+def _write_base(spark, rows):
+    path = tempfile.mkdtemp(prefix="merge_base_")
+    spark.createDataFrame(rows, _SCHEMA).write.partitionBy("p").mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def _read(spark, path):
+    return {
+        (r["id"], r["p"]): r["val"]
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def _snapshot(path, partition_dir):
+    full = os.path.join(path, partition_dir)
+    return sorted(
+        (f, os.stat(os.path.join(full, f)).st_size, os.stat(os.path.join(full, f)).st_mtime_ns)
+        for f in os.listdir(full)
+    )
+
+
+@pytest.fixture()
+def base(spark):
+    path = _write_base(
+        spark,
+        [
+            (1, "a", 1.0),
+            (2, "a", 2.0),
+            (3, "b", 3.0),
+            (4, "b", 4.0),
+            (5, "c", 5.0),
+        ],
+    )
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, _CHANGE_SCHEMA)
+
+
+def test_upsert_insert_delete_and_new_partition(spark, base):
+    before_c = _snapshot(base, "p=c")
+    report = merge_changes(
+        spark,
+        base,
+        _changes(
+            spark,
+            [
+                (1, "a", 10.0, "upsert"),   # update in place
+                (6, "a", 6.0, "upsert"),    # insert into existing partition
+                (3, "b", None, "delete"),   # delete
+                (7, "d", 7.0, "upsert"),    # insert creating a new partition
+            ],
+        ),
+        id_col="id",
+        partition_col="p",
+    )
+    assert _read(spark, base) == {
+        (1, "a"): 10.0,
+        (2, "a"): 2.0,
+        (4, "b"): 4.0,
+        (5, "c"): 5.0,
+        (6, "a"): 6.0,
+        (7, "d"): 7.0,
+    }
+    assert report.affected_partitions == ("a", "b", "d")
+    assert report.emptied_partitions == ()
+    assert (report.n_upserts, report.n_deletes) == (3, 1)
+    # survivors of a+b (2) + upserts (3)
+    assert report.n_output_rows == 5
+    # The untouched partition's files were not rewritten — byte-for-byte
+    # the same listing, the on-disk proof of partition pruning.
+    assert _snapshot(base, "p=c") == before_c
+
+
+def test_emptied_partition_directory_is_removed(spark, base):
+    report = merge_changes(
+        spark,
+        base,
+        _changes(spark, [(5, "c", None, "delete")]),
+        id_col="id",
+        partition_col="p",
+    )
+    assert report.emptied_partitions == ("c",)
+    assert not os.path.exists(os.path.join(base, "p=c"))
+    assert (5, "c") not in _read(spark, base)
+
+
+def test_partition_move_via_tombstone(spark, base):
+    merge_changes(
+        spark,
+        base,
+        _changes(
+            spark,
+            [
+                (1, "a", None, "delete"),   # tombstone in the old partition
+                (1, "b", 1.5, "upsert"),    # same id lands in the new one
+            ],
+        ),
+        id_col="id",
+        partition_col="p",
+    )
+    data = _read(spark, base)
+    assert data[(1, "b")] == 1.5
+    assert (1, "a") not in data
+
+
+def test_seq_collapse_latest_wins_and_keeps_tombstones(spark, base):
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 100.0, "upsert", 1),
+            (1, "a", 111.0, "upsert", 2),   # later seq wins
+            (2, "a", None, "delete", 5),
+            (2, "b", 2.5, "upsert", 6),     # move: tombstone + upsert survive
+        ],
+        "id long, p string, val double, op string, seq long",
+    )
+    report = merge_changes(
+        spark, base, changes, id_col="id", partition_col="p", seq_col="seq"
+    )
+    data = _read(spark, base)
+    assert data[(1, "a")] == 111.0
+    assert (2, "a") not in data
+    assert data[(2, "b")] == 2.5
+    assert (report.n_upserts, report.n_deletes) == (2, 1)
+
+
+def test_validation_rejects_bad_batches(spark, base):
+    with pytest.raises(ValueError, match="op outside"):
+        merge_changes(
+            spark,
+            base,
+            _changes(spark, [(1, "a", 1.0, "replace")]),
+            id_col="id",
+            partition_col="p",
+        )
+    with pytest.raises(ValueError, match="NULL 'p'"):
+        merge_changes(
+            spark,
+            base,
+            _changes(spark, [(1, None, 1.0, "upsert")]),
+            id_col="id",
+            partition_col="p",
+        )
+    with pytest.raises(ValueError, match="duplicate upsert"):
+        merge_changes(
+            spark,
+            base,
+            _changes(spark, [(1, "a", 1.0, "upsert"), (1, "b", 2.0, "upsert")]),
+            id_col="id",
+            partition_col="p",
+        )
+    with pytest.raises(ValueError, match="safe directory token"):
+        merge_changes(
+            spark,
+            base,
+            _changes(spark, [(1, "a b", 1.0, "upsert")]),
+            id_col="id",
+            partition_col="p",
+        )
+    # failed validation must leave the base untouched
+    assert len(_read(spark, base)) == 5
+
+
+def test_empty_batch_is_a_noop(spark, base):
+    report = merge_changes(
+        spark,
+        base,
+        _changes(spark, []),
+        id_col="id",
+        partition_col="p",
+    )
+    assert report.affected_partitions == ()
+    assert report.n_output_rows == 0
+    assert len(_read(spark, base)) == 5
+
+
+def test_missing_base_columns_rejected(spark, base):
+    changes = spark.createDataFrame([(1, "a", "upsert")], "id long, p string, op string")
+    with pytest.raises(ValueError, match="missing base columns"):
+        merge_changes(spark, base, changes, id_col="id", partition_col="p")
+
+
+def test_pruned_base_read_plan(spark, base):
+    """The base-side read a merge performs prunes at the partition level
+    and the change-key anti-join broadcasts — asserted on the same plan
+    shape merge_changes builds internally."""
+    pruned = spark.read.parquet(base).where(F.col("p").isin(["a", "b"]))
+    keys = F.broadcast(
+        spark.createDataFrame([(1,)], "id long")
+    )
+    plan_df = pruned.join(keys, "id", "left_anti")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[p#\d+ IN \(a,b\)\]", plan), plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_replay_of_same_batch_is_idempotent(spark, base):
+    """The at-least-once contract streaming/cdc.py documents: a crash
+    between partition swap and offset commit replays the batch; the
+    merged state must not change."""
+    changes = _changes(
+        spark,
+        [(1, "a", 10.0, "upsert"), (3, "b", None, "delete"), (8, "c", 8.0, "upsert")],
+    )
+    merge_changes(spark, base, changes, id_col="id", partition_col="p")
+    first = _read(spark, base)
+    merge_changes(spark, base, changes, id_col="id", partition_col="p")
+    assert _read(spark, base) == first

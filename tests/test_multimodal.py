@@ -63,3 +63,23 @@ def test_resize_one_record_per_image(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     n_docs = docs.count()
     assert resize_images(documents_as_media(docs)).count() == n_docs
+
+
+def test_binary_dir_ingest_glob_and_path_ids(spark, tmp_path):
+    from proyecto_final_de_big_data_spark.io.binary import read_binary_dir, with_path_id
+
+    (tmp_path / "doc_7.bin").write_bytes(b"payload-7")
+    (tmp_path / "doc_9.bin").write_bytes(b"payload-nine")
+    (tmp_path / "UNNAMED.bin").write_bytes(b"no id")
+    (tmp_path / "notes.txt").write_bytes(b"pruned by glob")
+
+    files = read_binary_dir(spark, str(tmp_path), glob="*.bin")
+    rows = {
+        r["file_id"]: r
+        for r in with_path_id(files, r"doc_(\d+)\.bin$").collect()
+    }
+    # The glob pruned notes.txt at listing; the unmatched name surfaces
+    # as a NULL id rather than silently dropping.
+    assert sorted(rows, key=lambda k: (k is None, k)) == [7, 9, None]
+    assert bytes(rows[7]["content"]) == b"payload-7"
+    assert rows[9]["length"] == len(b"payload-nine")
