@@ -438,3 +438,54 @@ def q_blocklist_filter_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~is_hit).cast("long")).alias("n_kept"),
         F.sum(F.when(~is_hit, F.col("n_chars")).otherwise(F.lit(0))).alias("kept_chars"),
     )
+
+
+@register(
+    "text_normalize_profile",
+    oracle=r"""
+    WITH raw AS (
+        SELECT doc_id, lang,
+               text || chr(7) || '  cafe' || 'e' || chr(769) AS raw
+        FROM documents
+    ), norm AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(
+                   nfc_normalize(regexp_replace(regexp_replace(raw,
+                       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                       '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g')),
+                   '[ \t\n\r]+', ' ', 'g')) AS text_norm
+        FROM raw
+    )
+    SELECT lang,
+           count(*) AS n_rows,
+           CAST(((sum(CAST(doc_id AS HUGEINT)) % 2305843009213693952)
+                 + 2305843009213693952) % 2305843009213693952 AS BIGINT) AS id_sum,
+           CAST(sum((('0x' || substr(md5(concat_ws(chr(31),
+                 coalesce(CAST(text_norm AS VARCHAR), chr(0) || 'NULL' || chr(0)))),
+                 1, 15))::BIGINT)::HUGEINT) % 2305843009213693952 AS BIGINT)
+               AS content_checksum
+    FROM norm
+    GROUP BY lang
+    """,
+    description="Unicode text normalization (operators/normalize_text.py) "
+    "through the gate: every document gets a deterministic denormalized "
+    "suffix (a BEL control char, doubled spaces, and e + COMBINING ACUTE), "
+    "then the canonical strip-controls -> NFC -> collapse-whitespace pass "
+    "runs in both engines — Spark via codegen'd regexp_replace around an "
+    "Arrow pandas_udf with an ASCII fast path, DuckDB via nfc_normalize — "
+    "and the per-lang release-manifest checksum of the NORMALIZED text "
+    "must agree. A one-codepoint drift (composition table, regex class "
+    "membership, trim semantics) breaks the hash; the checksum machinery "
+    "is shared with release_manifest, so 'same text' means the same thing "
+    "here as in the publish gate.",
+)
+def q_text_normalize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.normalize_text import normalize_text
+    from ..operators.snapshot import release_manifest
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "raw",
+        F.concat(F.col("text"), F.lit("\x07  cafe"), F.lit("e\u0301")),
+    )
+    norm = normalize_text(docs, "raw", out_col="text_norm")
+    return release_manifest(norm, "lang", "doc_id", ["text_norm"])
