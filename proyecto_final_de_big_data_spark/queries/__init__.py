@@ -112,7 +112,12 @@ _VERIFICATION_WINDOW = [
     # weakest hash in the window; left-anti stays plan-asserted and the
     # relational family keeps revenue_by_nation + CUBE) rotates out for
     # cluster_keep_best_profile.
-    "revenue_by_nation",
+    # revenue_by_nation (r2+r4 green, relational.py unchanged since r4)
+    # rotates out for text_normalize_profile — the Unicode
+    # normalization gate (late round-5 addition, rotates in the round
+    # it lands); the join surface keeps cube_returnflag_status,
+    # snapshot_diff_profile's full-outer diff, and the bucketed join.
+    "text_normalize_profile",
     "cube_returnflag_status",
     # temporal joins (as-of / interval — extension operators).
     # events_asof_last_order (r4-green, re-verified on the NULL-key fix,
@@ -179,8 +184,13 @@ _VERIFICATION_WINDOW = [
     # date-part surface stays gated by quarter_resolution_contract)
     # rotates out to keep the window at 50.
     "source_cap_profile",
-    # multimodal
-    "media_frame_sample",
+    # multimodal. media_frame_sample (r2+r4 green, multimodal.py
+    # unchanged since r2) rotates out for stream_cdc_apply_round_trip —
+    # the foreachBatch incremental-maintenance gate (late round-5
+    # addition, rotates in the round it lands); the multimodal family
+    # keeps media_binary_ingest in-window plus the r2-green
+    # frame/resize twins.
+    "stream_cdc_apply_round_trip",
     # similarity search. embedding_norms_by_label (r4-green, unchanged
     # built-in array fold) rotates out for lm_quality_by_lang — the
     # embedding family keeps knn_ann_ivf_recall, embedding_kmeans_contract
@@ -207,14 +217,26 @@ _VERIFICATION_WINDOW = [
     "ml_feature_matrix_contract",
     "embedding_kmeans_contract",
     "text_quality_classifier_contract",
-    # contracts family (canonicalize / export round-trips / quantiles /
-    # ingest manifest / CLI+quarter resolution)
-    "canonicalize_contract",
+    # contracts family (export round-trips / ingest manifest /
+    # CLI+quarter resolution). Three late-round-5 additions rotate in
+    # the round they land, each swapping a multi-round-green twin whose
+    # code is unchanged since r4 (git-verified):
+    # - cdc_merge_contract (partition-pruned CDC merge, io/merge.py)
+    #   replaces export_round_trip_partitioned — the S7 partitioned-sink
+    #   surface stays exercised by the merge's own partitioned write +
+    #   swap, and the round-trip family keeps export_round_trip_orc;
+    # - session_stream_parity (real-stream session windows) replaces
+    #   canonicalize_contract (r2-r4 green; canonicalize.py unchanged);
+    # - media_binary_ingest (binaryFile raw-file ingestion) replaces
+    #   approx_quantile_contract (r3+r4 green; clean.py unchanged —
+    #   the sketch family keeps outlier/quantile coverage via
+    #   compaction_contract's profile and the HLL r3-green twin).
     "export_round_trip_orc",
-    "export_round_trip_partitioned",
     "manifest_ingest_contract",
     "quarter_resolution_contract",
-    "approx_quantile_contract",
+    "cdc_merge_contract",
+    "session_stream_parity",
+    "media_binary_ingest",
     "bucketed_colocated_join",
 ]
 

@@ -39,10 +39,10 @@ def test_window_covers_every_family():
     # One representative per family must sit inside the checked window.
     for probe in [
         "kpis",                      # marts
-        "revenue_by_nation",         # relational joins (weighted-rollup
-                                     # and set-op twins rotated out after
-                                     # multi-round green; snapshot diff's
-                                     # full-outer join extends the surface)
+        # revenue_by_nation rotated out after r2+r4 green on unchanged
+        # relational.py; the join surface keeps CUBE, snapshot diff's
+        # full-outer join, and the bucketed co-located join in-window.
+        "text_normalize_profile",    # Unicode normalization parity
         "snapshot_diff_profile",     # dataset-versioning audit
         "cube_returnflag_status",    # grouping sets (ROLLUP twin rotated out)
         "near_dup_clusters",         # dedup (pairs -> components)
@@ -56,7 +56,9 @@ def test_window_covers_every_family():
         "decontamination_profile",   # benchmark decontamination
         "stratified_sample_profile", # deterministic quota sampling
         "minhash_recall",            # approximate-dedup contracts
-        "media_frame_sample",        # multimodal
+        # media_frame_sample rotated out after r2+r4 green on unchanged
+        # multimodal.py; media_binary_ingest keeps multimodal in-window.
+        "stream_cdc_apply_round_trip",  # streaming incremental maintenance
         "knn_ann_ivf_recall",        # similarity search
         "tumbling_stream_parity",    # streaming windows (batch twins rotated
                                      # out; parity pair gates the semantics)
@@ -65,8 +67,15 @@ def test_window_covers_every_family():
         "stateful_user_profiles_stream",  # custom stateful streaming
         "ml_train_metrics",          # ML loop
         "ml_feature_matrix_contract",     # ML feature hash gate
-        "canonicalize_contract",     # canonicalization
-        "export_round_trip_partitioned",  # export/sources (CSV twin rotated out)
+        # canonicalize_contract (the sole P1-P4 gate) rotated out after
+        # r2-r4 green on unchanged code — the same retire-after-
+        # multi-green policy the set-op family followed.
+        "export_round_trip_orc",     # export/sources (CSV/JSON/partitioned
+                                     # twins rotated out after multi-green;
+                                     # cdc_merge exercises partitioned writes)
+        "cdc_merge_contract",        # partition-pruned CDC merge
+        "session_stream_parity",     # real-stream session windows
+        "media_binary_ingest",       # raw-file multimodal ingestion
         "pii_redaction_profile",     # PII redaction
         "repetition_profile",        # repetition/quality signals
         "tfidf_top_terms",           # term scoring
