@@ -76,3 +76,70 @@ def clip_to_quantiles(
     for c in cols:
         out = out.filter((F.col(c) >= F.col(f"{c}__lo")) & (F.col(c) <= F.col(f"{c}__hi")))
     return out.drop(*[f"{c}__{s}" for c in cols for s in ("lo", "hi")])
+
+
+def grouped_quantile_bounds(
+    df: DataFrame,
+    group_cols: list[str],
+    cols: list[str],
+    lower: float,
+    upper: float,
+    exact: bool = False,
+    relative_error: float = 0.01,
+) -> DataFrame:
+    """Per-GROUP [lo, hi] quantile bounds: one row per group, all value
+    columns in the same single aggregation pass (the grouped twin of
+    ``quantile_bounds`` — still no scan-per-column). The result is
+    dimension-scale (one row per group), which is what makes the
+    grouped clip broadcastable."""
+    aggs = []
+    for c in cols:
+        if exact:
+            q = F.percentile(c, F.array(F.lit(lower), F.lit(upper)))
+        else:
+            q = F.percentile_approx(
+                c, F.array(F.lit(lower), F.lit(upper)), int(1.0 / relative_error)
+            )
+        aggs.append(q.getItem(0).alias(f"{c}__lo"))
+        aggs.append(q.getItem(1).alias(f"{c}__hi"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def clip_to_group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    exact: bool = False,
+    relative_error: float = 0.01,
+) -> DataFrame:
+    """Keep rows whose value columns lie within their own GROUP's
+    [lower, upper] quantile band — per-segment outlier fencing (a $5
+    taxi fare is normal city-wide but an outlier for an airport run).
+
+    Plan shape: one grouped aggregation builds the bounds (partial +
+    final combine), then the bounds — one row per group — broadcast-
+    join back on the group key, so the corpus is scanned twice and
+    never shuffled. The join is NULL-SAFE on the group key: groupBy
+    computes a band for the NULL group, and rows in it must meet that
+    band rather than silently vanishing through an equality join.
+    """
+    bounds = grouped_quantile_bounds(
+        df, group_cols, cols, lower, upper, exact=exact, relative_error=relative_error
+    )
+    renamed = bounds.select(
+        *[F.col(g).alias(f"__g_{g}") for g in group_cols],
+        *[F.col(f"{c}__{s}") for c in cols for s in ("lo", "hi")],
+    )
+    cond = None
+    for g in group_cols:
+        clause = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+        cond = clause if cond is None else cond & clause
+    out = df.join(F.broadcast(renamed), cond, "inner")
+    for c in cols:
+        out = out.filter((F.col(c) >= F.col(f"{c}__lo")) & (F.col(c) <= F.col(f"{c}__hi")))
+    return out.drop(
+        *[f"__g_{g}" for g in group_cols],
+        *[f"{c}__{s}" for c in cols for s in ("lo", "hi")],
+    )

@@ -77,8 +77,12 @@ from . import quality  # noqa: E402,F401
 # export_round_trip_partitioned (multi-round green — move the family
 # probes to their CSV/JSON round-trip twins when swapping).
 _VERIFICATION_WINDOW = [
-    # marts / aggregations (SURVEY §2.4)
-    "kpis",
+    # marts / aggregations (SURVEY §2.4). kpis (green r1-r4, the A4
+    # grand-KPI anchor, code unchanged since r1) rotates out for
+    # grouped_outlier_clip_profile — the per-group quantile fence whose
+    # count/avg/min/max aggregate surface is a strict superset of the
+    # kpis shape, so the marts family anchor gets STRONGER, not lost.
+    "grouped_outlier_clip_profile",
     # outlier_clipped_kpis (r2+r3+r4 green, operators/clean.py unchanged
     # since r4) rotates out for compaction_contract — the small-file
     # compaction maintenance pass (round-5 addition, new gate rotates in
@@ -203,7 +207,12 @@ _VERIFICATION_WINDOW = [
     # stream_pii_curation_round_trip — tumbling/sliding window semantics
     # stay gated end-to-end by the *_stream_parity pair (real-stream ≡
     # batch on the same windows).
-    "session_windows_per_user",
+    # session_windows_per_user (r4 green, unchanged) rotates out: its
+    # exact oracle now gates the strictly stronger real-stream twin
+    # session_stream_parity in-window. Its slot goes to
+    # interpolated_user_series — linear gap interpolation (late round-5
+    # addition, rotates in the round it lands).
+    "interpolated_user_series",
     "tumbling_stream_parity",
     "sliding_stream_parity",
     "stream_dedup_counts",

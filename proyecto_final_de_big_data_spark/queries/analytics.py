@@ -461,3 +461,74 @@ def q_hourly_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return gap_filled_counts(ev, ts_col="ts", grain="hour", value_col="value")
+
+
+@register(
+    "interpolated_user_series",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, avg(value) AS observed
+        FROM events WHERE user_id % 37 = 0 GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM obs GROUP BY 1
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds
+    ), j AS (
+        SELECT g.user_id, g.bucket, o.observed
+        FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+    ), w AS (
+        SELECT user_id, bucket, observed,
+               last_value(observed IGNORE NULLS) OVER wb AS pv,
+               last_value(CASE WHEN observed IS NOT NULL THEN bucket END IGNORE NULLS)
+                   OVER wb AS pb,
+               first_value(observed IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN observed IS NOT NULL THEN bucket END IGNORE NULLS)
+                   OVER wf AS nb
+        FROM j
+        WINDOW wb AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ), interp AS (
+        SELECT user_id, bucket, observed,
+               CASE WHEN observed IS NOT NULL THEN observed
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                         pv + (nv - pv) *
+                         (CAST(epoch(bucket) - epoch(pb) AS DOUBLE)
+                          / CAST(epoch(nb) - epoch(pb) AS DOUBLE))
+                    ELSE NULL END AS value
+        FROM w
+    )
+    SELECT user_id,
+           count(*) AS n_buckets,
+           CAST(sum(CASE WHEN observed IS NULL AND value IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_interpolated,
+           avg(value) AS mean_value
+    FROM interp
+    GROUP BY user_id
+    """,
+    description="Linear gap interpolation (operators/timegrid.py "
+    "interpolate_gaps): a sliced set of users' hourly mean-value series is "
+    "densified over each user's own span and missing buckets are filled by "
+    "linear interpolation between the nearest observed buckets (leading/"
+    "trailing gaps stay NULL — no extrapolation). Both carry windows and "
+    "the grid join share one user-keyed partitioning; the oracle restates "
+    "the identical IGNORE-NULLS window + epoch-ratio arithmetic, and the "
+    "per-user interpolated-bucket counts pin the gap structure exactly.",
+)
+def q_interpolated_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timegrid import interpolate_gaps
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 37 == 0)
+    series = interpolate_gaps(ev, "user_id", "ts", "value", grain="hour")
+    return series.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.when(F.col("observed").isNull() & F.col("value").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_interpolated"),
+        F.avg("value").alias("mean_value"),
+    )
+

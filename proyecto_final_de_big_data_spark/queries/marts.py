@@ -361,3 +361,45 @@ def q_outlier_clipped_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
+
+
+@register(
+    "grouped_outlier_clip_profile",
+    oracle="""
+    WITH bounds AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS lo,
+               quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag AS returnflag,
+           count(*) AS n_kept,
+           avg(l.l_extendedprice) AS avg_price,
+           min(l.l_extendedprice) AS min_price,
+           max(l.l_extendedprice) AS max_price
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    WHERE l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi
+    GROUP BY 1
+    """,
+    description="Per-GROUP quantile clipping (clip_to_group_quantiles): each "
+    "return flag's prices are fenced to that flag's OWN p5/p95 band — the "
+    "segment-aware twin of the global P7 clip (a price normal for one "
+    "segment is an outlier for another). One grouped aggregation builds "
+    "the per-group bounds, which broadcast back on a NULL-SAFE group key "
+    "join, so the fact table is scanned twice and never shuffled. The "
+    "oracle restates the band join in SQL; kept-row counts pin the exact "
+    "band edges.",
+)
+def q_grouped_outlier_clip_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clean import clip_to_group_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    clipped = clip_to_group_quantiles(
+        li, ["l_returnflag"], ["l_extendedprice"], 0.05, 0.95, exact=True
+    )
+    return clipped.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.avg("l_extendedprice").alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )

@@ -1,0 +1,42 @@
+"""Per-group quantile clipping (operators/clean.py grouped variants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from proyecto_final_de_big_data_spark.operators.clean import (
+    clip_to_group_quantiles,
+    grouped_quantile_bounds,
+)
+
+
+def _df(spark):
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", float(v)) for v in (100, 200, 300, 400, 1000)]
+    return spark.createDataFrame(rows, "g string, x double")
+
+
+def test_groups_get_their_own_bands(spark):
+    out = clip_to_group_quantiles(_df(spark), ["g"], ["x"], 0.0, 0.8, exact=True)
+    kept = {(r["g"], r["x"]) for r in out.collect()}
+    # group a: p80 of 1..10 = 8.2 -> keeps 1..8; group b: p80 of the five
+    # values = 520 -> keeps 100..400. A GLOBAL band could never do both.
+    assert {x for g, x in kept if g == "a"} == {float(v) for v in range(1, 9)}
+    assert {x for g, x in kept if g == "b"} == {100.0, 200.0, 300.0, 400.0}
+
+
+def test_null_group_rows_are_fenced_not_dropped(spark):
+    rows = [(None, 1.0), (None, 2.0), (None, 50.0), ("a", 5.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = clip_to_group_quantiles(df, ["g"], ["x"], 0.0, 0.6, exact=True)
+    kept = [(r["g"], r["x"]) for r in out.collect()]
+    # The NULL group has its own band (p60 of 1,2,50 = 2.x) — its inliers
+    # survive the null-safe join instead of vanishing.
+    assert (None, 1.0) in kept and (None, 2.0) in kept
+    assert (None, 50.0) not in kept
+    assert ("a", 5.0) in kept
+
+
+def test_bounds_one_row_per_group(spark):
+    b = grouped_quantile_bounds(_df(spark), ["g"], ["x"], 0.1, 0.9, exact=True)
+    assert b.count() == 2
+    assert set(b.columns) == {"g", "x__lo", "x__hi"}

@@ -325,3 +325,26 @@ def test_cluster_safe_split_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cluster_safe_split_profile")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interpolation_single_window_and_broadcast_grid(spark, sf_dir):
+    """interpolate_gaps: both IGNORE-NULLS carry directions must fuse
+    into ONE Window node (same partitioning + ordering), and the
+    bucket-scale grid joins by broadcast — the corpus-scale shuffle is
+    the bucket aggregation alone."""
+    plan = _plan(spark, sf_dir, "interpolated_user_series")
+    assert plan.count(") Window") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouped_clip_bounds_broadcast_back(spark, sf_dir):
+    """clip_to_group_quantiles: the per-group bounds frame must
+    broadcast back onto the fact scan — no sort-merge join, no second
+    corpus shuffle beyond the grouped bounds aggregation."""
+    plan = _plan(spark, sf_dir, "grouped_outlier_clip_profile")
+    # eqNullSafe compiles to a hash-joinable key, so null-safety costs
+    # no plan quality: still a BroadcastHashJoin, never a nested loop.
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan

@@ -38,7 +38,10 @@ def test_window_covers_every_family():
     window = set(_VERIFICATION_WINDOW)
     # One representative per family must sit inside the checked window.
     for probe in [
-        "kpis",                      # marts
+        # kpis rotated out after r1-r4 green on unchanged code; the
+        # grouped clip profile carries a superset of its agg surface.
+        "grouped_outlier_clip_profile",  # marts + per-group quantile fence
+        "interpolated_user_series",  # time-series gap imputation
         # revenue_by_nation rotated out after r2+r4 green on unchanged
         # relational.py; the join surface keeps CUBE, snapshot diff's
         # full-outer join, and the bucketed co-located join in-window.

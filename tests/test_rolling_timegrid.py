@@ -93,3 +93,46 @@ def test_gap_filled_counts_without_value_col(spark):
     out = gap_filled_counts(_ev(spark, rows), ts_col="ts")
     assert out.columns == ["bucket", "n_events"]
     assert out.collect()[0]["n_events"] == 1
+
+
+def test_interpolate_gaps_linear_fill_and_edges(spark):
+    from proyecto_final_de_big_data_spark.operators.timegrid import interpolate_gaps
+
+    rows = [
+        # user 1: observed at hours 0 and 3 -> hours 1,2 interpolate
+        (1, "2024-01-01 00:10:00", 10.0),
+        (1, "2024-01-01 03:40:00", 40.0),
+        # user 2: single observation -> nothing to interpolate
+        (2, "2024-01-01 05:30:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        (r["user_id"], r["bucket"].hour): (r["observed"], r["value"])
+        for r in interpolate_gaps(df, "user_id", "ts", "value").collect()
+    }
+    assert out[(1, 0)] == (10.0, 10.0)
+    assert out[(1, 1)] == (None, 20.0)
+    assert out[(1, 2)] == (None, 30.0)
+    assert out[(1, 3)] == (40.0, 40.0)
+    assert out[(2, 5)] == (7.0, 7.0)
+    assert len(out) == 5
+
+
+def test_interpolate_gaps_mean_per_bucket_and_no_extrapolation(spark):
+    from proyecto_final_de_big_data_spark.operators.timegrid import interpolate_gaps
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:30:00", 3.0),   # same bucket -> observed mean 2.0
+        (1, "2024-01-01 02:00:00", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        r["bucket"].hour: r["value"]
+        for r in interpolate_gaps(df, "user_id", "ts", "value").collect()
+    }
+    assert got == {0: 2.0, 1: 5.0, 2: 8.0}
