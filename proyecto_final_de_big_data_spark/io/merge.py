@@ -43,8 +43,14 @@ Semantics (documented contract, validated before any write):
 - Deletes for absent ids are no-ops; upserts for absent ids are
   inserts (including into brand-new partitions).
 
-Row counts for the merge report ride the write itself via the
-``Observation`` API — no second pass over the merged data.
+Row counts for the merge report come from the parquet FOOTERS of the
+files the merge just wrote — a metadata-only pass over this batch's
+output, no second scan of the merged data. (An earlier version rode an
+``Observation`` on the write; in Spark 4.1 the first registered
+observation instantiates the session's non-serializable
+``ObservationManager``, which then breaks ANY later job whose task
+closure captures the session — MLlib fits, notably. Footer counts are
+equally one-pass and leave no session residue.)
 """
 
 from __future__ import annotations
@@ -56,7 +62,7 @@ import uuid
 from dataclasses import dataclass
 from urllib.parse import urlparse
 
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _OPS = ("upsert", "delete")
@@ -138,6 +144,26 @@ def _swap_partitions(
         else:
             emptied.append(value)
     return emptied  # pragma: no cover
+
+
+def _staged_row_count(spark: SparkSession, staging: str) -> int:
+    """Rows just written to ``staging``, summed from parquet footer
+    metadata — driver-side, bounded by the file count of THIS batch's
+    affected partitions, no data read and no Spark job. The cluster-
+    filesystem fallback is a zero-column count (vectorized scan that
+    materializes nothing), still bounded by the batch's output."""
+    if _is_local(staging):
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(_local_path(staging)):
+            for name in files:
+                if name.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, name)
+                    ).metadata.num_rows
+        return total
+    return spark.read.parquet(staging).count()  # pragma: no cover - cluster fs
 
 
 def _collapse_by_seq(
@@ -235,12 +261,10 @@ def merge_changes(
     upserts = changes.where(op == "upsert").select(*base.columns)
     merged = survivors.unionByName(upserts)
 
-    obs = Observation(f"merge_{uuid.uuid4().hex[:8]}")
-    merged = merged.observe(obs, F.count(F.lit(1)).alias("n_output_rows"))
-
     staging = base_path.rstrip("/") + f"__merge_staging_{uuid.uuid4().hex[:8]}"
     try:
         merged.write.partitionBy(partition_col).mode("overwrite").parquet(staging)
+        n_output_rows = _staged_row_count(spark, staging)
         emptied = _swap_partitions(spark, base_path, staging, partition_col, affected)
     finally:
         if _is_local(staging):
@@ -255,5 +279,5 @@ def merge_changes(
         emptied_partitions=tuple(emptied),
         n_upserts=int(v["n_upserts"]),
         n_deletes=int(v["n_deletes"]),
-        n_output_rows=int(obs.get["n_output_rows"]),
+        n_output_rows=n_output_rows,
     )
