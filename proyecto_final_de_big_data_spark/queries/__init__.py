@@ -69,7 +69,12 @@ from . import quality  # noqa: E402,F401
 # tests/test_oracle_parity.py until they rotate in):
 #   table_profile_contract, scd2_user_state_history,
 #   blocklist_filter_profile, data_quality_contract,
-#   token_budget_selection_profile, session_stats_by_dow
+#   token_budget_selection_profile, session_stats_by_dow,
+#   heavy_hitter_keys (two-phase sampled heavy hitters),
+#   hll_mergeable_rollup_contract (DataSketches HLL partial/merge),
+#   kll_quantile_rollup_contract (mergeable KLL quantile partials),
+#   theta_cohort_overlap_contract (Theta set algebra:
+#   union/intersect/A-NOT-B cohort overlap)
 #   (compaction_contract is already in-window).
 # Rotation-OUT candidates once r5 lands green: approx_quantile_contract
 # (r3+r4+r5 on unchanged clean.py), events_in_first_day_window (r4+r5,

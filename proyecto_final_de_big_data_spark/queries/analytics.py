@@ -532,3 +532,43 @@ def q_interpolated_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").alias("mean_value"),
     )
 
+@register(
+    "heavy_hitter_keys",
+    oracle="""
+    WITH keyed AS (
+        SELECT CASE WHEN event_id % 3 = 0 THEN 'hot_' || (event_id % 2)
+                    ELSE 'cold_' || event_id END AS k
+        FROM events
+    ), tot AS (SELECT count(*) AS n FROM keyed)
+    SELECT k, count(*) AS cnt,
+           round(count(*) / (SELECT n FROM tot), 6) AS share
+    FROM keyed
+    GROUP BY k
+    HAVING count(*) >= 0.01 * (SELECT n FROM tot)
+    """,
+    description="Heavy-hitter detection (operators/heavy_hitters.py) over an "
+    "injected skewed key: every third event collapses onto one of two hot "
+    "keys, the rest stay singletons — a key domain at ~2/3 corpus "
+    "cardinality whose >=1%-share answer is exactly two rows. The two-phase "
+    "operator (deterministic hash-sample candidates, broadcast semi-join "
+    "exact verify) never shuffles the raw key domain; the oracle is the "
+    "plain exact GROUP BY ... HAVING, because the output is EXACT by "
+    "construction — sampling affects completeness odds (~1e-11 per key), "
+    "never the emitted values. The synthetic corpus has no organic skew "
+    "(user/word shares are near-uniform at every SF), so the skew is "
+    "injected deterministically — the same stance as the PII/boilerplate "
+    "fixtures.",
+)
+def q_heavy_hitter_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavy_hitters import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("hot_"), (F.col("event_id") % 2).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold_"), F.col("event_id").cast("string")))
+        .alias("k"),
+        F.col("event_id"),
+    )
+    return heavy_hitters(ev, "k", min_share=0.01, sample_on=["event_id"])

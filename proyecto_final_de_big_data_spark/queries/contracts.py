@@ -693,3 +693,172 @@ def q_media_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(drop_dir, ignore_errors=True)
+
+
+@register(
+    "hll_mergeable_rollup_contract",
+    oracle="""
+    SELECT count(DISTINCT date_trunc('day', ts)) AS n_days,
+           count(DISTINCT user_id) AS exact_distinct_users,
+           TRUE AS global_est_ok,
+           TRUE AS daily_est_ok
+    FROM events
+    """,
+    description="Mergeable distinct-count sketches (operators/sketches.py): "
+    "per-DAY DataSketches-HLL partials of distinct users are built in one "
+    "corpus scan, then UNION-merged to the global distinct estimate at "
+    "sketch-row scale — the re-aggregatable distinct count a mart layer "
+    "needs (plain distinct is not summable across partials; "
+    "approx_count_distinct can't merge across persisted marts). The gate "
+    "pins the exact day count and exact global distinct, plus booleans "
+    "asserting the merged-global and every per-day estimate land within "
+    "5% of their exact counterparts (at these cardinalities the sketch is "
+    "in sparse mode and exact, so the band is generous).",
+)
+def q_hll_mergeable_rollup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_partials, hll_rollup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    partials = hll_partials(ev, "day", "user_id")
+
+    global_est = hll_rollup(partials, None)  # one row: distinct_est
+    daily_est = hll_rollup(partials, ["day"])
+    exact_daily = ev.groupBy("day").agg(
+        F.count_distinct("user_id").alias("exact_daily")
+    )
+    daily_ok = (
+        daily_est.join(exact_daily, "day")
+        .agg(
+            F.max(
+                F.abs(F.col("distinct_est") - F.col("exact_daily"))
+                / F.col("exact_daily")
+            ).alias("max_rel_err")
+        )
+        .select((F.col("max_rel_err") <= 0.05).alias("daily_est_ok"))
+    )
+    totals = ev.agg(
+        F.count_distinct("day").alias("n_days"),
+        F.count_distinct("user_id").alias("exact_distinct_users"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(global_est))
+        .crossJoin(F.broadcast(daily_ok))
+        .select(
+            "n_days",
+            "exact_distinct_users",
+            (
+                F.abs(F.col("distinct_est") - F.col("exact_distinct_users"))
+                / F.col("exact_distinct_users")
+                <= 0.05
+            ).alias("global_est_ok"),
+            "daily_est_ok",
+        )
+    )
+
+
+@register(
+    "kll_quantile_rollup_contract",
+    oracle="""
+    SELECT count(DISTINCT year(o_orderdate)) AS n_years,
+           TRUE AS p50_rank_ok,
+           TRUE AS p90_rank_ok
+    FROM orders
+    """,
+    description="Mergeable quantile sketches (operators/sketches.py): "
+    "per-YEAR KllDoublesSketch partials of order totalprice, UNION-merged "
+    "to global p50/p90 at sketch-row scale — the re-aggregatable "
+    "percentile a mart layer needs (a median of per-mart medians is NOT "
+    "the median; percentile_approx outputs can't merge across persisted "
+    "marts, KLL partials can). A KLL answer is correct in RANK space — "
+    "the returned value's true rank lands within ~1.65% of the request "
+    "at k=200 — so the gate ranks each merged estimate against the "
+    "exact CDF (one conditional mean over the corpus) and asserts "
+    "|rank - q| <= 0.03, plus the exact year count.",
+)
+def q_kll_quantile_rollup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kll_partials, kll_rollup
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), "o_totalprice"
+    )
+    merged_q = kll_rollup(
+        kll_partials(orders, "yr", "o_totalprice"), None, ranks=[0.5, 0.9]
+    )  # one row: q_0_5, q_0_9
+    ranks = orders.crossJoin(F.broadcast(merged_q)).agg(
+        F.avg((F.col("o_totalprice") <= F.col("q_0_5")).cast("double")).alias("r50"),
+        F.avg((F.col("o_totalprice") <= F.col("q_0_9")).cast("double")).alias("r90"),
+    )
+    return (
+        orders.agg(F.count_distinct("yr").alias("n_years"))
+        .crossJoin(F.broadcast(ranks))
+        .select(
+            "n_years",
+            (F.abs(F.col("r50") - 0.5) <= 0.03).alias("p50_rank_ok"),
+            (F.abs(F.col("r90") - 0.9) <= 0.03).alias("p90_rank_ok"),
+        )
+    )
+
+
+@register(
+    "theta_cohort_overlap_contract",
+    oracle="""
+    SELECT count(DISTINCT CASE WHEN year(o_orderdate) = 1995
+                               THEN o_custkey END) AS cust_1995,
+           count(DISTINCT CASE WHEN year(o_orderdate) = 1996
+                               THEN o_custkey END) AS cust_1996,
+           count(DISTINCT CASE WHEN year(o_orderdate) IN (1995, 1996)
+                               THEN o_custkey END) AS cust_union,
+           TRUE AS union_est_ok,
+           TRUE AS intersection_est_ok,
+           TRUE AS anotb_est_ok
+    FROM orders
+    """,
+    description="Theta-sketch set algebra (operators/sketches.py): "
+    "customer cohorts who ordered in 1995 vs 1996, intersected and "
+    "differenced from per-year Theta partials — the retention/overlap "
+    "question HLL cannot answer (HLL unions but never intersects). One "
+    "corpus scan builds the partials; union, intersection, and A-NOT-B "
+    "then run on two merged binary sketches. The gate pins the three "
+    "exact cohort cardinalities and asserts each sketch estimate "
+    "(union, intersection, 1995-only) lands within 5% of its exact "
+    "counterpart — below 2^12 distinct customers the sketch is in "
+    "exact mode, so the band is generous by design.",
+)
+def q_theta_cohort_overlap_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import theta_overlap, theta_partials
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), "o_custkey"
+    )
+    cohorts = orders.filter(F.col("yr").isin(1995, 1996))
+    est = theta_overlap(
+        theta_partials(cohorts, "yr", "o_custkey"),
+        F.col("yr") == 1995,
+        F.col("yr") == 1996,
+    )  # one row: union/intersection/left_only/right_only estimates
+    exact = orders.agg(
+        F.count_distinct(F.when(F.col("yr") == 1995, F.col("o_custkey"))).alias(
+            "cust_1995"
+        ),
+        F.count_distinct(F.when(F.col("yr") == 1996, F.col("o_custkey"))).alias(
+            "cust_1996"
+        ),
+        F.count_distinct(
+            F.when(F.col("yr").isin(1995, 1996), F.col("o_custkey"))
+        ).alias("cust_union"),
+    )
+
+    def _ok(est_col: str, exact_col) -> "F.Column":
+        return F.abs(F.col(est_col) - exact_col) / exact_col <= 0.05
+
+    inter = F.col("cust_1995") + F.col("cust_1996") - F.col("cust_union")
+    return exact.crossJoin(F.broadcast(est)).select(
+        "cust_1995",
+        "cust_1996",
+        "cust_union",
+        _ok("union_est", F.col("cust_union")).alias("union_est_ok"),
+        _ok("intersection_est", inter).alias("intersection_est_ok"),
+        _ok("left_only_est", F.col("cust_1995") - inter).alias("anotb_est_ok"),
+    )
