@@ -74,7 +74,10 @@ from . import quality  # noqa: E402,F401
 #   hll_mergeable_rollup_contract (DataSketches HLL partial/merge),
 #   kll_quantile_rollup_contract (mergeable KLL quantile partials),
 #   theta_cohort_overlap_contract (Theta set algebra:
-#   union/intersect/A-NOT-B cohort overlap)
+#   union/intersect/A-NOT-B cohort overlap),
+#   variant_props_stats (VARIANT parse-once/typed-get payloads),
+#   priority_pivot_by_year + priority_unpivot_round_trip (explicit-value
+#   pivot and its unpivot inverse)
 #   (compaction_contract is already in-window).
 # Rotation-OUT candidates once r5 lands green: approx_quantile_contract
 # (r3+r4+r5 on unchanged clean.py), events_in_first_day_window (r4+r5,

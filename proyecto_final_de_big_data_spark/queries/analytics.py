@@ -572,3 +572,40 @@ def q_heavy_hitter_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id"),
     )
     return heavy_hitters(ev, "k", min_share=0.01, sample_on=["event_id"])
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+           min(json_extract(props, '$.k')::BIGINT) AS min_k,
+           max(json_extract(props, '$.k')::BIGINT) AS max_k,
+           'OBJECT<k: BIGINT>' AS props_schema
+    FROM events
+    GROUP BY 1
+    """,
+    description="VARIANT-typed semi-structured payloads: parse_json turns the "
+    "props JSON string into Spark's binary VARIANT encoding ONCE in the "
+    "projection, then every access is a typed variant_get path lookup on "
+    "the binary — no re-tokenization per field, which is the difference "
+    "from get_json_object (event_props_json_profile) when a pipeline "
+    "touches many fields of the same payload: N accesses cost one parse, "
+    "not N. schema_of_variant_agg infers the payload schema per group "
+    "and the gate pins the inferred string exactly, so a fixture drift "
+    "to a different payload shape breaks the hash rather than silently "
+    "reading NULLs.",
+)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.schema_of_variant_agg("v").alias("props_schema"),
+    )

@@ -862,3 +862,52 @@ def q_theta_cohort_overlap_contract(spark: SparkSession, sf_dir: str) -> DataFra
         _ok("intersection_est", inter).alias("intersection_est_ok"),
         _ok("left_only_est", F.col("cust_1995") - inter).alias("anotb_est_ok"),
     )
+
+
+@register(
+    "python_datasource_contract",
+    oracle="""
+    SELECT 2000 AS n_rows,
+           1999000 AS sum_doc_id,
+           1072890 AS sum_tokens,
+           10130200 AS sum_score_milli,
+           4 AS n_langs,
+           1000 AS pruned_rows,
+           1249500 AS pruned_sum_doc_id
+    FROM region LIMIT 1
+    """,
+    description="Python Data Source API (io/pydatasource.py): the "
+    "synthetic_corpus format plans one InputPartition per shard and "
+    "prunes partitions from pushed shard predicates (pushFilters, "
+    "Spark 4.1) — the custom-source analog of parquet partition "
+    "pruning. Every row derives from blake2b(seed, row_id), so the "
+    "corpus is bit-identical for any partitioning, executor count, or "
+    "task retry; the oracle pins the full-read aggregates AND a "
+    "shard-IN-pruned slice as precomputed constants (DuckDB cannot run "
+    "the generator — determinism is exactly what makes literal pinning "
+    "sound). Unit tests additionally pin that pushFilters shrinks the "
+    "planned partition list and hands non-shard filters back.",
+)
+def q_python_datasource_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.pydatasource import register_synthetic_corpus
+
+    register_synthetic_corpus(spark)
+    corpus = (
+        spark.read.format("synthetic_corpus")
+        .option("shards", 4)
+        .option("rows_per_shard", 500)
+        .option("seed", 7)
+        .load()
+    )
+    full = corpus.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("score_milli").alias("sum_score_milli"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    pruned = corpus.filter(F.col("shard").isin(1, 3)).agg(
+        F.count(F.lit(1)).alias("pruned_rows"),
+        F.sum("doc_id").alias("pruned_sum_doc_id"),
+    )
+    return full.crossJoin(F.broadcast(pruned))

@@ -336,3 +336,99 @@ def q_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_quantity").alias("sum_qty"),
     ).select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot (long <-> wide reshaping)
+# --------------------------------------------------------------------------
+
+# Explicit pivot column list: passing values to pivot() skips the extra
+# distinct-collection JOB Spark otherwise runs to discover them — at
+# 100 TB that implicit job is a full shuffle of the pivot column before
+# the real aggregation even starts. It also fixes the output schema
+# (and its order) regardless of which values a given slice contains.
+_PRIORITY_COLS = [
+    ("1-URGENT", "p_urgent"),
+    ("2-HIGH", "p_high"),
+    ("3-MEDIUM", "p_medium"),
+    ("4-NOT SPECIFIED", "p_not_specified"),
+    ("5-LOW", "p_low"),
+]
+
+
+def _pivot_priorities_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy(F.year("o_orderdate").alias("yr"))
+        .pivot("o_orderpriority", [v for v, _ in _PRIORITY_COLS])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "yr", *[F.col(f"`{v}`").alias(a) for v, a in _PRIORITY_COLS]
+    )
+
+
+@register(
+    "priority_pivot_by_year",
+    oracle="""
+    SELECT year(o_orderdate) AS yr,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+               AS p_not_specified,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+    FROM orders
+    GROUP BY 1
+    """,
+    description="Long-to-wide pivot: order counts per (year, priority) as one "
+    "row per year with a column per priority. The pivot value list is "
+    "EXPLICIT, so Spark skips the distinct-discovery job it otherwise "
+    "runs over the pivot column (a full extra pass at scale) and the "
+    "output schema is fixed up front. The physical shape is two chained "
+    "aggregations — corpus to (year, priority) partials, then partials "
+    "to wide year rows — so the second exchange moves group-cardinality "
+    "rows only (plan-asserted). Missing (year, priority) combinations "
+    "surface as 0 (coalesced), matching the oracle's FILTER counts.",
+)
+def q_priority_pivot_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = _pivot_priorities_wide(spark, sf_dir)
+    return wide.select(
+        "yr",
+        *[F.coalesce(F.col(a), F.lit(0)).alias(a) for _, a in _PRIORITY_COLS],
+    )
+
+
+@register(
+    "priority_unpivot_round_trip",
+    oracle="""
+    SELECT year(o_orderdate) AS yr,
+           CASE o_orderpriority
+               WHEN '1-URGENT' THEN 'p_urgent'
+               WHEN '2-HIGH' THEN 'p_high'
+               WHEN '3-MEDIUM' THEN 'p_medium'
+               WHEN '4-NOT SPECIFIED' THEN 'p_not_specified'
+               WHEN '5-LOW' THEN 'p_low'
+           END AS priority_label,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    description="Wide-back-to-long unpivot (DataFrame.unpivot, the SQL "
+    "UNPIVOT/melt): the pivoted per-year priority counts flow back into "
+    "(yr, priority_label, cnt) rows, dropping the NULL cells unpivot "
+    "emits for combinations the wide frame never saw — so the round "
+    "trip lands exactly on the plain GROUP BY both engines agree on. "
+    "Unpivot is a zero-shuffle projection (each wide row expands to at "
+    "most five long rows in place); only the upstream pivot "
+    "aggregation exchanges data.",
+)
+def q_priority_unpivot_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = _pivot_priorities_wide(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["yr"],
+        values=[a for _, a in _PRIORITY_COLS],
+        variableColumnName="priority_label",
+        valueColumnName="cnt",
+    )
+    return long.filter(F.col("cnt").isNotNull())

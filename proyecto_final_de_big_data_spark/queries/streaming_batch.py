@@ -42,6 +42,7 @@ def _drain_stream(
     name_prefix: str,
     output_mode: str,
     shuffle_partitions: int = 8,
+    extra_confs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Run a bounded stream into a memory sink, return the drained result
     as an eager catalog-independent frame (tiny — localCheckpoint is
@@ -60,12 +61,22 @@ def _drain_stream(
     from ..streaming.windows import run_to_completion
 
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # extra_confs: per-stream session confs (e.g. the RocksDB state-store
+    # provider transformWithState requires) set around start() and
+    # restored after, same contract as the shuffle-partition override.
+    to_set = {"spark.sql.shuffle.partitions": str(shuffle_partitions)}
+    to_set.update(extra_confs or {})
+    saved = {k: spark.conf.get(k, None) for k in to_set}
+    for k, v in to_set.items():
+        spark.conf.set(k, v)
     try:
         q = run_to_completion(df, name, output_mode=output_mode)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     q.stop()
     try:
         return spark.table(name).localCheckpoint(eager=True)

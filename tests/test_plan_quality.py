@@ -348,3 +348,77 @@ def test_grouped_clip_bounds_broadcast_back(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitter_exact_pass_is_broadcast_semi_join(spark, sf_dir):
+    """heavy_hitters two-phase path: the exact-verify pass filters the
+    corpus through the answer-scale candidate set as a BROADCAST
+    left-semi join — the corpus must never shuffle on the raw key
+    domain, and null-safe key equality must not degrade the join to a
+    nested loop. (The registered query degenerates to the exact single
+    pass at tiny SF by design, so the sampled path is forced here via
+    min_sample_hits=1.)"""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from proyecto_final_de_big_data_spark.catalog import load_table
+    from proyecto_final_de_big_data_spark.operators.heavy_hitters import (
+        heavy_hitters,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("k"), "event_id"
+    )
+    df = heavy_hitters(
+        ev, "k", min_share=0.2, sample_on=["event_id"], min_sample_hits=1
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+    # and the degenerate path really is join-free single-pass
+    exact_plan_df = heavy_hitters(ev, "k", min_share=0.2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        exact_plan_df.explain("formatted")
+    assert "Join" not in buf.getvalue()
+
+
+def test_sketch_partials_aggregate_partial_plus_final(spark, sf_dir):
+    """HLL partial/merge rollup: both the sketch-build aggregation and
+    the union-merge must run partial-then-final (map-side combine), so
+    only pre-combined sketch bytes cross each exchange."""
+    plan = _plan(spark, sf_dir, "hll_mergeable_rollup_contract")
+    assert "partial_hll_sketch_agg" in plan.lower() or plan.lower().count(
+        "hashaggregate"
+    ) >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pivot_is_single_aggregate_no_distinct_job(spark, sf_dir):
+    """Explicit-value pivot: the literal list means no separate
+    distinct-discovery pass; the reshape is two chained aggregations
+    (corpus -> (yr, priority) partials -> wide yr rows)."""
+    plan = _plan(spark, sf_dir, "priority_pivot_by_year")
+    # pivot compiles to two chained aggregations — (yr, priority) then
+    # yr — so exactly two exchanges, the second over group-cardinality
+    # rows only. No distinct-discovery job, no join.
+    assert plan.count(") Exchange") == 2, plan
+    assert "Join" not in plan
+
+
+def test_unpivot_expands_without_extra_exchange(spark, sf_dir):
+    """Unpivot is a projection-time expansion (Expand/Generate): the
+    round trip may shuffle only for the upstream pivot aggregation."""
+    plan = _plan(spark, sf_dir, "priority_unpivot_round_trip")
+    assert "Expand" in plan or "Generate" in plan, plan
+    # no exchange beyond the upstream pivot's two
+    assert plan.count(") Exchange") == 2, plan
+    assert "Join" not in plan

@@ -1,0 +1,125 @@
+"""transformWithStateInPandas operator (streaming/tws.py): per-user
+event-type histograms with MapState + eviction timers, on RocksDB.
+
+The TWS runtime spawns a Python driver worker that imports
+``google.protobuf`` (the state-server protocol is protobuf-encoded);
+without it the worker dies with an opaque "driver worker exited
+unexpectedly (crashed)". This sandbox has no protobuf, so the
+end-to-end stream test skips itself where the dependency is missing and
+runs for real where it isn't; the eviction-guard logic is pure Python
+and is pinned unconditionally.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+try:
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # no 'google' namespace package at all
+    _HAS_PROTOBUF = False
+
+from proyecto_final_de_big_data_spark.streaming.tws import (
+    IDLE_GAP_MS,
+    ROCKSDB_PROVIDER,
+    EventTypeHistogramProcessor,
+    event_type_histogram_stream,
+)
+
+
+def _run_fixture_stream(spark, rows):
+    """rows: (user_id, ts_str, event_type) → drained update-mode output."""
+    stage = tempfile.mkdtemp(prefix="tws_fixture_")
+    try:
+        spark.createDataFrame(
+            [(u, t, e) for u, t, e in rows],
+            "user_id long, ts_s string, event_type string",
+        ).select(
+            "user_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+            F.lit(0).cast("long").alias("event_id"),
+            F.lit("{}").alias("props"),
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+
+        from proyecto_final_de_big_data_spark.queries.streaming_batch import (
+            _drain_stream,
+        )
+        from proyecto_final_de_big_data_spark.streaming.windows import (
+            read_events_stream,
+        )
+
+        stream = read_events_stream(spark, stage)
+        return _drain_stream(
+            spark,
+            event_type_histogram_stream(stream),
+            "t_tws_unit",
+            "update",
+            extra_confs={
+                "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER
+            },
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState's Python driver worker requires google.protobuf",
+)
+def test_single_batch_histogram_matches_enumeration(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", "click"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "view"),
+        (2, "2024-01-01 10:00:00", "view"),
+    ]
+    out = _run_fixture_stream(spark, rows)
+    got = {(r["user_id"], r["event_type"]): r["cnt"] for r in out.collect()}
+    assert got == {(1, "click"): 2, (1, "view"): 1, (2, "view"): 1}
+
+
+def test_stale_timer_does_not_evict_active_user():
+    """handleExpiredTimer must re-check idleness: a timer registered
+    before new activity fires with a watermark that has NOT passed
+    last_seen + gap, and state must survive."""
+
+    class _FakeState:
+        def __init__(self, value):
+            self._v = value
+            self.cleared = False
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def clear(self):
+            self.cleared = True
+
+    class _FakeTimers:
+        def __init__(self, wm):
+            self._wm = wm
+
+        def getCurrentWatermarkInMs(self):
+            return self._wm
+
+    p = EventTypeHistogramProcessor()
+    p._counts = _FakeState((5,))
+    last_seen_ms = 1_000_000
+    p._last_seen = _FakeState((last_seen_ms,))
+
+    # watermark short of last_seen + gap: stale fire, no eviction
+    list(p.handleExpiredTimer((1,), _FakeTimers(last_seen_ms + IDLE_GAP_MS - 1), None))
+    assert not p._counts.cleared and not p._last_seen.cleared
+
+    # watermark past last_seen + gap: genuine idle, evict both states
+    list(p.handleExpiredTimer((1,), _FakeTimers(last_seen_ms + IDLE_GAP_MS), None))
+    assert p._counts.cleared and p._last_seen.cleared
