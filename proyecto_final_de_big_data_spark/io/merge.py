@@ -146,6 +146,16 @@ def _swap_partitions(
     return emptied  # pragma: no cover
 
 
+def _remove_dir(spark: SparkSession, path: str) -> None:
+    """Best-effort recursive delete of a staging directory."""
+    if _is_local(path):
+        shutil.rmtree(_local_path(path), ignore_errors=True)
+    else:  # pragma: no cover - cluster filesystems
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
+
+
 def _staged_row_count(spark: SparkSession, staging: str) -> int:
     """Rows just written to ``staging``, summed from parquet footer
     metadata — driver-side, bounded by the file count of THIS batch's
@@ -194,6 +204,22 @@ def merge_changes(
     """Apply a CDC batch (upserts + deletes) to the partitioned parquet
     dataset at ``base_path``, rewriting only the partitions the batch
     touches. See the module docstring for the semantics contract.
+
+    HARD PRECONDITION — ``id_col`` is unique across the whole base
+    dataset, not merely within a partition. The anti-join drops base
+    rows by id alone across ALL affected partitions, so if the same id
+    lived in two partitions and the batch touched both, the copy in
+    the partition the change did NOT target would be silently dropped.
+    This is the standard CDC key contract (the id is the table's
+    primary key); callers with partition-scoped ids must merge on a
+    composite id.
+
+    Failure atomicity: the staged write is all-or-nothing (a write
+    failure leaves the live dataset untouched and cleans up staging).
+    The swap phase is remove-then-rename per partition and inherently
+    non-atomic across partitions — if it fails partway, staging is
+    LEFT IN PLACE as the manual-recovery copy and the raised error
+    names the staging path and the partitions in flight.
 
     ``broadcast_changes`` keeps the anti-join map-side (the pruned base
     never shuffles); set it False only when a single change batch is
@@ -265,14 +291,26 @@ def merge_changes(
     try:
         merged.write.partitionBy(partition_col).mode("overwrite").parquet(staging)
         n_output_rows = _staged_row_count(spark, staging)
+    except BaseException:
+        # Write/count failed: the live dataset is untouched and staging
+        # holds only junk — safe to clean up.
+        _remove_dir(spark, staging)
+        raise
+    try:
         emptied = _swap_partitions(spark, base_path, staging, partition_col, affected)
-    finally:
-        if _is_local(staging):
-            shutil.rmtree(_local_path(staging), ignore_errors=True)
-        else:  # pragma: no cover - cluster filesystems
-            jvm = spark._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(staging)
-            jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
+    except BaseException as e:
+        # Swap failed partway: some live partition dirs may already be
+        # removed, and staging holds the ONLY copy of their replacement
+        # data. Never delete it here — leave it for manual recovery and
+        # say exactly where it is and what was in flight.
+        raise RuntimeError(
+            "partition swap failed mid-flight; the live dataset at "
+            f"{base_path!r} may be missing some of partitions "
+            f"{affected}. The replacement data is preserved at "
+            f"{staging!r} — move each '{partition_col}=<value>' "
+            "directory from there into the live dataset to recover."
+        ) from e
+    _remove_dir(spark, staging)
 
     return MergeReport(
         affected_partitions=tuple(affected),

@@ -24,6 +24,21 @@ fixtures without shipping files), but the POINT is the scaffolding a
 Registered per-session via :func:`register_synthetic_corpus`; options:
 ``shards`` (default 4), ``rows_per_shard`` (default 1000), ``seed``
 (default 0).
+
+**One relation = one planned scan (Spark 4.1 sharing hazard).** Spark
+plans a Python data source relation once — the pushdown worker creates
+a fresh reader, applies ``pushFilters``, and returns the partition list
+for THAT filter set, and the resulting scan is then shared by every
+branch of the query that references the same ``.load()`` DataFrame.
+If one branch is filtered on ``shard`` and another is not, both end up
+reading the pruned partition list (observed: a full-read aggregate
+returning the pruned totals). Reader-side state is NOT the cause (each
+planning worker unpickles its own DataSource and builds a new reader);
+the sharing happens JVM-side at the relation level. Rule: **create a
+fresh ``.load()`` relation per differently-filtered branch** — use
+:func:`load_synthetic_corpus` which does exactly that. Regression
+coverage: ``tests/test_pydatasource.py``
+(``test_mixed_filtered_and_full_branches_in_one_plan``).
 """
 
 from __future__ import annotations
@@ -136,6 +151,34 @@ def register_synthetic_corpus(spark) -> None:
     (``spark.sql.python.filterPushdown.enabled``, default false, and a
     reader that implements ``pushFilters`` HARD-FAILS without it rather
     than silently skipping pruning) — enabled here so registration is
-    sufficient for pruned reads."""
+    sufficient for pruned reads.
+
+    Side effect: the pushdown conf is session-wide and is left enabled
+    (reads are lazy, so a set/restore window around registration would
+    not cover planning time). Any other Python data source used later
+    in the same session will also plan with pushdown enabled; a reader
+    without ``pushFilters`` is unaffected (the base class just returns
+    the filters)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticCorpusDataSource)
+
+
+def load_synthetic_corpus(
+    spark, *, shards: int = 4, rows_per_shard: int = 1000, seed: int = 0
+):
+    """Return a FRESH ``synthetic_corpus`` relation.
+
+    Always call this once per differently-filtered branch of a query:
+    Spark plans a Python data source relation once and shares the
+    planned scan (including its pruned partition list) across every
+    reference to the same DataFrame, so mixing a shard-filtered branch
+    and a full-read branch of ONE relation silently gives both the
+    pruned scan (see module docstring)."""
+    register_synthetic_corpus(spark)
+    return (
+        spark.read.format("synthetic_corpus")
+        .option("shards", shards)
+        .option("rows_per_shard", rows_per_shard)
+        .option("seed", seed)
+        .load()
+    )

@@ -61,11 +61,17 @@ def heavy_hitters(
     shuffles.
 
     ``sample_on`` names the columns hashed to form the deterministic
-    candidate sample — they must (jointly) spread uniformly over rows
-    (a row id, or (doc_id, pos) for exploded tokens). Defaults to the
-    key columns themselves, which is correct but samples whole keys at
-    a time (fine for skew detection; pass a row identity for tight
-    binomial bounds).
+    candidate sample — they must (jointly) identify ROWS, not keys (a
+    row id, or (doc_id, pos) for exploded tokens), so a heavy key's
+    occurrences land in the sample independently and the binomial
+    completeness bound holds. Hashing the key columns themselves would
+    put each key all-in or all-out of the sample — a heavy hitter would
+    then be *sampled at all* only with probability ``rate`` (~0.002% at
+    scale), silently missing almost every heavy hitter. ``sample_on``
+    is therefore REQUIRED whenever the sampled path is taken (corpus
+    large enough that the adaptive rate is < 100%); on small corpora,
+    where the operator degenerates to the exact single pass, it is
+    unused and may be omitted.
 
     Returns one row per heavy key: key columns + ``cnt`` (exact) +
     ``share`` (cnt/total, rounded to 6 decimals).
@@ -73,7 +79,6 @@ def heavy_hitters(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if not 0.0 < min_share <= 1.0:
         raise ValueError(f"min_share must be in (0, 1], got {min_share}")
-    hash_cols = keys if sample_on is None else list(sample_on)
 
     # One column-less count fixes the adaptive sample rate. This is the
     # only corpus-wide job besides the two passes below, and it
@@ -98,6 +103,17 @@ def heavy_hitters(
         candidates = None
         counted = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
     else:
+        if sample_on is None:
+            raise ValueError(
+                "heavy_hitters: corpus is large enough to take the "
+                "sampled path (adaptive rate "
+                f"{rate}/{_RATE_DENOM}) — sample_on is required and "
+                "must be a row identity (e.g. a row id, or (doc_id, "
+                "pos) for exploded tokens). Hashing the key columns "
+                "would sample whole keys all-in/all-out and miss "
+                "heavy hitters."
+            )
+        hash_cols = list(sample_on)
         sample = df.filter(
             F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(_RATE_DENOM))
             < F.lit(rate)

@@ -85,142 +85,75 @@ from . import quality  # noqa: E402,F401
 # export_round_trip_partitioned (multi-round green — move the family
 # probes to their CSV/JSON round-trip twins when swapping).
 _VERIFICATION_WINDOW = [
-    # marts / aggregations (SURVEY §2.4). kpis (green r1-r4, the A4
-    # grand-KPI anchor, code unchanged since r1) rotates out for
-    # grouped_outlier_clip_profile — the per-group quantile fence whose
-    # count/avg/min/max aggregate surface is a strict superset of the
-    # kpis shape, so the marts family anchor gets STRONGER, not lost.
-    "grouped_outlier_clip_profile",
-    # outlier_clipped_kpis (r2+r3+r4 green, operators/clean.py unchanged
-    # since r4) rotates out for compaction_contract — the small-file
-    # compaction maintenance pass (round-5 addition, new gate rotates in
-    # the round it lands); the one-pass quantile family keeps
-    # approx_quantile_contract (same operator file) in-window.
+    # ------------------------------------------------------------------
+    # ROUND-6 ROTATION (VERDICT r5 item 3): the entire 14-query queue of
+    # never-driver-verified registrations rotates IN — after this window
+    # lands green, ZERO registered queries lack driver evidence. The
+    # python_datasource_contract entry is the r5 wrong-answer bug, now
+    # fixed (fresh relation per branch; see io/pydatasource.py docstring
+    # and tests/test_pydatasource.py mixed-branch regression).
+    "python_datasource_contract",
+    "table_profile_contract",
+    "scd2_user_state_history",
+    "blocklist_filter_profile",
+    "data_quality_contract",
+    "token_budget_selection_profile",
+    "session_stats_by_dow",
+    "heavy_hitter_keys",
+    "hll_mergeable_rollup_contract",
+    "kll_quantile_rollup_contract",
+    "theta_cohort_overlap_contract",
+    "variant_props_stats",
+    "priority_pivot_by_year",
+    "priority_unpivot_round_trip",
+    # Fourteen r5-green entries rotate OUT to make room, each leaving
+    # its operator family represented in-window and its code unchanged
+    # this round (pytest DuckDB parity still runs the full catalog):
+    #   grouped_outlier_clip_profile (clean.py quantile family keeps
+    #     compaction_contract's profile + the r3/r4-green approx twins),
+    #   salted_event_type_stats (skew tools; bucketed_colocated_join
+    #     keeps the layout family in-window),
+    #   release_manifest_contract + snapshot_diff_profile (dataset
+    #     versioning; cdc_merge_contract keeps the family gated),
+    #   rolling_user_zscore + hourly_counts_gapfilled (temporal grid;
+    #     interpolated_user_series stays),
+    #   text_normalize_profile (text family keeps pii/repetition/
+    #     boilerplate/tfidf in-window),
+    #   cube_returnflag_status (grouping sets r2-r5 green, relational
+    #     family keeps priority_pivot/unpivot NEW in-window),
+    #   events_in_first_day_window (asof.py unchanged since the r5
+    #     NULL-bound fix; named rotation-out candidate in r5 notes),
+    #   near_dup_clusters (graph family keeps cluster_keep_best_profile
+    #     over the SAME pair graph + recursive-CTE oracle),
+    #   stratified_sample_profile (split family keeps
+    #     cluster_safe_split_profile),
+    #   pack_chunks_profile + decontamination_profile (LLM-pipeline
+    #     family keeps curate_documents_contract's 7-stage replay),
+    #   epoch_upsample_profile (mixing family keeps
+    #     temperature_mix_profile + source_cap_profile).
+    # ------------------------------------------------------------------
+    # maintenance / marts
     "compaction_contract",
-    # dashboard-derived analytics + semi-structured / sketch surfaces.
-    # weighted_avg_price_by_priority (r2+r4 green, rollup.py unchanged
-    # this round) rotates out for text_quality_classifier_contract —
-    # the weighted-rollup family keeps priority_share_of_total /
-    # cumulative_hour_share multi-round-green behind the window and the
-    # D2 operator is unchanged.
-    "salted_event_type_stats",
-    # event_props_json_profile (r3+r4 green, its JSON-function query
-    # untouched this round) rotates out for release_manifest_contract —
-    # the content-addressed release fingerprint (round-5 addition, new
-    # gate rotates in the round it lands), pairing with
-    # snapshot_diff_profile to keep the dataset-versioning surface
-    # driver-gated end to end.
-    "release_manifest_contract",
-    "rolling_user_zscore",
-    "hourly_counts_gapfilled",
-    # relational capability (joins / set ops / windows / grouping sets)
-    # (pricing_summary, 4x green, rotated out — the agg family keeps
-    # kpis in-window and the plan audit still covers its shape.)
-    # union_distinct_customers (r4 green; intersect/except r2-green
-    # twins, set-op code unchanged since r2) rotates out for
-    # snapshot_diff_profile, whose full-outer diff join extends the
-    # same relational surface.
-    # customers_without_orders (r4 green — a 0-row anti-join match, the
-    # weakest hash in the window; left-anti stays plan-asserted and the
-    # relational family keeps revenue_by_nation + CUBE) rotates out for
-    # cluster_keep_best_profile.
-    # revenue_by_nation (r2+r4 green, relational.py unchanged since r4)
-    # rotates out for text_normalize_profile — the Unicode
-    # normalization gate (late round-5 addition, rotates in the round
-    # it lands); the join surface keeps cube_returnflag_status,
-    # snapshot_diff_profile's full-outer diff, and the bucketed join.
-    "text_normalize_profile",
-    "cube_returnflag_status",
-    # temporal joins (as-of / interval — extension operators).
-    # events_asof_last_order (r4-green, re-verified on the NULL-key fix,
-    # unchanged since) rotates out for semantic_dedup_profile;
-    # events_in_first_day_window keeps the temporal family in-window and
-    # covers the round-5 NULL-bound symmetry change.
-    "events_in_first_day_window",
-    # LLM-pipeline: dedup / split / text / similarity contracts.
-    # near_dup_clusters subsumes ngram_jaccard_pairs (its recursive-CTE
-    # oracle recomputes the same exact-Jaccard pair set, then checks the
-    # component contraction on top); stratified_sample_profile gates the
-    # new deterministic quota-sampling operator. ngram_jaccard_pairs
-    # (4× green) and media_features (4× green, media_frame_sample stays)
-    # rotate out to make room.
-    # (dedup_exact_stats, 4x green, rotated out — near_dup_clusters and
-    # curation_pipeline_profile keep the dedup family gated;
-    # knn_bruteforce, 3x green, rotated out — the IVF pair stays.)
-    "near_dup_clusters",
-    # Quality-aware keep-best winners over the SAME pair graph
-    # near_dup_clusters pins (round-5 addition, new gate rotates in the
-    # round it lands).
+    # dedup / clustering / similarity
     "cluster_keep_best_profile",
-    "stratified_sample_profile",
-    "pack_chunks_profile",
-    "decontamination_profile",
     "minhash_recall",
-    # simhash_banding_lossless (r3+r4 green, operators/simhash.py
-    # unchanged since r3) rotates out for cluster_safe_split_profile —
-    # the leakage-safe cluster-keyed split (round-5 addition, new gate
-    # rotates in the round it lands); the near-dup contract family keeps
-    # minhash_recall + embedding_near_dup_recall in-window.
     "cluster_safe_split_profile",
-    # embedding_near_dup_recall (r3+r4 green, operators/similarity_ann.py
-    # unchanged since r3) rotates out for epoch_upsample_profile — the
-    # data-preserving epoch-weighting mirror of temperature mixing
-    # (round-5 addition, new gate rotates in the round it lands); the
-    # embedding near-dup surface keeps knn_ann_ivf_recall +
-    # semantic_dedup_profile in-window.
-    "epoch_upsample_profile",
-    # curation_pipeline_profile (r4-green, unchanged) rotates out for its
-    # superset: curate_documents_contract replays the FULL composed
-    # pipeline (PII redact -> repetition filter -> exact dedup ->
-    # temperature mixing -> hash split) stage-for-stage in SQL, so the
-    # clean/dedup/split composition it gated stays covered.
     "curate_documents_contract",
-    # dataset-versioning audit (snapshot diff — round-5 addition)
-    "snapshot_diff_profile",
-    # semantic dedup (SemDeDup cluster-then-prune — round-5 addition;
-    # composes ivf_assign + within-cell cosine + connected-components
-    # keep, with a full recursive-CTE oracle)
     "semantic_dedup_profile",
-    # text quality / PII / term scoring (round-5 additions)
+    "incremental_dedup_profile",
+    "knn_ann_ivf_recall",
+    # text quality / scoring
     "lm_quality_by_lang",
-    "pii_redaction_profile",
     "repetition_profile",
     "boilerplate_removal_profile",
     "tfidf_top_terms",
-    "incremental_dedup_profile",
+    # mixing
     "temperature_mix_profile",
-    # Per-(source, lang) hard contribution cap (round-5 addition; the
-    # complementary bound to temperature mixing). Rotates in the round
-    # it lands; order_to_ship_latency_by_month (r4 green, F1/F9
-    # duration+padding expressions unchanged since, and the same
-    # date-part surface stays gated by quarter_resolution_contract)
-    # rotates out to keep the window at 50.
     "source_cap_profile",
-    # multimodal. media_frame_sample (r2+r4 green, multimodal.py
-    # unchanged since r2) rotates out for stream_cdc_apply_round_trip —
-    # the foreachBatch incremental-maintenance gate (late round-5
-    # addition, rotates in the round it lands); the multimodal family
-    # keeps media_binary_ingest in-window plus the r2-green
-    # frame/resize twins.
-    "stream_cdc_apply_round_trip",
-    # similarity search. embedding_norms_by_label (r4-green, unchanged
-    # built-in array fold) rotates out for lm_quality_by_lang — the
-    # embedding family keeps knn_ann_ivf_recall, embedding_kmeans_contract
-    # and semantic_dedup_profile in-window.
-    "knn_ann_ivf_recall",
-    # streaming: batch-window parity + real-stream mode (dedup /
-    # stream-static join / sliding parity / file sink) + stateful
-    # tumbling_hourly_counts and sliding_2h_counts (each r2+r4 green,
-    # unchanged) rotate out for boilerplate_removal_profile and
-    # stream_pii_curation_round_trip — tumbling/sliding window semantics
-    # stay gated end-to-end by the *_stream_parity pair (real-stream ≡
-    # batch on the same windows).
-    # session_windows_per_user (r4 green, unchanged) rotates out: its
-    # exact oracle now gates the strictly stronger real-stream twin
-    # session_stream_parity in-window. Its slot goes to
-    # interpolated_user_series — linear gap interpolation (late round-5
-    # addition, rotates in the round it lands).
+    # temporal
     "interpolated_user_series",
+    # streaming (real-stream parity + stateful + sinks)
+    "stream_cdc_apply_round_trip",
     "tumbling_stream_parity",
     "sliding_stream_parity",
     "stream_dedup_counts",
@@ -229,30 +162,28 @@ _VERIFICATION_WINDOW = [
     "stream_file_sink_round_trip",
     "stream_pii_curation_round_trip",
     "stateful_user_profiles_stream",
-    # ML loop
-    "ml_train_metrics",
+    "session_stream_parity",
+    # ML loop. Round-6 upgrade (VERDICT r5 item 4): the two rows-only
+    # window entries are REPLACED by exact-hash gates —
+    # ml_train_linear_contract (closed-form LR via build_pipeline/
+    # evaluate, coefficients + RMSE/MAE/R² restated in DuckDB through
+    # the 3x3 normal equations) takes ml_train_metrics' slot, and
+    # ml_score_contract (save_model/load_model round trip + batch_score
+    # + per-flag error profile, predictions restated from the Cramer
+    # coefficients) takes a slot from pii_redaction_profile (r5 green,
+    # operators/pii.py unchanged; the text family keeps repetition/
+    # boilerplate/tfidf/lm_quality in-window). The GBT/sampled twins
+    # stay registered + rows-only-pytest-gated behind the window.
+    "ml_train_linear_contract",
+    "ml_score_contract",
     "ml_feature_matrix_contract",
     "embedding_kmeans_contract",
     "text_quality_classifier_contract",
-    # contracts family (export round-trips / ingest manifest /
-    # CLI+quarter resolution). Three late-round-5 additions rotate in
-    # the round they land, each swapping a multi-round-green twin whose
-    # code is unchanged since r4 (git-verified):
-    # - cdc_merge_contract (partition-pruned CDC merge, io/merge.py)
-    #   replaces export_round_trip_partitioned — the S7 partitioned-sink
-    #   surface stays exercised by the merge's own partitioned write +
-    #   swap, and the round-trip family keeps export_round_trip_orc;
-    # - session_stream_parity (real-stream session windows) replaces
-    #   canonicalize_contract (r2-r4 green; canonicalize.py unchanged);
-    # - media_binary_ingest (binaryFile raw-file ingestion) replaces
-    #   approx_quantile_contract (r3+r4 green; clean.py unchanged —
-    #   the sketch family keeps outlier/quantile coverage via
-    #   compaction_contract's profile and the HLL r3-green twin).
+    # contracts / IO
     "export_round_trip_orc",
     "manifest_ingest_contract",
     "quarter_resolution_contract",
     "cdc_merge_contract",
-    "session_stream_parity",
     "media_binary_ingest",
     "bucketed_colocated_join",
 ]

@@ -889,16 +889,14 @@ def q_theta_cohort_overlap_contract(spark: SparkSession, sf_dir: str) -> DataFra
     "planned partition list and hands non-shard filters back.",
 )
 def q_python_datasource_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..io.pydatasource import register_synthetic_corpus
+    from ..io.pydatasource import load_synthetic_corpus
 
-    register_synthetic_corpus(spark)
-    corpus = (
-        spark.read.format("synthetic_corpus")
-        .option("shards", 4)
-        .option("rows_per_shard", 500)
-        .option("seed", 7)
-        .load()
-    )
+    # One fresh relation PER branch: Spark plans a Python data source
+    # relation once and shares the planned scan across all references,
+    # so a full-read branch and a shard-pruned branch of the same
+    # .load() would both get the pruned partition list (r5 verdict bug).
+    corpus = load_synthetic_corpus(spark, shards=4, rows_per_shard=500, seed=7)
+    pruned_rel = load_synthetic_corpus(spark, shards=4, rows_per_shard=500, seed=7)
     full = corpus.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("doc_id").alias("sum_doc_id"),
@@ -906,7 +904,7 @@ def q_python_datasource_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("score_milli").alias("sum_score_milli"),
         F.count_distinct("lang").alias("n_langs"),
     )
-    pruned = corpus.filter(F.col("shard").isin(1, 3)).agg(
+    pruned = pruned_rel.filter(F.col("shard").isin(1, 3)).agg(
         F.count(F.lit(1)).alias("pruned_rows"),
         F.sum("doc_id").alias("pruned_sum_doc_id"),
     )

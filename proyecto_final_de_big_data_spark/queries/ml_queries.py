@@ -60,6 +60,177 @@ def q_ml_score_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OLS_CTE = """
+    WITH train AS (
+        SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y,
+               l_returnflag
+        FROM lineitem WHERE l_orderkey % 5 != 0
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS sx1, sum(x2) AS sx2,
+               sum(x1*x1) AS sx11, sum(x1*x2) AS sx12, sum(x2*x2) AS sx22,
+               sum(y) AS sy, sum(x1*y) AS sx1y, sum(x2*y) AS sx2y
+        FROM train
+    ),
+    solved AS (
+        SELECT
+            (det_a / det) AS intercept,
+            (det_b1 / det) AS b1,
+            (det_b2 / det) AS b2
+        FROM (
+            SELECT
+                (n*(sx11*sx22 - sx12*sx12) - sx1*(sx1*sx22 - sx12*sx2)
+                   + sx2*(sx1*sx12 - sx11*sx2)) AS det,
+                (sy*(sx11*sx22 - sx12*sx12) - sx1*(sx1y*sx22 - sx12*sx2y)
+                   + sx2*(sx1y*sx12 - sx11*sx2y)) AS det_a,
+                (n*(sx1y*sx22 - sx2y*sx12) - sy*(sx1*sx22 - sx12*sx2)
+                   + sx2*(sx1*sx2y - sx1y*sx2)) AS det_b1,
+                (n*(sx11*sx2y - sx12*sx1y) - sx1*(sx1*sx2y - sx1y*sx2)
+                   + sy*(sx1*sx12 - sx11*sx2)) AS det_b2
+            FROM s
+        )
+    )
+"""
+
+
+@register(
+    "ml_train_linear_contract",
+    oracle=_OLS_CTE
+    + """
+    , test AS (
+        SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y
+        FROM lineitem WHERE l_orderkey % 5 = 0
+    ),
+    scored AS (
+        SELECT y, (solved.intercept + solved.b1*x1 + solved.b2*x2) AS pred
+        FROM test, solved
+    )
+    SELECT round((SELECT intercept FROM solved), 2) AS intercept,
+           round((SELECT b1 FROM solved), 2) AS coef_quantity,
+           round((SELECT b2 FROM solved), 2) AS coef_discount,
+           round(sqrt(avg((y - pred)*(y - pred))), 2) AS rmse,
+           round(avg(abs(y - pred)), 2) AS mae,
+           round(1 - sum((y - pred)*(y - pred))
+                     / (sum(y*y) - count(*)*avg(y)*avg(y)), 4) AS r2,
+           (SELECT count(*) FROM train) AS rows_train,
+           count(*) AS rows_test
+    FROM scored
+    """,
+    description="M4/M6/M7 through the hash gate (reference "
+    "scripts/04_train_sparkml.py:114-151): the SAME build_pipeline/"
+    "evaluate code path the GBT loop uses, with algorithm='lr' and "
+    "solver='normal' — a closed-form OLS fit whose coefficients DuckDB "
+    "restates exactly via the 3x3 normal equations (Cramer's rule over "
+    "plain SUM aggregates). The split is a deterministic modulo on "
+    "l_orderkey (randomSplit is partitioning-dependent, SURVEY §7), so "
+    "coefficients, RMSE/MAE/R² and both split sizes are all exact-hash "
+    "comparable. Verified to ~1e-12 relative agreement; rounded at 2 "
+    "decimals (4 for the near-zero R²) to absorb summation-order noise.",
+)
+def q_ml_train_linear_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.pipeline import evaluate
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_discount", "l_extendedprice"
+    )
+    cfg = TrainConfig(
+        label="l_extendedprice",
+        numeric_features=["l_quantity", "l_discount"],
+        algorithm="lr",
+    )
+    pipeline, _, _ = build_pipeline(li, cfg)
+    train = li.filter(F.col("l_orderkey") % 5 != 0)
+    test = li.filter(F.col("l_orderkey") % 5 == 0)
+    model = pipeline.fit(train)
+    lr_model = model.stages[-1]
+    predictions = model.transform(test).persist()
+    try:
+        metrics = evaluate(predictions, "l_extendedprice")
+        rows_test = predictions.count()
+    finally:
+        predictions.unpersist()
+    rows_train = train.count()
+    coef = list(lr_model.coefficients)
+    return spark.createDataFrame(
+        [
+            (
+                round(float(lr_model.intercept), 2),
+                round(float(coef[0]), 2),
+                round(float(coef[1]), 2),
+                round(metrics["rmse"], 2),
+                round(metrics["mae"], 2),
+                round(metrics["r2"], 4),
+                rows_train,
+                rows_test,
+            )
+        ],
+        "intercept double, coef_quantity double, coef_discount double, "
+        "rmse double, mae double, r2 double, rows_train long, rows_test long",
+    )
+
+
+@register(
+    "ml_score_contract",
+    oracle=_OLS_CTE
+    + """
+    , scored AS (
+        SELECT l_returnflag,
+               l_extendedprice AS y,
+               (solved.intercept + solved.b1*l_quantity
+                  + solved.b2*l_discount) AS pred
+        FROM lineitem, solved
+    )
+    SELECT l_returnflag AS returnflag,
+           count(*) AS n_rows,
+           round(avg(abs(y - pred)), 2) AS mae,
+           round(sqrt(avg((y - pred)*(y - pred))), 2) AS rmse
+    FROM scored
+    GROUP BY 1
+    """,
+    description="Batch scoring through the hash gate (reference "
+    "scripts/05_batch_scoring.py:85-105 + A12 error profile): fit the "
+    "deterministic closed-form LR on the modulo train split, round-trip "
+    "the PipelineModel through save_model/load_model (S12 — the model "
+    "sink/source, previously rows-only), score the FULL table with "
+    "batch_score, and profile MAE/RMSE per returnflag. DuckDB restates "
+    "the predictions from the Cramer-solved coefficients, so a wrong "
+    "persisted coefficient, a scoring drift, or a broken model reload "
+    "all break the hash.",
+)
+def q_ml_score_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..ml.pipeline import batch_score, load_model, save_model
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_discount", "l_extendedprice", "l_returnflag"
+    )
+    cfg = TrainConfig(
+        label="l_extendedprice",
+        numeric_features=["l_quantity", "l_discount"],
+        algorithm="lr",
+    )
+    pipeline, _, _ = build_pipeline(li, cfg)
+    model = pipeline.fit(li.filter(F.col("l_orderkey") % 5 != 0))
+    tmp = tempfile.mkdtemp(prefix="ml_score_contract_")
+    try:
+        save_model(model, f"{tmp}/model")
+        model = load_model(f"{tmp}/model")  # scoring uses the RELOADED model
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    err = F.col("prediction") - F.col("l_extendedprice")
+    return (
+        batch_score(model, li)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg(F.abs(err)), 2).alias("mae"),
+            F.round(F.sqrt(F.avg(F.pow(err, F.lit(2)))), 2).alias("rmse"),
+        )
+    )
+
+
 @register(
     "ml_feature_matrix_contract",
     oracle="""

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from proyecto_final_de_big_data_spark.operators.heavy_hitters import heavy_hitters
@@ -83,3 +85,14 @@ def test_sampled_path_plan_broadcasts_candidates(spark):
     # or shuffles on the raw key domain for the semi join.
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sample_on_required_when_sampled_path_taken(spark):
+    # Large enough that the adaptive rate is < 100%: omitting the
+    # row-identity sample columns must raise, not silently sample
+    # whole keys all-in/all-out.
+    df = spark.range(0, 300_000).withColumn(
+        "k", (F.col("id") % 10).cast("string")
+    )
+    with pytest.raises(ValueError, match="sample_on is required"):
+        heavy_hitters(df, "k", 0.01).collect()

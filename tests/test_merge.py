@@ -236,3 +236,29 @@ def test_replay_of_same_batch_is_idempotent(spark, base):
     first = _read(spark, base)
     merge_changes(spark, base, changes, id_col="id", partition_col="p")
     assert _read(spark, base) == first
+
+
+def test_swap_failure_preserves_staging(spark, base, monkeypatch):
+    """If the swap phase dies partway, staging must survive as the
+    manual-recovery copy and the error must name it (deleting staging
+    there would destroy the only copy of partitions whose live dir was
+    already removed)."""
+    import proyecto_final_de_big_data_spark.io.merge as m
+
+    def boom(*a, **k):
+        raise OSError("disk went away")
+
+    monkeypatch.setattr(m, "_swap_partitions", boom)
+    with pytest.raises(RuntimeError, match="preserved at") as ei:
+        m.merge_changes(
+            spark,
+            base,
+            _changes(spark, [(1, "a", 99.0, "upsert")]),
+            id_col="id",
+            partition_col="p",
+        )
+    # The staging dir named in the message still exists with the data.
+    staging = str(ei.value).split("preserved at '")[1].split("'")[0]
+    assert os.path.isdir(staging)
+    assert spark.read.parquet(staging).count() > 0
+    shutil.rmtree(staging, ignore_errors=True)

@@ -18,6 +18,7 @@ from pyspark.sql.datasource import (
 
 from proyecto_final_de_big_data_spark.io.pydatasource import (
     SyntheticCorpusReader,
+    load_synthetic_corpus,
     register_synthetic_corpus,
 )
 
@@ -110,8 +111,15 @@ def test_spark_read_same_rows_regardless_of_options_order(spark):
     register_synthetic_corpus(spark)
 
     def digest(df):
+        # Sum the 64-bit hashes in decimal(38,0): a plain long sum of
+        # xxhash64 values overflows under Spark 4's ANSI default (same
+        # idiom as operators/graph.py:_checksum).
         return df.agg(
-            F.sum(F.xxhash64("doc_id", "lang", "n_tokens", "score_milli")).alias("d")
+            F.sum(
+                F.xxhash64("doc_id", "lang", "n_tokens", "score_milli").cast(
+                    "decimal(38,0)"
+                )
+            ).alias("d")
         ).collect()[0]["d"]
 
     a = (
@@ -125,3 +133,24 @@ def test_spark_read_same_rows_regardless_of_options_order(spark):
         .load()
     )
     assert digest(a) == digest(b)
+
+def test_mixed_filtered_and_full_branches_in_one_plan(spark):
+    """Regression for the r5 pushed-filter sharing bug: a full-read
+    branch and a shard-pruned branch in ONE plan must not share a
+    pruned scan. Spark plans a Python data source relation once and
+    reuses the planned scan for every reference to the same .load()
+    DataFrame, so the correct pattern (encoded in
+    load_synthetic_corpus) is a fresh relation per branch — this test
+    pins that the pattern yields the right answer with both branches
+    collected by a single action."""
+    full_rel = load_synthetic_corpus(spark, shards=4, rows_per_shard=500, seed=7)
+    pruned_rel = load_synthetic_corpus(spark, shards=4, rows_per_shard=500, seed=7)
+    full = full_rel.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("s")
+    )
+    pruned = pruned_rel.filter(F.col("shard").isin(1, 3)).agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("doc_id").alias("ps")
+    )
+    row = full.crossJoin(F.broadcast(pruned)).collect()[0]
+    assert (row.n, row.s) == (2000, 1999000)
+    assert (row.pn, row.ps) == (1000, 1249500)
