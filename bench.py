@@ -76,18 +76,27 @@ def main() -> None:
 
     # Median of 3 runs per query (the BASELINE.md protocol): damps
     # one-off contention spikes — a single-run suite total swung 2x on a
-    # loaded machine with identical code.
+    # loaded machine with identical code. The runs are INTERLEAVED
+    # round-robin (pass 1 over the whole catalog, then pass 2, then
+    # pass 3) rather than back-to-back per query: a correlated host
+    # load spike then pollutes at most one of each query's three
+    # samples instead of all three, so the median survives it.
+    # Host load (1-minute loadavg) is sampled before each pass and
+    # recorded in BENCH_DETAIL.json so a slow total is attributable.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name, q in QUERIES.items():
-        samples = []
-        for _ in range(runs):
+    samples: dict[str, list[float]] = {name: [] for name in QUERIES}
+    pass_loads: list[float] = []
+    for _ in range(runs):
+        pass_loads.append(round(os.getloadavg()[0], 2))
+        for name, q in QUERIES.items():
             t0 = time.perf_counter()
             q.spark_fn(spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-        # statistics.median averages the middle pair on even run counts;
-        # the previous upper-middle pick biased 2-run timings high.
-        timings[name] = round(statistics.median(samples), 4)
+            samples[name].append(time.perf_counter() - t0)
+    # statistics.median averages the middle pair on even run counts;
+    # the previous upper-middle pick biased 2-run timings high.
+    timings = {
+        name: round(statistics.median(vals), 4) for name, vals in samples.items()
+    }
 
     total = round(sum(timings.values()), 4)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -99,6 +108,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg_per_pass": pass_loads,
+                "loadavg_end": round(os.getloadavg()[0], 2),
+                "protocol": "median of interleaved round-robin passes",
             },
             f,
             indent=2,
@@ -113,6 +125,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "load": pass_loads[0],
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -33,3 +33,45 @@ def with_bin(
 ) -> DataFrame:
     label, order = bin_expr(col, edges, labels)
     return df.withColumn(label_col, label).withColumn(order_col, order)
+
+
+def equal_frequency_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    bin_col: str = "bin",
+    exact: bool = True,
+    relative_error: float = 0.001,
+) -> tuple[DataFrame, list[float]]:
+    """Bin ``col`` into ``n_bins`` equal-frequency buckets (deciles at
+    the default) via quantile BOUNDS, not a global sort.
+
+    The naive equal-frequency formulation is ``ntile(n) OVER (ORDER BY
+    col)`` — a total order over the corpus, which funnels 100 TB
+    through one sort. Here one aggregation pass computes the n-1
+    interior quantile bounds (answer-scale driver state), and binning
+    is a map-only chain of ``value > bound`` comparisons — no shuffle
+    of the data at all; callers aggregate the result however they like.
+
+    ``exact=True`` uses ``percentile`` (exact linear-interpolation
+    bounds — same definition as DuckDB's ``quantile_cont``, which is
+    what makes the gate hash-comparable); production at 100 TB flips
+    to ``exact=False`` for the one-pass ``approx_percentile`` sketch,
+    trading bound exactness (never bin-count correctness AROUND the
+    returned bounds) for a bounded-memory merge. Ties sit with the
+    LOWER bin (strict ``>``), matching the left-open/right-closed
+    convention of :func:`bin_expr`.
+
+    Returns ``(df + bin_col [0..n_bins-1], bounds)``.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    fn = F.percentile if exact else (
+        lambda c, p: F.approx_percentile(c, p, F.lit(int(1 / relative_error)))
+    )
+    bounds = df.agg(fn(F.col(col), F.lit(fracs)).alias("b")).collect()[0]["b"]
+    bin_idx: Column = F.lit(0)
+    for b in bounds:
+        bin_idx = bin_idx + (F.col(col) > F.lit(float(b))).cast("int")
+    return df.withColumn(bin_col, bin_idx), [float(b) for b in bounds]

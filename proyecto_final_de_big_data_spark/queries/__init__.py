@@ -142,19 +142,33 @@ _VERIFICATION_WINDOW = [
     "semantic_dedup_profile",
     "incremental_dedup_profile",
     "knn_ann_ivf_recall",
-    # text quality / scoring
+    # text quality / scoring. Round-6 additions rotate in the round
+    # they land: chunk_overlap_profile (context-window chunking, the
+    # retrieval-side sibling of sequence packing) and
+    # decile_profile_contract (equal-frequency binning via quantile
+    # bounds — no ntile, no global sort). boilerplate_removal_profile
+    # and tfidf_top_terms (both r5 green, code unchanged) rotate out;
+    # the text family keeps lm_quality + repetition + the chunk gate
+    # + stream_pii_curation in-window.
     "lm_quality_by_lang",
     "repetition_profile",
-    "boilerplate_removal_profile",
-    "tfidf_top_terms",
+    "chunk_overlap_profile",
+    "decile_profile_contract",
     # mixing
     "temperature_mix_profile",
     "source_cap_profile",
     # temporal
     "interpolated_user_series",
-    # streaming (real-stream parity + stateful + sinks)
+    # streaming (real-stream parity + stateful + sinks).
+    # tumbling_stream_parity (r2/r4/r5 green, window code unchanged)
+    # rotates out for tws_histogram_parity — the custom stateful
+    # MapState-histogram operator (streaming/tws.py), new this round:
+    # it runs the transformWithState path where the protobuf runtime
+    # exists and the applyInPandasWithState twin here (VERDICT r5 item
+    # 7). Tumbling/sliding window semantics stay gated end-to-end by
+    # sliding_stream_parity + the r5-green tumbling row.
     "stream_cdc_apply_round_trip",
-    "tumbling_stream_parity",
+    "tws_histogram_parity",
     "sliding_stream_parity",
     "stream_dedup_counts",
     "stream_static_join_profile",

@@ -609,3 +609,52 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.schema_of_variant_agg("v").alias("props_schema"),
     )
+
+
+@register(
+    "decile_profile_contract",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(l_extendedprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        FROM lineitem
+    ),
+    vals AS (
+        SELECT l_extendedprice AS v FROM lineitem
+    ),
+    binned AS (
+        SELECT (CASE WHEN v > q[1] THEN 1 ELSE 0 END + CASE WHEN v > q[2] THEN 1 ELSE 0 END + CASE WHEN v > q[3] THEN 1 ELSE 0 END + CASE WHEN v > q[4] THEN 1 ELSE 0 END + CASE WHEN v > q[5] THEN 1 ELSE 0 END + CASE WHEN v > q[6] THEN 1 ELSE 0 END + CASE WHEN v > q[7] THEN 1 ELSE 0 END + CASE WHEN v > q[8] THEN 1 ELSE 0 END + CASE WHEN v > q[9] THEN 1 ELSE 0 END) AS bin,
+               v
+        FROM vals, b
+    )
+    SELECT bin,
+           count(*) AS n_rows,
+           round(min(v), 2) AS min_price,
+           round(max(v), 2) AS max_price,
+           round(sum(v), 2) AS sum_price
+    FROM binned
+    GROUP BY 1
+    """,
+    description="Equal-frequency binning (operators/binning.py:"
+    "equal_frequency_bins): deciles of l_extendedprice computed the "
+    "scale-correct way — ONE aggregation pass for the 9 interior "
+    "quantile bounds (answer-scale driver state), then a map-only "
+    "chain of value>bound comparisons; NO ntile and no global sort "
+    "anywhere in the plan. The oracle recomputes the bounds with "
+    "quantile_cont (the same linear-interpolation definition as "
+    "Spark's exact percentile) and replays the strict-> tie rule, so "
+    "shifted bounds, an off-by-one bin, or a wrong tie side all break "
+    "the hash. Production at 100 TB swaps exact=False for the "
+    "approx_percentile sketch (same plan shape, bounded merge).",
+)
+def q_decile_profile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.binning import equal_frequency_bins
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    binned, _bounds = equal_frequency_bins(li, "l_extendedprice", n_bins=10)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )

@@ -1666,3 +1666,68 @@ def q_token_budget_selection_profile(spark: SparkSession, sf_dir: str) -> DataFr
         F.min(quality_bin("quality", 20.0)).alias("min_kept_bin"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+@register(
+    "chunk_overlap_profile",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, len(w) AS n,
+               CASE WHEN len(w) <= 64 THEN 1
+                    ELSE CAST(ceil((len(w) - 64) / 56.0) AS INT) + 1 END AS nc,
+               w
+        FROM w
+    ),
+    ch AS (
+        SELECT doc_id, lang, unnest(range(0, nc))::INT AS chunk_id, w
+        FROM c
+    ),
+    chunks AS (
+        SELECT lang, md5(array_to_string(
+                   list_slice(w, chunk_id*56 + 1, chunk_id*56 + 64), ' ')) AS fp,
+               len(list_slice(w, chunk_id*56 + 1, chunk_id*56 + 64)) AS n_tokens,
+               doc_id
+        FROM ch
+    )
+    SELECT lang,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           sum(n_tokens)::BIGINT AS sum_tokens,
+           count(DISTINCT fp) AS n_unique_chunks,
+           min(fp) AS min_fp,
+           max(fp) AS max_fp
+    FROM chunks
+    GROUP BY 1
+    """,
+    description="Context-window chunking with overlap (operators/"
+    "chunking.py): every document explodes into <=64-token chunks with "
+    "an 8-token overlap (stride 56), the splitter feeding embedding/"
+    "indexing stages. The oracle re-derives the full chunk expansion "
+    "(generate_series + list_slice on the shared whitespace-token "
+    "idiom) and the md5 fingerprints pin chunk CONTENT, not just "
+    "counts — a off-by-one stride, a dropped final chunk, or a "
+    "non-clamped slice all break the hash. Map-only plan: no shuffle "
+    "until the profile groupBy; the per-element-recompute hazard is "
+    "avoided by exploding chunk indices before slicing (module doc).",
+)
+def q_chunk_overlap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, chunk_size=64, overlap=8, keep_cols=["lang"]
+    )
+    fp = F.md5("chunk_text")
+    return chunks.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.count_distinct(fp).alias("n_unique_chunks"),
+        F.min(fp).alias("min_fp"),
+        F.max(fp).alias("max_fp"),
+    )

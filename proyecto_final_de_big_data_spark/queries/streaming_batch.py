@@ -616,3 +616,52 @@ def q_stream_cdc_apply_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(base, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "tws_histogram_parity",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Custom stateful streaming operator (streaming/tws.py): "
+    "per-user event-type histogram with MapState + event-time eviction "
+    "timers, run as a REAL stream and compared against the batch GROUP "
+    "BY. The operator targets transformWithStateInPandas (Spark 4's "
+    "typed-state API); its Python driver worker needs google.protobuf, "
+    "so stateful_histogram_stream falls back to an applyInPandasWithState "
+    "twin with identical output semantics where the dependency is "
+    "missing (this sandbox) — the gate verifies whichever path the "
+    "environment supports, and tests/test_tws.py pins cross-path parity "
+    "where both run. Update-mode emissions are running counts, so the "
+    "final count per key is the max emitted.",
+)
+def q_tws_histogram_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.tws import (
+        ROCKSDB_PROVIDER,
+        has_tws_runtime,
+        stateful_histogram_stream,
+    )
+    from ..streaming.windows import read_events_stream
+
+    stage = _stage_events(sf_dir, "tws_events_")
+    try:
+        stream = read_events_stream(spark, stage)
+        extra = (
+            {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER}
+            if has_tws_runtime()
+            else None
+        )
+        drained = _drain_stream(
+            spark,
+            stateful_histogram_stream(stream),
+            "t_tws_hist",
+            "update",
+            extra_confs=extra,
+        )
+        return drained.groupBy("user_id", "event_type").agg(
+            F.max("cnt").alias("cnt")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

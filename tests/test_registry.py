@@ -37,60 +37,61 @@ def test_every_query_has_oracle_or_documented_rows_only():
 def test_window_covers_every_family():
     window = set(_VERIFICATION_WINDOW)
     # One representative per family must sit inside the checked window.
+    # Rotated-out entries (multi-round green on unchanged code) hand
+    # their probe to the in-window family member named beside them in
+    # queries/__init__.py's rotation notes.
     for probe in [
-        # kpis rotated out after r1-r4 green on unchanged code; the
-        # grouped clip profile carries a superset of its agg surface.
-        "grouped_outlier_clip_profile",  # marts + per-group quantile fence
+        # aggregation/profiling marts: kpis (r1-r4), grouped clip (r5)
+        # rotated out; the one-pass profiler carries the agg surface.
+        "table_profile_contract",
+        "compaction_contract",       # maintenance / small-file layout
+        "session_stats_by_dow",      # sessionization
+        "scd2_user_state_history",   # SCD Type-2 window algebra
+        "data_quality_contract",     # expectations validator
+        "blocklist_filter_profile",  # content blocklist filter
+        "token_budget_selection_profile",  # sort-free budget selection
+        "heavy_hitter_keys",         # two-phase heavy hitters
+        "hll_mergeable_rollup_contract",   # mergeable HLL sketches
+        "kll_quantile_rollup_contract",    # mergeable KLL quantiles
+        "theta_cohort_overlap_contract",   # Theta set algebra
+        "variant_props_stats",       # VARIANT semi-structured payloads
+        "priority_pivot_by_year",    # pivot (CUBE/ROLLUP twins rotated out)
+        "priority_unpivot_round_trip",     # unpivot inverse
+        "python_datasource_contract",      # Python Data Source API
         "interpolated_user_series",  # time-series gap imputation
-        # revenue_by_nation rotated out after r2+r4 green on unchanged
-        # relational.py; the join surface keeps CUBE, snapshot diff's
-        # full-outer join, and the bucketed co-located join in-window.
-        "text_normalize_profile",    # Unicode normalization parity
-        "snapshot_diff_profile",     # dataset-versioning audit
-        "cube_returnflag_status",    # grouping sets (ROLLUP twin rotated out)
-        "near_dup_clusters",         # dedup (pairs -> components)
-        "cluster_keep_best_profile",  # quality-aware keep-best dedup
+        "cluster_keep_best_profile",  # dedup components + keep-best
         "source_cap_profile",        # per-domain contribution cap
         "incremental_dedup_profile",  # batch-vs-corpus incremental dedup
         "temperature_mix_profile",   # temperature-scaled stratum mixing
         "curate_documents_contract",  # composed curation pipeline
-        "boilerplate_removal_profile",  # sub-document boilerplate pruning
-        "pack_chunks_profile",       # sequence packing
-        "decontamination_profile",   # benchmark decontamination
-        "stratified_sample_profile", # deterministic quota sampling
+        "chunk_overlap_profile",     # context-window chunking
+        "decile_profile_contract",   # equal-frequency binning
+        "cluster_safe_split_profile",  # leakage-safe splits
         "minhash_recall",            # approximate-dedup contracts
-        # media_frame_sample rotated out after r2+r4 green on unchanged
-        # multimodal.py; media_binary_ingest keeps multimodal in-window.
         "stream_cdc_apply_round_trip",  # streaming incremental maintenance
         "knn_ann_ivf_recall",        # similarity search
-        "tumbling_stream_parity",    # streaming windows (batch twins rotated
-                                     # out; parity pair gates the semantics)
-        "stream_pii_curation_round_trip",  # streaming text curation
+        "sliding_stream_parity",     # streaming windows (tumbling twin
+                                     # rotated out after r2/r4/r5 green)
+        "stream_pii_curation_round_trip",  # streaming text curation + PII
         "stream_dedup_counts",       # real-stream mode (dedup/join/sink)
         "stateful_user_profiles_stream",  # custom stateful streaming
-        "ml_train_metrics",          # ML loop
+        "tws_histogram_parity",      # transformWithState (+ fallback)
+        "ml_train_linear_contract",  # ML train loop (hash gate)
+        "ml_score_contract",         # batch scoring + model save/load
         "ml_feature_matrix_contract",     # ML feature hash gate
-        # canonicalize_contract (the sole P1-P4 gate) rotated out after
-        # r2-r4 green on unchanged code — the same retire-after-
-        # multi-green policy the set-op family followed.
         "export_round_trip_orc",     # export/sources (CSV/JSON/partitioned
                                      # twins rotated out after multi-green;
                                      # cdc_merge exercises partitioned writes)
         "cdc_merge_contract",        # partition-pruned CDC merge
         "session_stream_parity",     # real-stream session windows
         "media_binary_ingest",       # raw-file multimodal ingestion
-        "pii_redaction_profile",     # PII redaction
         "repetition_profile",        # repetition/quality signals
-        "tfidf_top_terms",           # term scoring
         "embedding_kmeans_contract",  # unsupervised clustering
         "text_quality_classifier_contract",  # model-based quality filter
         "semantic_dedup_profile",    # SemDeDup cluster-then-prune
         "lm_quality_by_lang",        # corpus-fit LM scoring
-        "rolling_user_zscore",       # RANGE-frame rolling baseline
-        "hourly_counts_gapfilled",   # dense time grid
         "manifest_ingest_contract",  # ingest manifest (S1-S3)
         "quarter_resolution_contract",    # F10/C3 month resolution
-        "bucketed_colocated_join",   # bucketed storage
-        "salted_event_type_stats",   # skew mitigation
+        "bucketed_colocated_join",   # bucketed storage + skew family
     ]:
         assert probe in window, f"family representative {probe} fell out of the window"

@@ -32,9 +32,13 @@ from proyecto_final_de_big_data_spark.streaming.tws import (
 )
 
 
-def _run_fixture_stream(spark, rows):
-    """rows: (user_id, ts_str, event_type) → drained update-mode output."""
-    stage = tempfile.mkdtemp(prefix="tws_fixture_")
+def _write_fixture(spark, rows, stage):
+    """Stage (user_id, ts_str, event_type) rows as an events-shaped
+    parquet fixture. Spark's default parquet timestamp encoding is
+    INT96, which the ts-unit-probing stream reader rejects — pin
+    TIMESTAMP_MICROS around the write (the unit real fixtures ship)."""
+    saved = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try:
         spark.createDataFrame(
             [(u, t, e) for u, t, e in rows],
@@ -47,26 +51,50 @@ def _run_fixture_stream(spark, rows):
             F.lit(0).cast("long").alias("event_id"),
             F.lit("{}").alias("props"),
         ).coalesce(1).write.mode("overwrite").parquet(stage)
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", saved)
 
-        from proyecto_final_de_big_data_spark.queries.streaming_batch import (
-            _drain_stream,
-        )
-        from proyecto_final_de_big_data_spark.streaming.windows import (
-            read_events_stream,
-        )
 
-        stream = read_events_stream(spark, stage)
-        return _drain_stream(
+def _drain_histogram(spark, rows, stream_fn, name, extra_confs=None):
+    """Stage rows, run ``stream_fn`` over them as a real stream, return
+    {(user_id, event_type): cnt}."""
+    from proyecto_final_de_big_data_spark.queries.streaming_batch import (
+        _drain_stream,
+    )
+    from proyecto_final_de_big_data_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    stage = tempfile.mkdtemp(prefix="tws_fixture_")
+    try:
+        _write_fixture(spark, rows, stage)
+        out = _drain_stream(
             spark,
-            event_type_histogram_stream(stream),
-            "t_tws_unit",
+            stream_fn(read_events_stream(spark, stage)),
+            name,
             "update",
-            extra_confs={
-                "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER
-            },
+            extra_confs=extra_confs,
         )
+        return {(r["user_id"], r["event_type"]): r["cnt"] for r in out.collect()}
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def _run_fixture_stream(spark, rows):
+    """rows: (user_id, ts_str, event_type) → {(user, type): cnt} from the
+    TWS path (requires the protobuf runtime)."""
+    return _drain_histogram(
+        spark,
+        rows,
+        event_type_histogram_stream,
+        "t_tws_unit",
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER
+        },
+    )
 
 
 @pytest.mark.skipif(
@@ -80,8 +108,7 @@ def test_single_batch_histogram_matches_enumeration(spark):
         (1, "2024-01-01 10:10:00", "view"),
         (2, "2024-01-01 10:00:00", "view"),
     ]
-    out = _run_fixture_stream(spark, rows)
-    got = {(r["user_id"], r["event_type"]): r["cnt"] for r in out.collect()}
+    got = _run_fixture_stream(spark, rows)
     assert got == {(1, "click"): 2, (1, "view"): 1, (2, "view"): 1}
 
 
@@ -123,3 +150,45 @@ def test_stale_timer_does_not_evict_active_user():
     # watermark past last_seen + gap: genuine idle, evict both states
     list(p.handleExpiredTimer((1,), _FakeTimers(last_seen_ms + IDLE_GAP_MS), None))
     assert p._counts.cleared and p._last_seen.cleared
+
+
+def test_fallback_histogram_matches_enumeration(spark):
+    """The applyInPandasWithState fallback runs in ANY environment and
+    must produce the same rows the TWS path would."""
+    from proyecto_final_de_big_data_spark.streaming.tws import (
+        event_type_histogram_fallback,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "click"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "view"),
+        (2, "2024-01-01 10:00:00", "view"),
+    ]
+    got = _drain_histogram(
+        spark, rows, event_type_histogram_fallback, "t_tws_fb_unit"
+    )
+    assert got == {(1, "click"): 2, (1, "view"): 1, (2, "view"): 1}
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="cross-path parity needs the TWS runtime (google.protobuf)",
+)
+def test_tws_and_fallback_agree(spark):
+    from proyecto_final_de_big_data_spark.streaming.tws import (
+        event_type_histogram_fallback,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "click"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "view"),
+        (2, "2024-01-01 10:00:00", "view"),
+        (3, "2024-01-01 11:00:00", "purchase"),
+    ]
+    tws = _run_fixture_stream(spark, rows)
+    fb = _drain_histogram(
+        spark, rows, event_type_histogram_fallback, "t_tws_cross_unit"
+    )
+    assert tws == fb
