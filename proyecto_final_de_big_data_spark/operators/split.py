@@ -198,3 +198,56 @@ def stratified_sample_predicate_sql(
         f" AND {band_sql(default_fraction)})"
     )
     return "(" + " OR ".join(clauses) + ")"
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    stride: int,
+    order_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Weight-proportional systematic sample: walking rows in the
+    deterministic ``order_col`` order, a row is selected iff its
+    cumulative-weight interval crosses a multiple of ``stride`` — so
+    every run of ``stride`` weight units contributes exactly one row,
+    a row's selection odds are ``weight/stride`` (weights above the
+    stride are always taken), and the expected sample size is
+    ``total_weight/stride``. The importance-sampling workhorse for
+    token-budgeted corpus selection when you need ROWS (not the
+    aggregate threshold of ``operators/selection.py``).
+
+    Everything is INTEGER arithmetic (integral weights, integer
+    ``div``), so the selected set is bit-identical on any engine — no
+    float cumsum boundary cases — and fully restatable in SQL.
+
+    ``by`` names stratum columns: the cumulative window runs PER
+    STRATUM, which is both the leakage-safe formulation (per-source /
+    per-language budgets) and the scale-safe one — a global cumulative
+    sum would order the whole corpus through one window (same funnel
+    the module docstring of ``operators/packing.py`` bans); with
+    ``by=None`` a single global window is used and only acceptable for
+    answer-scale inputs (a WARNING is logged).
+    """
+    from ..utils.logging import get_logger
+
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    from pyspark.sql import Window
+
+    if by:
+        w = Window.partitionBy(*by).orderBy(order_col)
+    else:
+        get_logger("split").warning(
+            "systematic_weighted_sample without strata uses ONE global "
+            "window — fine for answer-scale frames, a funnel at corpus "
+            "scale; pass by=[...] for per-stratum budgets"
+        )
+        w = Window.orderBy(order_col)
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(F.col(weight_col).cast("long")).over(w)
+    staged = df.withColumn("__cum", cum)
+    crossed = F.expr(
+        f"(__cum div {int(stride)}) > ((__cum - {weight_col}) div {int(stride)})"
+    )
+    return staged.filter(crossed).drop("__cum")

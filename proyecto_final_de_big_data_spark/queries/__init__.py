@@ -132,12 +132,20 @@ _VERIFICATION_WINDOW = [
     #   epoch_upsample_profile (mixing family keeps
     #     temperature_mix_profile + source_cap_profile).
     # ------------------------------------------------------------------
-    # maintenance / marts
-    "compaction_contract",
+    # maintenance / layout. compaction_contract (r5 green, unchanged)
+    # hands the layout-maintenance slot to its round-6 sibling
+    # zorder_cells_contract (Morton-curve clustering — the OPTIMIZE
+    # ZORDER BY shape, with file-stat tightness pinned in pytest).
+    "zorder_cells_contract",
     # dedup / clustering / similarity
     "cluster_keep_best_profile",
     "minhash_recall",
-    "cluster_safe_split_profile",
+    # cluster_safe_split_profile (r5 green, unchanged) hands the
+    # sampling/split slot to weighted_sample_profile — integer-exact
+    # weight-proportional systematic sampling, new this round; the
+    # leakage-safe split family keeps curate_documents_contract's
+    # hash-split stage in-window.
+    "weighted_sample_profile",
     "curate_documents_contract",
     "semantic_dedup_profile",
     "incremental_dedup_profile",
@@ -194,7 +202,12 @@ _VERIFICATION_WINDOW = [
     "embedding_kmeans_contract",
     "text_quality_classifier_contract",
     # contracts / IO
-    "export_round_trip_orc",
+    # export_round_trip_orc (r5 green, export code unchanged) hands
+    # the IO-contract slot to schema_evolution_contract — mergeSchema
+    # union of two parquet vintages + sentinel backfill, new this
+    # round; the round-trip family keeps cdc_merge_contract's
+    # partitioned write + swap in-window.
+    "schema_evolution_contract",
     "manifest_ingest_contract",
     "quarter_resolution_contract",
     "cdc_merge_contract",

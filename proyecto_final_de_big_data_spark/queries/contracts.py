@@ -909,3 +909,113 @@ def q_python_datasource_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("pruned_sum_doc_id"),
     )
     return full.crossJoin(F.broadcast(pruned))
+
+
+@register(
+    "zorder_cells_contract",
+    oracle="""
+    WITH b AS (
+        SELECT min(l_quantity) AS q0, max(l_quantity) AS q1,
+               min(l_extendedprice) AS p0, max(l_extendedprice) AS p1
+        FROM lineitem
+    ),
+    z AS (
+        SELECT CAST(floor((l_quantity - q0) * 255.0 / (q1 - q0)) AS BIGINT) AS zq,
+               CAST(floor((l_extendedprice - p0) * 255.0 / (p1 - p0)) AS BIGINT) AS zp
+        FROM lineitem, b
+    ),
+    k AS (
+        SELECT ((((zq >> 0) & 1) << 0) | (((zp >> 0) & 1) << 1) | (((zq >> 1) & 1) << 2) | (((zp >> 1) & 1) << 3) | (((zq >> 2) & 1) << 4) | (((zp >> 2) & 1) << 5) | (((zq >> 3) & 1) << 6) | (((zp >> 3) & 1) << 7) | (((zq >> 4) & 1) << 8) | (((zp >> 4) & 1) << 9) | (((zq >> 5) & 1) << 10) | (((zp >> 5) & 1) << 11) | (((zq >> 6) & 1) << 12) | (((zp >> 6) & 1) << 13) | (((zq >> 7) & 1) << 14) | (((zp >> 7) & 1) << 15)) AS zkey FROM z
+    )
+    SELECT zkey >> 10 AS cell,
+           count(*) AS n_rows,
+           sum(zkey)::BIGINT AS sum_zkey,
+           min(zkey) AS min_zkey,
+           max(zkey) AS max_zkey
+    FROM k
+    GROUP BY 1
+    """,
+    description="Z-order layout clustering (operators/zorder.py): "
+    "min-max bucketize l_quantity and l_extendedprice to 8 bits each "
+    "(one bounds pass), interleave into a 16-bit Morton key with pure "
+    "shift/AND/OR expressions, range-partition-sort by it (the "
+    "OPTIMIZE ZORDER BY maintenance shape), and profile the coarse "
+    "curve cells. The oracle re-derives the identical key with DuckDB "
+    "bit twiddling — floor() on both engines because DuckDB's int cast "
+    "rounds while Spark's truncates — so a scaling drift, a swapped "
+    "bit lane, or an off-by-one bucket all break the hash. File-stat "
+    "tightness (the point of the layout) is measured in "
+    "tests/test_zorder.py from real parquet footers.",
+)
+def q_zorder_cells_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zorder import zorder_layout
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    laid_out = zorder_layout(li, ["l_quantity", "l_extendedprice"], bits=8)
+    return laid_out.groupBy(
+        F.shiftright("zkey", 10).alias("cell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("zkey").alias("sum_zkey"),
+        F.min("zkey").alias("min_zkey"),
+        F.max("zkey").alias("max_zkey"),
+    )
+
+
+@register(
+    "schema_evolution_contract",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
+                WHEN o_orderkey % 3 = 0 THEN 'web'
+                ELSE 'store' END AS channel,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+    description="Schema evolution across dataset vintages: half the "
+    "orders are staged as an OLD parquet vintage (no channel column), "
+    "half as the NEW vintage carrying one; a single mergeSchema read "
+    "unions both vintages (planning-time footer merge — no data "
+    "rewrite, the standard posture when a 100 TB dataset grows a "
+    "column mid-life), the legacy rows are backfilled with a sentinel, "
+    "and the channel profile is hash-checked against an oracle that "
+    "re-derives vintage membership and channel from the key alone. A "
+    "dropped vintage, a misaligned merged schema, or a backfill slip "
+    "all break the hash.",
+)
+def q_schema_evolution_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    stage = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        # Old vintage: the column does not exist yet.
+        orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(
+            os.path.join(stage, "v1")
+        )
+        # New vintage: same rows plus the evolved column.
+        orders.filter(F.col("o_orderkey") % 2 != 0).withColumn(
+            "channel",
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("web")).otherwise(
+                F.lit("store")
+            ),
+        ).write.parquet(os.path.join(stage, "v2"))
+
+        merged = (
+            spark.read.option("mergeSchema", "true")
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+        )
+        filled = merged.withColumn(
+            "channel", F.coalesce(F.col("channel"), F.lit("legacy"))
+        )
+        out = filled.groupBy("channel").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

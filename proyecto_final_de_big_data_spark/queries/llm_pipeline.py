@@ -1731,3 +1731,49 @@ def q_chunk_overlap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(fp).alias("min_fp"),
         F.max(fp).alias("max_fp"),
     )
+
+
+@register(
+    "weighted_sample_profile",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, lang, n_chars,
+               sum(n_chars) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_selected,
+           sum(n_chars)::BIGINT AS selected_weight,
+           sum(doc_id)::BIGINT AS sum_ids
+    FROM c
+    WHERE cum // 5000 > (cum - n_chars) // 5000
+    GROUP BY 1
+    """,
+    description="Weight-proportional systematic sampling (operators/"
+    "split.py:systematic_weighted_sample): one document per 5000 chars "
+    "of cumulative weight per language, selected by integer stride "
+    "crossings over a per-stratum cumulative window — selection odds "
+    "are weight/stride, sample size is budget-bounded, and the "
+    "arithmetic is all integer div so the selected set is bit-exact in "
+    "any engine. The oracle replays the identical window + crossing "
+    "predicate; sum_ids pins the EXACT selected rows, not just their "
+    "count. Per-stratum windows keep the 100-TB shape bounded (no "
+    "global cumulative order).",
+)
+def q_weighted_sample_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import systematic_weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    picked = systematic_weighted_sample(
+        docs, "n_chars", stride=5000, order_col="doc_id", by=["lang"]
+    )
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_chars").alias("selected_weight"),
+        F.sum("doc_id").alias("sum_ids"),
+    )

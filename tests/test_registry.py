@@ -44,7 +44,7 @@ def test_window_covers_every_family():
         # aggregation/profiling marts: kpis (r1-r4), grouped clip (r5)
         # rotated out; the one-pass profiler carries the agg surface.
         "table_profile_contract",
-        "compaction_contract",       # maintenance / small-file layout
+        "zorder_cells_contract",     # layout maintenance (z-order)
         "session_stats_by_dow",      # sessionization
         "scd2_user_state_history",   # SCD Type-2 window algebra
         "data_quality_contract",     # expectations validator
@@ -66,7 +66,7 @@ def test_window_covers_every_family():
         "curate_documents_contract",  # composed curation pipeline
         "chunk_overlap_profile",     # context-window chunking
         "decile_profile_contract",   # equal-frequency binning
-        "cluster_safe_split_profile",  # leakage-safe splits
+        "weighted_sample_profile",   # weight-proportional sampling
         "minhash_recall",            # approximate-dedup contracts
         "stream_cdc_apply_round_trip",  # streaming incremental maintenance
         "knn_ann_ivf_recall",        # similarity search
@@ -79,9 +79,7 @@ def test_window_covers_every_family():
         "ml_train_linear_contract",  # ML train loop (hash gate)
         "ml_score_contract",         # batch scoring + model save/load
         "ml_feature_matrix_contract",     # ML feature hash gate
-        "export_round_trip_orc",     # export/sources (CSV/JSON/partitioned
-                                     # twins rotated out after multi-green;
-                                     # cdc_merge exercises partitioned writes)
+        "schema_evolution_contract", # mergeSchema vintage union
         "cdc_merge_contract",        # partition-pruned CDC merge
         "session_stream_parity",     # real-stream session windows
         "media_binary_ingest",       # raw-file multimodal ingestion

@@ -1,0 +1,56 @@
+"""Weighted systematic sampling (operators/split.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+
+# -- systematic weighted sampling --------------------------------------
+
+from proyecto_final_de_big_data_spark.operators.split import (  # noqa: E402
+    systematic_weighted_sample,
+)
+
+
+def test_weighted_sample_size_tracks_budget(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.lit(10).alias("w"), (F.col("id") % 4).alias("s")
+    )
+    picked = systematic_weighted_sample(df, "w", stride=100, order_col="k", by=["s"])
+    # total weight 10000 / stride 100 = 100 expected picks (+- strata edges)
+    n = picked.count()
+    assert 96 <= n <= 104, n
+
+
+def test_heavy_rows_always_selected(spark):
+    rows = [(1, 1), (2, 500), (3, 1), (4, 500), (5, 1)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    picked = systematic_weighted_sample(df, "w", stride=100, order_col="k")
+    got = {r["k"] for r in picked.collect()}
+    assert {2, 4} <= got  # weight >= stride guarantees a crossing
+
+
+def test_zero_weight_rows_never_selected(spark):
+    rows = [(1, 0), (2, 100), (3, 0), (4, 0)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    picked = systematic_weighted_sample(df, "w", stride=50, order_col="k")
+    assert {r["k"] for r in picked.collect()} == {2}
+
+
+def test_weighted_sample_partitioning_invariant(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 17 + 1).alias("w"),
+        (F.col("id") % 3).alias("s"),
+    )
+    a = systematic_weighted_sample(df, "w", 40, "k", by=["s"])
+    b = systematic_weighted_sample(df.repartition(13), "w", 40, "k", by=["s"])
+    assert sorted(r["k"] for r in a.collect()) == sorted(r["k"] for r in b.collect())
+
+
+def test_weighted_sample_stride_validation(spark):
+    df = spark.range(1).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+    with pytest.raises(ValueError, match="stride"):
+        systematic_weighted_sample(df, "w", 0, "k")
