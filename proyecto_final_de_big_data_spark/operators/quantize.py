@@ -1,0 +1,152 @@
+"""Scalar quantization (SQ8) for embedding similarity search.
+
+At 100 TB the binding constraint on ANN is BYTES: a 1024-dim float32
+embedding is 4 KB/row, and every top-k probe streams the candidate
+set through memory. Per-vector scalar quantization stores each
+dimension as an integer level in ``[0, levels]`` plus two scalars
+(min, scale) — 1 byte/dim at rest (parquet bit-packs the 0..255
+domain) and a 4× smaller working set than float32 — while keeping
+cosine recall in the high 90s on real embedding distributions. This is
+the ``SQ8`` index family of FAISS/Milvus, expressed as columns:
+
+- ``quantize_embeddings``: map-only projection. Per vector: min, max,
+  scale = (max-min)/levels, code_i = round((x_i-min)/scale), plus the
+  two code moments (Σq, Σq²) the dot-product expansion needs. No
+  shuffle, no UDF — ``transform``/``aggregate`` higher-order functions.
+- ``quantized_cosine_topk``: reconstruct dot products WITHOUT
+  dequantizing per element. With x̂_i = mn + q_i·s,
+  ``dot(â,b̂) = d·mnₐ·mn_b + mnₐ·s_b·Σq_b + mn_b·sₐ·Σqₐ + sₐ·s_b·Σqₐq_b``
+  — the only per-element work is the INTEGER code dot ``Σ qₐ·q_b``;
+  norms come entirely from the precomputed moments. Same broadcast
+  top-k shape as ``similarity.cosine_topk``.
+
+Accuracy is gated by ``embedding_sq_recall`` (recall@5 vs the exact
+float baseline, threshold far below measured) — the same
+contract-by-recall stance as the IVF index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import as_double_array
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 255,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-vector scalar quantization: codes + (mn, scale) + the code
+    moments (n_dims, sum_q, sum_q2) consumed by the dot expansion.
+    A constant vector (max == min) quantizes to all-zero codes with
+    scale 0 and reconstructs exactly."""
+    v = as_double_array(vec_col)
+    staged = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        v.alias("__v"),
+        F.array_min(v).alias("mn"),
+        ((F.array_max(v) - F.array_min(v)) / F.lit(float(levels))).alias("scale"),
+    )
+    q = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col("__v"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("__v"),
+            lambda x: F.round((x - F.col("mn")) / F.col("scale")).cast("int"),
+        )
+    )
+    coded = staged.withColumn("q", q).drop("__v")
+    return coded.select(
+        "*",
+        F.size("q").alias("n_dims"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_q"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("sum_q2"),
+    )
+
+
+def _approx_dot(a_prefix: str, b_prefix: str, code_dot: Column) -> Column:
+    """dot(â, b̂) from the expansion — only ``code_dot`` touches the
+    arrays; everything else is precomputed scalars."""
+    d = F.col(f"{a_prefix}n_dims").cast("double")
+    mna, sa = F.col(f"{a_prefix}mn"), F.col(f"{a_prefix}scale")
+    mnb, sb = F.col(f"{b_prefix}mn"), F.col(f"{b_prefix}scale")
+    return (
+        d * mna * mnb
+        + mna * sb * F.col(f"{b_prefix}sum_q")
+        + mnb * sa * F.col(f"{a_prefix}sum_q")
+        + sa * sb * code_dot
+    )
+
+
+def _approx_norm2(prefix: str) -> Column:
+    d = F.col(f"{prefix}n_dims").cast("double")
+    mn, s = F.col(f"{prefix}mn"), F.col(f"{prefix}scale")
+    return (
+        d * mn * mn
+        + 2.0 * mn * s * F.col(f"{prefix}sum_q")
+        + s * s * F.col(f"{prefix}sum_q2")
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    levels: int = 255,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors over SQ8 codes: broadcast the
+    quantized query set, integer code dot per candidate, scalar
+    expansion for the cosine. Output (query_id, neighbor_id, rank,
+    cosine_sim_q); self-matches excluded, ties broken by neighbor id."""
+    cq = quantize_embeddings(corpus, vec_col, id_col, levels)
+    qq = quantize_embeddings(queries, vec_col, id_col, levels)
+    c = cq.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q").alias("c_q"),
+        F.col("mn").alias("c_mn"),
+        F.col("scale").alias("c_scale"),
+        F.col("n_dims").alias("c_n_dims"),
+        F.col("sum_q").alias("c_sum_q"),
+        F.col("sum_q2").alias("c_sum_q2"),
+    )
+    qside = qq.select(
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("q_q"),
+        F.col("mn").alias("q_mn"),
+        F.col("scale").alias("q_scale"),
+        F.col("n_dims").alias("q_n_dims"),
+        F.col("sum_q").alias("q_sum_q"),
+        F.col("sum_q2").alias("q_sum_q2"),
+    )
+    code_dot = F.aggregate(
+        F.zip_with("q_q", "c_q", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(qside))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim_q",
+            _approx_dot("q_", "c_", code_dot)
+            / (F.sqrt(_approx_norm2("q_")) * F.sqrt(_approx_norm2("c_"))),
+        )
+    )
+    from .rollup import argmax_per_group
+
+    top = argmax_per_group(
+        scored, ["query_id"], [F.desc("cosine_sim_q"), F.asc("neighbor_id")], n=k
+    )
+    return top.select("query_id", "neighbor_id", "rank", "cosine_sim_q")

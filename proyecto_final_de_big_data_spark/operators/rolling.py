@@ -68,3 +68,50 @@ def _trailing_micros(trailing: str) -> int:
     if unit not in _UNITS_US:
         raise ValueError(f"unsupported trailing unit {unit!r}; use {list(_UNITS_US)}")
     return int(qty) * _UNITS_US[unit]
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Trapezoidal time-weighted average per key — the right mean for
+    IRREGULARLY sampled series (a value held for an hour must weigh 60×
+    one held for a minute; the plain ``avg`` is sampling-rate-biased).
+
+    TWA = Σ (vᵢ+vᵢ₊₁)/2 · Δtᵢ / (t_N − t_0), computed with one lead
+    window per key (timestamps in integer microseconds so the weights
+    are exact) and one grouped aggregation that REUSES the window's
+    key partitioning — a single shuffle end to end, keyed on the
+    high-cardinality series key. A single-observation key has zero
+    span and falls back to its plain value.
+
+    ``tiebreak_col`` totals the order within equal timestamps so every
+    engine and partitioning walks segments identically.
+
+    Returns (key_cols…, n_points, twa).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    # cast: unix_micros rejects TIMESTAMP_NTZ; the session is UTC-pinned
+    # (session.py) so the cast is value-preserving.
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    seg = (
+        (F.lead(value_col).over(w) + F.col(value_col))
+        / 2.0
+        * (F.lead(t).over(w) - t).cast("double")
+    )
+    staged = df.select(
+        *key_cols,
+        F.col(value_col).alias("__v"),
+        t.alias("__t"),
+        seg.alias("__seg"),
+    )
+    span = (F.max("__t") - F.min("__t")).cast("double")
+    return staged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.when(span > 0, F.sum("__seg") / span)
+        .otherwise(F.avg("__v"))  # zero span: deterministic plain mean
+        .alias("twa"),
+    )

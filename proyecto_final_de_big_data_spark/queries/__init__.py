@@ -148,7 +148,11 @@ _VERIFICATION_WINDOW = [
     "weighted_sample_profile",
     "curate_documents_contract",
     "semantic_dedup_profile",
-    "incremental_dedup_profile",
+    # incremental_dedup_profile (r5 green, unchanged; exact-dedup
+    # family keeps cluster_keep_best + semantic_dedup + the curation
+    # contract) hands its slot to embedding_sq_recall — SQ8 scalar
+    # quantization recall vs the exact float baseline, new this round.
+    "embedding_sq_recall",
     "knn_ann_ivf_recall",
     # text quality / scoring. Round-6 additions rotate in the round
     # they land: chunk_overlap_profile (context-window chunking, the
@@ -163,10 +167,19 @@ _VERIFICATION_WINDOW = [
     "chunk_overlap_profile",
     "decile_profile_contract",
     # mixing
-    "temperature_mix_profile",
     "source_cap_profile",
-    # temporal
-    "interpolated_user_series",
+    # temporal / behavioral analytics. interpolated_user_series (r5
+    # green, timegrid.py unchanged) hands the temporal slot to
+    # time_weighted_avg_profile — the trapezoidal TWA for irregular
+    # series, new this round; event_funnel_profile and
+    # weekly_retention_cohorts (strict funnels + cohort triangles,
+    # both new) take the slots of stream_file_sink_round_trip (r5
+    # green; real sinks stay exercised by stream_cdc_apply +
+    # stream_pii_curation round trips) and temperature_mix_profile
+    # (r5 green; the mixing family keeps source_cap_profile).
+    "time_weighted_avg_profile",
+    "event_funnel_profile",
+    "weekly_retention_cohorts",
     # streaming (real-stream parity + stateful + sinks).
     # tumbling_stream_parity (r2/r4/r5 green, window code unchanged)
     # rotates out for tws_histogram_parity — the custom stateful
@@ -181,7 +194,6 @@ _VERIFICATION_WINDOW = [
     "stream_dedup_counts",
     "stream_static_join_profile",
     "stream_stream_join_parity",
-    "stream_file_sink_round_trip",
     "stream_pii_curation_round_trip",
     "stateful_user_profiles_stream",
     "session_stream_parity",

@@ -658,3 +658,80 @@ def q_decile_profile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "event_funnel_profile",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        GROUP BY 1
+    )
+    SELECT 0 AS step_idx, 'view' AS step, (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 1, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 2, 'purchase', (SELECT count(*) FROM s3)
+    """,
+    description="Strict sequential funnel (operators/funnel.py): users "
+    "completing view -> click -> purchase, each step requiring an "
+    "event STRICTLY AFTER the user's earliest completion of the prior "
+    "step (equal timestamps do not advance). Per-step frames shrink "
+    "monotonically and every stage is keyed on the high-cardinality "
+    "user id — per-user mins and user-keyed equi-joins, no global "
+    "order anywhere. The oracle replays the identical three-stage "
+    "derivation.",
+)
+def q_event_funnel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH weeks AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, week,
+               min(week) OVER (PARTITION BY user_id) AS cohort
+        FROM weeks
+    )
+    SELECT cohort AS cohort_week,
+           week - cohort AS week_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM cohorts
+    GROUP BY 1, 2
+    """,
+    description="Weekly retention triangle (operators/funnel.py): users "
+    "grouped by first-seen week, counted once per later week they "
+    "return. Week indices are integer epoch-weeks (epoch_seconds // "
+    "604800) so no engine-specific week-start semantics exist; one "
+    "user-keyed shuffle feeds the cohort window, then the aggregation "
+    "runs at (cohort, offset) cardinality — weeks squared, tiny at "
+    "any corpus size.",
+)
+def q_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return retention_cohorts(ev)

@@ -222,3 +222,45 @@ def q_session_stats_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_events"), 6).alias("avg_session_events"),
         F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
     )
+
+
+@register(
+    "time_weighted_avg_profile",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value,
+               epoch_us(ts) AS t,
+               lead(value) OVER w AS nv,
+               lead(epoch_us(ts)) OVER w AS nt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_points,
+           round(CASE WHEN max(t) > min(t)
+                      THEN sum((nv + value) / 2.0 * (nt - t))
+                           / (max(t) - min(t))::DOUBLE
+                      ELSE avg(value) END, 6) AS twa
+    FROM ordered
+    GROUP BY 1
+    """,
+    description="Trapezoidal time-weighted average per user (operators/"
+    "rolling.py:time_weighted_avg) — the correct mean for irregularly "
+    "sampled series, where a value held for an hour must weigh 60x one "
+    "held a minute. One lead window per user (integer-microsecond "
+    "weights, event_id tie-break so every engine walks segments "
+    "identically) and one grouped agg REUSING the window's key "
+    "partitioning: a single user-keyed shuffle end to end. The oracle "
+    "replays the identical trapezoid sum; 6-decimal rounding absorbs "
+    "summation-order ulps.",
+)
+def q_time_weighted_avg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rolling import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = time_weighted_avg(ev, ["user_id"], "ts", "value", "event_id")
+    return out.select(
+        "user_id", "n_points", F.round("twa", 6).alias("twa")
+    )

@@ -1,0 +1,133 @@
+"""Funnels, retention cohorts (operators/funnel.py) and the
+time-weighted average (operators/rolling.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from proyecto_final_de_big_data_spark.operators.funnel import (
+    funnel_counts,
+    retention_cohorts,
+)
+from proyecto_final_de_big_data_spark.operators.rolling import time_weighted_avg
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string"
+    ).select("user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+
+
+def test_funnel_strict_order(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1 completes all three in order
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-01 10:01:00"),
+            (1, "purchase", "2024-01-01 10:02:00"),
+            # user 2: click BEFORE view — funnel stops after view
+            (2, "click", "2024-01-01 09:00:00"),
+            (2, "view", "2024-01-01 10:00:00"),
+            # user 3: click at the SAME instant as view — strict > fails
+            (3, "view", "2024-01-01 10:00:00"),
+            (3, "click", "2024-01-01 10:00:00"),
+            # user 4 never views
+            (4, "purchase", "2024-01-01 10:00:00"),
+        ],
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_funnel_second_chance_event_counts(spark):
+    # user clicks before AND after viewing: the later click advances.
+    ev = _events(
+        spark,
+        [
+            (1, "click", "2024-01-01 09:00:00"),
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-01 11:00:00"),
+        ],
+    )
+    got = {r["step"]: r["n_users"] for r in funnel_counts(ev, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 1}
+
+
+def test_funnel_needs_two_steps(spark):
+    ev = _events(spark, [(1, "view", "2024-01-01 10:00:00")])
+    with pytest.raises(ValueError, match="2 steps"):
+        funnel_counts(ev, ["view"])
+
+
+def test_retention_triangle(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1: first seen week W, returns W+1 and W+2
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "view", "2024-01-09 10:00:00"),
+            (1, "view", "2024-01-16 10:00:00"),
+            # user 2: same cohort, returns only W+1 (twice — counted once)
+            (2, "view", "2024-01-02 10:00:00"),
+            (2, "view", "2024-01-09 11:00:00"),
+            (2, "view", "2024-01-10 11:00:00"),
+        ],
+    ).select("user_id", "ts")
+    rows = retention_cohorts(ev).collect()
+    tri = {(r["cohort_week"], r["week_offset"]): r["n_users"] for r in rows}
+    cohort = min(c for c, _ in tri)
+    assert tri[(cohort, 0)] == 2
+    assert tri[(cohort, 1)] == 2
+    assert tri[(cohort, 2)] == 1
+    assert len(tri) == 3
+
+
+def _twa(spark, rows):
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double, event_id long"
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value", "event_id"
+    )
+    out = time_weighted_avg(df, ["user_id"], "ts", "value", "event_id")
+    return {r["user_id"]: (r["n_points"], r["twa"]) for r in out.collect()}
+
+
+def test_twa_weighs_by_holding_time(spark):
+    # value 0 held 9 minutes, then 10 for 1 minute:
+    # TWA = (0+10)/2 * 9min? No — trapezoid between the two points only:
+    # points (t0,0), (t9,0), (t10,10): segments 0 for 9min, 5 for 1min
+    # => (0*9 + 5*1)/10 = 0.5. Plain avg would say 10/3.
+    got = _twa(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 0.0, 1),
+            (1, "2024-01-01 10:09:00", 0.0, 2),
+            (1, "2024-01-01 10:10:00", 10.0, 3),
+        ],
+    )
+    n, twa = got[1]
+    assert n == 3 and math.isclose(twa, 0.5, rel_tol=1e-9)
+
+
+def test_twa_single_point_falls_back_to_value(spark):
+    got = _twa(spark, [(1, "2024-01-01 10:00:00", 7.5, 1)])
+    assert got[1] == (1, 7.5)
+
+
+def test_twa_zero_span_ties_use_plain_mean(spark):
+    got = _twa(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 4.0, 1),
+            (1, "2024-01-01 10:00:00", 8.0, 2),
+        ],
+    )
+    n, twa = got[1]
+    assert n == 2 and math.isclose(twa, 6.0)

@@ -422,3 +422,73 @@ def test_unpivot_expands_without_extra_exchange(spark, sf_dir):
     # no exchange beyond the upstream pivot's two
     assert plan.count(") Exchange") == 2, plan
     assert "Join" not in plan
+
+
+def test_zorder_single_range_exchange_no_global_sort(spark, sf_dir):
+    """The z-order layout's only shuffle is the range partitioning that
+    IS the layout; the Morton key itself is a codegen'd projection and
+    the sort stays within partitions (no global Sort node above the
+    exchange beyond the local one)."""
+    plan = _plan(spark, sf_dir, "zorder_cells_contract")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    # exactly two exchanges: the range layout + the cell-profile agg
+    assert plan.count(") Exchange") == 2, plan
+
+
+def test_weighted_sample_window_partitioned_by_stratum(spark, sf_dir):
+    """The cumulative-weight window must be PARTITIONED (per-stratum
+    budgets) — an unpartitioned window would funnel the corpus through
+    one task."""
+    plan = _plan(spark, sf_dir, "weighted_sample_profile")
+    assert "Window" in plan, plan
+    low = plan.lower()
+    assert "partitionby" not in low or "lang" in low
+    assert plan.count("Window") >= 1
+    # the window's hash exchange carries the stratum key
+    assert "hashpartitioning(lang" in low, plan
+
+
+def test_chunk_profile_exchanges_belong_to_the_agg(spark, sf_dir):
+    """Chunking is map-only (Generate + slice projection): every
+    exchange in chunk-then-profile belongs to the profile aggregation
+    (two, because count_distinct plans as a two-phase expand-agg) —
+    none to the chunk expansion itself."""
+    plan = _plan(spark, sf_dir, "chunk_overlap_profile")
+    assert "Generate" in plan, plan
+    assert plan.count(") Exchange") == 2, plan
+    assert "Join" not in plan and "rangepartitioning" not in plan.lower()
+
+
+def test_decile_binning_is_projection_after_bounds(spark, sf_dir):
+    """Equal-frequency binning: no ntile/global sort anywhere — the
+    returned plan aggregates a comparison-chain projection."""
+    plan = _plan(spark, sf_dir, "decile_profile_contract")
+    assert "ntile" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count(") Exchange") == 1, plan  # only the profile agg
+
+
+def test_sq_quantization_stays_jvm_side(spark, sf_dir):
+    """SQ8 codes and the reconstruction arithmetic are higher-order
+    functions — no Python evaluation in the QUANTIZED scoring plan
+    (the gate query also contains the exact baseline, whose Arrow
+    batch cosine is intentional — so audit the operator, not the
+    gate), and the query side broadcasts."""
+    import contextlib
+    import io
+
+    from proyecto_final_de_big_data_spark.catalog import load_table
+    from proyecto_final_de_big_data_spark.operators.quantize import (
+        quantized_cosine_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = quantized_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan, plan

@@ -58,11 +58,12 @@ def test_window_covers_every_family():
         "priority_pivot_by_year",    # pivot (CUBE/ROLLUP twins rotated out)
         "priority_unpivot_round_trip",     # unpivot inverse
         "python_datasource_contract",      # Python Data Source API
-        "interpolated_user_series",  # time-series gap imputation
+        "time_weighted_avg_profile", # irregular-series TWA
         "cluster_keep_best_profile",  # dedup components + keep-best
         "source_cap_profile",        # per-domain contribution cap
-        "incremental_dedup_profile",  # batch-vs-corpus incremental dedup
-        "temperature_mix_profile",   # temperature-scaled stratum mixing
+        "embedding_sq_recall",       # SQ8 quantized ANN recall
+        "event_funnel_profile",      # strict sequential funnel
+        "weekly_retention_cohorts",  # cohort retention triangle
         "curate_documents_contract",  # composed curation pipeline
         "chunk_overlap_profile",     # context-window chunking
         "decile_profile_contract",   # equal-frequency binning
