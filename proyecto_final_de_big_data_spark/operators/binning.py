@@ -71,7 +71,19 @@ def equal_frequency_bins(
         lambda c, p: F.approx_percentile(c, p, F.lit(int(1 / relative_error)))
     )
     bounds = df.agg(fn(F.col(col), F.lit(fracs)).alias("b")).collect()[0]["b"]
+    bounds = [float(b) for b in bounds]
+    return bin_by_bounds(df, col, bounds, bin_col), bounds
+
+
+def bin_by_bounds(
+    df: DataFrame, col: str, bounds: list[float], bin_col: str = "bin"
+) -> DataFrame:
+    """Assign ``bin_col`` = number of ``bounds`` strictly below the
+    value (ties to the LOWER bin) — the map-only half of
+    :func:`equal_frequency_bins`, reusable with bounds fitted on a
+    DIFFERENT frame (the drift-detection pattern: bin the current
+    snapshot with the reference snapshot's bounds)."""
     bin_idx: Column = F.lit(0)
     for b in bounds:
         bin_idx = bin_idx + (F.col(col) > F.lit(float(b))).cast("int")
-    return df.withColumn(bin_col, bin_idx), [float(b) for b in bounds]
+    return df.withColumn(bin_col, bin_idx)

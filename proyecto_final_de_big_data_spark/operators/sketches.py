@@ -218,3 +218,99 @@ def theta_overlap(
             F.theta_difference("__r", "__l")
         ).alias("right_only_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — re-aggregatable FREQUENCY estimates, as a table.
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def _cm_bucket(key, d: int, width: int):
+    """Row-d bucket of ``key``: 60 bits of md5('<d>:<key>') mod width.
+    md5-hex → integer is portable (Spark ``conv(x,16,10)``, DuckDB
+    ``CAST('0x'||x AS BIGINT)``), so an external engine rebuilds the
+    IDENTICAL table — the gate is an exact hash match, not a bound."""
+    salted = F.concat(F.lit(f"{d}:"), key.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+        % F.lit(width)
+    )
+
+
+def cm_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies (optionally one
+    sketch per group), materialized as a TABLE of (group…, d, bucket,
+    cnt) rows — depth × width rows per group regardless of input size.
+
+    HLL answers distinct-count rollups; count-min answers FREQUENCY
+    rollups ("how often does key x appear per month?") with bounded
+    memory and no key-cardinality shuffle: the depth-row expansion is
+    map-side (Generate), the aggregation is partial+final on (d,
+    bucket) — the shuffle carries at most depth·width pre-combined
+    rows per task, never one row per distinct key. Point estimates
+    read ``min`` over the depth rows (one-sided error: est ≥ true,
+    est ≤ true + 2N/width with prob ≥ 1 − 2^−depth per row).
+
+    Merge sketches (months → year) with :func:`cm_merge` — union +
+    sum, exactly like the HLL/KLL/Theta partial/rollup pairs."""
+    groups = list(group_cols or [])
+    rows = df.select(
+        *groups,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _cm_bucket(F.col(key_col), d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("__db"),
+    )
+    return rows.groupBy(
+        *groups, F.col("__db.d").alias("d"), F.col("__db.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_merge(cm: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Roll sketches up to coarser groups (or one global sketch):
+    group-cardinality × depth × width rows in, sum per (d, bucket)."""
+    groups = list(group_cols or [])
+    return cm.groupBy(*groups, "d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    cm: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Frequency estimate per key in ``keys``: min over the depth rows.
+    The sketch side is depth × width rows — broadcast it; the probe is
+    a broadcast join + per-key min, never a corpus scan."""
+    probes = keys.select(F.col(key_col)).distinct()
+    probe_rows = probes.select(
+        key_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _cm_bucket(F.col(key_col), d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("__db"),
+    ).select(key_col, F.col("__db.d").alias("d"), F.col("__db.bucket").alias("bucket"))
+    joined = probe_rows.join(F.broadcast(cm), ["d", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est")
+    )

@@ -163,7 +163,11 @@ _VERIFICATION_WINDOW = [
     # the text family keeps lm_quality + repetition + the chunk gate
     # + stream_pii_curation in-window.
     "lm_quality_by_lang",
-    "repetition_profile",
+    # repetition_profile (r5 green, quality.py unchanged; the text
+    # family keeps lm_quality + the chunk gate + stream_pii_curation)
+    # hands its slot to drift_psi_contract — PSI snapshot-drift
+    # detection over reference-fitted decile bounds, new this round.
+    "drift_psi_contract",
     "chunk_overlap_profile",
     "decile_profile_contract",
     # mixing
@@ -192,7 +196,12 @@ _VERIFICATION_WINDOW = [
     "tws_histogram_parity",
     "sliding_stream_parity",
     "stream_dedup_counts",
-    "stream_static_join_profile",
+    # stream_static_join_profile (r5 green, unchanged; streaming joins
+    # keep stream_stream_join_parity in-window) hands its slot to
+    # cm_frequency_rollup_contract — the count-min frequency sketch
+    # completing the mergeable-sketch family (HLL distinct / KLL
+    # quantile / Theta set algebra / CM frequency), new this round.
+    "cm_frequency_rollup_contract",
     "stream_stream_join_parity",
     "stream_pii_curation_round_trip",
     "stateful_user_profiles_stream",

@@ -735,3 +735,74 @@ def q_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     return retention_cohorts(ev)
+
+
+@register(
+    "cm_frequency_rollup_contract",
+    oracle="""
+    WITH probes AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 300 = 7
+    ),
+    depths AS (SELECT unnest(range(4))::INT AS d),
+    cm AS (
+        SELECT d,
+               CAST(concat('0x', substring(md5(concat(CAST(d AS VARCHAR), ':',
+                    CAST(o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 1024 AS bucket,
+               count(*) AS cnt
+        FROM orders, depths
+        GROUP BY 1, 2
+    ),
+    probe_rows AS (
+        SELECT o_custkey, d,
+               CAST(concat('0x', substring(md5(concat(CAST(d AS VARCHAR), ':',
+                    CAST(o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 1024 AS bucket
+        FROM probes, depths
+    ),
+    est AS (
+        SELECT p.o_custkey AS custkey,
+               min(coalesce(cm.cnt, 0))::BIGINT AS cm_est
+        FROM probe_rows p LEFT JOIN cm USING (d, bucket)
+        GROUP BY 1
+    ),
+    exact AS (
+        SELECT o_custkey AS custkey, count(*) AS exact_cnt
+        FROM orders GROUP BY 1
+    )
+    SELECT e.custkey, e.cm_est, x.exact_cnt,
+           CAST(e.cm_est >= x.exact_cnt AS INT) AS overcount_ok
+    FROM est e JOIN exact x USING (custkey)
+    """,
+    description="Count-min sketch frequency rollup (operators/"
+    "sketches.py:cm_build/cm_merge/cm_estimate): per-year sketch "
+    "partials over order custkeys (depth 4 x width 1024 rows per "
+    "partial, regardless of input size) merge by union+sum into the "
+    "global sketch — the frequency analog of the HLL/KLL/Theta "
+    "partial/rollup pairs — and probe keys read min-over-depth via a "
+    "broadcast join. The bucket hash is 60 bits of md5 (portable hex "
+    "-> integer on both engines), so the oracle rebuilds the IDENTICAL "
+    "table and the gate is an exact hash match on the estimates "
+    "themselves, not a tolerance band; overcount_ok additionally pins "
+    "the one-sided CM guarantee (est >= exact, always).",
+)
+def q_cm_frequency_rollup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cm_build, cm_estimate, cm_merge
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    partials = cm_build(orders, "o_custkey", group_cols=["yr"])
+    merged = cm_merge(partials)  # drop the year: one global sketch
+    probes = orders.filter(F.col("o_custkey") % 300 == 7).select("o_custkey")
+    est = cm_estimate(merged, probes, "o_custkey").select(
+        F.col("o_custkey").alias("custkey"), "cm_est"
+    )
+    exact = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(exact, "custkey").select(
+        "custkey",
+        "cm_est",
+        "exact_cnt",
+        (F.col("cm_est") >= F.col("exact_cnt")).cast("int").alias("overcount_ok"),
+    )

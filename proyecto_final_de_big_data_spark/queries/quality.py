@@ -489,3 +489,65 @@ def q_text_normalize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = normalize_text(docs, "raw", out_col="text_norm")
     return release_manifest(norm, "lang", "doc_id", ["text_norm"])
+
+
+@register(
+    "drift_psi_contract",
+    oracle="""
+    WITH ref AS (
+        SELECT l_extendedprice AS v FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    ),
+    cur AS (
+        SELECT l_extendedprice AS v FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    ),
+    b AS (
+        SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+        FROM ref
+    ),
+    rbin AS (
+        SELECT (CASE WHEN v > q[1] THEN 1 ELSE 0 END + CASE WHEN v > q[2] THEN 1 ELSE 0 END + CASE WHEN v > q[3] THEN 1 ELSE 0 END + CASE WHEN v > q[4] THEN 1 ELSE 0 END + CASE WHEN v > q[5] THEN 1 ELSE 0 END + CASE WHEN v > q[6] THEN 1 ELSE 0 END + CASE WHEN v > q[7] THEN 1 ELSE 0 END + CASE WHEN v > q[8] THEN 1 ELSE 0 END + CASE WHEN v > q[9] THEN 1 ELSE 0 END) AS bin FROM ref, b
+    ),
+    cbin AS (
+        SELECT (CASE WHEN v > q[1] THEN 1 ELSE 0 END + CASE WHEN v > q[2] THEN 1 ELSE 0 END + CASE WHEN v > q[3] THEN 1 ELSE 0 END + CASE WHEN v > q[4] THEN 1 ELSE 0 END + CASE WHEN v > q[5] THEN 1 ELSE 0 END + CASE WHEN v > q[6] THEN 1 ELSE 0 END + CASE WHEN v > q[7] THEN 1 ELSE 0 END + CASE WHEN v > q[8] THEN 1 ELSE 0 END + CASE WHEN v > q[9] THEN 1 ELSE 0 END) AS bin FROM cur, b
+    ),
+    rc AS (SELECT bin, count(*) AS n_ref FROM rbin GROUP BY 1),
+    cc AS (SELECT bin, count(*) AS n_cur FROM cbin GROUP BY 1),
+    j AS (
+        SELECT coalesce(rc.bin, cc.bin) AS bin,
+               coalesce(n_ref, 0) AS n_ref,
+               coalesce(n_cur, 0) AS n_cur
+        FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin
+    )
+    SELECT bin, n_ref, n_cur,
+           round((greatest(n_cur / (SELECT count(*)::DOUBLE FROM cur), 1e-6)
+                  - greatest(n_ref / (SELECT count(*)::DOUBLE FROM ref), 1e-6))
+                 * ln(greatest(n_cur / (SELECT count(*)::DOUBLE FROM cur), 1e-6)
+                      / greatest(n_ref / (SELECT count(*)::DOUBLE FROM ref), 1e-6)), 6)
+               AS psi_term
+    FROM j
+    """,
+    description="Distribution drift between dataset snapshots "
+    "(operators/drift.py): PSI of l_extendedprice across a shipdate "
+    "split, with decile bounds fitted on the REFERENCE snapshot only "
+    "(fitting per snapshot would hide exactly the drift being "
+    "measured) and both sides binned by the same bounds map-only. "
+    "Counts are exact integers and the PSI arithmetic is the same "
+    "double expression in both engines, so per-bin psi_terms "
+    "hash-match at 6 decimals. Each snapshot is scanned once; "
+    "everything after the two count aggregations is bin-cardinality.",
+)
+def q_drift_psi_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import psi_numeric
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_shipdate"
+    )
+    cutoff = "1996-01-01"
+    ref = li.filter(F.col("l_shipdate") < cutoff)
+    cur = li.filter(F.col("l_shipdate") >= cutoff)
+    profile, _bounds = psi_numeric(ref, cur, "l_extendedprice", n_bins=10)
+    return profile.select(
+        "bin", "n_ref", "n_cur", F.round("psi_term", 6).alias("psi_term")
+    )

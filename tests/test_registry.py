@@ -54,6 +54,7 @@ def test_window_covers_every_family():
         "hll_mergeable_rollup_contract",   # mergeable HLL sketches
         "kll_quantile_rollup_contract",    # mergeable KLL quantiles
         "theta_cohort_overlap_contract",   # Theta set algebra
+        "cm_frequency_rollup_contract",    # count-min frequency sketch
         "variant_props_stats",       # VARIANT semi-structured payloads
         "priority_pivot_by_year",    # pivot (CUBE/ROLLUP twins rotated out)
         "priority_unpivot_round_trip",     # unpivot inverse
@@ -84,7 +85,7 @@ def test_window_covers_every_family():
         "cdc_merge_contract",        # partition-pruned CDC merge
         "session_stream_parity",     # real-stream session windows
         "media_binary_ingest",       # raw-file multimodal ingestion
-        "repetition_profile",        # repetition/quality signals
+        "drift_psi_contract",        # PSI snapshot drift
         "embedding_kmeans_contract",  # unsupervised clustering
         "text_quality_classifier_contract",  # model-based quality filter
         "semantic_dedup_profile",    # SemDeDup cluster-then-prune

@@ -146,3 +146,60 @@ def test_theta_overlap_multi_row_cohorts(spark):
     assert row["intersection_est"] == 20
     assert row["left_only_est"] == 60
     assert row["right_only_est"] == 20
+
+
+# -- count-min ---------------------------------------------------------
+
+from proyecto_final_de_big_data_spark.operators.sketches import (  # noqa: E402
+    cm_build,
+    cm_estimate,
+    cm_merge,
+)
+
+
+def test_cm_merge_of_partials_equals_direct_build(spark):
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 97).alias("k"), (F.col("id") % 3).alias("g")
+    )
+    direct = cm_build(df, "k")
+    merged = cm_merge(cm_build(df, "k", group_cols=["g"]))
+    d = {(r["d"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    m = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert d == m
+
+
+def test_cm_estimates_never_undercount(spark):
+    df = spark.range(0, 5000).select((F.col("id") % 313).alias("k"))
+    cm = cm_build(df, "k")
+    probes = df.select("k").distinct()
+    est = {r["k"]: r["cm_est"] for r in cm_estimate(cm, probes, "k").collect()}
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
+    # width 1024 >> 313 keys: most estimates should be exact
+    exact_hits = sum(1 for k in exact if est[k] == exact[k])
+    assert exact_hits >= 0.9 * len(exact)
+
+
+def test_cm_absent_key_estimates_zero_or_collision(spark):
+    df = spark.range(0, 100).select((F.col("id") % 10).alias("k"))
+    cm = cm_build(df, "k")
+    absent = spark.createDataFrame([(999999,)], "k long")
+    est = cm_estimate(cm, absent, "k").collect()[0]["cm_est"]
+    assert est >= 0  # min-over-depth of coalesced counts; tiny sketch -> 0 likely
+    assert est <= 100
+
+
+def test_cm_build_is_partial_plus_final_agg(spark):
+    import contextlib
+    import io
+
+    df = spark.range(0, 100).select((F.col("id") % 7).alias("k"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cm_build(df, "k").explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("HashAggregate") >= 2, plan  # map-side combine
+    assert "Generate" in plan  # depth expansion is map-side, pre-shuffle
