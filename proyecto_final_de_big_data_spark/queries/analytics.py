@@ -806,3 +806,162 @@ def q_cm_frequency_rollup_contract(spark: SparkSession, sf_dir: str) -> DataFram
         "exact_cnt",
         (F.col("cm_est") >= F.col("exact_cnt")).cast("int").alias("overcount_ok"),
     )
+
+
+@register(
+    "pagerank_contract",
+    oracle="""
+    WITH raw AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges0 AS (
+        SELECT c AS src, s AS dst FROM raw
+        UNION
+        SELECT s AS src, c AS dst FROM raw
+    ),
+    outdeg AS (SELECT src, count(*) AS od FROM edges0 GROUP BY 1),
+    edges AS (SELECT e.src, e.dst, o.od FROM edges0 e JOIN outdeg o USING (src)),
+    nodes AS (SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0),
+    cnt AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    it0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes),
+    it1 AS (
+        SELECT n.node,
+               (1.0 - 0.85) / (SELECT n FROM cnt)
+                 + 0.85 * coalesce(c.s, 0) AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank / e.od) AS s
+            FROM edges e JOIN it0 p ON e.src = p.node
+            GROUP BY 1
+        ) c USING (node)
+    ),
+    it2 AS (
+        SELECT n.node,
+               (1.0 - 0.85) / (SELECT n FROM cnt)
+                 + 0.85 * coalesce(c.s, 0) AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank / e.od) AS s
+            FROM edges e JOIN it1 p ON e.src = p.node
+            GROUP BY 1
+        ) c USING (node)
+    ),
+    it3 AS (
+        SELECT n.node,
+               (1.0 - 0.85) / (SELECT n FROM cnt)
+                 + 0.85 * coalesce(c.s, 0) AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank / e.od) AS s
+            FROM edges e JOIN it2 p ON e.src = p.node
+            GROUP BY 1
+        ) c USING (node)
+    ),
+    it4 AS (
+        SELECT n.node,
+               (1.0 - 0.85) / (SELECT n FROM cnt)
+                 + 0.85 * coalesce(c.s, 0) AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank / e.od) AS s
+            FROM edges e JOIN it3 p ON e.src = p.node
+            GROUP BY 1
+        ) c USING (node)
+    ),
+    it5 AS (
+        SELECT n.node,
+               (1.0 - 0.85) / (SELECT n FROM cnt)
+                 + 0.85 * coalesce(c.s, 0) AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank / e.od) AS s
+            FROM edges e JOIN it4 p ON e.src = p.node
+            GROUP BY 1
+        ) c USING (node)
+    ),
+    it6 AS (
+        SELECT n.node,
+               (1.0 - 0.85) / (SELECT n FROM cnt)
+                 + 0.85 * coalesce(c.s, 0) AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank / e.od) AS s
+            FROM edges e JOIN it5 p ON e.src = p.node
+            GROUP BY 1
+        ) c USING (node)
+    ),
+    it7 AS (
+        SELECT n.node,
+               (1.0 - 0.85) / (SELECT n FROM cnt)
+                 + 0.85 * coalesce(c.s, 0) AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank / e.od) AS s
+            FROM edges e JOIN it6 p ON e.src = p.node
+            GROUP BY 1
+        ) c USING (node)
+    ),
+    it8 AS (
+        SELECT n.node,
+               (1.0 - 0.85) / (SELECT n FROM cnt)
+                 + 0.85 * coalesce(c.s, 0) AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank / e.od) AS s
+            FROM edges e JOIN it7 p ON e.src = p.node
+            GROUP BY 1
+        ) c USING (node)
+    ),
+    it9 AS (
+        SELECT n.node,
+               (1.0 - 0.85) / (SELECT n FROM cnt)
+                 + 0.85 * coalesce(c.s, 0) AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank / e.od) AS s
+            FROM edges e JOIN it8 p ON e.src = p.node
+            GROUP BY 1
+        ) c USING (node)
+    ),
+    it10 AS (
+        SELECT n.node,
+               (1.0 - 0.85) / (SELECT n FROM cnt)
+                 + 0.85 * coalesce(c.s, 0) AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(p.rank / e.od) AS s
+            FROM edges e JOIN it9 p ON e.src = p.node
+            GROUP BY 1
+        ) c USING (node)
+    )
+    SELECT node, round(rank, 8) AS rank FROM it10
+    """,
+    description="Fixed-iteration PageRank (operators/graph.py:pagerank) "
+    "over the bidirectional customer-supplier trade graph (node ids "
+    "namespaced 2k / 2k+1 so the key spaces cannot collide). Ten "
+    "iterations of the Pregel message pattern as DataFrame ops — one "
+    "contribution join + one destination-keyed aggregation per round, "
+    "lazy localCheckpoint lineage truncation, zero driver state. The "
+    "fixed iteration count makes every rank a deterministic double, so "
+    "the oracle UNROLLS the same ten iterations as chained CTEs and "
+    "the gate hash-matches values at 8 decimals — no tolerance band.",
+)
+def q_pagerank_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=10, damping=0.85)
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
