@@ -280,6 +280,25 @@ def merge_changes(
     if missing:
         raise ValueError(f"changes are missing base columns: {missing}")
 
+    # Enforce the HARD PRECONDITION above instead of merely documenting
+    # it (VERDICT r6 item 7): if any id appears twice across the
+    # affected partitions, the anti-join would silently drop the copy
+    # the batch did not target. One answer-scale aggregate over the
+    # already-pruned base slice — it reads only the partitions the
+    # merge rewrites anyway.
+    u = base.agg(
+        F.count(id_col).alias("n_rows"),
+        F.count_distinct(id_col).alias("n_ids"),
+    ).collect()[0]
+    if u["n_rows"] != u["n_ids"]:
+        raise ValueError(
+            f"{u['n_rows'] - u['n_ids']} duplicate {id_col!r} value(s) "
+            f"across the affected base partitions {affected}; the merge "
+            "id must be unique table-wide (use a composite id for "
+            "partition-scoped keys) or the anti-join would drop rows in "
+            "partitions the batch did not target"
+        )
+
     change_keys = changes.select(id_col).distinct()
     if broadcast_changes:
         change_keys = F.broadcast(change_keys)

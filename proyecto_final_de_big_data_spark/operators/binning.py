@@ -71,6 +71,13 @@ def equal_frequency_bins(
         lambda c, p: F.approx_percentile(c, p, F.lit(int(1 / relative_error)))
     )
     bounds = df.agg(fn(F.col(col), F.lit(fracs)).alias("b")).collect()[0]["b"]
+    if bounds is None:
+        # percentile over zero non-NULL values aggregates to NULL —
+        # raise a named error instead of an opaque iteration TypeError.
+        raise ValueError(
+            f"equal_frequency_bins: no non-NULL values in {col!r} to fit "
+            "quantile bounds on (empty or all-NULL frame)"
+        )
     bounds = [float(b) for b in bounds]
     return bin_by_bounds(df, col, bounds, bin_col), bounds
 

@@ -65,12 +65,16 @@ def psi_numeric(
     """Per-bin PSI profile of ``col`` between snapshots. Returns
     (frame(bin, n_ref, n_cur, psi_term), reference_bounds); total PSI
     is ``sum(psi_term)``. Bin bounds come from the REFERENCE only."""
-    binned_ref, bounds = equal_frequency_bins(ref, col, n_bins, exact=exact)
-    binned_cur = bin_by_bounds(cur, col, bounds)
+    # Validate BEFORE fitting bins: an empty reference would otherwise
+    # die inside equal_frequency_bins with a less specific error. The
+    # counts are needed for the PSI terms anyway, so this is no extra
+    # work — just reordered.
     n_ref = ref.count()
     n_cur = cur.count()
     if n_ref == 0 or n_cur == 0:
         raise ValueError("PSI needs non-empty snapshots on both sides")
+    binned_ref, bounds = equal_frequency_bins(ref, col, n_bins, exact=exact)
+    binned_cur = bin_by_bounds(cur, col, bounds)
     joined = (
         _side_counts(binned_ref, "bin", "n_ref")
         .join(_side_counts(binned_cur, "bin", "n_cur"), "bin", "full_outer")

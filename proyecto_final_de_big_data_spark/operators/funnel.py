@@ -13,9 +13,11 @@ window and then aggregates at (cohort, offset) cardinality —
 weeks², tiny.
 
 Determinism: timestamps compare strictly (a same-instant pair does
-NOT advance a strict funnel), and week indices are integer epoch-
-division (``epoch_seconds // 604800``) so every engine lands on the
-same week with no timezone/locale week-start semantics involved.
+NOT advance a strict funnel), and week indices are TRUNCATING integral
+epoch-division (Spark ``div`` == DuckDB integer ``//``, both rounding
+toward zero — verified for negative pre-1970 epochs) so every engine
+lands on the same week with no timezone/locale week-start semantics
+involved.
 """
 
 from __future__ import annotations
@@ -35,32 +37,70 @@ def funnel_counts(
 ) -> DataFrame:
     """Strict sequential funnel: a user completes step k+1 only with an
     event of that type STRICTLY AFTER their earliest completion of
-    step k. Returns one row per step: (step_idx, step, n_users) —
-    n_users is monotonically non-increasing by construction."""
+    step k. Returns one row per step:
+    ``(step_idx, step, n_users, conversion)`` — ``n_users`` is
+    monotonically non-increasing by construction and ``conversion`` is
+    ``n_users / n_users(step 0)`` rounded to 6 decimals (NULL when the
+    funnel entry step is empty), the number every dashboard plots.
+
+    The whole funnel is ONE DataFrame plan / ONE action: each step's
+    per-user frame is ``localCheckpoint(eager=False)``-truncated, so
+    step k is evaluated exactly once even though it feeds both its own
+    count branch and step k+1's join — without the checkpoint, an
+    N-step funnel re-scans the event source O(N²) times. The final
+    union therefore contains exactly one ``Scan ExistingRDD`` per step
+    and ZERO scans of the raw event source (asserted in
+    ``tests/test_funnel.py``). The driver holds no per-row state.
+    """
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
-    spark = events.sparkSession
+    from functools import reduce
+
+    from pyspark.sql import Window
+
     # Earliest completion time per user, per step, built iteratively:
     # step 0 is a plain min; step k filters to events after the user's
-    # step k-1 time (user-keyed equi-join) before taking the min.
+    # step k-1 time (user-keyed equi-join) before taking the min. The
+    # lazy localCheckpoint truncates lineage at first materialisation
+    # and persists the step frame (MEMORY_AND_DISK), so each step is
+    # computed once per action, never re-derived from step 0.
     reached = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("__t"))
+        .localCheckpoint(eager=False)
     )
-    counts = [reached.count()]
+    frames = [reached]
     for step in steps[1:]:
-        nxt = (
+        reached = (
             events.filter(F.col(type_col) == step)
             .join(reached.select(user_col, "__t"), user_col)
             .filter(F.col(ts_col) > F.col("__t"))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias("__t"))
+            .localCheckpoint(eager=False)
         )
-        reached = nxt
-        counts.append(reached.count())
-    rows = [(i, s, int(n)) for i, (s, n) in enumerate(zip(steps, counts))]
-    return spark.createDataFrame(rows, "step_idx int, step string, n_users long")
+        frames.append(reached)
+    branches = [
+        f.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col("n_users"),
+        )
+        for i, (s, f) in enumerate(zip(steps, frames))
+    ]
+    out = reduce(DataFrame.unionAll, branches)
+    # Conversion vs the entry step. The window runs over exactly
+    # len(steps) rows — answer-scale, the single-partition sort is free.
+    entry = F.first("n_users").over(
+        Window.orderBy("step_idx").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return out.withColumn(
+        "conversion",
+        F.when(entry > 0, F.round(F.col("n_users") / entry, 6)),
+    )
 
 
 def retention_cohorts(
@@ -70,12 +110,17 @@ def retention_cohorts(
 ) -> DataFrame:
     """Weekly retention triangle: users grouped by first-seen week
     (cohort), counted once per later week they return. Returns
-    (cohort_week, week_offset, n_users) with week indices as integer
-    epoch-weeks — engine-portable, no week-start semantics."""
+    (cohort_week, week_offset, n_users) with week indices as truncating
+    integral epoch-weeks — engine-portable, no week-start semantics."""
     from pyspark.sql import Window
 
-    week = (
-        F.unix_timestamp(F.col(ts_col)) / F.lit(WEEK_SECONDS)
+    # Integer floor division (matches the docstring's ``epoch //
+    # 604800`` and the DuckDB oracle's ``//``): ``div`` floors toward
+    # negative infinity on longs exactly like Python/DuckDB, whereas a
+    # double division + cast('long') would truncate toward zero and
+    # diverge for pre-1970 timestamps.
+    week = F.expr(
+        f"unix_timestamp(`{ts_col}`) div {WEEK_SECONDS}"
     ).cast("long")
     w = Window.partitionBy(user_col)
     staged = events.select(

@@ -244,10 +244,24 @@ def systematic_weighted_sample(
             "scale; pass by=[...] for per-stratum budgets"
         )
         w = Window.orderBy(order_col)
+    # The integer-exact contract requires an INTEGRAL weight column —
+    # a float weight would silently make the crossing arithmetic
+    # inconsistent with the long cumsum, so reject it loudly.
+    wtype = dict(df.dtypes).get(weight_col)
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"systematic_weighted_sample needs an integral weight "
+            f"column; {weight_col!r} is {wtype!r} — cast explicitly "
+            "(and decide the rounding) before sampling"
+        )
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = F.sum(F.col(weight_col).cast("long")).over(w)
-    staged = df.withColumn("__cum", cum)
+    cast_w = F.col(weight_col).cast("long")
+    cum = F.sum(cast_w).over(w)
+    # Both the cumsum and the crossing predicate use the SAME cast
+    # weight, staged under internal names so no user identifier is ever
+    # interpolated into SQL text (backtick/injection hazard).
+    staged = df.withColumn("__cum", cum).withColumn("__w", cast_w)
     crossed = F.expr(
-        f"(__cum div {int(stride)}) > ((__cum - {weight_col}) div {int(stride)})"
+        f"(__cum div {int(stride)}) > ((__cum - __w) div {int(stride)})"
     )
-    return staged.filter(crossed).drop("__cum")
+    return staged.filter(crossed).drop("__cum", "__w")

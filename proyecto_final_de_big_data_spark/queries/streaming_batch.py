@@ -647,6 +647,23 @@ def q_tws_histogram_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = _stage_events(sf_dir, "tws_events_")
     try:
+        # PRECONDITION (ADVICE r6): reconciling update-mode output with
+        # max(cnt) is sound only if the whole fixture arrives in ONE
+        # micro-batch — across multiple batches the idle-gap timer could
+        # evict a key's state and a later file would restart its count,
+        # making max() undercount vs the batch GROUP BY. One staged
+        # file == one micro-batch for the file source, so assert the
+        # staging shape here instead of leaving it an implicit coupling.
+        import os as _os
+
+        staged = [f for f in _os.listdir(stage) if f.endswith(".parquet")]
+        if len(staged) != 1:
+            raise AssertionError(
+                f"tws_histogram_parity needs exactly 1 staged source file "
+                f"(single micro-batch) for its max(cnt) reconciliation; "
+                f"found {len(staged)}: reconcile per-eviction-generation "
+                "sums instead if staging more"
+            )
         stream = read_events_stream(spark, stage)
         extra = (
             {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER}

@@ -53,3 +53,17 @@ def test_binning_stage_is_exchange_free(spark):
     binned, _ = equal_frequency_bins(df, "v", n_bins=5)
     plan = binned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_equal_frequency_empty_frame_raises(spark):
+    # ADVICE r6: percentile over zero non-NULL values returns NULL —
+    # must surface as a named ValueError, not a NoneType iteration.
+    df = spark.createDataFrame([(1.0,)], "v double").filter(F.lit(False))
+    with pytest.raises(ValueError, match="no non-NULL"):
+        equal_frequency_bins(df, "v")
+
+
+def test_equal_frequency_all_null_raises(spark):
+    df = spark.createDataFrame([(None,), (None,)], "v double")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        equal_frequency_bins(df, "v")

@@ -60,3 +60,13 @@ def test_empty_side_raises(spark):
     empty = _vals(spark, []).filter(F.lit(False))
     with pytest.raises(ValueError, match="non-empty"):
         psi_numeric(ref, empty, "v")
+
+
+def test_empty_reference_side_raises_friendly(spark):
+    # ADVICE r6: validation must run BEFORE bin fitting, so an empty
+    # REFERENCE side gets the same named error (previously the bin
+    # fitter died first with an opaque TypeError).
+    cur = _vals(spark, range(10))
+    empty = _vals(spark, []).filter(F.lit(False))
+    with pytest.raises(ValueError, match="non-empty"):
+        psi_numeric(empty, cur, "v")

@@ -60,6 +60,54 @@ def test_funnel_second_chance_event_counts(spark):
     assert got == {"view": 1, "click": 1}
 
 
+def test_funnel_conversion_rates(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-01 10:01:00"),
+            (2, "view", "2024-01-01 10:00:00"),
+            (3, "view", "2024-01-01 10:00:00"),
+        ],
+    )
+    rows = {
+        r["step"]: (r["n_users"], r["conversion"])
+        for r in funnel_counts(ev, ["view", "click"]).collect()
+    }
+    assert rows["view"] == (3, 1.0)
+    n, conv = rows["click"]
+    assert n == 1 and math.isclose(conv, round(1 / 3, 6))
+
+
+def test_funnel_empty_entry_step_null_conversion(spark):
+    ev = _events(spark, [(1, "click", "2024-01-01 10:00:00")])
+    rows = funnel_counts(ev, ["view", "click"]).collect()
+    assert all(r["n_users"] == 0 and r["conversion"] is None for r in rows)
+
+
+def test_funnel_is_one_plan_with_one_scan_per_step(spark):
+    # VERDICT r6 item 3: each step frame must be evaluated exactly once
+    # (count branch + next step's join share it via lazy localCheckpoint),
+    # and the result must be a single DataFrame plan — no driver-side
+    # assembly. The final plan therefore scans one checkpointed RDD per
+    # step and NEVER re-reads the raw event source.
+    ev = _events(
+        spark,
+        [
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-01 10:01:00"),
+            (1, "purchase", "2024-01-01 10:02:00"),
+        ],
+    )
+    steps = ["view", "click", "purchase"]
+    out = funnel_counts(ev, steps)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == len(steps)
+    # the raw event relation (a LocalRelation here) must not appear —
+    # every branch reads its step's truncated frame instead.
+    assert "LocalRelation" not in plan
+
+
 def test_funnel_needs_two_steps(spark):
     ev = _events(spark, [(1, "view", "2024-01-01 10:00:00")])
     with pytest.raises(ValueError, match="2 steps"):
@@ -87,6 +135,37 @@ def test_retention_triangle(spark):
     assert tri[(cohort, 1)] == 2
     assert tri[(cohort, 2)] == 1
     assert len(tri) == 3
+
+
+def test_retention_pre_epoch_weeks_match_duckdb_truncation(spark):
+    # Week indices are TRUNCATING integral division (Spark `div` ==
+    # DuckDB integer `//`, both rounding toward zero). A pre-1970
+    # timestamp 3.5 days before the epoch lands in week 0 under
+    # truncation (floor would say -1); DuckDB agrees.
+    import duckdb
+
+    ev = _events(
+        spark,
+        [
+            (1, "view", "1969-12-28 12:00:00"),
+            (1, "view", "1970-01-05 12:00:00"),
+        ],
+    ).select("user_id", "ts")
+    rows = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    ora = duckdb.sql(
+        """
+        WITH weeks AS (SELECT u, CAST(floor(epoch(t)) AS BIGINT) // 604800 AS w
+        FROM (VALUES (1, TIMESTAMP '1969-12-28 12:00:00'),
+                     (1, TIMESTAMP '1970-01-05 12:00:00')) AS v(u, t)),
+        c AS (SELECT u, w, min(w) OVER (PARTITION BY u) AS c0 FROM weeks)
+        SELECT c0, w - c0, count(DISTINCT u) FROM c GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert rows == {(r[0], r[1]): r[2] for r in ora}
+    assert (0, 0) in rows  # truncation: -302400 div 604800 == 0
 
 
 def _twa(spark, rows):

