@@ -22,7 +22,10 @@ the ``SQ8`` index family of FAISS/Milvus, expressed as columns:
 
 Accuracy is gated by ``embedding_sq_recall`` (recall@5 vs the exact
 float baseline, threshold far below measured) — the same
-contract-by-recall stance as the IVF index.
+contract-by-recall stance as the IVF index. The composed
+cell-probe-then-integer-dot path (the FAISS ``IVF,SQ8`` posture) is
+``similarity_ivf.ivf_sq8_cosine_topk``, gated by
+``knn_ann_ivf_sq_recall``.
 """
 
 from __future__ import annotations

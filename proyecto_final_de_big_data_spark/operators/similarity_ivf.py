@@ -132,3 +132,99 @@ def ivf_cosine_topk(
     )
     top = argmax_per_group(cand, ["query_id"], [F.desc("cosine_sim"), F.asc("neighbor_id")], n=k)
     return top.select("query_id", "neighbor_id", "rank", "cosine_sim")
+
+
+def ivf_sq8_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    levels: int = 255,
+) -> DataFrame:
+    """IVF probe composed with SQ8 scoring — the FAISS ``IVF,SQ8`` index
+    posture (VERDICT r6 item 5): the coarse quantizer routes each query
+    to its ``n_probe`` closest cells, and the candidates inside those
+    cells are scored from their INTEGER SQ8 codes (1 byte/dim working
+    set) via the moment-expanded cosine — the float corpus vectors are
+    never read on the scoring path.
+
+    Why this composition matters at 100 TB: ``ivf_cosine_topk`` bounds
+    WHICH rows a probe touches (~n_probe/n_cells of the corpus) but
+    still streams 4-byte floats per touched dimension;
+    ``quantized_cosine_topk`` bounds BYTES per row but touches every
+    row. Composed, a probe reads ~n_probe/n_cells of the corpus at 1/4
+    the bytes — both axes at once, which is exactly how production ANN
+    engines spend their memory-bandwidth budget.
+
+    Plan shape: one projection assigns cells, one projection quantizes
+    (both map-only, no shuffle of the corpus); queries (small) probe
+    cells AND quantize, then broadcast; candidates form by the cell
+    equi-join; the only per-element candidate work is the integer code
+    dot. Output (query_id, neighbor_id, rank, cosine_sim_q); accuracy
+    is gated by ``knn_ann_ivf_sq_recall`` vs the exact float baseline.
+    """
+    from .quantize import _approx_dot, _approx_norm2, quantize_embeddings
+
+    centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
+
+    # Corpus: cell assignment then SQ8 codes; the float vector does not
+    # survive past this projection chain.
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    c = quantize_embeddings(
+        assigned, "__v", id_col, levels, keep_cols=["cell"]
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        F.col("q").alias("c_q"),
+        F.col("mn").alias("c_mn"),
+        F.col("scale").alias("c_scale"),
+        F.col("n_dims").alias("c_n_dims"),
+        F.col("sum_q").alias("c_sum_q"),
+        F.col("sum_q2").alias("c_sum_q2"),
+    )
+
+    # Queries: probe cells with the float vector (answer-scale frame),
+    # quantize for the scoring side, join the two tiny frames, broadcast.
+    q_scored = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("__qv"),
+        )
+        .withColumn("__scores", _cell_scores(F.col("__qv"), centroids))
+        .select("query_id", F.posexplode("__scores").alias("__pos", "__score"))
+    )
+    q_cells = argmax_per_group(
+        q_scored, ["query_id"], [F.desc("__score"), F.asc("__pos")], n=n_probe
+    ).select("query_id", (F.col("__pos") + 1).cast("int").alias("cell"))
+    qq = quantize_embeddings(queries, vec_col, id_col, levels).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("q_q"),
+        F.col("mn").alias("q_mn"),
+        F.col("scale").alias("q_scale"),
+        F.col("n_dims").alias("q_n_dims"),
+        F.col("sum_q").alias("q_sum_q"),
+        F.col("sum_q2").alias("q_sum_q2"),
+    )
+    q_full = q_cells.join(qq, "query_id")
+
+    code_dot = F.aggregate(
+        F.zip_with("q_q", "c_q", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        c.join(F.broadcast(q_full), "cell", "inner")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim_q",
+            _approx_dot("q_", "c_", code_dot)
+            / (F.sqrt(_approx_norm2("q_")) * F.sqrt(_approx_norm2("c_"))),
+        )
+    )
+    top = argmax_per_group(
+        cand, ["query_id"], [F.desc("cosine_sim_q"), F.asc("neighbor_id")], n=k
+    )
+    return top.select("query_id", "neighbor_id", "rank", "cosine_sim_q")

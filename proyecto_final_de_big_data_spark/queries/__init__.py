@@ -148,12 +148,35 @@ _VERIFICATION_WINDOW = [
     "weighted_sample_profile",
     "curate_documents_contract",
     "semantic_dedup_profile",
+    # ------------------------------------------------------------------
+    # ROUND-7 ROTATION (VERDICT r6 items 1/4/5):
+    #   pagerank_contract IN — the ONLY registered query that had zero
+    #     driver evidence (added late in r6); takes the slot of
+    #     stream_stream_join_parity (r5+r6 green, streaming join code
+    #     unchanged; the streaming family keeps cdc_apply, dedup_counts,
+    #     sliding/session parity, pii_curation and tws in-window).
+    #   knn_ann_ivf_sq_recall IN — the composed FAISS-style IVF+SQ8
+    #     path, new this round; a direct family upgrade over
+    #     knn_ann_ivf_recall (r4+r5+r6 green, unchanged), which rotates
+    #     out: the new gate exercises the SAME cell probe PLUS the
+    #     integer-code scoring, against the same exact-float baseline.
+    #   ml_tree_ensemble_contract IN — GBT/RF structural gate (synthetic
+    #     learnable label, deterministic modulo split, importance/learn
+    #     bands), closing the M4/M5 rows-only debt; takes the slot of
+    #     stateful_user_profiles_stream (r4+r5+r6 green, unchanged;
+    #     stateful streaming keeps tws_histogram_parity +
+    #     session_stream_parity + stream_cdc_apply in-window).
+    # Standing rule honored: every query registered this round has a
+    # window slot this round.
+    # ------------------------------------------------------------------
+    "pagerank_contract",
+    "knn_ann_ivf_sq_recall",
+    "ml_tree_ensemble_contract",
     # incremental_dedup_profile (r5 green, unchanged; exact-dedup
     # family keeps cluster_keep_best + semantic_dedup + the curation
     # contract) hands its slot to embedding_sq_recall — SQ8 scalar
     # quantization recall vs the exact float baseline, new this round.
     "embedding_sq_recall",
-    "knn_ann_ivf_recall",
     # text quality / scoring. Round-6 additions rotate in the round
     # they land: chunk_overlap_profile (context-window chunking, the
     # retrieval-side sibling of sequence packing) and
@@ -202,9 +225,7 @@ _VERIFICATION_WINDOW = [
     # completing the mergeable-sketch family (HLL distinct / KLL
     # quantile / Theta set algebra / CM frequency), new this round.
     "cm_frequency_rollup_contract",
-    "stream_stream_join_parity",
     "stream_pii_curation_round_trip",
-    "stateful_user_profiles_stream",
     "session_stream_parity",
     # ML loop. Round-6 upgrade (VERDICT r5 item 4): the two rows-only
     # window entries are REPLACED by exact-hash gates —

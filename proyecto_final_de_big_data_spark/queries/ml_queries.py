@@ -170,6 +170,98 @@ def q_ml_train_linear_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml_tree_ensemble_contract",
+    oracle="""
+    SELECT 'gbt' AS algorithm, count(*) AS n_test, 3 AS n_importances,
+           1 AS importances_sum_ok, 1 AS top_feature_is_quantity,
+           1 AS preds_ok, 1 AS fit_ok
+    FROM lineitem WHERE l_orderkey % 5 = 0
+    UNION ALL
+    SELECT 'rf', count(*), 3, 1, 1, 1, 1
+    FROM lineitem WHERE l_orderkey % 5 = 0
+    """,
+    description="M4/M5 (GBT + RandomForest) under a driver gate stronger "
+    "than rows-only (VERDICT r6 item 4). Exact prediction hashes are off "
+    "the table — tree-ensemble training is parallelism-dependent — so "
+    "this is a checked structural profile in the "
+    "text_quality_classifier_contract stance: the label is a synthetic "
+    "noise-free function of the features (100*quantity + 1000*discount "
+    "+ 500*tax), the split is a deterministic l_orderkey modulo (no "
+    "randomSplit), and the gate pins per algorithm: exact holdout "
+    "count, feature-importance vector length (3) summing to 1, "
+    "quantity as the dominant importance (>= 0.5; it carries ~99% of "
+    "the label variance), every holdout row scored finite, and the "
+    "learn bands r2 >= 0.9 (GBT, measured 0.987-0.990 across sf0.001-"
+    "0.1) / r2 >= 0.6 (RF, measured 0.80-0.82 — depth-3 piecewise "
+    "constants without boosting). A wrong importances layout, a scoring "
+    "NaN, or an ensemble that stops learning all break the hash.",
+)
+def q_ml_tree_ensemble_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.pipeline import evaluate
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (
+            F.col("l_quantity") * 100
+            + F.col("l_discount") * 1000
+            + F.col("l_tax") * 500
+        ).alias("y"),
+        "l_quantity",
+        "l_discount",
+        "l_tax",
+        "l_orderkey",
+    )
+    train = li.filter(F.col("l_orderkey") % 5 == 1).drop("l_orderkey").persist()
+    test = li.filter(F.col("l_orderkey") % 5 == 0).drop("l_orderkey")
+    frames = []
+    try:
+        for algo, r2_band in (("gbt", 0.9), ("rf", 0.6)):
+            cfg = TrainConfig(
+                label="y",
+                numeric_features=["l_quantity", "l_discount", "l_tax"],
+                algorithm=algo,
+                max_iter=6,
+                max_depth=3,
+                num_trees=8,
+            )
+            pipeline, _, _ = build_pipeline(train, cfg)
+            model = pipeline.fit(train)
+            preds = model.transform(test).persist()
+            try:
+                metrics = evaluate(preds, "y")
+                checked = preds.agg(
+                    F.count(F.lit(1)).alias("n_test"),
+                    F.sum(
+                        (
+                            F.col("prediction").isNull()
+                            | F.isnan("prediction")
+                        ).cast("int")
+                    ).alias("n_bad"),
+                ).collect()[0]
+            finally:
+                preds.unpersist()
+            imps = model.stages[-1].featureImportances.toArray().tolist()
+            frames.append(
+                (
+                    algo,
+                    int(checked["n_test"]),
+                    len(imps),
+                    int(abs(sum(imps) - 1.0) < 1e-6),
+                    int(imps[0] >= 0.5),
+                    int(checked["n_bad"] == 0),
+                    int(metrics["r2"] >= r2_band),
+                )
+            )
+    finally:
+        train.unpersist()
+    return spark.createDataFrame(
+        frames,
+        "algorithm string, n_test long, n_importances int, "
+        "importances_sum_ok int, top_feature_is_quantity int, "
+        "preds_ok int, fit_ok int",
+    )
+
+
+@register(
     "ml_score_contract",
     oracle=_OLS_CTE
     + """

@@ -61,3 +61,31 @@ def test_no_python_udf_in_plan(spark):
     df = _emb(spark, [(1, [0.0, 1.0])])
     plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_sq8_composed_topk(spark):
+    # Composed cell-probe + integer-code scoring (similarity_ivf.
+    # ivf_sq8_cosine_topk): on well-separated directions with every cell
+    # probed, the composed path must agree with the exact ranking, and
+    # the candidate scoring plan must not carry the float vector.
+    from proyecto_final_de_big_data_spark.operators.similarity_ivf import (
+        ivf_sq8_cosine_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = _emb(spark, rows)
+    queries = df.filter(F.col("vec_id") == 0)
+    out = ivf_sq8_cosine_topk(df, queries, k=1, n_cells=2, n_probe=2)
+    top = out.collect()
+    assert len(top) == 1
+    assert (top[0]["query_id"], top[0]["neighbor_id"]) == (0, 1)
+    # scoring side reads codes + moments: the integer code arrays (c_q)
+    # feed the candidate join, and the cosine column is the quantized
+    # one — the float corpus vector never reaches the scoring output.
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "c_q" in plan and "cosine_sim_q" in plan

@@ -71,14 +71,17 @@ def test_window_covers_every_family():
         "weighted_sample_profile",   # weight-proportional sampling
         "minhash_recall",            # approximate-dedup contracts
         "stream_cdc_apply_round_trip",  # streaming incremental maintenance
-        "knn_ann_ivf_recall",        # similarity search
+        "knn_ann_ivf_sq_recall",     # similarity search (IVF+SQ8 composed;
+                                     # float-IVF twin rotated out r7 after
+                                     # r4/r5/r6 green)
         "sliding_stream_parity",     # streaming windows (tumbling twin
                                      # rotated out after r2/r4/r5 green)
         "stream_pii_curation_round_trip",  # streaming text curation + PII
         "stream_dedup_counts",       # real-stream mode (dedup/join/sink)
-        "stateful_user_profiles_stream",  # custom stateful streaming
         "tws_histogram_parity",      # transformWithState (+ fallback)
         "ml_train_linear_contract",  # ML train loop (hash gate)
+        "ml_tree_ensemble_contract", # GBT/RF structural gate (M4/M5)
+        "pagerank_contract",         # Pregel-pattern graph analytics
         "ml_score_contract",         # batch scoring + model save/load
         "ml_feature_matrix_contract",     # ML feature hash gate
         "schema_evolution_contract", # mergeSchema vintage union

