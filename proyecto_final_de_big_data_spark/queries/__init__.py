@@ -138,7 +138,6 @@ _VERIFICATION_WINDOW = [
     # ZORDER BY shape, with file-stat tightness pinned in pytest).
     "zorder_cells_contract",
     # dedup / clustering / similarity
-    "cluster_keep_best_profile",
     "minhash_recall",
     # cluster_safe_split_profile (r5 green, unchanged) hands the
     # sampling/split slot to weighted_sample_profile — integer-exact
@@ -170,6 +169,21 @@ _VERIFICATION_WINDOW = [
     # window slot this round.
     # ------------------------------------------------------------------
     "pagerank_contract",
+    # Late-r7 additions (standing rule: same-round window slot):
+    #   event_transition_matrix + session_path_profile (behavioral path
+    #     analysis, operators/paths.py — the "users flow" siblings of
+    #     the funnel/retention gates) and ab_test_contract (two-
+    #     proportion z-test readout, operators/abtest.py). They take
+    #     the slots of cluster_keep_best_profile (r5+r6 green, graph
+    #     family now repped in-window by pagerank_contract; near-dup
+    #     family keeps minhash/semantic/curate), sliding_stream_parity
+    #     (r2/r4/r5/r6 green; streaming windows keep
+    #     session_stream_parity + tws in-window) and
+    #     text_quality_classifier_contract (r5+r6 green; the ML family
+    #     keeps 4 reps incl. the new tree-ensemble gate).
+    "event_transition_matrix",
+    "session_path_profile",
+    "ab_test_contract",
     "knn_ann_ivf_sq_recall",
     "ml_tree_ensemble_contract",
     # incremental_dedup_profile (r5 green, unchanged; exact-dedup
@@ -217,7 +231,6 @@ _VERIFICATION_WINDOW = [
     # sliding_stream_parity + the r5-green tumbling row.
     "stream_cdc_apply_round_trip",
     "tws_histogram_parity",
-    "sliding_stream_parity",
     "stream_dedup_counts",
     # stream_static_join_profile (r5 green, unchanged; streaming joins
     # keep stream_stream_join_parity in-window) hands its slot to
@@ -242,7 +255,6 @@ _VERIFICATION_WINDOW = [
     "ml_score_contract",
     "ml_feature_matrix_contract",
     "embedding_kmeans_contract",
-    "text_quality_classifier_contract",
     # contracts / IO
     # export_round_trip_orc (r5 green, export code unchanged) hands
     # the IO-contract slot to schema_evolution_contract — mergeSchema

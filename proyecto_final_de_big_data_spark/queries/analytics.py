@@ -977,3 +977,165 @@ def q_pagerank_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iterations=10, damping=0.85)
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    counted AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           round(n_transitions::DOUBLE
+                   / sum(n_transitions) OVER (PARTITION BY from_type),
+                 6) AS p_transition
+    FROM counted
+    """,
+    description="First-order Markov transition matrix over per-user event "
+    "sequences (operators/paths.py): consecutive (from, to) event-type "
+    "pairs in (ts, event_id) order — the same strict total order the "
+    "sessionize family pins — row-normalized per from_type. ONE "
+    "user-keyed window pass forms the pairs; the normalization window "
+    "runs over the |types|^2-row matrix, answer-scale at any corpus "
+    "size. The oracle replays lead() with the identical tie-break.",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.paths import event_transitions
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return event_transitions(ev)
+
+
+@register(
+    "session_path_profile",
+    oracle="""
+    WITH us AS (
+        SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS t
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN lag(t) OVER w IS NULL
+                         OR t - lag(t) OVER w > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS opens
+        FROM us
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ), numbered AS (
+        SELECT user_id, event_id, event_type, ts,
+               sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+    ), paths AS (
+        SELECT user_id, session_idx,
+               array_to_string(
+                   list_slice(list(event_type ORDER BY ts, event_id), 1, 8),
+                   '>') AS path,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+    FROM paths GROUP BY 1
+    """,
+    description="Sessionized path analysis (operators/paths.py + "
+    "operators/sessionize.py): per-user sessions split at 30-minute "
+    "silences, each session's ordered event types joined into a path "
+    "string (capped at 8 steps, cap applied AFTER ordering so it is "
+    "deterministic), then profiled by path. The path build is ONE "
+    "session-keyed aggregation — collect_list + array_sort on (ts, "
+    "event_id, type) structs, whose lexicographic struct order IS the "
+    "session order — no second window over the events. The oracle "
+    "replays the identical sessionize split (integer-microsecond gaps, "
+    "event_id tie-break) and an ORDER BY list aggregation.",
+)
+def q_session_path_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.paths import session_paths
+    from ..operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    s = sessionize(ev, "user_id", "ts", gap="30 minutes", order_cols=("event_id",))
+    p = session_paths(s, ["user_id", "session_idx"], max_len=8)
+    return p.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "ab_test_contract",
+    oracle="""
+    WITH units AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS variant,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY 1
+    ), a AS (
+        SELECT CAST(sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+               CAST(sum(CASE WHEN variant = 'control' THEN converted ELSE 0 END) AS BIGINT) AS x_c,
+               CAST(sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               CAST(sum(CASE WHEN variant = 'treatment' THEN converted ELSE 0 END) AS BIGINT) AS x_t
+        FROM units
+    ), m AS (
+        SELECT n_c, x_c, n_t, x_t,
+               x_c::DOUBLE / n_c AS p_c,
+               x_t::DOUBLE / n_t AS p_t,
+               (x_c + x_t)::DOUBLE / (n_c + n_t) AS pooled
+        FROM a
+    ), m2 AS (
+        SELECT *,
+               sqrt(pooled * (1.0 - pooled) * (1.0 / n_c + 1.0 / n_t)) AS se_pooled,
+               sqrt(p_c * (1.0 - p_c) / n_c + p_t * (1.0 - p_t) / n_t) AS se_wald,
+               p_t - p_c AS diff
+        FROM m
+    )
+    SELECT n_c AS n_control, x_c AS conv_control,
+           n_t AS n_treatment, x_t AS conv_treatment,
+           round(p_c, 6) AS rate_control,
+           round(p_t, 6) AS rate_treatment,
+           round(diff, 6) AS abs_lift,
+           round(CASE WHEN se_pooled > 0 THEN diff / se_pooled ELSE 0 END, 6)
+               AS z_stat,
+           round(diff - 1.959963984540054 * se_wald, 6) AS ci_low,
+           round(diff + 1.959963984540054 * se_wald, 6) AS ci_high,
+           CASE WHEN abs(CASE WHEN se_pooled > 0 THEN diff / se_pooled
+                              ELSE 0 END) > 1.959963984540054
+                THEN 1 ELSE 0 END AS significant
+    FROM m2
+    """,
+    description="Experiment readout (operators/abtest.py): per-user "
+    "conversion units (variant = user_id parity, converted = any "
+    "purchase event), reduced to a one-row two-proportion z-test — "
+    "pooled-variance z statistic, unpooled Wald 95% CI on the rate "
+    "difference, significance flag. The whole readout is ONE user-keyed "
+    "aggregation plus one group-cardinality reduce; every statistic is "
+    "closed-form sqrt arithmetic the oracle restates exactly (rounded "
+    "at 6 decimals). No sampling, no SciPy.",
+)
+def q_ab_test_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.abtest import two_proportion_ztest
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    units = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("variant"),
+        "converted",
+    )
+    return two_proportion_ztest(
+        units, "variant", "converted", control="control", treatment="treatment"
+    )

@@ -1,0 +1,117 @@
+"""Behavioral path analysis (operators/paths.py) and the A/B z-test
+readout (operators/abtest.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from proyecto_final_de_big_data_spark.operators.abtest import two_proportion_ztest
+from proyecto_final_de_big_data_spark.operators.paths import (
+    event_transitions,
+    session_paths,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string, event_id long"
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+
+
+def test_transitions_respect_order_and_users(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "view", "2024-01-01 10:00:00", 1),
+            (1, "click", "2024-01-01 10:01:00", 2),
+            (1, "view", "2024-01-01 10:02:00", 3),
+            # user 2's single event emits no pair, and no pair crosses
+            # from user 1's last event into user 2.
+            (2, "purchase", "2024-01-01 10:03:00", 4),
+        ],
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["p_transition"])
+        for r in event_transitions(ev).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 1.0),
+        ("click", "view"): (1, 1.0),
+    }
+
+
+def test_transitions_tiebreak_on_equal_timestamps(spark):
+    # Same instant: event_id orders the pair deterministically.
+    ev = _events(
+        spark,
+        [
+            (1, "a", "2024-01-01 10:00:00", 2),
+            (1, "b", "2024-01-01 10:00:00", 1),
+        ],
+    )
+    got = {(r["from_type"], r["to_type"]) for r in event_transitions(ev).collect()}
+    assert got == {("b", "a")}
+
+
+def test_transitions_row_normalization(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "a", "2024-01-01 10:00:00", 1),
+            (1, "b", "2024-01-01 10:01:00", 2),
+            (2, "a", "2024-01-01 10:00:00", 3),
+            (2, "c", "2024-01-01 10:01:00", 4),
+            (3, "a", "2024-01-01 10:00:00", 5),
+            (3, "b", "2024-01-01 10:01:00", 6),
+        ],
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["p_transition"]
+        for r in event_transitions(ev).collect()
+    }
+    assert math.isclose(got[("a", "b")], round(2 / 3, 6))
+    assert math.isclose(got[("a", "c")], round(1 / 3, 6))
+
+
+def test_session_paths_cap_is_deterministic(spark):
+    rows = [(1, f"e{i}", f"2024-01-01 10:{i:02d}:00", i) for i in range(12)]
+    ev = _events(spark, rows).withColumn("sess", F.lit(1))
+    out = session_paths(ev, ["user_id", "sess"], max_len=3).collect()[0]
+    # cap applies AFTER ordering: first three events, full count kept
+    assert out["path"] == "e0>e1>e2"
+    assert out["n_events"] == 12
+
+
+def test_ab_ztest_known_values(spark):
+    # control: 100 units, 10 conversions; treatment: 100 units, 20.
+    rows = [("control", int(i < 10)) for i in range(100)] + [
+        ("treatment", int(i < 20)) for i in range(100)
+    ]
+    units = spark.createDataFrame(rows, "variant string, converted int")
+    out = two_proportion_ztest(
+        units, "variant", "converted", "control", "treatment"
+    ).collect()[0]
+    assert (out["n_control"], out["conv_control"]) == (100, 10)
+    assert (out["n_treatment"], out["conv_treatment"]) == (100, 20)
+    assert math.isclose(out["abs_lift"], 0.1)
+    # hand-computed pooled z: p=0.15, se=sqrt(.15*.85*.02)=0.0505
+    assert math.isclose(out["z_stat"], 0.1 / math.sqrt(0.15 * 0.85 * 0.02), rel_tol=1e-4)
+    assert out["significant"] == 1  # z ~1.98 > 1.96
+    # CI brackets the lift
+    assert out["ci_low"] < 0.1 < out["ci_high"]
+
+
+def test_ab_ztest_missing_arm_raises(spark):
+    units = spark.createDataFrame(
+        [("control", 1)], "variant string, converted int"
+    )
+    with pytest.raises(ValueError, match="BOTH arms"):
+        two_proportion_ztest(units, "variant", "converted", "control", "treatment")

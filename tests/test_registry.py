@@ -60,7 +60,6 @@ def test_window_covers_every_family():
         "priority_unpivot_round_trip",     # unpivot inverse
         "python_datasource_contract",      # Python Data Source API
         "time_weighted_avg_profile", # irregular-series TWA
-        "cluster_keep_best_profile",  # dedup components + keep-best
         "source_cap_profile",        # per-domain contribution cap
         "embedding_sq_recall",       # SQ8 quantized ANN recall
         "event_funnel_profile",      # strict sequential funnel
@@ -74,14 +73,18 @@ def test_window_covers_every_family():
         "knn_ann_ivf_sq_recall",     # similarity search (IVF+SQ8 composed;
                                      # float-IVF twin rotated out r7 after
                                      # r4/r5/r6 green)
-        "sliding_stream_parity",     # streaming windows (tumbling twin
-                                     # rotated out after r2/r4/r5 green)
+        "session_stream_parity",     # streaming windows (session; the
+                                     # sliding twin rotated out r7 after
+                                     # r2/r4/r5/r6 green)
         "stream_pii_curation_round_trip",  # streaming text curation + PII
         "stream_dedup_counts",       # real-stream mode (dedup/join/sink)
         "tws_histogram_parity",      # transformWithState (+ fallback)
         "ml_train_linear_contract",  # ML train loop (hash gate)
         "ml_tree_ensemble_contract", # GBT/RF structural gate (M4/M5)
         "pagerank_contract",         # Pregel-pattern graph analytics
+        "event_transition_matrix",   # Markov next-event transitions
+        "session_path_profile",      # sessionized path analysis
+        "ab_test_contract",          # two-proportion z-test readout
         "ml_score_contract",         # batch scoring + model save/load
         "ml_feature_matrix_contract",     # ML feature hash gate
         "schema_evolution_contract", # mergeSchema vintage union
@@ -90,7 +93,6 @@ def test_window_covers_every_family():
         "media_binary_ingest",       # raw-file multimodal ingestion
         "drift_psi_contract",        # PSI snapshot drift
         "embedding_kmeans_contract",  # unsupervised clustering
-        "text_quality_classifier_contract",  # model-based quality filter
         "semantic_dedup_profile",    # SemDeDup cluster-then-prune
         "lm_quality_by_lang",        # corpus-fit LM scoring
         "manifest_ingest_contract",  # ingest manifest (S1-S3)
