@@ -138,7 +138,13 @@ _VERIFICATION_WINDOW = [
     # ZORDER BY shape, with file-stat tightness pinned in pytest).
     "zorder_cells_contract",
     # dedup / clustering / similarity
-    "minhash_recall",
+    # minhash_recall (r4+r5+r6 green, dedup.py MinHash path unchanged;
+    # the near-dup family keeps semantic_dedup_profile,
+    # embedding_sq_recall and curate_documents_contract's minhash
+    # dedup stage in-window) hands its slot to
+    # fuzzy_name_match_profile — the blocked edit-distance join
+    # (entity-resolution primitive), new this round.
+    "fuzzy_name_match_profile",
     # cluster_safe_split_profile (r5 green, unchanged) hands the
     # sampling/split slot to weighted_sample_profile — integer-exact
     # weight-proportional systematic sampling, new this round; the

@@ -1139,3 +1139,74 @@ def q_ab_test_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_proportion_ztest(
         units, "variant", "converted", control="control", treatment="treatment"
     )
+
+
+@register(
+    "fuzzy_name_match_profile",
+    oracle="""
+    WITH names AS (
+        SELECT c_name FROM customer WHERE c_custkey % 4 = 1
+    ),
+    cand AS (
+        SELECT DISTINCT l, r FROM (
+            SELECT a.c_name AS l, b.c_name AS r
+            FROM names a JOIN names b
+              ON concat(substring(a.c_name, 1, 12), substring(a.c_name, 15, 4))
+                 = concat(substring(b.c_name, 1, 12), substring(b.c_name, 15, 4))
+             AND a.c_name < b.c_name
+            UNION ALL
+            SELECT a.c_name, b.c_name
+            FROM names a JOIN names b
+              ON concat(substring(a.c_name, 1, 14), substring(a.c_name, 17, 2))
+                 = concat(substring(b.c_name, 1, 14), substring(b.c_name, 17, 2))
+             AND a.c_name < b.c_name
+            UNION ALL
+            SELECT a.c_name, b.c_name
+            FROM names a JOIN names b
+              ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+             AND a.c_name < b.c_name
+        )
+    ),
+    pairs AS (SELECT l, r FROM cand WHERE levenshtein(l, r) <= 1)
+    SELECT CAST(levenshtein(l, r) AS INT) AS distance,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(substring(l, 10, 9) AS BIGINT)
+                    + CAST(substring(r, 10, 9) AS BIGINT)) AS BIGINT)
+               AS sum_ids
+    FROM pairs GROUP BY 1
+    """,
+    description="Multi-pass blocked fuzzy self-join (operators/fuzzyjoin.py:"
+    "multipass_edit_distance_self_join, the PassJoin posture): customer "
+    "names within Levenshtein distance 1 over a deterministic quarter "
+    "sample (c_custkey % 4 = 1). Three 'all characters EXCEPT a 2-digit "
+    "zone' blocking passes cover the varying digit zone (positions "
+    "13-18; positions 10-12 are constant '000' while custkeys < 1e6, so "
+    "the union of passes is COMPLETE for distance-1 substitutions in "
+    "this domain, by pigeonhole) with tiny blocks (<=100 names agree on "
+    "all-but-2 digits), where a single coarse prefix block needed 1e6 "
+    "comparisons per block. Comparisons use Spark's thresholded "
+    "levenshtein(l, r, 1) early-exit; the oracle replays the identical "
+    "3-pass union. sum_ids pins pair identities, not just counts.",
+)
+def q_fuzzy_name_match_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzyjoin import multipass_edit_distance_self_join
+
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 == 1)
+        .select("c_name")
+    )
+    name = F.col("c_name")
+    passes = [
+        F.concat(F.substring(name, 1, 12), F.substring(name, 15, 4)),
+        F.concat(F.substring(name, 1, 14), F.substring(name, 17, 2)),
+        F.substring(name, 1, 16),
+    ]
+    pairs = multipass_edit_distance_self_join(cu, "c_name", passes, max_distance=1)
+    return pairs.groupBy("distance").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.substring("left_value", 10, 9).cast("long")
+            + F.substring("right_value", 10, 9).cast("long")
+        ).alias("sum_ids"),
+    )

@@ -115,3 +115,81 @@ def test_ab_ztest_missing_arm_raises(spark):
     )
     with pytest.raises(ValueError, match="BOTH arms"):
         two_proportion_ztest(units, "variant", "converted", "control", "treatment")
+
+
+# -- blocked fuzzy join (operators/fuzzyjoin.py) ------------------------
+
+from proyecto_final_de_big_data_spark.operators.fuzzyjoin import (  # noqa: E402
+    edit_distance_join,
+    edit_distance_self_join,
+)
+
+
+def test_fuzzy_join_within_blocks_only(spark):
+    left = spark.createDataFrame([("apple",), ("apricot",)], "name string")
+    right = spark.createDataFrame(
+        [("apples",), ("bpple",)], "name string"
+    )
+    # block on first letter: 'bpple' (distance 1 from 'apple') is in a
+    # different block and must NOT match — blocking is the contract.
+    out = edit_distance_join(
+        left, right, "name", "name",
+        F.substring("name", 1, 1), F.substring("name", 1, 1),
+        max_distance=1,
+    ).collect()
+    assert {(r["left_value"], r["right_value"], r["distance"]) for r in out} == {
+        ("apple", "apples", 1)
+    }
+
+
+def test_fuzzy_self_join_unordered_once_no_self_pairs(spark):
+    df = spark.createDataFrame(
+        [("cat",), ("cot",), ("cat",), ("dog",)], "name string"
+    )
+    out = edit_distance_self_join(
+        df, "name", F.lit("all"), max_distance=1
+    ).collect()
+    # exact duplicates (cat, cat) excluded by strict <; each unordered
+    # pair once — but duplicated rows multiply the pair count (2 cat
+    # rows x 1 cot row = 2 pairs), which is the honest join semantics.
+    assert all(r["left_value"] < r["right_value"] for r in out)
+    assert sorted((r["left_value"], r["right_value"]) for r in out) == [
+        ("cat", "cot"), ("cat", "cot")
+    ]
+
+
+def test_fuzzy_join_distance_zero_only_exact(spark):
+    df = spark.createDataFrame([("aa",), ("ab",)], "name string")
+    out = edit_distance_join(
+        df, df, "name", "name", F.lit(1), F.lit(1), max_distance=0
+    ).collect()
+    assert {(r["left_value"], r["right_value"]) for r in out} == {
+        ("aa", "aa"), ("ab", "ab")
+    }
+
+
+def test_fuzzy_join_negative_distance_rejected(spark):
+    df = spark.createDataFrame([("a",)], "name string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_distance"):
+        edit_distance_join(df, df, "name", "name", F.lit(1), F.lit(1), -1)
+
+
+def test_multipass_blocking_recovers_cross_block_pairs(spark):
+    from proyecto_final_de_big_data_spark.operators.fuzzyjoin import (
+        multipass_edit_distance_self_join,
+    )
+
+    # 'ab' vs 'bb' differ at position 1; 'ab' vs 'ac' at position 2.
+    # Pass 1 blocks on last char (finds ab~bb), pass 2 on first char
+    # (finds ab~ac); the union has both, each exactly once even though
+    # identical strings would collide in both passes.
+    df = spark.createDataFrame([("ab",), ("bb",), ("ac",)], "name string")
+    out = multipass_edit_distance_self_join(
+        df, "name",
+        [F.substring("name", 2, 1), F.substring("name", 1, 1)],
+        max_distance=1,
+    ).collect()
+    got = sorted((r["left_value"], r["right_value"]) for r in out)
+    assert got == [("ab", "ac"), ("ab", "bb")]

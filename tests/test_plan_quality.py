@@ -492,3 +492,30 @@ def test_sq_quantization_stays_jvm_side(spark, sf_dir):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_transition_matrix_no_cartesian_single_window_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "event_transition_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one data-scale window (the user-keyed lead); the
+    # normalization window runs over the types^2 matrix after the agg.
+    assert plan.count("(user_id") >= 1
+
+
+def test_session_paths_no_second_window(spark, sf_dir):
+    # The path build is collect_list+array_sort INSIDE the session agg:
+    # the only Window nodes belong to sessionize (lag + running sum,
+    # sharing one sort); the path stage itself must be agg-only.
+    plan = _plan(spark, sf_dir, "session_path_profile")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window (") <= 2  # sessionize's two passes share a sort
+    assert "array_sort" in plan
+
+
+def test_fuzzy_join_blocked_not_cartesian(spark, sf_dir):
+    # Candidates form by equi-join on block keys — never an all-pairs
+    # product, which is what the blocking exists to prevent.
+    plan = _plan(spark, sf_dir, "fuzzy_name_match_profile")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -68,7 +68,10 @@ def test_window_covers_every_family():
         "chunk_overlap_profile",     # context-window chunking
         "decile_profile_contract",   # equal-frequency binning
         "weighted_sample_profile",   # weight-proportional sampling
-        "minhash_recall",            # approximate-dedup contracts
+        "semantic_dedup_profile",    # approximate-dedup contracts (the
+                                     # minhash twin rotated out r7 after
+                                     # r4/r5/r6 green)
+        "fuzzy_name_match_profile",  # blocked edit-distance ER join
         "stream_cdc_apply_round_trip",  # streaming incremental maintenance
         "knn_ann_ivf_sq_recall",     # similarity search (IVF+SQ8 composed;
                                      # float-IVF twin rotated out r7 after
