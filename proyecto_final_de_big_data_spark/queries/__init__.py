@@ -151,7 +151,12 @@ _VERIFICATION_WINDOW = [
     # leakage-safe split family keeps curate_documents_contract's
     # hash-split stage in-window.
     "weighted_sample_profile",
-    "curate_documents_contract",
+    # curate_documents_contract (r5+r6 green, pipeline code unchanged;
+    # every stage it composes keeps its own in-window gate: pii
+    # curation, chunking, selection, weighted sampling, semantic
+    # dedup, cdc merge) hands its slot to event_type_trend_contract —
+    # per-key OLS trend from sufficient statistics, new this round.
+    "event_type_trend_contract",
     "semantic_dedup_profile",
     # ------------------------------------------------------------------
     # ROUND-7 ROTATION (VERDICT r6 items 1/4/5):

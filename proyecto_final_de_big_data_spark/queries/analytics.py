@@ -1210,3 +1210,53 @@ def q_fuzzy_name_match_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.substring("right_value", 10, 9).cast("long")
         ).alias("sum_ids"),
     )
+
+
+@register(
+    "event_type_trend_contract",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(count(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum(day::DOUBLE) AS sx, sum(y) AS sy,
+               sum(day::DOUBLE * day::DOUBLE) AS sxx,
+               sum(day::DOUBLE * y) AS sxy,
+               sum(y * y) AS syy
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_points,
+           round(CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+                      THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope,
+           round(CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+                      THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n
+                 END, 6) AS intercept,
+           round(CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                      THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                             / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
+    FROM s
+    """,
+    description="Per-key linear trend (operators/trend.py): OLS slope/"
+    "intercept/R^2 of daily event counts vs epoch-day per event type, "
+    "from sufficient statistics in ONE aggregation pass — no window, no "
+    "sort, no per-key iteration; closed-form arithmetic at group "
+    "cardinality (the 1-D normal-equations trick of the ML linear "
+    "gate). Day indices use truncating integral division (Spark div == "
+    "DuckDB //). Degenerate groups yield NULL, not NaN, with ANSI-safe "
+    "guards. The oracle restates the identical formulas.",
+)
+def q_event_type_trend_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import per_key_linear_trend
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return per_key_linear_trend(daily, ["event_type"], "day", "y")

@@ -193,3 +193,35 @@ def test_multipass_blocking_recovers_cross_block_pairs(spark):
     ).collect()
     got = sorted((r["left_value"], r["right_value"]) for r in out)
     assert got == [("ab", "ac"), ("ab", "bb")]
+
+
+# -- per-key linear trend (operators/trend.py) --------------------------
+
+from proyecto_final_de_big_data_spark.operators.trend import (  # noqa: E402
+    per_key_linear_trend,
+)
+
+
+def test_trend_recovers_exact_line(spark):
+    rows = [("a", float(x), 2.0 + 3.0 * x) for x in range(5)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = per_key_linear_trend(df, ["k"], "x", "y").collect()[0]
+    assert out["n_points"] == 5
+    assert math.isclose(out["slope"], 3.0)
+    assert math.isclose(out["intercept"], 2.0)
+    assert math.isclose(out["r2"], 1.0)
+
+
+def test_trend_degenerate_groups_null_not_nan(spark):
+    rows = [
+        ("single", 1.0, 5.0),           # 1 point
+        ("novar", 2.0, 1.0),            # zero x-variance
+        ("novar", 2.0, 9.0),
+        ("flat", 1.0, 4.0),             # zero y-variance: slope 0, r2 NULL
+        ("flat", 2.0, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: r for r in per_key_linear_trend(df, ["k"], "x", "y").collect()}
+    assert got["single"]["slope"] is None and got["single"]["r2"] is None
+    assert got["novar"]["slope"] is None
+    assert got["flat"]["slope"] == 0.0 and got["flat"]["r2"] is None

@@ -64,7 +64,7 @@ def test_window_covers_every_family():
         "embedding_sq_recall",       # SQ8 quantized ANN recall
         "event_funnel_profile",      # strict sequential funnel
         "weekly_retention_cohorts",  # cohort retention triangle
-        "curate_documents_contract",  # composed curation pipeline
+        "event_type_trend_contract", # per-key OLS trend (sufficient stats)
         "chunk_overlap_profile",     # context-window chunking
         "decile_profile_contract",   # equal-frequency binning
         "weighted_sample_profile",   # weight-proportional sampling
