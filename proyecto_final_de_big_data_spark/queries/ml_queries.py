@@ -1,7 +1,17 @@
-"""ML-loop queries (reference entry points 04/05). Rows-only checks:
-training metrics are seed-pinned but parallelism-dependent (SURVEY §7
-risks), so the driver verifies row count + schema, and unit tests
-assert metric ranges.
+"""ML-loop queries (reference entry points 04/05).
+
+Verification stances, strongest applicable per surface:
+- EXACT hash gates where training is deterministic: the closed-form LR
+  twin (`ml_train_linear_contract`) and the save/load/score round trip
+  (`ml_score_contract`) restate coefficients and metrics in DuckDB via
+  the 3x3 normal equations.
+- STRUCTURAL hash gates where training is parallelism-dependent by
+  nature: `ml_tree_ensemble_contract` pins GBT/RF holdout counts,
+  importance layout, finite predictions and learn bands on a synthetic
+  learnable label (exact prediction hashes are impossible — SURVEY §7).
+- Rows-only remains ONLY for the sampling-based twins
+  (`ml_train_metrics`, `ml_score_profile`), whose Bernoulli sample is
+  nondeterministic by design; unit tests range-pin their metrics.
 """
 
 from __future__ import annotations
