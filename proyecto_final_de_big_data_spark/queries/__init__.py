@@ -242,7 +242,13 @@ _VERIFICATION_WINDOW = [
     # sliding_stream_parity + the r5-green tumbling row.
     "stream_cdc_apply_round_trip",
     "tws_histogram_parity",
-    "stream_dedup_counts",
+    # stream_dedup_counts (r5+r6 green, streaming dedup code unchanged;
+    # the streaming family keeps cdc_apply, tws, pii_curation and
+    # session parity in-window) hands its slot to
+    # correlation_matrix_contract — pairwise Pearson correlations from
+    # one sufficient-statistics pass (operators/stats.py), new this
+    # round (standing rule: same-round window slot).
+    "correlation_matrix_contract",
     # stream_static_join_profile (r5 green, unchanged; streaming joins
     # keep stream_stream_join_parity in-window) hands its slot to
     # cm_frequency_rollup_contract — the count-min frequency sketch
@@ -273,11 +279,33 @@ _VERIFICATION_WINDOW = [
     # round; the round-trip family keeps cdc_merge_contract's
     # partitioned write + swap in-window.
     "schema_evolution_contract",
-    "manifest_ingest_contract",
-    "quarter_resolution_contract",
+    # ------------------------------------------------------------------
+    # ROUND-7 LATE ROTATION (standing rule: every query registered this
+    # round gets a same-round slot). Four multi-round-green unchanged
+    # entries hand their slots to the four new analytics gates:
+    #   manifest_ingest_contract (r5+r6 green, io/ingest.py unchanged;
+    #     ingest stays repped by media_binary_ingest,
+    #     schema_evolution_contract and python_datasource_contract)
+    #     -> survival_km_contract (Kaplan-Meier right-censored
+    #     user-lifetime curve, operators/survival.py).
+    #   quarter_resolution_contract (r5+r6 green, utils/dates.py
+    #     unchanged, CLI path pytest-gated) -> item_affinity_contract
+    #     (market-basket support/lift/cosine, operators/basket.py).
+    #   stream_dedup_counts (see streaming block above)
+    #     -> correlation_matrix_contract.
+    #   bucketed_colocated_join (r3+r4+r5+r6 green — the longest-green
+    #     row in the window; join family stays repped by
+    #     fuzzy_name_match_profile's blocked join, pagerank's iterated
+    #     joins, and the r2/r4 relational evidence)
+    #     -> robust_outlier_profile (median/MAD fence,
+    #     operators/robust.py — the robust sibling of the r3/r4-green
+    #     quantile-clip family).
+    # ------------------------------------------------------------------
+    "survival_km_contract",
+    "item_affinity_contract",
     "cdc_merge_contract",
     "media_binary_ingest",
-    "bucketed_colocated_join",
+    "robust_outlier_profile",
 ]
 
 

@@ -1260,3 +1260,229 @@ def q_event_type_trend_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day"),
     ).agg(F.count(F.lit(1)).cast("double").alias("y"))
     return per_key_linear_trend(daily, ["event_type"], "day", "y")
+
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+]
+
+def _corr_oracle() -> str:
+    """One stats CTE per pair + UNION ALL readout, restating the exact
+    raw-moment arithmetic of operators/stats.py:correlation_matrix."""
+    selects = []
+    for cx, cy in _CORR_PAIRS:
+        selects.append(f"""
+        SELECT l_returnflag,
+               '{cx}' AS col_x, '{cy}' AS col_y,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(CASE WHEN count(*) >= 2
+                           AND count(*)::DOUBLE * sum({cx}*{cx}) - sum({cx})*sum({cx}) > 0
+                           AND count(*)::DOUBLE * sum({cy}*{cy}) - sum({cy})*sum({cy}) > 0
+                          THEN (count(*)::DOUBLE * sum({cx}*{cy}) - sum({cx})*sum({cy}))
+                               / sqrt((count(*)::DOUBLE * sum({cx}*{cx}) - sum({cx})*sum({cx}))
+                                      * (count(*)::DOUBLE * sum({cy}*{cy}) - sum({cy})*sum({cy})))
+                     END, 6) AS corr
+        FROM lineitem GROUP BY 1""")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "correlation_matrix_contract",
+    oracle=_corr_oracle(),
+    description="Pairwise Pearson correlation matrix "
+    "(operators/stats.py:correlation_matrix): all 6 pairs of the four "
+    "lineitem numeric measures per l_returnflag group, long-form. ONE "
+    "aggregation pass collects every pair's 6 sufficient statistics "
+    "(map-side partial agg; 36 doubles per group cross the shuffle "
+    "regardless of row count) — never a per-pair df.stat.corr scan — "
+    "and the explode to long form runs on answer-scale rows. Pairwise "
+    "NULL deletion is the operator contract (unit-tested); the fixture "
+    "measures are non-null, so the oracle restates the identical "
+    "raw-moment formula with plain sums, per pair, at 6 decimals.",
+)
+def q_correlation_matrix_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return correlation_matrix(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        by=["l_returnflag"],
+    )
+
+
+@register(
+    "survival_km_contract",
+    oracle="""
+    WITH life AS (
+        SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+    ),
+    mx AS (SELECT max(ts) AS tmax FROM events),
+    subj AS (
+        SELECT CAST(date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS DOUBLE)
+                 AS duration,
+               CASE WHEN l < tmax - INTERVAL 7 DAY THEN 1 ELSE 0 END AS ev
+        FROM life, mx
+    ),
+    per_t AS (
+        SELECT duration, CAST(sum(ev) AS BIGINT) AS n_events,
+               CAST(sum(1 - ev) AS BIGINT) AS n_censored
+        FROM subj GROUP BY 1
+    ),
+    curve AS (
+        SELECT *,
+               CAST(sum(n_events + n_censored) OVER ()
+                 - coalesce(sum(n_events + n_censored)
+                              OVER (ORDER BY duration
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_at_risk
+        FROM per_t
+    ),
+    km AS (
+        SELECT *,
+               max(CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY duration
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS absorbed,
+               sum(CASE WHEN n_events > 0 AND n_events < n_at_risk
+                        THEN ln((n_at_risk - n_events)::DOUBLE
+                                  / n_at_risk::DOUBLE) END)
+                 OVER (ORDER BY duration
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_log
+        FROM curve
+    )
+    SELECT duration, n_at_risk, n_events, n_censored,
+           round(CASE WHEN absorbed = 1 THEN 0.0
+                      ELSE exp(coalesce(cum_log, 0.0)) END, 6) AS survival
+    FROM km
+    """,
+    description="Kaplan-Meier user-lifetime survival curve "
+    "(operators/survival.py:kaplan_meier): per-user observed lifetime "
+    "in calendar days (first to last event), right-censored for users "
+    "still active in the final 7 days of the corpus window — censored "
+    "subjects leave the risk set without an event instead of biasing "
+    "the curve down. ONE subject-keyed aggregation collapses events to "
+    "users, one duration-keyed aggregation collapses users to the "
+    "answer-scale day grid, and every cumulative window (at-risk "
+    "countdown, running product as exp of summed logs, absorbing-zero "
+    "flag for the d==n boundary) runs over THAT grid. The oracle "
+    "replays the identical ln/exp arithmetic at 6 decimals.",
+)
+def q_survival_km_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.survival import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    life = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"), F.max("ts").alias("l")
+    )
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    subj = life.crossJoin(mx).select(
+        F.datediff(F.to_date("l"), F.to_date("f")).alias("duration"),
+        F.when(
+            F.col("l") < F.col("tmax") - F.expr("INTERVAL 7 DAYS"), 1
+        )
+        .otherwise(0)
+        .alias("event"),
+    )
+    return kaplan_meier(subj, "duration", "event")
+
+
+@register(
+    "item_affinity_contract",
+    oracle="""
+    WITH items AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+    sizes AS (SELECT b, count(*) AS s FROM items GROUP BY 1),
+    kept AS (SELECT items.b, i FROM items JOIN sizes USING (b) WHERE s <= 64),
+    nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n_baskets FROM kept),
+    ic AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM kept GROUP BY 1),
+    pairs AS (
+        SELECT l.i AS item_a, r.i AS item_b, CAST(count(*) AS BIGINT) AS n_both
+        FROM kept l JOIN kept r ON l.b = r.b AND l.i < r.i
+        GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_both, a.n_i AS n_a, b2.n_i AS n_b,
+           round(n_both::DOUBLE / n_baskets, 6) AS support,
+           round(n_both::DOUBLE * n_baskets
+                   / (a.n_i::DOUBLE * b2.n_i::DOUBLE), 6) AS lift,
+           round(n_both::DOUBLE / sqrt(a.n_i::DOUBLE * b2.n_i::DOUBLE), 6)
+             AS cosine
+    FROM pairs
+    JOIN ic a ON pairs.item_a = a.i
+    JOIN ic b2 ON pairs.item_b = b2.i, nb
+    """,
+    description="Market-basket affinity (operators/basket.py:"
+    "item_pair_affinity): which event types co-occur in the same "
+    "user's behavior, scored with support / lift / cosine over "
+    "user-baskets. Canonical a<b pairs from a basket-keyed self-join "
+    "of the DISTINCT (user, type) frame — support semantics, each "
+    "basket counts a pair once — with the quadratic-blowup guard "
+    "(max_basket cap, measured in one aggregation) exercised on the "
+    "code path even though type-baskets are tiny. Item counts join "
+    "back keyed by item (broadcast-sized: items, not users, drive that "
+    "dimension); the basket total is the repo's 1-row crossJoin scalar "
+    "pattern. The oracle restates the identical self-join and ratio "
+    "arithmetic at 6 decimals.",
+)
+def q_item_affinity_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.basket import item_pair_affinity
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return item_pair_affinity(
+        ev, basket_col="user_id", item_col="event_type", max_basket=64
+    )
+
+
+@register(
+    "robust_outlier_profile",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY 1
+    ),
+    mad AS (
+        SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS s
+        FROM events e JOIN med USING (event_type) GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(count(e.value) AS BIGINT) AS n,
+           round(any_value(med.m), 6) AS median,
+           round(any_value(mad.s), 6) AS mad,
+           CAST(coalesce(sum(CASE WHEN e.value IS NOT NULL
+                     AND abs(e.value - med.m) > 3.5 * 1.4826 * mad.s
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers,
+           round(CASE WHEN count(e.value) > 0
+                      THEN coalesce(sum(CASE WHEN e.value IS NOT NULL
+                                AND abs(e.value - med.m)
+                                      > 3.5 * 1.4826 * mad.s
+                           THEN 1 ELSE 0 END), 0)::DOUBLE
+                             / count(e.value) END, 6) AS outlier_frac
+    FROM events e
+    JOIN med USING (event_type)
+    JOIN mad USING (event_type)
+    GROUP BY 1
+    """,
+    description="Median/MAD robust outlier profile (operators/"
+    "robust.py:mad_outlier_profile) of event values per type: "
+    "|x - median| > 3.5 * 1.4826 * MAD, the Iglewicz-Hoaglin modified "
+    "z-score fence with a 50% breakdown point — the heavy-tail-safe "
+    "sibling of the mean/stddev clip. Two single-shuffle aggregation "
+    "passes (exact interpolated median, then MAD of residuals) with "
+    "group-cardinality frames broadcast back, one flagging pass; "
+    "exact=False switches both percentiles to the KLL-sketch "
+    "approx_percentile for the 100-TB path (the gate pins the exact "
+    "mode, which DuckDB's quantile_cont restates verbatim).",
+)
+def q_robust_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robust import mad_outlier_profile
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return mad_outlier_profile(ev, "value", by=["event_type"], k=3.5)

@@ -80,7 +80,10 @@ def test_window_covers_every_family():
                                      # sliding twin rotated out r7 after
                                      # r2/r4/r5/r6 green)
         "stream_pii_curation_round_trip",  # streaming text curation + PII
-        "stream_dedup_counts",       # real-stream mode (dedup/join/sink)
+        "stream_cdc_apply_round_trip",  # real-stream mode: the dedup twin
+                                     # (stream_dedup_counts) rotated out
+                                     # r7 after r5/r6 green; sinks stay
+                                     # exercised by the cdc/pii round trips
         "tws_histogram_parity",      # transformWithState (+ fallback)
         "ml_train_linear_contract",  # ML train loop (hash gate)
         "ml_tree_ensemble_contract", # GBT/RF structural gate (M4/M5)
@@ -98,8 +101,16 @@ def test_window_covers_every_family():
         "embedding_kmeans_contract",  # unsupervised clustering
         "semantic_dedup_profile",    # SemDeDup cluster-then-prune
         "lm_quality_by_lang",        # corpus-fit LM scoring
-        "manifest_ingest_contract",  # ingest manifest (S1-S3)
-        "quarter_resolution_contract",    # F10/C3 month resolution
-        "bucketed_colocated_join",   # bucketed storage + skew family
+        # r7 late rotation: manifest_ingest_contract (r5+r6 green) ->
+        # ingest stays repped by python_datasource + media_binary +
+        # schema_evolution; quarter_resolution_contract (r5+r6) is
+        # pytest-gated; bucketed_colocated_join (r3-r6 green) hands the
+        # join family to the blocked/iterated join gates below.
+        "python_datasource_contract",
+        "fuzzy_name_match_profile",
+        "correlation_matrix_contract",  # pairwise sufficient-stats corr
+        "survival_km_contract",      # Kaplan-Meier censored retention
+        "item_affinity_contract",    # market-basket support/lift/cosine
+        "robust_outlier_profile",    # median/MAD outlier fence
     ]:
         assert probe in window, f"family representative {probe} fell out of the window"

@@ -1,0 +1,95 @@
+"""Pairwise correlation matrix (operators/stats.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from proyecto_final_de_big_data_spark.operators.stats import correlation_matrix
+
+
+def _rows(df):
+    return {
+        (r["col_x"], r["col_y"], r.get("g")): (r["n_rows"], r["corr"])
+        for r in (row.asDict() for row in df.collect())
+    }
+
+
+def test_perfect_and_known_correlations(spark):
+    # y = 2x + 1 exactly; z anti-correlates with x perfectly.
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1.0, -float(i)) for i in range(5)],
+        "x double, y double, z double",
+    )
+    out = correlation_matrix(df, ["x", "y", "z"])
+    got = {(r["col_x"], r["col_y"]): (r["n_rows"], r["corr"]) for r in
+           (row.asDict() for row in out.collect())}
+    assert got[("x", "y")] == (5, 1.0)
+    assert got[("x", "z")] == (5, -1.0)
+    assert got[("y", "z")] == (5, -1.0)
+
+
+def test_matches_python_reference(spark):
+    xs = [1.0, 2.0, 4.0, 7.0, 11.0]
+    ys = [3.0, 1.0, 4.0, 1.0, 5.0]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    expected = round(
+        (n * sxy - sx * sy)
+        / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        6,
+    )
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    out = correlation_matrix(df, ["x", "y"]).collect()[0]
+    assert out["corr"] == pytest.approx(expected, abs=1e-9)
+
+
+def test_pairwise_null_deletion(spark):
+    # The (x, y) pair must ignore the row where y is NULL but still use
+    # that row for (x, z) — pairwise deletion, each pair its own n.
+    df = spark.createDataFrame(
+        [
+            (1.0, 2.0, 1.0),
+            (2.0, None, 2.0),
+            (3.0, 6.0, 3.0),
+            (4.0, 8.0, 5.0),
+        ],
+        "x double, y double, z double",
+    )
+    got = {(r["col_x"], r["col_y"]): (r["n_rows"], r["corr"]) for r in
+           (row.asDict() for row in correlation_matrix(df, ["x", "y", "z"]).collect())}
+    assert got[("x", "y")][0] == 3
+    assert got[("x", "y")][1] == 1.0  # remaining rows are exactly linear
+    assert got[("x", "z")][0] == 4
+
+
+def test_degenerate_pairs_are_null_not_nan(spark):
+    # constant column -> zero variance -> NULL; single row -> NULL.
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, c double"
+    )
+    out = correlation_matrix(df, ["x", "c"]).collect()[0]
+    assert out["corr"] is None
+    one = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    assert correlation_matrix(one, ["x", "y"]).collect()[0]["corr"] is None
+
+
+def test_grouped_output_shape(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 2.0, 4.0), ("b", 1.0, 9.0), ("b", 3.0, 1.0)],
+        "g string, x double, y double",
+    )
+    out = correlation_matrix(df, ["x", "y"], by=["g"])
+    assert out.columns == ["g", "col_x", "col_y", "n_rows", "corr"]
+    got = {r["g"]: r["corr"] for r in (row.asDict() for row in out.collect())}
+    assert got["a"] == 1.0 and got["b"] == -1.0
+
+
+def test_requires_two_columns(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        correlation_matrix(df, ["x"])
