@@ -85,3 +85,166 @@ def correlation_matrix(
     return agg.select(
         *by, F.explode(F.array(*structs)).alias("__pair")
     ).select(*by, "__pair.col_x", "__pair.col_y", "__pair.n_rows", "__pair.corr")
+
+
+def categorical_association(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    by: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Chi-square independence test + Cramér's V + mutual information
+    between two categorical columns, optionally per ``by`` group.
+
+    Output: ``(*by, n, levels_a, levels_b, dof, chi2, cramers_v,
+    mutual_info)`` — one row per group. ``mutual_info`` is in nats over
+    the empirical joint; ``cramers_v = sqrt(chi2 / (n * min(ra-1,
+    rb-1)))``. Degenerate groups (a single level on either side) yield
+    NULL statistics, never NaN — ANSI-safe guards throughout.
+
+    Scale shape (100 TB): ONE full-data shuffle (the contingency-cell
+    ``groupBy`` with map-side partial counts); marginals, totals, and
+    every statistic are aggregations/joins over CELL-cardinality frames
+    (≤ |A|·|B| rows per group). The missing-cell chi-square mass is
+    folded in algebraically — ``Σ_missing e = n − Σ_observed e`` because
+    expected counts over the full cross sum to n — so no |A|×|B| cross
+    join is ever materialized. NULL category values are first-class
+    levels? No: rows with a NULL in either column are dropped (the
+    standard contingency convention); count them upstream if needed.
+    """
+    by = by or []
+    a = F.col(col_a)
+    bcol = F.col(col_b)
+    cells = (
+        df.filter(a.isNotNull() & bcol.isNotNull())
+        .groupBy(*by, col_a, col_b)
+        .agg(F.count(F.lit(1)).cast("double").alias("__o"))
+    )
+    row_m = cells.groupBy(*by, col_a).agg(F.sum("__o").alias("__r"))
+    col_m = cells.groupBy(*by, col_b).agg(F.sum("__o").alias("__c"))
+    tot = cells.groupBy(*by).agg(
+        F.sum("__o").alias("__n"),
+        F.count_distinct(a).cast("double").alias("__ra"),
+        F.count_distinct(bcol).cast("double").alias("__rb"),
+    )
+    if by:
+        j = (
+            cells.join(row_m, [*by, col_a])
+            .join(col_m, [*by, col_b])
+            .join(tot, by)
+        )
+    else:
+        j = (
+            cells.join(row_m, [col_a])
+            .join(col_m, [col_b])
+            .crossJoin(F.broadcast(tot))
+        )
+    e = F.col("__r") * F.col("__c") / F.col("__n")
+    o = F.col("__o")
+    n = F.col("__n")
+    # chi2 over the FULL cross = Σ_obs (o-e)²/e + Σ_missing e, and the
+    # missing-cell expected mass is n − Σ_obs e.
+    chi2_obs = F.sum((o - e) * (o - e) / e - e)
+    mi_term = (o / n) * F.log(o * n / (F.col("__r") * F.col("__c")))
+    out = j.groupBy(*by).agg(
+        F.first(n).cast("long").alias("n"),
+        F.first("__ra").cast("long").alias("levels_a"),
+        F.first("__rb").cast("long").alias("levels_b"),
+        ((F.first("__ra") - 1) * (F.first("__rb") - 1))
+        .cast("long")
+        .alias("dof"),
+        (chi2_obs + F.first(n)).alias("__chi2"),
+        F.sum(mi_term).alias("__mi"),
+        F.first(n).alias("__nd"),
+        F.least(F.first("__ra") - 1, F.first("__rb") - 1).alias("__mindim"),
+    )
+    valid = F.col("dof") > 0
+    return out.select(
+        *by,
+        "n",
+        "levels_a",
+        "levels_b",
+        "dof",
+        F.round(F.when(valid, F.col("__chi2")), decimals).alias("chi2"),
+        F.round(
+            F.when(
+                valid,
+                F.sqrt(F.col("__chi2") / (F.col("__nd") * F.col("__mindim"))),
+            ),
+            decimals,
+        ).alias("cramers_v"),
+        F.round(F.when(valid, F.col("__mi")), decimals).alias("mutual_info"),
+    )
+
+
+def autocorrelation(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation function per key: ``(*key_cols, lag,
+    n_pairs, acf)`` for lags 1..``max_lag``.
+
+    The standard estimator r_ℓ = Σ_{t≤n−ℓ}(x_t−x̄)(x_{t+ℓ}−x̄) /
+    Σ(x_t−x̄)² — numerator over the ℓ-shifted pairs, denominator the
+    full-series centered sum of squares, both expanded to raw moments
+    (num = Σx·y − x̄Σx − x̄Σy + n_p·x̄²; den = Σx² − (Σx)²/n) so the
+    whole computation is joins + aggregations with no per-row mean
+    subtraction. NULL acf where the denominator is 0 (constant series)
+    or the lag has no pairs.
+
+    ``t_col`` must be a numeric grid index (day number, hour number —
+    the caller's aggregation grid) so the ℓ-shift is an equi-join on
+    ``t + ℓ``. Scale shape (100 TB): the input is a pre-aggregated
+    series frame; the self-join is keyed on (key, t) — co-partitioned
+    both sides — and fans out ×max_lag via a broadcast lag spine; all
+    statistics are single keyed aggregations with map-side partials.
+    """
+    if not key_cols:
+        raise ValueError("autocorrelation needs at least one key column")
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    spark = series.sparkSession
+    x = F.col(value_col).cast("double")
+    s = series.select(
+        *key_cols, F.col(t_col).cast("long").alias("__t"), x.alias("__x")
+    )
+    stats = s.groupBy(*key_cols).agg(
+        F.count("__x").cast("double").alias("__n"),
+        F.sum("__x").alias("__sx_all"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx_all"),
+    )
+    lags = F.broadcast(
+        spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    )
+    left = s.crossJoin(lags).withColumn("__t2", F.col("__t") + F.col("lag"))
+    right = s.select(
+        *key_cols,
+        F.col("__t").alias("__t2"),
+        F.col("__x").alias("__y"),
+    )
+    pairs = left.join(right, [*key_cols, "__t2"]).groupBy(*key_cols, "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("__np"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+    )
+    out = pairs.join(stats, key_cols)
+    mean = F.col("__sx_all") / F.col("__n")
+    den = F.col("__sxx_all") - F.col("__sx_all") * F.col("__sx_all") / F.col("__n")
+    num = (
+        F.col("__sxy")
+        - mean * F.col("__sx")
+        - mean * F.col("__sy")
+        + F.col("__np") * mean * mean
+    )
+    return out.select(
+        *key_cols,
+        F.col("lag").cast("long").alias("lag"),
+        F.col("__np").cast("long").alias("n_pairs"),
+        F.round(F.when(den > 0, num / den), decimals).alias("acf"),
+    )

@@ -157,7 +157,12 @@ _VERIFICATION_WINDOW = [
     # dedup, cdc merge) hands its slot to event_type_trend_contract —
     # per-key OLS trend from sufficient statistics, new this round.
     "event_type_trend_contract",
-    "semantic_dedup_profile",
+    # semantic_dedup_profile (r5+r6 green, semdedup.py unchanged; the
+    # cluster-then-prune shape stays repped by embedding_kmeans_contract
+    # + embedding_sq_recall + knn_ann_ivf_sq_recall) hands its slot to
+    # bm25_relevance_contract — Okapi BM25 corpus-triage scoring
+    # (operators/bm25.py), new this round (same-round-slot rule).
+    "bm25_relevance_contract",
     # ------------------------------------------------------------------
     # ROUND-7 ROTATION (VERDICT r6 items 1/4/5):
     #   pagerank_contract IN — the ONLY registered query that had zero
@@ -210,7 +215,12 @@ _VERIFICATION_WINDOW = [
     # and tfidf_top_terms (both r5 green, code unchanged) rotate out;
     # the text family keeps lm_quality + repetition + the chunk gate
     # + stream_pii_curation in-window.
-    "lm_quality_by_lang",
+    # lm_quality_by_lang (r5+r6 green, lm_score.py unchanged; text
+    # scoring stays repped by bm25_relevance_contract NEW +
+    # stream_pii_curation_round_trip + chunk_overlap_profile) hands its
+    # slot to categorical_association_contract — chi-square / Cramér's
+    # V / mutual information (operators/stats.py), new this round.
+    "categorical_association_contract",
     # repetition_profile (r5 green, quality.py unchanged; the text
     # family keeps lm_quality + the chunk gate + stream_pii_curation)
     # hands its slot to drift_psi_contract — PSI snapshot-drift
@@ -219,7 +229,12 @@ _VERIFICATION_WINDOW = [
     "chunk_overlap_profile",
     "decile_profile_contract",
     # mixing
-    "source_cap_profile",
+    # source_cap_profile (r5+r6 green, mixing.py unchanged; the mixing
+    # family keeps token_budget_selection_profile in-window) hands its
+    # slot to ewma_anomaly_contract — EWMA smoothing + one-step-ahead
+    # anomaly flags (operators/anomaly.py), new this round; the oracle
+    # replays the identical left fold via DuckDB list_reduce.
+    "ewma_anomaly_contract",
     # temporal / behavioral analytics. interpolated_user_series (r5
     # green, timegrid.py unchanged) hands the temporal slot to
     # time_weighted_avg_profile — the trapezoidal TWA for irregular
@@ -270,7 +285,13 @@ _VERIFICATION_WINDOW = [
     # stay registered + rows-only-pytest-gated behind the window.
     "ml_train_linear_contract",
     "ml_score_contract",
-    "ml_feature_matrix_contract",
+    # ml_feature_matrix_contract (r5+r6 green, ml/pipeline.py
+    # featurization unchanged; M1-M3 stay exercised inside
+    # ml_score_contract's saved-pipeline transform and the GBT/RF
+    # structural gate) hands its slot to autocorrelation_contract —
+    # per-key ACF at lags 1..7 from raw moments (operators/stats.py),
+    # new this round.
+    "autocorrelation_contract",
     "embedding_kmeans_contract",
     # contracts / IO
     # export_round_trip_orc (r5 green, export code unchanged) hands

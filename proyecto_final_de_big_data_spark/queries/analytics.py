@@ -1486,3 +1486,227 @@ def q_robust_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     return mad_outlier_profile(ev, "value", by=["event_type"], k=3.5)
+
+
+@register(
+    "categorical_association_contract",
+    oracle="""
+    WITH base AS (
+        SELECT year(o_orderdate) AS order_year,
+               o_orderstatus AS u, o_orderpriority AS v
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+    ),
+    cells AS (
+        SELECT order_year, u, v, CAST(count(*) AS DOUBLE) AS o
+        FROM base GROUP BY 1, 2, 3
+    ),
+    rm AS (SELECT order_year, u, sum(o) AS r FROM cells GROUP BY 1, 2),
+    cm AS (SELECT order_year, v, sum(o) AS c FROM cells GROUP BY 1, 2),
+    tt AS (
+        SELECT order_year, sum(o) AS n,
+               CAST(count(DISTINCT u) AS DOUBLE) AS ra,
+               CAST(count(DISTINCT v) AS DOUBLE) AS rb
+        FROM cells GROUP BY 1
+    ),
+    j AS (
+        SELECT cells.order_year, o, r, c, n, ra, rb
+        FROM cells
+        JOIN rm USING (order_year, u)
+        JOIN cm USING (order_year, v)
+        JOIN tt USING (order_year)
+    ),
+    agg AS (
+        SELECT order_year,
+               any_value(n) AS n, any_value(ra) AS ra, any_value(rb) AS rb,
+               sum((o - r*c/n) * (o - r*c/n) / (r*c/n) - r*c/n)
+                 + any_value(n) AS chi2_raw,
+               sum((o / n) * ln(o * n / (r * c))) AS mi_raw
+        FROM j GROUP BY 1
+    )
+    SELECT order_year,
+           CAST(n AS BIGINT) AS n,
+           CAST(ra AS BIGINT) AS levels_a,
+           CAST(rb AS BIGINT) AS levels_b,
+           CAST((ra - 1) * (rb - 1) AS BIGINT) AS dof,
+           round(CASE WHEN (ra - 1) * (rb - 1) > 0 THEN chi2_raw END, 6)
+             AS chi2,
+           round(CASE WHEN (ra - 1) * (rb - 1) > 0
+                      THEN sqrt(chi2_raw / (n * least(ra - 1, rb - 1))) END, 6)
+             AS cramers_v,
+           round(CASE WHEN (ra - 1) * (rb - 1) > 0 THEN mi_raw END, 6)
+             AS mutual_info
+    FROM agg
+    """,
+    description="Categorical association (operators/stats.py:"
+    "categorical_association): chi-square independence statistic, "
+    "Cramér's V, and mutual information between order status and "
+    "priority, per order year. ONE full-data shuffle (the contingency-"
+    "cell groupBy with map-side partial counts); marginals, totals and "
+    "all statistics are joins/aggregations over CELL-cardinality "
+    "frames. The missing-cell chi-square mass is folded in "
+    "algebraically (sum_missing e = n - sum_observed e, because "
+    "expected counts over the full cross sum to n) so no |A|x|B| cross "
+    "join is ever materialized. The oracle restates the identical "
+    "raw-count arithmetic at 6 decimals.",
+)
+def q_categorical_association_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.stats import categorical_association
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    return categorical_association(
+        orders, "o_orderstatus", "o_orderpriority", by=["order_year"]
+    )
+
+
+@register(
+    "ewma_anomaly_contract",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type,
+               list(day ORDER BY day) AS ds,
+               list(cnt ORDER BY day) AS vs
+        FROM daily GROUP BY 1
+    ),
+    ew AS (
+        SELECT event_type, ds, vs,
+               list_transform(
+                   generate_series(1, len(vs)),
+                   i -> list_reduce(
+                            vs[1:i],
+                            (s, x) -> CAST(0.3 AS DOUBLE) * x
+                                      + CAST(0.7 AS DOUBLE) * s)
+               ) AS ews
+        FROM arr
+    ),
+    pts AS (
+        SELECT event_type,
+               ds[i] AS day, vs[i] AS cnt, ews[i] AS ewma_raw,
+               CASE WHEN i > 1 THEN vs[i] - ews[i - 1] END AS resid_raw
+        FROM ew, unnest(generate_series(1, len(vs))) AS t(i)
+    ),
+    scale AS (
+        SELECT event_type,
+               CAST(count(resid_raw) AS DOUBLE) AS nr,
+               sum(resid_raw) AS sr,
+               sum(resid_raw * resid_raw) AS srr
+        FROM pts GROUP BY 1
+    ),
+    sig AS (
+        SELECT event_type,
+               CASE WHEN nr >= 2
+                    THEN sqrt((nr * srr - sr * sr) / (nr * nr)) END AS sigma
+        FROM scale
+    )
+    SELECT p.event_type, day, cnt,
+           round(ewma_raw, 6) AS ewma,
+           round(resid_raw, 6) AS resid,
+           CASE WHEN resid_raw IS NOT NULL AND sigma > 0
+                THEN abs(resid_raw) > CAST(2.0 AS DOUBLE) * sigma
+           END AS is_anomaly
+    FROM pts p JOIN sig USING (event_type)
+    """,
+    description="EWMA smoothing + one-step-ahead anomaly flags "
+    "(operators/anomaly.py:ewma_anomaly) over per-type daily event "
+    "counts: s_t = 0.3*x_t + 0.7*s_{t-1} seeded with the first point, "
+    "resid_t = x_t - s_{t-1} (the forecast residual — the current "
+    "point never leaks into its own baseline), flag |resid| > 2*sigma "
+    "of the key's residuals. The inherently sequential recursion runs "
+    "as ONE in-memory array fold per key (the sessionize discipline, "
+    "max_points-guarded), embarrassingly parallel across keys; the "
+    "oracle replays the IDENTICAL left fold with DuckDB list_reduce "
+    "over the same ordered prefix — same IEEE operation order, so "
+    "ewma, resid, sigma and every boolean flag agree bit-for-bit "
+    "before the 6-decimal rounding.",
+)
+def q_ewma_anomaly_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.anomaly import ewma_anomaly
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    return ewma_anomaly(
+        daily, ["event_type"], "day", "cnt", alpha=0.3, k=2.0
+    )
+
+
+@register(
+    "autocorrelation_contract",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(count(cnt) AS DOUBLE) AS n,
+               sum(cnt) AS sx_all,
+               sum(cnt * cnt) AS sxx_all
+        FROM daily GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    pairs AS (
+        SELECT l.event_type AS event_type, lags.lag AS lag,
+               CAST(count(*) AS DOUBLE) AS np,
+               sum(l.cnt * r.cnt) AS sxy,
+               sum(l.cnt) AS sx,
+               sum(r.cnt) AS sy
+        FROM daily l
+        CROSS JOIN lags
+        JOIN daily r
+          ON r.event_type = l.event_type AND r.day = l.day + lags.lag
+        GROUP BY 1, 2
+    )
+    SELECT p.event_type,
+           CAST(lag AS BIGINT) AS lag,
+           CAST(np AS BIGINT) AS n_pairs,
+           round(CASE WHEN sxx_all - sx_all * sx_all / n > 0
+                      THEN (sxy - (sx_all / n) * sx - (sx_all / n) * sy
+                              + np * (sx_all / n) * (sx_all / n))
+                           / (sxx_all - sx_all * sx_all / n)
+                 END, 6) AS acf
+    FROM pairs p JOIN stats USING (event_type)
+    """,
+    description="Sample autocorrelation function (operators/stats.py:"
+    "autocorrelation) of per-type daily event counts at lags 1..7 — "
+    "the seasonality probe (a weekly cycle shows up as an acf peak at "
+    "lag 7). Numerator over the lag-shifted pairs, denominator the "
+    "full-series centered sum of squares, both expanded to raw moments "
+    "so the whole computation is one pre-aggregated self-join (equi-"
+    "join on day+lag via a broadcast lag spine) plus keyed "
+    "aggregations — no window, no per-key iteration. The oracle "
+    "restates the identical raw-moment arithmetic at 6 decimals.",
+)
+def q_autocorrelation_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import autocorrelation
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    return autocorrelation(daily, ["event_type"], "day", "cnt", max_lag=7)

@@ -1874,3 +1874,61 @@ def q_embedding_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5, batch_cosine=True)
     approx = quantized_cosine_topk(emb, queries, k=5)
     return _pair_recall(exact, approx, ["query_id", "neighbor_id"], threshold=0.8)
+
+
+@register(
+    "bm25_relevance_contract",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  w -> len(w) > 0)) AS word
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+    ad AS (SELECT avg(dl) AS avgdl FROM dl),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    qt AS (
+        SELECT doc_id, word FROM tok
+        WHERE word IN ('spark', 'join', 'filter')
+    ),
+    tf AS (
+        SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+        FROM qt GROUP BY 1, 2
+    ),
+    dfq AS (
+        SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM qt GROUP BY 1
+    ),
+    idf AS (
+        SELECT word,
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+        FROM dfq, nd
+    )
+    SELECT tf.doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(sum(idf * (tf * (1.2 + 1.0))
+                     / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+             AS score
+    FROM tf
+    JOIN idf USING (word)
+    JOIN dl USING (doc_id), ad
+    GROUP BY 1
+    """,
+    description="Okapi BM25 relevance scores (operators/bm25.py:"
+    "bm25_scores) of every document against the query {spark, join, "
+    "filter} with Lucene's smoothed idf, tf saturation (k1=1.2) and "
+    "length normalization (b=0.75) — the corpus-triage / weak-labeling "
+    "scorer. Tokens explode once and feed both the document-length "
+    "aggregation and the term statistics; the query-term filter cuts "
+    "tf/df to |terms| keys before any shuffle, per-term idf broadcasts "
+    "onto the tf frame, and corpus size / avgdl ride along as "
+    "broadcast one-row frames. The oracle restates the identical "
+    "tokenization (the operators/quality.py words() contract) and "
+    "score arithmetic at 6 decimals.",
+)
+def q_bm25_relevance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bm25 import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(docs, ["spark", "join", "filter"])

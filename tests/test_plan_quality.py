@@ -519,3 +519,43 @@ def test_fuzzy_join_blocked_not_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "fuzzy_name_match_profile")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_categorical_association_no_cross_join(spark, sf_dir):
+    # Missing-cell chi2 mass is folded in algebraically; the plan must
+    # contain no |A|x|B| cross product and no global window — cells,
+    # marginals and totals are all hash aggregations + equi-joins.
+    plan = _plan(spark, sf_dir, "categorical_association_contract")
+    assert "CartesianProduct" not in plan
+    assert "Window (" not in plan
+
+
+def test_ewma_fold_is_window_free(spark, sf_dir):
+    # The sequential recursion is localized to one array fold per key:
+    # no Window operator (a running-state window would single-partition
+    # under by=[] misuse), no cartesian; residual scale is a keyed agg.
+    plan = _plan(spark, sf_dir, "ewma_anomaly_contract")
+    assert "Window (" not in plan
+    assert "CartesianProduct" not in plan
+    assert "aggregate(" in plan  # the higher-order-function fold
+
+
+def test_acf_self_join_is_equi_keyed(spark, sf_dir):
+    # The lag fan-out is a tiny broadcast spine (BNLJ against 7 rows is
+    # fine); the series self-join itself must be an equi-join on
+    # (event_type, day+lag) — never a cartesian product.
+    plan = _plan(spark, sf_dir, "autocorrelation_contract")
+    assert "CartesianProduct" not in plan
+    assert "Window (" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bm25_term_stats_filtered_before_shuffle(spark, sf_dir):
+    # The query-term IN-filter must sit below the tf/df aggregations
+    # (pushed into the exploded token stream), and per-term idf joins
+    # broadcast — never a shuffle join keyed on the full vocabulary.
+    plan = _plan(spark, sf_dir, "bm25_relevance_contract")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    # the literal IN-list filter on the exploded token column
+    assert "word#" in plan and "IN (" in plan.replace("isnotnull", "")

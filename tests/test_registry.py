@@ -50,6 +50,9 @@ def test_window_covers_every_family():
         "data_quality_contract",     # expectations validator
         "blocklist_filter_profile",  # content blocklist filter
         "token_budget_selection_profile",  # sort-free budget selection
+                                     # (also the mixing family rep: the
+                                     # source-cap twin rotated out r7
+                                     # after r5/r6 green)
         "heavy_hitter_keys",         # two-phase heavy hitters
         "hll_mergeable_rollup_contract",   # mergeable HLL sketches
         "kll_quantile_rollup_contract",    # mergeable KLL quantiles
@@ -60,7 +63,11 @@ def test_window_covers_every_family():
         "priority_unpivot_round_trip",     # unpivot inverse
         "python_datasource_contract",      # Python Data Source API
         "time_weighted_avg_profile", # irregular-series TWA
-        "source_cap_profile",        # per-domain contribution cap
+        "ewma_anomaly_contract",     # series monitoring (took the slot
+                                     # of source_cap_profile, rotated
+                                     # out r7 after r5/r6 green; caps
+                                     # stay repped by the token-budget
+                                     # selection gate)
         "embedding_sq_recall",       # SQ8 quantized ANN recall
         "event_funnel_profile",      # strict sequential funnel
         "weekly_retention_cohorts",  # cohort retention triangle
@@ -68,9 +75,13 @@ def test_window_covers_every_family():
         "chunk_overlap_profile",     # context-window chunking
         "decile_profile_contract",   # equal-frequency binning
         "weighted_sample_profile",   # weight-proportional sampling
-        "semantic_dedup_profile",    # approximate-dedup contracts (the
-                                     # minhash twin rotated out r7 after
-                                     # r4/r5/r6 green)
+        "embedding_sq_recall",       # approximate-dedup/similarity
+                                     # contracts (minhash twin rotated
+                                     # out r7 after r4/r5/r6 green;
+                                     # semantic_dedup_profile rotated
+                                     # out r7 after r5/r6 green —
+                                     # cluster-then-prune stays repped
+                                     # by kmeans + the SQ/IVF recalls)
         "fuzzy_name_match_profile",  # blocked edit-distance ER join
         "stream_cdc_apply_round_trip",  # streaming incremental maintenance
         "knn_ann_ivf_sq_recall",     # similarity search (IVF+SQ8 composed;
@@ -92,15 +103,19 @@ def test_window_covers_every_family():
         "session_path_profile",      # sessionized path analysis
         "ab_test_contract",          # two-proportion z-test readout
         "ml_score_contract",         # batch scoring + model save/load
-        "ml_feature_matrix_contract",     # ML feature hash gate
+                                     # (+ M1-M3 featurization: the
+                                     # feature-matrix hash twin rotated
+                                     # out r7 after r5/r6 green)
         "schema_evolution_contract", # mergeSchema vintage union
         "cdc_merge_contract",        # partition-pruned CDC merge
         "session_stream_parity",     # real-stream session windows
         "media_binary_ingest",       # raw-file multimodal ingestion
         "drift_psi_contract",        # PSI snapshot drift
-        "embedding_kmeans_contract",  # unsupervised clustering
-        "semantic_dedup_profile",    # SemDeDup cluster-then-prune
-        "lm_quality_by_lang",        # corpus-fit LM scoring
+        "embedding_kmeans_contract",  # unsupervised clustering (also
+                                     # the SemDeDup cluster-then-prune
+                                     # family rep since the r7 rotation)
+        "bm25_relevance_contract",   # text scoring (the lm_quality twin
+                                     # rotated out r7 after r5/r6 green)
         # r7 late rotation: manifest_ingest_contract (r5+r6 green) ->
         # ingest stays repped by python_datasource + media_binary +
         # schema_evolution; quarter_resolution_contract (r5+r6) is
@@ -112,5 +127,8 @@ def test_window_covers_every_family():
         "survival_km_contract",      # Kaplan-Meier censored retention
         "item_affinity_contract",    # market-basket support/lift/cosine
         "robust_outlier_profile",    # median/MAD outlier fence
+        "categorical_association_contract",  # chi2 / Cramér's V / MI
+        "ewma_anomaly_contract",     # EWMA + one-step anomaly flags
+        "autocorrelation_contract",  # per-key ACF seasonality probe
     ]:
         assert probe in window, f"family representative {probe} fell out of the window"

@@ -49,6 +49,10 @@ HEADLINERS = {
     "survival_km_contract": "Kaplan-Meier — subject agg to answer-scale duration grid, all windows over the grid",
     "item_affinity_contract": "basket affinity — measured basket-size cap, basket-keyed self-join, item counts broadcast back",
     "robust_outlier_profile": "median/MAD fence — two exact-percentile aggs, group frames broadcast, one flagging pass",
+    "categorical_association_contract": "chi2/V/MI — ONE full-data cell shuffle, cell-cardinality joins, no |A|x|B| cross join",
+    "ewma_anomaly_contract": "EWMA — one array fold per key (sequential recursion localized), explode + one residual-scale agg",
+    "autocorrelation_contract": "ACF — pre-aggregated self-join on day+lag via broadcast lag spine, raw-moment aggs, no window",
+    "bm25_relevance_contract": "BM25 — tokens explode once, term stats filtered to |terms| keys pre-shuffle, idf broadcast join",
 }
 
 
