@@ -1,0 +1,134 @@
+"""K-fold cross-validated linear regression in TWO data passes.
+
+The CV trick that matters at 100 TB: training k fold-models does NOT
+require k passes over the data. One ``groupBy(fold)`` collects each
+fold's sufficient statistics (n, Σx, Σxx, Σxy, ... — 10 doubles per
+fold); the train-side statistics for fold f are then just
+``total − fold_f`` (sums are additive), and each fold's OLS solution
+falls out of Cramer's rule on its 3×3 normal equations at
+k-cardinality — pure arithmetic on an answer-scale frame. A second
+pass joins the k coefficient rows back (broadcast) to score every row
+against ITS OWN fold's held-out model and aggregates RMSE/MAE per
+fold. Two shuffles total, independent of k; the naive loop is k full
+train/score cycles.
+
+Fold assignment must be a DETERMINISTIC row expression (e.g.
+``pmod(key, k)``) — randomSplit is partitioning-dependent and can
+never be hash-verified (see queries/ml_queries.py SURVEY §7 notes).
+
+Cites reference scripts/04_train_sparkml.py:114-151 (the train/eval
+loop this generalizes to k folds); the closed-form restatement mirrors
+queries/ml_queries.py's ``_OLS_CTE``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def kfold_linear_cv(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    fold: Column,
+    k: int,
+    decimals: int = 6,
+) -> DataFrame:
+    """``(fold, n_train, n_test, intercept, b1, b2, rmse, mae)`` — one
+    row per fold; the model for fold f is fit on all OTHER folds and
+    scored on fold f. Two features + intercept (the 3×3 closed form);
+    NULL coefficients/metrics for a singular system (degenerate fold).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    base = df.select(
+        fold.cast("long").alias("fold"),
+        F.col(x1).cast("double").alias("x1"),
+        F.col(x2).cast("double").alias("x2"),
+        F.col(y).cast("double").alias("y"),
+    )
+    per_fold = base.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+    )
+    stats = ["n", "sx1", "sx2", "sx11", "sx12", "sx22", "sy", "sx1y", "sx2y"]
+    totals = per_fold.agg(
+        *[F.sum(s).alias(f"t_{s}") for s in stats]
+    )
+    # Train-side statistics for fold f = totals − fold f's partials.
+    tr = per_fold.crossJoin(F.broadcast(totals)).select(
+        "fold",
+        F.col("n").alias("n_test_d"),
+        *[(F.col(f"t_{s}") - F.col(s)).alias(s) for s in stats],
+    )
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    sx11, sx12, sx22 = F.col("sx11"), F.col("sx12"), F.col("sx22")
+    sy, sx1y, sx2y = F.col("sy"), F.col("sx1y"), F.col("sx2y")
+    # Cramer's rule — written EXACTLY like queries/ml_queries.py's
+    # _OLS_CTE so a SQL oracle restates it term for term.
+    det = (
+        n * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx12 - sx11 * sx2)
+    )
+    det_a = (
+        sy * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1y * sx22 - sx12 * sx2y)
+        + sx2 * (sx1y * sx12 - sx11 * sx2y)
+    )
+    det_b1 = (
+        n * (sx1y * sx22 - sx2y * sx12)
+        - sy * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    )
+    det_b2 = (
+        n * (sx11 * sx2y - sx12 * sx1y)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx12 - sx11 * sx2)
+    )
+    ok = det != 0
+    coefs = tr.select(
+        "fold",
+        n.cast("long").alias("n_train"),
+        F.col("n_test_d").cast("long").alias("n_test"),
+        F.when(ok, det_a / det).alias("intercept"),
+        F.when(ok, det_b1 / det).alias("b1"),
+        F.when(ok, det_b2 / det).alias("b2"),
+    )
+    scored = base.join(F.broadcast(coefs), "fold").withColumn(
+        "__resid",
+        F.col("y")
+        - (
+            F.col("intercept")
+            + F.col("b1") * F.col("x1")
+            + F.col("b2") * F.col("x2")
+        ),
+    )
+    out = scored.groupBy("fold").agg(
+        F.first("n_train").alias("n_train"),
+        F.first("n_test").alias("n_test"),
+        F.first("intercept").alias("__i"),
+        F.first("b1").alias("__b1"),
+        F.first("b2").alias("__b2"),
+        F.sqrt(F.avg(F.col("__resid") * F.col("__resid"))).alias("__rmse"),
+        F.avg(F.abs("__resid")).alias("__mae"),
+    )
+    return out.select(
+        "fold",
+        "n_train",
+        "n_test",
+        F.round("__i", decimals).alias("intercept"),
+        F.round("__b1", decimals).alias("b1"),
+        F.round("__b2", decimals).alias("b2"),
+        F.round("__rmse", decimals).alias("rmse"),
+        F.round("__mae", decimals).alias("mae"),
+    )

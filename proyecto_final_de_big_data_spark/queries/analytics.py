@@ -1710,3 +1710,82 @@ def q_autocorrelation_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     )
     return autocorrelation(daily, ["event_type"], "day", "cnt", max_lag=7)
+
+
+@register(
+    "attribution_contract",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id AS u, ts, event_type AS channel, event_id AS eid,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+        FROM events
+        WHERE event_type IN ('purchase', 'click', 'view')
+    ),
+    g AS (
+        SELECT *,
+               sum(is_conv) OVER (PARTITION BY u
+                                  ORDER BY ts, is_conv, eid
+                                  ROWS BETWEEN CURRENT ROW
+                                           AND UNBOUNDED FOLLOWING) AS grp
+        FROM ev
+    ),
+    touches AS (SELECT * FROM g WHERE grp > 0 AND is_conv = 0),
+    ranked AS (
+        SELECT u, grp, channel,
+               row_number() OVER (PARTITION BY u, grp
+                                  ORDER BY ts, eid) AS rn_a,
+               row_number() OVER (PARTITION BY u, grp
+                                  ORDER BY ts DESC, eid DESC) AS rn_d,
+               CAST(count(*) OVER (PARTITION BY u, grp) AS DOUBLE) AS n_t
+        FROM touches
+    ),
+    firsts AS (
+        SELECT channel, CAST(count(*) AS BIGINT) AS first_touch
+        FROM ranked WHERE rn_a = 1 GROUP BY 1
+    ),
+    lasts AS (
+        SELECT channel, CAST(count(*) AS BIGINT) AS last_touch
+        FROM ranked WHERE rn_d = 1 GROUP BY 1
+    ),
+    lin AS (
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+               sum(1.0 / n_t) AS l
+        FROM ranked GROUP BY 1
+    )
+    SELECT lin.channel, n_touches,
+           coalesce(first_touch, 0) AS first_touch,
+           coalesce(last_touch, 0) AS last_touch,
+           round(l, 6) AS linear_credit
+    FROM lin
+    LEFT JOIN firsts USING (channel)
+    LEFT JOIN lasts USING (channel)
+    """,
+    description="Multi-touch conversion attribution (operators/"
+    "attribution.py:conversion_attribution): click/view touches earn "
+    "first-touch, last-touch and linear (1/n) credit for the purchase "
+    "that follows them in the same user's stream. Group formation is "
+    "ONE user-keyed window (a reverse cumulative conversion count "
+    "assigns every touch to its NEXT conversion — no range join, no "
+    "per-conversion scan); credit allocation then runs at "
+    "(user, conversion) cardinality and rolls up to a few doubles per "
+    "channel. Same-ts touches attach to the conversion (touches order "
+    "before conversions at equal ts); in-group ties break on (ts, "
+    "event_id). The oracle restates the identical window/rollup "
+    "algebra; min_by/max_by become rank-1 rows under the same "
+    "composite ordering.",
+)
+def q_attribution_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.attribution import conversion_attribution
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return conversion_attribution(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+    )

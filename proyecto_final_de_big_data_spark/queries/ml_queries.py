@@ -492,3 +492,97 @@ def q_text_quality_classifier_contract(spark: SparkSession, sf_dir: str) -> Data
         (F.col("n_bad_prob") == 0).cast("int").alias("probs_ok"),
         (F.col("acc") >= 0.9).cast("int").alias("acc_ok"),
     )
+
+
+@register(
+    "ml_cv_contract",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey % 4 AS fold,
+               l_quantity AS x1, l_discount AS x2, l_extendedprice AS y
+        FROM lineitem
+    ),
+    per_fold AS (
+        SELECT fold, CAST(count(*) AS DOUBLE) AS n,
+               sum(x1) AS sx1, sum(x2) AS sx2,
+               sum(x1*x1) AS sx11, sum(x1*x2) AS sx12, sum(x2*x2) AS sx22,
+               sum(y) AS sy, sum(x1*y) AS sx1y, sum(x2*y) AS sx2y
+        FROM base GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(n) AS t_n, sum(sx1) AS t_sx1, sum(sx2) AS t_sx2,
+               sum(sx11) AS t_sx11, sum(sx12) AS t_sx12,
+               sum(sx22) AS t_sx22, sum(sy) AS t_sy,
+               sum(sx1y) AS t_sx1y, sum(sx2y) AS t_sx2y
+        FROM per_fold
+    ),
+    tr AS (
+        SELECT fold, per_fold.n AS n_test_d,
+               t_n - per_fold.n AS n, t_sx1 - sx1 AS sx1,
+               t_sx2 - sx2 AS sx2, t_sx11 - sx11 AS sx11,
+               t_sx12 - sx12 AS sx12, t_sx22 - sx22 AS sx22,
+               t_sy - sy AS sy, t_sx1y - sx1y AS sx1y,
+               t_sx2y - sx2y AS sx2y
+        FROM per_fold, tot
+    ),
+    solved AS (
+        SELECT fold, n_test_d, n AS n_train_d,
+               CASE WHEN det != 0 THEN det_a / det END AS intercept,
+               CASE WHEN det != 0 THEN det_b1 / det END AS b1,
+               CASE WHEN det != 0 THEN det_b2 / det END AS b2
+        FROM (
+            SELECT fold, n_test_d, n,
+                   (n*(sx11*sx22 - sx12*sx12) - sx1*(sx1*sx22 - sx12*sx2)
+                      + sx2*(sx1*sx12 - sx11*sx2)) AS det,
+                   (sy*(sx11*sx22 - sx12*sx12) - sx1*(sx1y*sx22 - sx12*sx2y)
+                      + sx2*(sx1y*sx12 - sx11*sx2y)) AS det_a,
+                   (n*(sx1y*sx22 - sx2y*sx12) - sy*(sx1*sx22 - sx12*sx2)
+                      + sx2*(sx1*sx2y - sx1y*sx2)) AS det_b1,
+                   (n*(sx11*sx2y - sx12*sx1y) - sx1*(sx1*sx2y - sx1y*sx2)
+                      + sy*(sx1*sx12 - sx11*sx2)) AS det_b2
+            FROM tr
+        )
+    ),
+    scored AS (
+        SELECT b.fold, s.n_train_d, s.n_test_d, s.intercept, s.b1, s.b2,
+               y - (s.intercept + s.b1*b.x1 + s.b2*b.x2) AS resid
+        FROM base b JOIN solved s USING (fold)
+    )
+    SELECT fold,
+           CAST(any_value(n_train_d) AS BIGINT) AS n_train,
+           CAST(any_value(n_test_d) AS BIGINT) AS n_test,
+           round(any_value(intercept), 2) AS intercept,
+           round(any_value(b1), 2) AS b1,
+           round(any_value(b2), 2) AS b2,
+           round(sqrt(avg(resid*resid)), 2) AS rmse,
+           round(avg(abs(resid)), 2) AS mae
+    FROM scored GROUP BY 1
+    """,
+    description="K-fold cross-validated OLS (operators/crossval.py:"
+    "kfold_linear_cv; generalizes reference scripts/"
+    "04_train_sparkml.py:114-151's single train/eval split to k=4): "
+    "the 100-TB CV trick — ONE groupBy(fold) collects every fold's "
+    "sufficient statistics, train-side stats for fold f are just "
+    "total - fold_f (sums are additive), and all four fold models "
+    "solve closed-form (Cramer's 3x3, term-for-term the "
+    "ml_train_linear_contract arithmetic) at k-cardinality; a second "
+    "pass broadcasts the k coefficient rows back and aggregates "
+    "held-out RMSE/MAE per fold. Two shuffles total regardless of k "
+    "(the naive loop is k full train/score cycles). Deterministic "
+    "modulo folds on l_orderkey; coefficients/metrics at 2 decimals "
+    "(the proven ml_train_linear rounding — determinant cancellation "
+    "amplifies summation-order noise).",
+)
+def q_ml_cv_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.crossval import kfold_linear_cv
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kfold_linear_cv(
+        li,
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+        F.col("l_orderkey") % 4,
+        k=4,
+        decimals=2,
+    )

@@ -1,0 +1,81 @@
+"""K-fold linear CV in two passes (operators/crossval.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from proyecto_final_de_big_data_spark.operators.crossval import kfold_linear_cv
+
+
+def _fit_ref(rows):
+    X = np.array([[1.0, r[1], r[2]] for r in rows])
+    yv = np.array([r[3] for r in rows])
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    return beta
+
+
+def test_matches_numpy_per_fold(spark):
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), float(x1), float(x2), float(3.0 + 2.0 * x1 - 1.5 * x2 + e))
+        for i, (x1, x2, e) in enumerate(
+            zip(rng.rand(80) * 10, rng.rand(80) * 5, rng.randn(80))
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+    out = {
+        r["fold"]: r
+        for r in (
+            row.asDict()
+            for row in kfold_linear_cv(
+                df, "x1", "x2", "y", F.col("id") % 4, k=4
+            ).collect()
+        )
+    }
+    assert set(out) == {0, 1, 2, 3}
+    for f in range(4):
+        train = [r for r in rows if r[0] % 4 != f]
+        test = [r for r in rows if r[0] % 4 == f]
+        beta = _fit_ref(train)
+        assert out[f]["n_train"] == len(train)
+        assert out[f]["n_test"] == len(test)
+        assert out[f]["intercept"] == pytest.approx(beta[0], abs=1e-4)
+        assert out[f]["b1"] == pytest.approx(beta[1], abs=1e-4)
+        assert out[f]["b2"] == pytest.approx(beta[2], abs=1e-4)
+        preds = [beta[0] + beta[1] * r[1] + beta[2] * r[2] for r in test]
+        resid = [r[3] - p for r, p in zip(test, preds)]
+        rmse = float(np.sqrt(np.mean(np.square(resid))))
+        mae = float(np.mean(np.abs(resid)))
+        assert out[f]["rmse"] == pytest.approx(rmse, abs=1e-4)
+        assert out[f]["mae"] == pytest.approx(mae, abs=1e-4)
+
+
+def test_near_perfect_fit_has_tiny_error(spark):
+    rows = [
+        (i, float(i % 11), float(i % 7), 1.0 + 2.0 * (i % 11) + 3.0 * (i % 7))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+    out = kfold_linear_cv(df, "x1", "x2", "y", F.col("id") % 3, k=3).collect()
+    for r in out:
+        assert r["rmse"] == pytest.approx(0.0, abs=1e-5)
+        assert r["b1"] == pytest.approx(2.0, abs=1e-5)
+        assert r["b2"] == pytest.approx(3.0, abs=1e-5)
+
+
+def test_singular_system_yields_null(spark):
+    # x1 constant on every training side -> singular normal equations.
+    rows = [(i, 1.0, 1.0, float(i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+    out = kfold_linear_cv(df, "x1", "x2", "y", F.col("id") % 3, k=3).collect()
+    for r in out:
+        assert r["intercept"] is None and r["b1"] is None and r["b2"] is None
+        assert r["rmse"] is None and r["mae"] is None
+
+
+def test_validates_k(spark):
+    df = spark.createDataFrame([(1, 1.0, 1.0, 1.0)], "id long, x1 double, x2 double, y double")
+    with pytest.raises(ValueError):
+        kfold_linear_cv(df, "x1", "x2", "y", F.col("id") % 2, k=1)

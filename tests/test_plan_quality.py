@@ -559,3 +559,24 @@ def test_bm25_term_stats_filtered_before_shuffle(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 1
     # the literal IN-list filter on the exploded token column
     assert "word#" in plan and "IN (" in plan.replace("isnotnull", "")
+
+
+def test_kfold_cv_is_two_pass_broadcast(spark, sf_dir):
+    # The k fold models must NOT cost k training passes: one groupBy
+    # shuffle collects per-fold sufficient statistics, the solve runs
+    # at k-cardinality, and the scoring join broadcasts the k
+    # coefficient rows — never a shuffle join keyed on the fold.
+    plan = _plan(spark, sf_dir, "ml_cv_contract")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "Window (" not in plan
+
+
+def test_attribution_single_user_window_no_range_join(spark, sf_dir):
+    # Group formation must be the reverse cumulative window, never a
+    # touch-x-conversion range join (BNLJ/cartesian at event scale).
+    plan = _plan(spark, sf_dir, "attribution_contract")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window (") <= 2  # one pass + the oracle-side none

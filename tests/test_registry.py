@@ -87,10 +87,17 @@ def test_window_covers_every_family():
         "knn_ann_ivf_sq_recall",     # similarity search (IVF+SQ8 composed;
                                      # float-IVF twin rotated out r7 after
                                      # r4/r5/r6 green)
-        "session_stream_parity",     # streaming windows (session; the
-                                     # sliding twin rotated out r7 after
-                                     # r2/r4/r5/r6 green)
-        "stream_pii_curation_round_trip",  # streaming text curation + PII
+        "tws_histogram_parity",      # streaming stateful windows (the
+                                     # session-parity twin rotated out
+                                     # r7 after r2/r4/r5/r6-family green
+                                     # + the idle re-measurement; cdc/
+                                     # pii round trips keep real-stream
+                                     # mode in-window)
+        "stream_cdc_apply_round_trip",  # streaming text/CDC round trips
+                                     # (the pii-curation twin rotated
+                                     # out r7 after r5/r6 green; batch
+                                     # PII stays gated via
+                                     # curate_documents_contract)
         "stream_cdc_apply_round_trip",  # real-stream mode: the dedup twin
                                      # (stream_dedup_counts) rotated out
                                      # r7 after r5/r6 green; sinks stay
@@ -108,7 +115,9 @@ def test_window_covers_every_family():
                                      # out r7 after r5/r6 green)
         "schema_evolution_contract", # mergeSchema vintage union
         "cdc_merge_contract",        # partition-pruned CDC merge
-        "session_stream_parity",     # real-stream session windows
+        "ml_cv_contract",            # k-fold CV in two passes (took the
+                                     # rotated session-parity slot)
+        "attribution_contract",      # multi-touch conversion credit
         "media_binary_ingest",       # raw-file multimodal ingestion
         "drift_psi_contract",        # PSI snapshot drift
         "embedding_kmeans_contract",  # unsupervised clustering (also
