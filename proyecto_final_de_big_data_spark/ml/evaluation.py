@@ -1,0 +1,226 @@
+"""Binary-classifier evaluation at corpus scale — the offline metrics
+the reference's training loop (scripts/04_train_sparkml.py:114-129)
+stops short of: ROC AUC, thresholded confusion/PRF reports, and a
+score-decile lift table for ranking quality.
+
+Why bucketed AUC and not the rank-sum formula: the Mann-Whitney
+statistic needs a GLOBAL rank over every scored row — a full sort of
+the corpus. The ROC curve itself only needs the score axis quantized:
+group scores into ``n_buckets`` fixed-width cells (ONE map-side-combined
+shuffle at bucket cardinality), then walk the ≤n_buckets ROC points on
+a single answer-scale partition. At 1024 buckets the trapezoidal AUC
+is exact for any classifier whose decisions are constant within a
+cell, and within 1/n_buckets of the exact rank AUC otherwise — the
+standard distributed-AUC trade (Spark's own
+BinaryClassificationMetrics downsamples the curve the same way).
+
+Scale shape (100 TB): every operator here is one data-scale
+aggregation (conditional sums / bucket counts, all map-side partial)
+followed by answer-scale algebra; nothing sorts, windows, or collects
+at row cardinality. The only window runs over ≤n_buckets (or
+``n_bins``) rows.
+
+Determinism: bucket assignment is pure IEEE arithmetic (no
+transcendentals), so a DuckDB oracle replays it bit-for-bit; curve
+sums are rounded at the gate's decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket(score: Column, lo: float, hi: float, n_buckets: int) -> Column:
+    """Fixed-width score cell in [0, n_buckets-1]; out-of-range scores
+    clamp into the edge cells (they are still maximal/minimal scores)."""
+    raw = F.floor((score - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_buckets))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)).cast("long")
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: Column | str,
+    label_col: Column | str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 1024,
+    decimals: int = 6,
+) -> DataFrame:
+    """One row ``(n, n_pos, n_neg, auc)`` — trapezoidal tie-corrected
+    AUC over the bucketed ROC curve (ties within a cell contribute the
+    half-credit rectangle, exactly the rank-AUC convention).
+
+    ``score_col`` must already be a double in roughly [lo, hi];
+    ``label_col`` is any boolean-castable column.
+    """
+    s = (F.col(score_col) if isinstance(score_col, str) else score_col).cast(
+        "double"
+    )
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast(
+        "boolean"
+    )
+    cells = (
+        df.select(_bucket(s, lo, hi, n_buckets).alias("b"), y.alias("y"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("y").cast("long")).alias("tp"),
+            F.sum((~F.col("y")).cast("long")).alias("fp"),
+        )
+    )
+    # Descending score order; cum_tp is an exact long prefix sum over
+    # <=n_buckets rows (single-partition window is answer-scale here).
+    w = Window.orderBy(F.col("b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = cells.withColumn("cum_tp", F.sum("tp").over(w))
+    return curve.agg(
+        (F.sum("tp") + F.sum("fp")).alias("n"),
+        F.sum("tp").alias("n_pos"),
+        F.sum("fp").alias("n_neg"),
+        F.round(
+            F.when(
+                (F.sum("tp") > 0) & (F.sum("fp") > 0),
+                F.sum(
+                    F.col("fp").cast("double")
+                    * (F.col("cum_tp") - F.col("tp") / F.lit(2.0))
+                )
+                / (
+                    F.sum("tp").cast("double") * F.sum("fp").cast("double")
+                ),
+            ),
+            decimals,
+        ).alias("auc"),
+    )
+
+
+def classification_report(
+    df: DataFrame,
+    score_col: Column | str,
+    label_col: Column | str,
+    thresholds: list[float],
+    decimals: int = 6,
+) -> DataFrame:
+    """One row per threshold: ``(threshold, tp, fp, tn, fn, accuracy,
+    precision, recall, f1)`` — ALL thresholds from ONE conditional-sum
+    aggregation pass (k thresholds cost k extra sum columns, never k
+    scans), reshaped to rows with ``inline`` at answer scale.
+
+    Degenerate denominators (no predicted / no actual positives) yield
+    NULL metrics rather than a fake 0.0.
+    """
+    if not thresholds:
+        raise ValueError("classification_report needs >=1 threshold")
+    s = (F.col(score_col) if isinstance(score_col, str) else score_col).cast(
+        "double"
+    )
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast(
+        "boolean"
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y.cast("long")).alias("p"),
+    ]
+    for i, t in enumerate(thresholds):
+        pred = s >= F.lit(float(t))
+        aggs.append(F.sum((pred & y).cast("long")).alias(f"tp_{i}"))
+        aggs.append(F.sum((pred & ~y).cast("long")).alias(f"fp_{i}"))
+    wide = df.agg(*aggs)
+    rows = F.inline(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(t)).alias("threshold"),
+                    F.col(f"tp_{i}").alias("tp"),
+                    F.col(f"fp_{i}").alias("fp"),
+                )
+                for i, t in enumerate(thresholds)
+            ]
+        )
+    )
+    base = wide.select("n", "p", rows)
+    tp, fp = F.col("tp"), F.col("fp")
+    fn = F.col("p") - tp
+    tn = F.col("n") - F.col("p") - fp
+    prec = F.when(tp + fp > 0, tp / (tp + fp).cast("double"))
+    rec = F.when(F.col("p") > 0, tp / F.col("p").cast("double"))
+    return base.select(
+        "threshold",
+        tp.alias("tp"),
+        fp.alias("fp"),
+        tn.alias("tn"),
+        fn.alias("fn"),
+        F.round((tp + tn) / F.col("n").cast("double"), decimals).alias(
+            "accuracy"
+        ),
+        F.round(prec, decimals).alias("precision"),
+        F.round(rec, decimals).alias("recall"),
+        F.round(
+            F.when(
+                prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+                2 * prec * rec / (prec + rec),
+            ),
+            decimals,
+        ).alias("f1"),
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column | str,
+    n_bins: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Score-decile lift/gains table: ``(bin, n, n_pos, pos_rate, lift,
+    cum_capture)`` with bin ``n_bins-1`` = highest scores; ``lift`` is
+    the bin's positive rate over the base rate and ``cum_capture`` the
+    fraction of all positives captured from the top bin down — the
+    ranking-quality numbers every targeting dashboard plots.
+
+    Bins come from :func:`..operators.binning.equal_frequency_bins`
+    (exact interpolated percentile bounds + map-only assignment — no
+    ntile global sort), so the whole table is two aggregations.
+    """
+    from ..operators.binning import equal_frequency_bins
+
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast(
+        "boolean"
+    )
+    binned, _bounds = equal_frequency_bins(
+        df.withColumn("__y", y), score_col, n_bins=n_bins, exact=True
+    )
+    per_bin = binned.groupBy(F.col("bin").cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__y").cast("long")).alias("n_pos"),
+    )
+    # Answer-scale: n_bins rows from here on. Totals as unpartitioned
+    # window aggregates — a totals cross-join would re-plan per_bin's
+    # lineage and scan the scored corpus twice.
+    w_all = Window.partitionBy()
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rate = F.col("n_pos") / F.col("n").cast("double")
+    base_rate = F.col("__tp") / F.col("__tn").cast("double")
+    return (
+        per_bin.withColumn("__tn", F.sum("n").over(w_all))
+        .withColumn("__tp", F.sum("n_pos").over(w_all))
+        .withColumn("cum_pos", F.sum("n_pos").over(w))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(rate, decimals).alias("pos_rate"),
+            F.round(
+                F.when(F.col("__tp") > 0, rate / base_rate), decimals
+            ).alias("lift"),
+            F.round(
+                F.when(
+                    F.col("__tp") > 0,
+                    F.col("cum_pos") / F.col("__tp").cast("double"),
+                ),
+                decimals,
+            ).alias("cum_capture"),
+        )
+    )

@@ -248,3 +248,86 @@ def autocorrelation(
         F.col("__np").cast("long").alias("n_pairs"),
         F.round(F.when(den > 0, num / den), decimals).alias("acf"),
     )
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    num_col,
+    den_col,
+    stratum,
+    decimals: int = 6,
+) -> DataFrame:
+    """Delete-one-stratum jackknife for a ratio metric — the standard
+    survey-statistics answer to "what is the uncertainty on
+    sum(num)/sum(den)?" when rows are clustered (a ratio of sums has
+    no per-row variance formula, and bootstrap resampling at corpus
+    scale means re-shuffling 100 TB per replicate).
+
+    One row: ``(theta, se_jack, ci_lo, ci_hi, n_strata)`` where
+    ``theta = Σnum/Σden``, each replicate drops ONE stratum
+    (``r_s = (Σnum − num_s)/(Σden − den_s)`` — train-side stats by
+    subtraction, the :mod:`.crossval` trick), and
+    ``se² = (S−1)/S · Σ_s (r_s − r̄)²`` with a normal-approximation
+    95% CI.
+
+    Scale shape (100 TB): ONE data-scale ``groupBy(stratum)`` with
+    map-side partial sums; the S replicate ratios, their mean, and the
+    variance all run at stratum cardinality (answer-scale) — the S
+    leave-one-out "re-computations" are pure algebra on the per-stratum
+    sufficient statistics, never S passes over the data. Degenerate
+    replicates (a dropped stratum leaving Σden = 0) yield NULL.
+    """
+    num = (F.col(num_col) if isinstance(num_col, str) else num_col).cast(
+        "double"
+    )
+    den = (F.col(den_col) if isinstance(den_col, str) else den_col).cast(
+        "double"
+    )
+    strat = F.col(stratum) if isinstance(stratum, str) else stratum
+    from pyspark.sql import Window
+
+    per = df.groupBy(strat.alias("__s")).agg(
+        F.sum(num).alias("__num"), F.sum(den).alias("__den")
+    )
+    # Totals as unpartitioned window aggregates over the S-row
+    # post-aggregation frame (the with_share_of_total idiom) — NOT a
+    # self-join/cross-join against a totals frame, which would plan a
+    # second scan of the base facts through the shared `per` lineage.
+    w = Window.partitionBy()
+    loo = per.select(
+        F.count(F.lit(1)).over(w).alias("__nstrata"),
+        F.sum("__num").over(w).alias("__tn"),
+        F.sum("__den").over(w).alias("__td"),
+        F.when(
+            F.sum("__den").over(w) - F.col("__den") != 0,
+            (F.sum("__num").over(w) - F.col("__num"))
+            / (F.sum("__den").over(w) - F.col("__den")),
+        ).alias("__r"),
+    )
+    agg = loo.agg(
+        F.first("__nstrata").alias("S"),
+        F.first("__tn").alias("tn"),
+        F.first("__td").alias("td"),
+        F.avg("__r").alias("rbar"),
+        F.sum(F.pow(F.col("__r"), 2)).alias("sum_r2"),
+        F.count("__r").alias("n_ok"),
+    )
+    theta = F.when(F.col("td") != 0, F.col("tn") / F.col("td"))
+    # (S-1)/S * Σ(r_s - r̄)² via the moment form Σr² − S·r̄²; requires
+    # every replicate to be well-defined, else the variance is NULL.
+    var = F.when(
+        (F.col("n_ok") == F.col("S")) & (F.col("S") > 1),
+        (F.col("S") - 1)
+        / F.col("S").cast("double")
+        * (F.col("sum_r2") - F.col("n_ok") * F.col("rbar") * F.col("rbar")),
+    )
+    # Clamp cancellation noise at 0 but PROPAGATE a degenerate-replicate
+    # NULL (Spark's greatest skips NULLs, which would fake an se of 0).
+    se = F.when(var.isNotNull(), F.sqrt(F.greatest(var, F.lit(0.0))))
+    return agg.select(
+        F.round(theta, decimals).alias("theta"),
+        F.round(se, decimals).alias("se_jack"),
+        F.round(theta - F.lit(1.96) * se, decimals).alias("ci_lo"),
+        F.round(theta + F.lit(1.96) * se, decimals).alias("ci_hi"),
+        F.col("S").cast("long").alias("n_strata"),
+    )

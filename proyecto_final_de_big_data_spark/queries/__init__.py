@@ -105,7 +105,12 @@ _VERIFICATION_WINDOW = [
     "theta_cohort_overlap_contract",
     "variant_props_stats",
     "priority_pivot_by_year",
-    "priority_unpivot_round_trip",
+    # priority_unpivot_round_trip (r6 green, relational pivot code
+    # unchanged; the pivot family keeps priority_pivot_by_year
+    # in-window and the unpivot inverse stays pytest-gated) hands its
+    # slot to benford_profile_contract — Benford first-digit screening
+    # (operators/benford.py), new this round (same-round-slot rule).
+    "benford_profile_contract",
     # Fourteen r5-green entries rotate OUT to make room, each leaving
     # its operator family represented in-window and its code unchanged
     # this round (pytest DuckDB parity still runs the full catalog):
@@ -226,7 +231,13 @@ _VERIFICATION_WINDOW = [
     # hands its slot to drift_psi_contract — PSI snapshot-drift
     # detection over reference-fitted decile bounds, new this round.
     "drift_psi_contract",
-    "chunk_overlap_profile",
+    # chunk_overlap_profile (r6 green, chunking.py unchanged; the LLM
+    # family keeps token_budget_selection + blocklist + lm_quality
+    # in-window) hands its slot to ml_lift_table_contract — the
+    # score-quintile lift/gains table (ml/evaluation.py), new this
+    # round, which also re-exercises the equal-frequency binning
+    # machinery decile_profile_contract gates.
+    "ml_lift_table_contract",
     "decile_profile_contract",
     # mixing
     # source_cap_profile (r5+r6 green, mixing.py unchanged; the mixing
@@ -244,7 +255,13 @@ _VERIFICATION_WINDOW = [
     # green; real sinks stay exercised by stream_cdc_apply +
     # stream_pii_curation round trips) and temperature_mix_profile
     # (r5 green; the mixing family keeps source_cap_profile).
-    "time_weighted_avg_profile",
+    # time_weighted_avg_profile (r6 green, rolling.py unchanged; the
+    # temporal family keeps ewma_anomaly + autocorrelation +
+    # event_type_trend in-window) hands its slot to
+    # jackknife_ratio_contract — delete-one-stratum uncertainty for
+    # ratio metrics (operators/stats.py:jackknife_ratio), new this
+    # round (same-round-slot rule).
+    "jackknife_ratio_contract",
     "event_funnel_profile",
     "weekly_retention_cohorts",
     # streaming (real-stream parity + stateful + sinks).
@@ -255,7 +272,13 @@ _VERIFICATION_WINDOW = [
     # exists and the applyInPandasWithState twin here (VERDICT r5 item
     # 7). Tumbling/sliding window semantics stay gated end-to-end by
     # sliding_stream_parity + the r5-green tumbling row.
-    "stream_cdc_apply_round_trip",
+    # stream_cdc_apply_round_trip (r5+r6 green, streaming/cdc.py
+    # unchanged; real-stream mode stays in-window via
+    # tws_histogram_parity and batch CDC via cdc_merge_contract) hands
+    # its slot to ml_auc_contract — bucketed trapezoidal ROC AUC
+    # (ml/evaluation.py:roc_auc), new this round (same-round-slot
+    # rule).
+    "ml_auc_contract",
     "tws_histogram_parity",
     # stream_dedup_counts (r5+r6 green, streaming dedup code unchanged;
     # the streaming family keeps cdc_apply, tws, pii_curation and
@@ -297,7 +320,13 @@ _VERIFICATION_WINDOW = [
     # operators/pii.py unchanged; the text family keeps repetition/
     # boilerplate/tfidf/lm_quality in-window). The GBT/sampled twins
     # stay registered + rows-only-pytest-gated behind the window.
-    "ml_train_linear_contract",
+    # ml_train_linear_contract (r6 green, ml/pipeline.py unchanged;
+    # the closed-form 3x3 solve algebra stays exercised in-window by
+    # ml_cv_contract's four fold models and the save/load surface by
+    # ml_score_contract) hands its slot to
+    # ml_classification_report_contract — one-pass thresholded
+    # confusion/PRF report (ml/evaluation.py), new this round.
+    "ml_classification_report_contract",
     "ml_score_contract",
     # ml_feature_matrix_contract (r5+r6 green, ml/pipeline.py
     # featurization unchanged; M1-M3 stay exercised inside
@@ -313,7 +342,13 @@ _VERIFICATION_WINDOW = [
     # union of two parquet vintages + sentinel backfill, new this
     # round; the round-trip family keeps cdc_merge_contract's
     # partitioned write + swap in-window.
-    "schema_evolution_contract",
+    # schema_evolution_contract (r6 green, planning-time footer-merge
+    # code unchanged; the IO-contract family keeps cdc_merge_contract
+    # + python_datasource_contract + media_binary_ingest in-window)
+    # hands its slot to incremental_agg_contract — mart refresh from
+    # mergeable sufficient-statistic snapshots without rescanning base
+    # facts (operators/incremental.py), new this round.
+    "incremental_agg_contract",
     # ------------------------------------------------------------------
     # ROUND-7 LATE ROTATION (standing rule: every query registered this
     # round gets a same-round slot). Four multi-round-green unchanged

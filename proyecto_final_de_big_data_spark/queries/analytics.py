@@ -1789,3 +1789,119 @@ def q_attribution_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         conversion_type="purchase",
         touch_types=["click", "view"],
     )
+
+
+@register(
+    "jackknife_ratio_contract",
+    oracle="""
+    WITH per AS (
+        SELECT l_suppkey % 16 AS st,
+               sum(CAST(l_extendedprice AS DOUBLE)
+                   * CAST(l_discount AS DOUBLE)) AS num,
+               sum(CAST(l_extendedprice AS DOUBLE)) AS den
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(num) AS tn, sum(den) AS td, count(*) AS ns FROM per
+    ),
+    loo AS (
+        SELECT ns, tn, td,
+               CASE WHEN td - den != 0
+                    THEN (tn - num) / (td - den) END AS r
+        FROM per, tot
+    ),
+    agg AS (
+        SELECT any_value(ns) AS ns, any_value(tn) AS tn, any_value(td) AS td,
+               avg(r) AS rbar, sum(r * r) AS sum_r2, count(r) AS n_ok
+        FROM loo
+    ),
+    solved AS (
+        SELECT ns,
+               CASE WHEN td != 0 THEN tn / td END AS theta,
+               CASE WHEN n_ok = ns AND ns > 1 THEN
+                    (ns - 1) / CAST(ns AS DOUBLE)
+                        * (sum_r2 - n_ok * rbar * rbar) END AS v
+        FROM agg
+    )
+    SELECT round(theta, 6) AS theta,
+           round(CASE WHEN v IS NOT NULL
+                      THEN sqrt(GREATEST(v, 0.0)) END, 6) AS se_jack,
+           round(theta - 1.96 * CASE WHEN v IS NOT NULL
+                      THEN sqrt(GREATEST(v, 0.0)) END, 6) AS ci_lo,
+           round(theta + 1.96 * CASE WHEN v IS NOT NULL
+                      THEN sqrt(GREATEST(v, 0.0)) END, 6) AS ci_hi,
+           CAST(ns AS BIGINT) AS n_strata
+    FROM solved
+    """,
+    description="Delete-one-stratum jackknife for a ratio metric "
+    "(operators/stats.py:jackknife_ratio): the uncertainty on "
+    "sum(price*discount)/sum(price) with 16 supplier strata. ONE "
+    "data-scale groupBy(stratum) with map-side partial sums; every "
+    "leave-one-out replicate is pure subtraction algebra on the "
+    "per-stratum sufficient statistics (the crossval trick), so the S "
+    "'re-computations' never re-touch the data; variance via the "
+    "moment form at stratum cardinality with a normal-approx 95% CI. "
+    "The bootstrap alternative re-shuffles the corpus per replicate.",
+)
+def q_jackknife_ratio_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import jackknife_ratio
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("num"),
+        F.col("l_extendedprice").alias("den"),
+        (F.col("l_suppkey") % 16).alias("stratum"),
+    )
+    return jackknife_ratio(li, "num", "den", "stratum")
+
+
+@register(
+    "benford_profile_contract",
+    oracle="""
+    WITH vals AS (
+        SELECT abs(CAST(l_extendedprice AS DOUBLE)) AS x
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+          AND abs(CAST(l_extendedprice AS DOUBLE)) > 0
+          AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+    ),
+    d AS (
+        SELECT CAST(regexp_extract(
+                   CAST(CAST(x AS DECIMAL(38,18)) AS VARCHAR),
+                   '([1-9])', 1) AS INT) AS digit
+        FROM vals
+    ),
+    counts AS (
+        SELECT digit, count(*) AS n FROM d
+        WHERE digit IS NOT NULL GROUP BY 1
+    ),
+    spine AS (
+        SELECT d AS digit, log10(1.0 + 1.0 / d) AS expected_frac
+        FROM generate_series(1, 9) AS t(d)
+    ),
+    tot AS (SELECT sum(n) AS tot FROM counts)
+    SELECT spine.digit,
+           CAST(coalesce(counts.n, 0) AS BIGINT) AS n,
+           round(coalesce(counts.n, 0) / CAST(tot AS DOUBLE), 6)
+               AS observed_frac,
+           round(expected_frac, 6) AS expected_frac,
+           round(tot * pow(coalesce(counts.n, 0) / CAST(tot AS DOUBLE)
+                           - expected_frac, 2) / expected_frac, 6)
+               AS chi2_part
+    FROM spine LEFT JOIN counts USING (digit), tot
+    ORDER BY digit
+    """,
+    description="Benford first-digit screening (operators/benford.py:"
+    "benford_profile) of line-item prices: the forensic data-quality "
+    "lens — first significant digit taken LEXICALLY (decimal-cast "
+    "string slice, no pow/log10 reconstruction that misassigns "
+    "999.999... at the ULP boundary), one map-side-combined groupBy "
+    "over <=9 keys, expected log10(1+1/d) mass on a 9-row literal "
+    "spine, per-digit chi-square contributions. Synthetic uniform "
+    "prices will FAIL Benford loudly - which is exactly the point of "
+    "the check; the gate pins the arithmetic, not naturalness.",
+)
+def q_benford_profile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.benford import benford_profile
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return benford_profile(spark, li, "l_extendedprice")

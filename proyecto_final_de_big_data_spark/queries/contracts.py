@@ -1019,3 +1019,49 @@ def q_schema_evolution_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "incremental_agg_contract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n,
+           round(sum(CAST(value AS DOUBLE)), 6) AS sum_v,
+           round(sum(CAST(value AS DOUBLE)) / count(value), 6) AS mean_v,
+           round(sqrt(GREATEST(
+               sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE))
+                   / count(value)
+               - pow(sum(CAST(value AS DOUBLE)) / count(value), 2),
+               0.0)), 6) AS std_v,
+           round(min(CAST(value AS DOUBLE)), 6) AS min_v,
+           round(max(CAST(value AS DOUBLE)), 6) AS max_v
+    FROM events
+    GROUP BY 1
+    """,
+    description="Incremental aggregate maintenance (operators/"
+    "incremental.py): the mart-refresh contract — a per-event-type "
+    "statistics snapshot built from facts BEFORE 2024-01-15, merged "
+    "with a delta snapshot of the remaining days via union-and-"
+    "reaggregate at grain cardinality (the 100-TB path: tomorrow's "
+    "refresh reads yesterday's snapshot + the delta, NEVER the base "
+    "facts), must equal the one-shot aggregation over everything. "
+    "Mean/stddev are read-time views over the mergeable sufficient "
+    "statistics (n, sum, sum-of-squares); min/max ride along because "
+    "this merge is insert-only (they are not retraction-safe, and "
+    "merge_snapshots drops them when insert_only=False).",
+)
+def q_incremental_agg_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import (
+        agg_snapshot,
+        merge_snapshots,
+        snapshot_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    snap = agg_snapshot(ev.filter(F.col("ts") < cut), ["event_type"], "value")
+    delta = agg_snapshot(
+        ev.filter(F.col("ts") >= cut), ["event_type"], "value"
+    )
+    merged = merge_snapshots(snap, delta, ["event_type"], insert_only=True)
+    return snapshot_stats(merged, ["event_type"])

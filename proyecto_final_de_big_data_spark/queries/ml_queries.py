@@ -586,3 +586,162 @@ def q_ml_cv_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=4,
         decimals=2,
     )
+
+
+def _eval_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scored-corpus fixture for the classifier-evaluation
+    gates: a deterministic 'score' (sum of the first two embedding
+    components — pure IEEE arithmetic, no transcendentals, so DuckDB
+    restates it bit-for-bit) and a binary label (odd class id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        (
+            F.element_at("embedding", 1).cast("double")
+            + F.element_at("embedding", 2).cast("double")
+        ).alias("s"),
+        (F.col("label") % 2 == 1).alias("y"),
+    )
+
+
+_EVAL_BASE_SQL = """
+        SELECT CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) AS s,
+               (label % 2) = 1 AS y
+        FROM embeddings
+"""
+
+
+@register(
+    "ml_auc_contract",
+    oracle=f"""
+    WITH base AS ({_EVAL_BASE_SQL}),
+    cells AS (
+        SELECT LEAST(GREATEST(CAST(floor((s - (-1.0)) / 2.0 * 512)
+                                   AS BIGINT), 0), 511) AS b,
+               sum(CASE WHEN y THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN y THEN 0 ELSE 1 END) AS fp
+        FROM base GROUP BY 1
+    ),
+    curve AS (
+        SELECT tp, fp,
+               sum(tp) OVER (ORDER BY b DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum_tp
+        FROM cells
+    )
+    SELECT CAST(sum(tp) + sum(fp) AS BIGINT) AS n,
+           CAST(sum(tp) AS BIGINT) AS n_pos,
+           CAST(sum(fp) AS BIGINT) AS n_neg,
+           round(CASE WHEN sum(tp) > 0 AND sum(fp) > 0 THEN
+                 sum(fp * (cum_tp - tp / 2.0))
+                     / (CAST(sum(tp) AS DOUBLE) * CAST(sum(fp) AS DOUBLE))
+                 END, 6) AS auc
+    FROM curve
+    """,
+    description="Bucketed trapezoidal ROC AUC (ml/evaluation.py:"
+    "roc_auc) over a deterministic embedding-derived score: scores "
+    "quantize into 512 fixed-width cells (ONE map-side-combined "
+    "shuffle at bucket cardinality — never the rank-sum global sort), "
+    "the <=512-point ROC walk runs on one answer-scale partition, and "
+    "ties inside a cell earn the half-credit rectangle exactly as the "
+    "rank-AUC convention. The oracle replays the identical bucket "
+    "arithmetic (pure IEEE ops, no transcendentals) and curve algebra.",
+)
+def q_ml_auc_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.evaluation import roc_auc
+
+    return roc_auc(
+        _eval_base(spark, sf_dir), "s", "y", lo=-1.0, hi=1.0, n_buckets=512
+    )
+
+
+@register(
+    "ml_classification_report_contract",
+    oracle=f"""
+    WITH base AS ({_EVAL_BASE_SQL}),
+    t(threshold) AS (VALUES (-0.2), (0.0), (0.2)),
+    agg AS (
+        SELECT t.threshold,
+               count(*) AS n,
+               sum(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+               sum(CASE WHEN s >= t.threshold AND y THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN s >= t.threshold AND NOT y THEN 1 ELSE 0 END) AS fp
+        FROM base, t GROUP BY 1
+    )
+    SELECT CAST(threshold AS DOUBLE) AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(n - p - fp AS BIGINT) AS tn, CAST(p - tp AS BIGINT) AS fn,
+           round((tp + (n - p - fp)) / CAST(n AS DOUBLE), 6) AS accuracy,
+           round(CASE WHEN tp + fp > 0
+                      THEN tp / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+           round(CASE WHEN p > 0 THEN tp / CAST(p AS DOUBLE) END, 6) AS recall,
+           round(CASE WHEN tp + fp > 0 AND p > 0
+                      AND tp / CAST(tp + fp AS DOUBLE)
+                          + tp / CAST(p AS DOUBLE) > 0
+                 THEN 2 * (tp / CAST(tp + fp AS DOUBLE))
+                        * (tp / CAST(p AS DOUBLE))
+                      / (tp / CAST(tp + fp AS DOUBLE)
+                         + tp / CAST(p AS DOUBLE)) END, 6) AS f1
+    FROM agg
+    """,
+    description="Thresholded confusion/PRF report (ml/evaluation.py:"
+    "classification_report): ALL thresholds from ONE conditional-sum "
+    "aggregation pass (k thresholds = k extra sum columns, never k "
+    "scans), reshaped to rows with inline() at answer scale; "
+    "degenerate denominators yield NULL, not a fake 0.0. The oracle "
+    "restates the pass as a threshold-spine cross join over the same "
+    "deterministic score.",
+)
+def q_ml_classification_report_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..ml.evaluation import classification_report
+
+    return classification_report(
+        _eval_base(spark, sf_dir), "s", "y", thresholds=[-0.2, 0.0, 0.2]
+    )
+
+
+@register(
+    "ml_lift_table_contract",
+    oracle=f"""
+    WITH base AS ({_EVAL_BASE_SQL}),
+    b AS (
+        SELECT quantile_cont(s, [0.2, 0.4, 0.6, 0.8]) AS q FROM base
+    ),
+    binned AS (
+        SELECT (CASE WHEN s > q[1] THEN 1 ELSE 0 END
+              + CASE WHEN s > q[2] THEN 1 ELSE 0 END
+              + CASE WHEN s > q[3] THEN 1 ELSE 0 END
+              + CASE WHEN s > q[4] THEN 1 ELSE 0 END) AS bin, y
+        FROM base, b
+    ),
+    per_bin AS (
+        SELECT bin, count(*) AS n,
+               sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos
+        FROM binned GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM per_bin)
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           round(n_pos / CAST(n AS DOUBLE), 6) AS pos_rate,
+           round(CASE WHEN tp > 0 THEN (n_pos / CAST(n AS DOUBLE))
+                          / (tp / CAST(tn AS DOUBLE)) END, 6) AS lift,
+           round(CASE WHEN tp > 0 THEN
+                 sum(n_pos) OVER (ORDER BY bin DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+                     / CAST(tp AS DOUBLE) END, 6) AS cum_capture
+    FROM per_bin, tot
+    """,
+    description="Score-quintile lift/gains table (ml/evaluation.py:"
+    "lift_table): equal-frequency score bins via interpolated quantile "
+    "BOUNDS + map-only assignment (the decile_profile_contract "
+    "machinery — no ntile global sort), per-bin positive rate, lift "
+    "over base rate, and top-down cumulative capture on an answer-"
+    "scale window. The ranking-quality table every targeting "
+    "dashboard plots.",
+)
+def q_ml_lift_table_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.evaluation import lift_table
+
+    return lift_table(_eval_base(spark, sf_dir), "s", "y", n_bins=5)

@@ -1,0 +1,68 @@
+"""Unit tests for operators/incremental.py — snapshot/delta merge
+equals one-shot aggregation, retraction semantics, min/max safety."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from proyecto_final_de_big_data_spark.operators.incremental import (
+    agg_snapshot,
+    merge_snapshots,
+    snapshot_stats,
+)
+
+
+def _facts(spark, rows):
+    return spark.createDataFrame(rows, "k string, v double")
+
+
+def test_merge_equals_one_shot(spark):
+    base = [("a", 1.0), ("a", 3.0), ("b", 10.0)]
+    late = [("a", 5.0), ("b", 20.0), ("c", 7.0)]
+    snap = agg_snapshot(_facts(spark, base), ["k"], "v")
+    delta = agg_snapshot(_facts(spark, late), ["k"], "v")
+    merged = snapshot_stats(
+        merge_snapshots(snap, delta, ["k"]), ["k"]
+    )
+    oneshot = snapshot_stats(
+        agg_snapshot(_facts(spark, base + late), ["k"], "v"), ["k"]
+    )
+    assert sorted(merged.collect()) == sorted(oneshot.collect())
+
+
+def test_retraction_cancels_rows(spark):
+    base = [("a", 1.0), ("a", 3.0), ("b", 10.0)]
+    snap = agg_snapshot(_facts(spark, base), ["k"], "v")
+    undo_b = agg_snapshot(_facts(spark, [("b", 10.0)]), ["k"], "v", weight=-1)
+    merged = merge_snapshots(snap, undo_b, ["k"], insert_only=False)
+    rows = {r["k"]: r for r in merged.collect()}
+    assert set(rows) == {"a"}  # b fully retracted -> key disappears
+    assert rows["a"]["n"] == 2 and rows["a"]["sum_v"] == 4.0
+
+
+def test_retraction_merge_drops_minmax(spark):
+    snap = agg_snapshot(_facts(spark, [("a", 1.0), ("a", 9.0)]), ["k"], "v")
+    undo = agg_snapshot(_facts(spark, [("a", 9.0)]), ["k"], "v", weight=-1)
+    merged = merge_snapshots(snap, undo, ["k"], insert_only=False)
+    # keeping a stale min/max after deletes is the classic bug; they
+    # must be gone from the schema, not silently wrong
+    assert "min_v" not in merged.columns and "max_v" not in merged.columns
+    stats = snapshot_stats(merged, ["k"]).first()
+    assert stats["n"] == 1 and stats["mean_v"] == 1.0 and stats["std_v"] == 0.0
+    assert "min_v" not in snapshot_stats(merged, ["k"]).columns
+
+
+def test_insert_only_merge_keeps_correct_minmax(spark):
+    snap = agg_snapshot(_facts(spark, [("a", 5.0)]), ["k"], "v")
+    delta = agg_snapshot(_facts(spark, [("a", 1.0), ("a", 9.0)]), ["k"], "v")
+    out = snapshot_stats(
+        merge_snapshots(snap, delta, ["k"], insert_only=True), ["k"]
+    ).first()
+    assert out["min_v"] == 1.0 and out["max_v"] == 9.0 and out["n"] == 3
+
+
+def test_null_values_do_not_count(spark):
+    df = spark.createDataFrame([("a", None), ("a", 2.0)], "k string, v double")
+    snap = agg_snapshot(df, ["k"], "v")
+    row = snap.first()
+    assert row["n"] == 1 and row["sum_v"] == 2.0

@@ -580,3 +580,50 @@ def test_attribution_single_user_window_no_range_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Window (") <= 2  # one pass + the oracle-side none
+
+
+def test_roc_auc_never_sorts_the_corpus(spark, sf_dir):
+    # AUC must come from the bucket aggregation (map-side combined),
+    # never the rank-sum global sort of scored rows: the only Sort
+    # allowed is the answer-scale one feeding the <=n_buckets window.
+    plan = _plan(spark, sf_dir, "ml_auc_contract")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window (") == 1
+    assert "HashAggregate" in plan  # partial+final bucket counts
+
+
+def test_classification_report_is_one_pass_no_join(spark, sf_dir):
+    # k thresholds = k conditional sums in ONE aggregation; adding a
+    # threshold must never add a scan or any join.
+    plan = _plan(spark, sf_dir, "ml_classification_report_contract")
+    assert "Join" not in plan and "Window (" not in plan
+    assert plan.count("Scan parquet") <= 2  # one scan; tree + detail
+
+
+def test_lift_table_broadcasts_answer_scale_totals(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ml_lift_table_contract")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_jackknife_is_one_grouping_pass(spark, sf_dir):
+    # The S leave-one-out replicates are algebra on per-stratum sums —
+    # one data-scale groupBy, no window, no shuffle join, no S scans.
+    plan = _plan(spark, sf_dir, "jackknife_ratio_contract")
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+    # ONE scan of the facts (formatted mode prints each scan node
+    # twice: tree + detail section)
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_benford_digit_groupby_with_broadcast_spine(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "benford_profile_contract")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2  # one scan; tree + detail
+
+
+def test_incremental_merge_never_rejoins_base_facts(spark, sf_dir):
+    # union-and-reaggregate at grain cardinality: no join anywhere,
+    # exactly one Union of the two snapshot branches.
+    plan = _plan(spark, sf_dir, "incremental_agg_contract")
+    assert "Join" not in plan
+    assert "Union" in plan

@@ -60,9 +60,15 @@ def test_window_covers_every_family():
         "cm_frequency_rollup_contract",    # count-min frequency sketch
         "variant_props_stats",       # VARIANT semi-structured payloads
         "priority_pivot_by_year",    # pivot (CUBE/ROLLUP twins rotated out)
-        "priority_unpivot_round_trip",     # unpivot inverse
+        "benford_profile_contract",  # Benford first-digit screening
+                                     # (the unpivot inverse rotated out
+                                     # r7 after r6 green; pivot family
+                                     # keeps priority_pivot_by_year)
         "python_datasource_contract",      # Python Data Source API
-        "time_weighted_avg_profile", # irregular-series TWA
+        "jackknife_ratio_contract",  # delete-one-stratum ratio CI
+                                     # (the TWA twin rotated out r7
+                                     # after r6 green; temporal family
+                                     # keeps ewma + acf + trend)
         "ewma_anomaly_contract",     # series monitoring (took the slot
                                      # of source_cap_profile, rotated
                                      # out r7 after r5/r6 green; caps
@@ -72,7 +78,11 @@ def test_window_covers_every_family():
         "event_funnel_profile",      # strict sequential funnel
         "weekly_retention_cohorts",  # cohort retention triangle
         "event_type_trend_contract", # per-key OLS trend (sufficient stats)
-        "chunk_overlap_profile",     # context-window chunking
+        "ml_lift_table_contract",    # score-quintile lift/gains
+                                     # (chunk_overlap_profile rotated
+                                     # out r7 after r6 green; LLM
+                                     # family keeps token-budget +
+                                     # blocklist + bm25 in-window)
         "decile_profile_contract",   # equal-frequency binning
         "weighted_sample_profile",   # weight-proportional sampling
         "embedding_sq_recall",       # approximate-dedup/similarity
@@ -83,7 +93,10 @@ def test_window_covers_every_family():
                                      # cluster-then-prune stays repped
                                      # by kmeans + the SQ/IVF recalls)
         "fuzzy_name_match_profile",  # blocked edit-distance ER join
-        "stream_cdc_apply_round_trip",  # streaming incremental maintenance
+        "incremental_agg_contract",  # incremental mart maintenance
+                                     # (stream_cdc rotated out r7 after
+                                     # r5/r6 green; real-stream mode
+                                     # stays via tws_histogram_parity)
         "knn_ann_ivf_sq_recall",     # similarity search (IVF+SQ8 composed;
                                      # float-IVF twin rotated out r7 after
                                      # r4/r5/r6 green)
@@ -93,17 +106,19 @@ def test_window_covers_every_family():
                                      # + the idle re-measurement; cdc/
                                      # pii round trips keep real-stream
                                      # mode in-window)
-        "stream_cdc_apply_round_trip",  # streaming text/CDC round trips
-                                     # (the pii-curation twin rotated
-                                     # out r7 after r5/r6 green; batch
-                                     # PII stays gated via
-                                     # curate_documents_contract)
-        "stream_cdc_apply_round_trip",  # real-stream mode: the dedup twin
-                                     # (stream_dedup_counts) rotated out
-                                     # r7 after r5/r6 green; sinks stay
-                                     # exercised by the cdc/pii round trips
+        "tws_histogram_parity",      # streaming round trips (the
+                                     # pii-curation + cdc-apply twins
+                                     # rotated out r7 after r5/r6
+                                     # green; batch CDC stays gated via
+                                     # cdc_merge_contract)
+        "tws_histogram_parity",      # real-stream mode + sinks (the
+                                     # dedup/cdc/pii twins rotated out
+                                     # r7 after r5/r6 green)
         "tws_histogram_parity",      # transformWithState (+ fallback)
-        "ml_train_linear_contract",  # ML train loop (hash gate)
+        "ml_cv_contract",            # ML train loop (the closed-form
+                                     # LR hash twin rotated out r7
+                                     # after r6 green; same 3x3 solve
+                                     # algebra x4 folds)
         "ml_tree_ensemble_contract", # GBT/RF structural gate (M4/M5)
         "pagerank_contract",         # Pregel-pattern graph analytics
         "event_transition_matrix",   # Markov next-event transitions
@@ -113,7 +128,12 @@ def test_window_covers_every_family():
                                      # (+ M1-M3 featurization: the
                                      # feature-matrix hash twin rotated
                                      # out r7 after r5/r6 green)
-        "schema_evolution_contract", # mergeSchema vintage union
+        "ml_auc_contract",           # bucketed ROC AUC
+        "ml_classification_report_contract",  # one-pass PRF report
+                                     # (schema_evolution rotated out r7
+                                     # after r6 green; IO contracts
+                                     # keep cdc_merge + pydatasource +
+                                     # media_binary in-window)
         "cdc_merge_contract",        # partition-pruned CDC merge
         "ml_cv_contract",            # k-fold CV in two passes (took the
                                      # rotated session-parity slot)

@@ -93,3 +93,58 @@ def test_requires_two_columns(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError):
         correlation_matrix(df, ["x"])
+
+
+# ---------------------------------------------------------------- jackknife
+
+
+def _jk_frame(spark, rows):
+    return spark.createDataFrame(rows, "num double, den double, s int")
+
+
+def test_jackknife_constant_ratio_zero_se(spark):
+    from proyecto_final_de_big_data_spark.operators.stats import jackknife_ratio
+
+    # num = 0.5*den in every stratum -> every replicate ratio is 0.5
+    rows = [(0.5 * d, float(d), s) for s, d in [(0, 10), (1, 20), (2, 40)]]
+    out = jackknife_ratio(_jk_frame(spark, rows), "num", "den", "s").first()
+    assert out["theta"] == 0.5
+    assert out["se_jack"] == 0.0
+    assert out["ci_lo"] == 0.5 and out["ci_hi"] == 0.5
+    assert out["n_strata"] == 3
+
+
+def test_jackknife_matches_hand_computation(spark):
+    import math
+
+    from proyecto_final_de_big_data_spark.operators.stats import jackknife_ratio
+
+    per = {0: (1.0, 10.0), 1: (4.0, 10.0), 2: (7.0, 10.0)}
+    rows = [(n, d, s) for s, (n, d) in per.items()]
+    out = jackknife_ratio(_jk_frame(spark, rows), "num", "den", "s").first()
+    tn, td = 12.0, 30.0
+    r = [(tn - n) / (td - d) for n, d in per.values()]
+    rbar = sum(r) / 3
+    var = (2 / 3) * sum((x - rbar) ** 2 for x in r)
+    assert out["theta"] == round(tn / td, 6)
+    assert out["se_jack"] == round(math.sqrt(var), 6)
+    assert out["ci_lo"] == round(tn / td - 1.96 * math.sqrt(var), 6)
+
+
+def test_jackknife_degenerate_replicate_null_se(spark):
+    from proyecto_final_de_big_data_spark.operators.stats import jackknife_ratio
+
+    # Dropping stratum 0 leaves a zero denominator -> that replicate is
+    # undefined, so the variance (and CI) must be NULL, never a fake 0.
+    rows = [(1.0, 5.0, 0), (1.0, -5.0, 1), (1.0, 5.0, 2)]
+    out = jackknife_ratio(_jk_frame(spark, rows), "num", "den", "s").first()
+    assert out["se_jack"] is None and out["ci_lo"] is None
+
+
+def test_jackknife_single_stratum_null_se(spark):
+    from proyecto_final_de_big_data_spark.operators.stats import jackknife_ratio
+
+    out = jackknife_ratio(
+        _jk_frame(spark, [(1.0, 2.0, 0)]), "num", "den", "s"
+    ).first()
+    assert out["theta"] == 0.5 and out["se_jack"] is None
