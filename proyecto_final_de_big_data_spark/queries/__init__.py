@@ -98,10 +98,22 @@ _VERIFICATION_WINDOW = [
     "blocklist_filter_profile",
     "data_quality_contract",
     "token_budget_selection_profile",
-    "session_stats_by_dow",
+    # session_stats_by_dow (r6 green, sessionize.py unchanged; the
+    # sessionize family stays in-window via session_path_profile's
+    # identical gap-split machinery) hands its slot to
+    # cusum_changepoint_contract — two-sided CUSUM level-shift
+    # detection (operators/changepoint.py), new this round.
+    "cusum_changepoint_contract",
     "heavy_hitter_keys",
-    "hll_mergeable_rollup_contract",
-    "kll_quantile_rollup_contract",
+    # hll_mergeable_rollup_contract + kll_quantile_rollup_contract
+    # (r6 green, sketches.py unchanged; the mergeable-sketch family
+    # keeps theta_cohort_overlap + cm_frequency_rollup in-window, and
+    # the quantile surface keeps decile_profile + robust_outlier) hand
+    # their slots to the two supervised feature-prep gates, new this
+    # round: woe_iv_contract (scorecard screening) and
+    # target_encoding_contract (leakage-safe LOO mean encoding).
+    "woe_iv_contract",
+    "target_encoding_contract",
     "theta_cohort_overlap_contract",
     "variant_props_stats",
     "priority_pivot_by_year",

@@ -1905,3 +1905,96 @@ def q_benford_profile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     return benford_profile(spark, li, "l_extendedprice")
+
+
+@register(
+    "cusum_changepoint_contract",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type,
+               list(day ORDER BY day) AS ds,
+               list(cnt ORDER BY day) AS vs
+        FROM daily GROUP BY 1
+    ),
+    mom AS (
+        SELECT event_type, ds, vs, len(vs[1:14]) AS n,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs[1:14]),
+                           (s, x) -> s + x) AS sx,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list_transform(vs[1:14],
+                                                       x -> x * x)),
+                           (s, x) -> s + x) AS sxx
+        FROM arr
+    ),
+    sig AS (
+        SELECT event_type, ds, vs, n, sx / n AS mu,
+               sqrt(GREATEST(sxx / n - (sx / n) * (sx / n), 0.0)) AS sigma
+        FROM mom
+    ),
+    zs AS (
+        SELECT event_type, ds, vs,
+               list_transform(vs, x -> CASE WHEN sigma > 0
+                                            THEN (x - mu) / sigma
+                                            ELSE 0.0 END) AS z
+        FROM sig
+    ),
+    cs AS (
+        SELECT event_type, ds, vs,
+               list_transform(
+                   generate_series(1, len(z)),
+                   i -> list_reduce(
+                            list_prepend(
+                                {'pos': CAST(0.0 AS DOUBLE),
+                                 'neg': CAST(0.0 AS DOUBLE)},
+                                list_transform(z[1:i],
+                                               zz -> {'pos': zz, 'neg': zz})),
+                            (a, e) -> {'pos': GREATEST(CAST(0.0 AS DOUBLE),
+                                                       a.pos + e.pos - 0.5),
+                                       'neg': LEAST(CAST(0.0 AS DOUBLE),
+                                                    a.neg + e.neg + 0.5)})
+               ) AS states
+        FROM zs
+    )
+    SELECT event_type, ds[i] AS day, vs[i] AS cnt,
+           round(states[i].pos, 6) AS cusum_pos,
+           round(states[i].neg, 6) AS cusum_neg,
+           (states[i].pos > 3.0 OR states[i].neg < -3.0) AS is_change
+    FROM cs, unnest(generate_series(1, len(vs))) AS t(i)
+    """,
+    description="Two-sided CUSUM change-point detection (operators/"
+    "changepoint.py:cusum_changepoints) over per-type daily event "
+    "counts, k=0.5 slack / h=3 sigma, standardized against a 14-day "
+    "Phase-I baseline window (the SPC reference-period split): pos_t = "
+    "max(0, pos_{t-1} + z_t - k), neg_t = min(0, neg_{t-1} + z_t + k) "
+    "— the level-shift "
+    "complement of the EWMA spike detector (small persistent drifts "
+    "accumulate until the alarm). Series moments come from SEQUENTIAL "
+    "folds over each key's sorted array (never avg/stddev, whose "
+    "partition-order float sums would make every downstream state "
+    "irreproducible); the one-fold-per-key recursion is O(n) and "
+    "embarrassingly parallel across keys. The oracle replays the "
+    "identical folds via DuckDB list_reduce with a prepended zero "
+    "state.",
+)
+def q_cusum_changepoint_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.changepoint import cusum_changepoints
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    return cusum_changepoints(
+        daily, ["event_type"], "day", "cnt", k=0.5, h=3.0,
+        baseline_points=14,
+    )

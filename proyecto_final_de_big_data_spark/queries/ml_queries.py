@@ -745,3 +745,97 @@ def q_ml_lift_table_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.evaluation import lift_table
 
     return lift_table(_eval_base(spark, sf_dir), "s", "y", n_bins=5)
+
+
+@register(
+    "woe_iv_contract",
+    oracle="""
+    WITH per AS (
+        SELECT o_orderpriority AS category,
+               count(*) AS n,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_pos,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS n_neg
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM per),
+    shares AS (
+        SELECT category, n, n_pos, n_neg,
+               (n_pos + 0.0) / CAST(tp AS DOUBLE) AS ps,
+               (n_neg + 0.0) / CAST(tn AS DOUBLE) AS ns2
+        FROM per, tot
+    )
+    SELECT category, CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           round(ps, 6) AS pos_share,
+           round(ns2, 6) AS neg_share,
+           round(CASE WHEN ps > 0 AND ns2 > 0 THEN ln(ps / ns2) END, 6)
+               AS woe,
+           round(CASE WHEN ps > 0 AND ns2 > 0
+                      THEN (ps - ns2) * ln(ps / ns2) END, 6) AS iv_part
+    FROM shares
+    """,
+    description="Weight-of-evidence / information value (operators/"
+    "woe.py:woe_iv): the credit-scorecard screen for order priority vs "
+    "fulfilled status — WOE(c) = ln(P(c|pos)/P(c|neg)) per level plus "
+    "its IV contribution. ONE map-side-combined groupBy at category "
+    "cardinality; class totals ride an unpartitioned window over the "
+    "post-agg frame (no totals cross-join, no second scan — asserted "
+    "in plan tests); every input to the arithmetic is an exact integer "
+    "count. Zero cells yield NULL (laplace smoothing available), never "
+    "a silent clamp.",
+)
+def q_woe_iv_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.woe import woe_iv
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    return woe_iv(
+        orders, "o_orderpriority", F.col("o_orderstatus") == "F"
+    )
+
+
+@register(
+    "target_encoding_contract",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        FROM orders
+    ),
+    enc AS (
+        SELECT o_orderkey, o_orderpriority,
+               count(y) OVER (PARTITION BY o_orderpriority) AS nc,
+               sum(y) OVER (PARTITION BY o_orderpriority) AS sc,
+               y
+        FROM base
+    )
+    SELECT o_orderkey, o_orderpriority,
+           round(CASE WHEN y IS NOT NULL AND nc - 1 + 0.0 > 0 THEN
+                 (CAST(sc AS DOUBLE) - CAST(y AS DOUBLE) + 0.0 * 0.0)
+                     / (nc - 1 + 0.0) END, 6) AS enc
+    FROM enc
+    """,
+    description="Leave-one-out target encoding (operators/encode.py:"
+    "target_encode_loo): each order's priority level encoded as the "
+    "mean total price of the OTHER orders at that level — the "
+    "leakage-safe mean encoding for high-cardinality categoricals. "
+    "ONE groupBy(category) broadcast-joined back onto rows (3 numbers "
+    "per category ship, never a per-category window over raw rows — a "
+    "hot category would be a window skew bomb); the target rides as "
+    "DECIMAL(18,2) so per-category sums are EXACT and order-"
+    "independent, making 15k row-level encodings bit-stable across "
+    "partitionings (the float-sum alternative is not hash-gateable at "
+    "row cardinality). The oracle restates it with partition windows "
+    "over the same decimal.",
+)
+def q_target_encoding_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.encode import target_encode_loo
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    out = target_encode_loo(orders, "o_orderpriority", "y")
+    return out.select("o_orderkey", "o_orderpriority", "enc")

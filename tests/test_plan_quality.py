@@ -627,3 +627,29 @@ def test_incremental_merge_never_rejoins_base_facts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "incremental_agg_contract")
     assert "Join" not in plan
     assert "Union" in plan
+
+
+def test_woe_totals_ride_window_not_second_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "woe_iv_contract")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") <= 2  # one scan; tree + detail
+    assert "HashAggregate" in plan
+
+
+def test_target_encoding_broadcasts_category_stats(spark, sf_dir):
+    # Stats join back via broadcast (categories << rows); never a
+    # per-category window over raw rows (hot-key skew bomb) and never
+    # a shuffle join on the category.
+    plan = _plan(spark, sf_dir, "target_encoding_contract")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_cusum_is_one_fold_per_key_no_window(spark, sf_dir):
+    # The recursion lives in an array fold after ONE groupBy collect —
+    # no row-window over the series, no self-join, no iteration loop.
+    plan = _plan(spark, sf_dir, "cusum_changepoint_contract")
+    assert "Window (" not in plan
+    assert "Join" not in plan
+    assert "Generate" in plan  # posexplode back to series cardinality

@@ -45,7 +45,10 @@ def test_window_covers_every_family():
         # rotated out; the one-pass profiler carries the agg surface.
         "table_profile_contract",
         "zorder_cells_contract",     # layout maintenance (z-order)
-        "session_stats_by_dow",      # sessionization
+        "session_path_profile",      # sessionization (the stats-by-dow
+                                     # twin rotated out r7 after r6
+                                     # green; same gap-split machinery)
+        "cusum_changepoint_contract",  # CUSUM level-shift monitor
         "scd2_user_state_history",   # SCD Type-2 window algebra
         "data_quality_contract",     # expectations validator
         "blocklist_filter_profile",  # content blocklist filter
@@ -54,8 +57,11 @@ def test_window_covers_every_family():
                                      # source-cap twin rotated out r7
                                      # after r5/r6 green)
         "heavy_hitter_keys",         # two-phase heavy hitters
-        "hll_mergeable_rollup_contract",   # mergeable HLL sketches
-        "kll_quantile_rollup_contract",    # mergeable KLL quantiles
+        "theta_cohort_overlap_contract",   # mergeable sketches (the
+                                     # HLL/KLL twins rotated out r7
+                                     # after r6 green; theta + cm stay)
+        "woe_iv_contract",           # WOE/IV scorecard screening
+        "target_encoding_contract",  # leakage-safe LOO mean encoding
         "theta_cohort_overlap_contract",   # Theta set algebra
         "cm_frequency_rollup_contract",    # count-min frequency sketch
         "variant_props_stats",       # VARIANT semi-structured payloads
