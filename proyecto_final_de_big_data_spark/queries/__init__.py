@@ -304,7 +304,13 @@ _VERIFICATION_WINDOW = [
     # cm_frequency_rollup_contract — the count-min frequency sketch
     # completing the mergeable-sketch family (HLL distinct / KLL
     # quantile / Theta set algebra / CM frequency), new this round.
-    "cm_frequency_rollup_contract",
+    # cm_frequency_rollup_contract (r6 green, sketches.py unchanged;
+    # the mergeable-sketch family keeps theta_cohort_overlap in-window
+    # after this round's hll/kll/cm consolidation — all four were
+    # r6-hash-green on code untouched since) hands its slot to
+    # lorenz_gini_contract — bucketed Lorenz/Gini concentration
+    # profile (operators/concentration.py), new this round.
+    "lorenz_gini_contract",
     # stream_pii_curation_round_trip (r5+r6 green, streaming curation
     # code unchanged; real-stream mode keeps stream_cdc_apply_round_trip
     # + tws_histogram_parity in-window, and the PII/curation operators

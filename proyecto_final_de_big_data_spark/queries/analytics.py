@@ -1998,3 +1998,61 @@ def q_cusum_changepoint_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, ["event_type"], "day", "cnt", k=0.5, h=3.0,
         baseline_points=14,
     )
+
+
+@register(
+    "lorenz_gini_contract",
+    oracle="""
+    WITH cells AS (
+        SELECT LEAST(GREATEST(CAST(floor((CAST(l_extendedprice AS DOUBLE)
+                                          - 0.0) / 105000.0 * 256)
+                                   AS BIGINT), 0), 255) AS bucket,
+               count(*) AS n,
+               sum(CAST(l_extendedprice AS DOUBLE)) AS sum_v
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket, n, sum_v,
+               sum(n) OVER () AS tn,
+               sum(sum_v) OVER () AS tv,
+               sum(n) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cn,
+               sum(sum_v) OVER (ORDER BY bucket
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cv
+        FROM cells
+    ),
+    shaped AS (
+        SELECT bucket, n, sum_v, tn, cn, cv,
+               n / CAST(tn AS DOUBLE) AS pop_share,
+               cv / tv AS l_cur,
+               (cv - sum_v) / tv AS l_prev
+        FROM cum
+    )
+    SELECT bucket, CAST(n AS BIGINT) AS n,
+           round(sum_v, 6) AS sum_v,
+           round(cn / CAST(tn AS DOUBLE), 6) AS cum_pop_share,
+           round(l_cur, 6) AS cum_value_share,
+           round(1.0 - sum(pop_share * (l_prev + l_cur)) OVER (), 6) AS gini
+    FROM shaped
+    """,
+    description="Lorenz curve + Gini concentration profile (operators/"
+    "concentration.py:lorenz_gini) of line-item prices in 256 "
+    "fixed-width value cells: the corpus-concentration diagnostic "
+    "('what share of total value sits in the heaviest tail?') that "
+    "decides whether source caps and heavy-hitter handling are needed. "
+    "Exact Gini needs a global sort; quantizing the value axis makes "
+    "the whole curve ONE map-side-combined groupBy plus answer-scale "
+    "windows over <=256 Lorenz points (the roc_auc machinery pointed "
+    "at inequality), trapezoid-exact for within-cell-constant "
+    "distributions. Negative values hard-fail (a clamped negative "
+    "would silently corrupt Lorenz monotonicity).",
+)
+def q_lorenz_gini_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.concentration import lorenz_gini
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return lorenz_gini(li, "l_extendedprice", lo=0.0, hi=105000.0, n_buckets=256)

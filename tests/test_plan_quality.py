@@ -653,3 +653,13 @@ def test_cusum_is_one_fold_per_key_no_window(spark, sf_dir):
     assert "Window (" not in plan
     assert "Join" not in plan
     assert "Generate" in plan  # posexplode back to series cardinality
+
+
+def test_lorenz_gini_is_bucket_agg_not_global_sort(spark, sf_dir):
+    # The exact Gini needs every row ranked; the operator must instead
+    # aggregate to <=n_buckets cells (one data-scale shuffle) and walk
+    # the curve on answer-scale windows.
+    plan = _plan(spark, sf_dir, "lorenz_gini_contract")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") <= 2  # one scan; tree + detail
+    assert "HashAggregate" in plan

@@ -63,7 +63,10 @@ def test_window_covers_every_family():
         "woe_iv_contract",           # WOE/IV scorecard screening
         "target_encoding_contract",  # leakage-safe LOO mean encoding
         "theta_cohort_overlap_contract",   # Theta set algebra
-        "cm_frequency_rollup_contract",    # count-min frequency sketch
+        "lorenz_gini_contract",      # Lorenz/Gini concentration (the
+                                     # count-min twin rotated out r7
+                                     # after r6 green; theta keeps the
+                                     # mergeable-sketch family)
         "variant_props_stats",       # VARIANT semi-structured payloads
         "priority_pivot_by_year",    # pivot (CUBE/ROLLUP twins rotated out)
         "benford_profile_contract",  # Benford first-digit screening
