@@ -52,8 +52,12 @@ def roc_auc(
     half-credit rectangle, exactly the rank-AUC convention).
 
     ``score_col`` must already be a double in roughly [lo, hi];
-    ``label_col`` is any boolean-castable column.
+    ``label_col`` is any boolean-castable column. NULL/NaN scores and
+    NULL labels are excluded (a NULL bucket would otherwise ride the
+    curve at an engine-dependent sort position).
     """
+    if hi <= lo:
+        raise ValueError(f"roc_auc needs hi > lo, got lo={lo}, hi={hi}")
     s = (F.col(score_col) if isinstance(score_col, str) else score_col).cast(
         "double"
     )
@@ -61,7 +65,8 @@ def roc_auc(
         "boolean"
     )
     cells = (
-        df.select(_bucket(s, lo, hi, n_buckets).alias("b"), y.alias("y"))
+        df.filter(s.isNotNull() & ~F.isnan(s) & y.isNotNull())
+        .select(_bucket(s, lo, hi, n_buckets).alias("b"), y.alias("y"))
         .groupBy("b")
         .agg(
             F.sum(F.col("y").cast("long")).alias("tp"),

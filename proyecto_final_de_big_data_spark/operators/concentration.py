@@ -64,7 +64,7 @@ def lorenz_gini(
         ).cast("long"),
     ).otherwise(clamped.cast("long"))
     cells = (
-        df.filter(v.isNotNull())
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .select(b.alias("bucket"), v.alias("__v"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("__v").alias("sum_v"))

@@ -69,3 +69,9 @@ def test_nulls_excluded(spark):
     df = spark.createDataFrame([(1.0,), (None,)], "x double")
     out = lorenz_gini(df, "x", lo=0.0, hi=2.0, n_buckets=2).collect()
     assert sum(r["n"] for r in out) == 1
+
+
+def test_nan_values_excluded(spark):
+    df = spark.createDataFrame([(1.0,), (float("nan"),)], "x double")
+    out = lorenz_gini(df, "x", lo=0.0, hi=2.0, n_buckets=2).collect()
+    assert sum(r["n"] for r in out) == 1

@@ -104,3 +104,15 @@ def test_lift_table_no_positives_null_lift(spark):
     rows = [(i / 10.0, False) for i in range(10)]
     out = lift_table(_scored(spark, rows), "s", "y", n_bins=2).collect()
     assert all(r["lift"] is None and r["cum_capture"] is None for r in out)
+
+
+def test_auc_validates_bounds(spark):
+    with pytest.raises(ValueError):
+        roc_auc(_scored(spark, [(0.5, True)]), "s", "y", lo=1.0, hi=1.0)
+
+
+def test_auc_null_and_nan_scores_excluded(spark):
+    rows = [(0.9, True), (0.1, False), (None, True), (float("nan"), False)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = roc_auc(df, "s", "y", lo=0.0, hi=1.0).first()
+    assert out["n"] == 2 and out["auc"] == 1.0

@@ -66,3 +66,64 @@ def test_null_values_do_not_count(spark):
     snap = agg_snapshot(df, ["k"], "v")
     row = snap.first()
     assert row["n"] == 1 and row["sum_v"] == 2.0
+
+
+def test_streaming_foreachbatch_maintains_mart(spark, tmp_path):
+    """The streaming deployment shape: each micro-batch aggregates to a
+    delta snapshot and merges into the maintained mart — the mart is
+    only ever touched at grain cardinality, the stream never rescans
+    history. After the stream drains, the mart equals the one-shot
+    aggregation (the unified-model guarantee)."""
+    from pyspark.sql import functions as F
+
+    from proyecto_final_de_big_data_spark.catalog import load_table
+
+    d = tmp_path / "ev_stream"
+    d.mkdir()
+    # Two files -> two micro-batches with maxFilesPerTrigger=1.
+    ev = load_table(spark, str("/root/testdata/sf0.001"), "events")
+    ev.filter(F.dayofmonth("ts") <= 15).write.parquet(str(d / "a"))
+    ev.filter(F.dayofmonth("ts") > 15).write.parquet(str(d / "b"))
+
+    state = {"mart": None}
+
+    def _merge(batch_df, batch_id):
+        delta = agg_snapshot(batch_df, ["event_type"], "value")
+        if state["mart"] is None:
+            merged = delta
+        else:
+            merged = merge_snapshots(state["mart"], delta, ["event_type"])
+        # materialize so the next batch merges against data, not lineage
+        state["mart"] = merged.localCheckpoint(eager=True)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        snapshot_stats(state["mart"], ["event_type"]).collect()
+    )
+    want = sorted(
+        snapshot_stats(
+            agg_snapshot(ev, ["event_type"], "value"), ["event_type"]
+        ).collect()
+    )
+    # float sums arrive in different merge orders; compare at the
+    # snapshot_stats rounding (6dp) except the raw sums, at 4dp
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["event_type"] == w["event_type"] and g["n"] == w["n"]
+        assert abs(g["sum_v"] - w["sum_v"]) < 1e-4
+        assert abs(g["mean_v"] - w["mean_v"]) < 1e-6
+        assert g["min_v"] == w["min_v"] and g["max_v"] == w["max_v"]
