@@ -32,10 +32,12 @@ from pyspark.sql import functions as F
 
 
 def _bucket(score: Column, lo: float, hi: float, n_buckets: int) -> Column:
-    """Fixed-width score cell in [0, n_buckets-1]; out-of-range scores
-    clamp into the edge cells (they are still maximal/minimal scores)."""
-    raw = F.floor((score - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_buckets))
-    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)).cast("long")
+    """Fixed-width score cell; out-of-range scores clamp into the edge
+    cells (they are still maximal/minimal scores). Shared primitive —
+    one definition owns the clamp semantics."""
+    from ..operators.binning import fixed_width_bucket
+
+    return fixed_width_bucket(score, lo, hi, n_buckets)
 
 
 def roc_auc(
@@ -112,7 +114,10 @@ def classification_report(
     scans), reshaped to rows with ``inline`` at answer scale.
 
     Degenerate denominators (no predicted / no actual positives) yield
-    NULL metrics rather than a fake 0.0.
+    NULL metrics rather than a fake 0.0. NULL/NaN scores and NULL
+    labels are excluded up front (the same policy as :func:`roc_auc` —
+    counting unscored rows in ``n`` while the conditional sums skip
+    them would silently inflate tn/fn and accuracy).
     """
     if not thresholds:
         raise ValueError("classification_report needs >=1 threshold")
@@ -122,6 +127,7 @@ def classification_report(
     y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast(
         "boolean"
     )
+    df = df.filter(s.isNotNull() & ~F.isnan(s) & y.isNotNull())
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(y.cast("long")).alias("p"),

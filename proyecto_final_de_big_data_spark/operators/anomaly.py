@@ -58,29 +58,13 @@ def ewma_anomaly(
     a = float(alpha)
     one_minus = 1.0 - a
 
-    arr = df.groupBy(*key_cols).agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col(t_col).alias("t"),
-                    F.col(value_col).cast("double").alias("x"),
-                )
-            )
-        ).alias("__pts")
-    )
-    arr = arr.withColumn(
-        "__n", F.size("__pts")
-    ).withColumn(
-        "__pts",
-        F.when(F.col("__n") <= F.lit(max_points), F.col("__pts")).otherwise(
-            F.raise_error(
-                F.format_string(
-                    "ewma_anomaly: key series exceeds max_points=%d — "
-                    "aggregate to a coarser grid or raise the cap",
-                    F.lit(max_points),
-                )
-            )
-        ),
+    from .series import collect_sorted_series
+
+    # NULL/NaN exclusion + the max_points hard-fail live in the shared
+    # collector (one poisoned cell would otherwise NULL every s_t after
+    # it, silently un-flaggable).
+    arr = collect_sorted_series(
+        df, key_cols, t_col, value_col, max_points, "ewma_anomaly"
     )
     # One left fold per key: append s_t = α·x + (1−α)·s_{t−1} (first
     # point seeds the state). O(n) sequential work per series.
@@ -119,11 +103,22 @@ def ewma_anomaly(
         F.sum("resid").alias("__sr"),
         F.sum(F.col("resid") * F.col("resid")).alias("__srr"),
     )
+    # greatest(..., 0): float cancellation on a near-constant series can
+    # push the moment numerator epsilon-negative; sqrt of that is NaN,
+    # and NaN > 0 is TRUE in Spark's ordering, so without the clamp the
+    # flag guard would pass and every comparison against k*NaN would
+    # read false — silent non-detection instead of the documented NULL.
     sigma = F.when(
         F.col("__nr") >= 2,
         F.sqrt(
-            (F.col("__nr") * F.col("__srr") - F.col("__sr") * F.col("__sr"))
-            / (F.col("__nr") * F.col("__nr"))
+            F.greatest(
+                (
+                    F.col("__nr") * F.col("__srr")
+                    - F.col("__sr") * F.col("__sr")
+                )
+                / (F.col("__nr") * F.col("__nr")),
+                F.lit(0.0),
+            )
         ),
     )
     return (

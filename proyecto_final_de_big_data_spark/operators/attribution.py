@@ -14,9 +14,11 @@ argmin/argmax by (ts, id) — exact, tie-broken, restatable in SQL.
 Scale shape (100 TB): ONE window over (user, ts) — high-cardinality
 partition key, bounded per-user frames — then credit aggregation at
 (user, group) cardinality and a final channel-keyed rollup of a few
-doubles per channel. Conversions with no preceding touch earn no row
-(reported via the unattributed count); touches after a user's final
-conversion attach to nothing and drop out.
+doubles per channel. Conversions with no preceding touch earn no
+credit row anywhere — recover their count externally as
+``count(conversions) − sum(first_touch)``, which is exact because
+every attributed conversion credits exactly one first touch; touches
+after a user's final conversion attach to nothing and drop out.
 
 Extension surface — the reference has no behavioral attribution stage.
 """
@@ -52,7 +54,10 @@ def conversion_attribution(
         F.col(user_col).alias("u"),
         F.col(ts_col).alias("ts"),
         F.col(type_col).alias("channel"),
-        F.col(id_col).cast("long").alias("eid"),
+        # native id type: a cast("long") would RAISE on string/UUID ids
+        # under ANSI (Spark 4 default) and NULL them otherwise, silently
+        # breaking the (ts, eid) tie-break uniqueness contract.
+        F.col(id_col).alias("eid"),
         (F.col(type_col) == conversion_type).cast("int").alias("is_conv"),
     ).filter(
         (F.col("channel") == conversion_type)

@@ -8,8 +8,10 @@ Scale shape (100 TB): pair enumeration is the quadratic hazard — a
 basket of b items emits C(b, 2) pairs, so one pathological 100k-item
 basket would emit 5e9 rows. The ``max_basket`` cap bounds that
 structurally: basket sizes are measured with ONE aggregation and
-over-cap baskets are dropped (and counted, never silently — the cap
-is part of the answer). After the cap, pair counts are a self-join
+over-cap baskets are dropped. The drop is observable, not silent —
+:func:`basket_size_profile` reports how many baskets a given cap
+excludes (run it when choosing the cap; the affinity output itself
+carries only the capped population). After the cap, pair counts are a self-join
 co-located on the basket key (one shuffle each side) followed by a
 pair-keyed aggregation whose output is at most C(max_basket, 2) per
 basket. Per-item basket counts ride the same capped frame, and the
@@ -100,4 +102,35 @@ def item_pair_affinity(
         F.round(nb / tot, decimals).alias("support"),
         F.round((nb * tot) / (na * nbb), decimals).alias("lift"),
         F.round(nb / F.sqrt(na * nbb), decimals).alias("cosine"),
+    )
+
+
+def basket_size_profile(
+    df: DataFrame, basket_col: str, item_col: str, max_basket: int = 64
+) -> DataFrame:
+    """Cap-pressure report for :func:`item_pair_affinity`: one row
+    ``(n_baskets, n_over_cap, over_cap_frac, max_size, p99_size)`` —
+    how much of the population a ``max_basket`` cap would drop. ONE
+    distinct + ONE aggregation; run it before choosing the cap."""
+    sizes = (
+        df.select(
+            F.col(basket_col).alias("__basket"),
+            F.col(item_col).alias("__item"),
+        )
+        .distinct()
+        .groupBy("__basket")
+        .agg(F.count(F.lit(1)).alias("__bsize"))
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_baskets"),
+        F.sum((F.col("__bsize") > max_basket).cast("long")).alias(
+            "n_over_cap"
+        ),
+        F.round(
+            F.avg((F.col("__bsize") > max_basket).cast("double")), 6
+        ).alias("over_cap_frac"),
+        F.max("__bsize").alias("max_size"),
+        F.percentile_approx("__bsize", F.lit(0.99), F.lit(10000)).alias(
+            "p99_size"
+        ),
     )

@@ -46,9 +46,14 @@ def benford_profile(
     """
     x = F.abs(F.col(col).cast("double"))
     ok = x.isNotNull() & (x > 0) & ~F.isnan(x)
-    first = F.regexp_extract(
-        x.cast("decimal(38,18)").cast("string"), r"([1-9])", 1
-    ).cast("int")
+    # try_cast, not cast: under ANSI (Spark 4 default) a plain decimal
+    # cast RAISES on |x| >= 1e20 and ''.cast(int) raises on the empty
+    # regexp match for |x| < 1e-18 — one bad value would kill a 100-TB
+    # scan instead of being excluded as documented.
+    digit_str = F.regexp_extract(
+        x.try_cast("decimal(38,18)").cast("string"), r"([1-9])", 1
+    )
+    first = F.nullif(digit_str, F.lit("")).try_cast("int")
     counts = (
         df.filter(ok)
         .select(first.alias("digit"))

@@ -94,3 +94,15 @@ def bin_by_bounds(
     for b in bounds:
         bin_idx = bin_idx + (F.col(col) > F.lit(float(b))).cast("int")
     return df.withColumn(bin_col, bin_idx)
+
+
+def fixed_width_bucket(col: Column, lo: float, hi: float, n_buckets: int) -> Column:
+    """Fixed-width cell id in ``[0, n_buckets-1]`` for a double column:
+    ``floor((x - lo) / (hi - lo) * n)`` clamped into the edge cells.
+    Pure IEEE arithmetic (no transcendentals), so a SQL oracle replays
+    it bit-for-bit — the shared quantize-the-axis primitive behind
+    ``ml.evaluation.roc_auc`` and ``concentration.lorenz_gini``."""
+    if hi <= lo:
+        raise ValueError(f"fixed_width_bucket needs hi > lo, got {lo}, {hi}")
+    raw = F.floor((col - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_buckets))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)).cast("long")

@@ -68,27 +68,13 @@ def cusum_changepoints(
             f"baseline_points must be >= 2, got {baseline_points}"
         )
 
-    arr = df.groupBy(*key_cols).agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col(t_col).alias("t"),
-                    F.col(value_col).cast("double").alias("x"),
-                )
-            )
-        ).alias("__pts")
-    )
-    arr = arr.withColumn("__n", F.size("__pts")).withColumn(
-        "__pts",
-        F.when(F.col("__n") <= F.lit(max_points), F.col("__pts")).otherwise(
-            F.raise_error(
-                F.format_string(
-                    "cusum_changepoints: key series exceeds max_points=%d "
-                    "— aggregate to a coarser grid or raise the cap",
-                    F.lit(max_points),
-                )
-            )
-        ),
+    from .series import collect_sorted_series
+
+    # NULL/NaN exclusion + the max_points hard-fail live in the shared
+    # collector (one poisoned cell would otherwise collapse every
+    # z-score, since NaN > 0 holds in Spark's ordering).
+    arr = collect_sorted_series(
+        df, key_cols, t_col, value_col, max_points, "cusum_changepoints"
     )
     xs = F.transform(F.col("__pts"), lambda e: e["x"])
     # Reference window: the first N sorted points (Phase I), or the

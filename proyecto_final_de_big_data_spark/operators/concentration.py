@@ -48,9 +48,9 @@ def lorenz_gini(
         raise ValueError(
             f"Lorenz/Gini needs a non-negative measure; lo={lo} < 0"
         )
+    from .binning import fixed_width_bucket
+
     v = F.col(value_col).cast("double")
-    raw = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_buckets))
-    clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
     # A negative value silently clamped into bucket 0 would corrupt the
     # Lorenz monotonicity — hard-fail instead of summing it.
     b = F.when(
@@ -62,7 +62,7 @@ def lorenz_gini(
                 F.lit(value_col),
             )
         ).cast("long"),
-    ).otherwise(clamped.cast("long"))
+    ).otherwise(fixed_width_bucket(v, lo, hi, n_buckets))
     cells = (
         df.filter(v.isNotNull() & ~F.isnan(v))
         .select(b.alias("bucket"), v.alias("__v"))

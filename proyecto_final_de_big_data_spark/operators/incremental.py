@@ -59,18 +59,33 @@ def merge_snapshots(
     and silently keeping a stale min is the classic incremental-view
     bug."""
     cols = [*keys, *_STAT_COLS]
+    if insert_only:
+        missing = [
+            c
+            for c in ("min_v", "max_v")
+            for side in (snapshot, delta)
+            if c not in side.columns
+        ]
+        if missing:
+            raise ValueError(
+                "merge_snapshots(insert_only=True) needs min_v/max_v on "
+                "both sides; an input produced by a retraction merge has "
+                "dropped them — continue with insert_only=False"
+            )
+    else:
+        # A retraction-mode output has no min/max (not retraction-safe),
+        # and must itself be mergeable next refresh: select only the
+        # additive statistics from both sides.
+        cols = [*keys, "n", "sum_v", "sum_v2"]
     unioned = snapshot.select(*cols).unionByName(delta.select(*cols))
-    merged = unioned.groupBy(*keys).agg(
+    aggs = [
         F.sum("n").alias("n"),
         F.sum("sum_v").alias("sum_v"),
         F.sum("sum_v2").alias("sum_v2"),
-        F.min("min_v").alias("min_v"),
-        F.max("max_v").alias("max_v"),
-    )
-    merged = merged.filter(F.col("n") != 0)
-    if not insert_only:
-        merged = merged.drop("min_v", "max_v")
-    return merged
+    ]
+    if insert_only:
+        aggs += [F.min("min_v").alias("min_v"), F.max("max_v").alias("max_v")]
+    return unioned.groupBy(*keys).agg(*aggs).filter(F.col("n") != 0)
 
 
 def snapshot_stats(snap: DataFrame, keys: list[str], decimals: int = 6) -> DataFrame:

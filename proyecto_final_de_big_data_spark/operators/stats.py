@@ -194,8 +194,11 @@ def autocorrelation(
     full-series centered sum of squares, both expanded to raw moments
     (num = Σx·y − x̄Σx − x̄Σy + n_p·x̄²; den = Σx² − (Σx)²/n) so the
     whole computation is joins + aggregations with no per-row mean
-    subtraction. NULL acf where the denominator is 0 (constant series)
-    or the lag has no pairs.
+    subtraction. NULL acf where the denominator is 0 (constant
+    series); a lag longer than the key's grid has no pairs and emits
+    no row at all. NULL/NaN grid values are excluded up front — an
+    inner pair join would otherwise count them in n_pairs while every
+    sum skipped them, silently biasing the estimator.
 
     ``t_col`` must be a numeric grid index (day number, hour number —
     the caller's aggregation grid) so the ℓ-shift is an equi-join on
@@ -212,7 +215,7 @@ def autocorrelation(
     x = F.col(value_col).cast("double")
     s = series.select(
         *key_cols, F.col(t_col).cast("long").alias("__t"), x.alias("__x")
-    )
+    ).filter(F.col("__x").isNotNull() & ~F.isnan("__x"))
     stats = s.groupBy(*key_cols).agg(
         F.count("__x").cast("double").alias("__n"),
         F.sum("__x").alias("__sx_all"),

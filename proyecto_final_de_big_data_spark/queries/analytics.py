@@ -1607,7 +1607,8 @@ def q_categorical_association_contract(
     sig AS (
         SELECT event_type,
                CASE WHEN nr >= 2
-                    THEN sqrt((nr * srr - sr * sr) / (nr * nr)) END AS sigma
+                    THEN sqrt(GREATEST((nr * srr - sr * sr) / (nr * nr),
+                                       0.0)) END AS sigma
         FROM scale
     )
     SELECT p.event_type, day, cnt,

@@ -77,3 +77,16 @@ def test_max_points_guard_raises(spark):
     )
     with pytest.raises(Exception, match="max_points"):
         ewma_anomaly(df, ["k"], "t", "x", max_points=5).collect()
+
+
+def test_null_values_excluded_not_poisoning(spark):
+    # One NULL grid cell must not NULL every subsequent EWMA state.
+    from proyecto_final_de_big_data_spark.operators.anomaly import ewma_anomaly
+
+    rows = [("k", 0, 10.0), ("k", 1, None), ("k", 2, 12.0), ("k", 3, 11.0)]
+    df = spark.createDataFrame(rows, "k string, t long, x double")
+    out = sorted(
+        ewma_anomaly(df, ["k"], "t", "x").collect(), key=lambda r: r["t"]
+    )
+    assert [r["t"] for r in out] == [0, 2, 3]  # NULL row excluded
+    assert all(r["ewma"] is not None for r in out)

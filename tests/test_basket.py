@@ -59,3 +59,15 @@ def test_max_basket_validation(spark):
     df = spark.createDataFrame([(1, "a")], "basket long, item string")
     with pytest.raises(ValueError):
         item_pair_affinity(df, "basket", "item", max_basket=1)
+
+
+def test_basket_size_profile_reports_cap_pressure(spark):
+    from proyecto_final_de_big_data_spark.operators.basket import (
+        basket_size_profile,
+    )
+
+    rows = [("b1", f"i{k}") for k in range(5)] + [("b2", "x"), ("b2", "y")]
+    df = spark.createDataFrame(rows, "b string, i string")
+    out = basket_size_profile(df, "b", "i", max_basket=3).first()
+    assert out["n_baskets"] == 2 and out["n_over_cap"] == 1
+    assert out["over_cap_frac"] == 0.5 and out["max_size"] == 5

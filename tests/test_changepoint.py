@@ -115,3 +115,15 @@ def test_max_points_guard_raises(spark):
     with pytest.raises(Exception) as e:
         cusum_changepoints(df, ["k"], "t", "x", max_points=10).collect()
     assert "max_points" in str(e.value)
+
+
+def test_null_values_excluded_not_collapsing_z(spark):
+    rows = [("k", t, (9.5 if t % 2 else 10.5)) for t in range(10)]
+    df = spark.createDataFrame(
+        rows + [("k", 10, None), ("k", 11, 20.0)], "k string, t long, x double"
+    )
+    out = cusum_changepoints(
+        df, ["k"], "t", "x", k=0.25, h=2.0, baseline_points=10
+    ).collect()
+    assert len(out) == 11  # NULL row excluded, not poisoning
+    assert any(r["is_change"] for r in out if r["t"] == 11)

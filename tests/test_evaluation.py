@@ -116,3 +116,12 @@ def test_auc_null_and_nan_scores_excluded(spark):
     df = spark.createDataFrame(rows, "s double, y boolean")
     out = roc_auc(df, "s", "y", lo=0.0, hi=1.0).first()
     assert out["n"] == 2 and out["auc"] == 1.0
+
+
+def test_classification_report_excludes_null_rows(spark):
+    rows = [(0.9, True), (0.1, False), (None, True), (0.8, None)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    r = classification_report(df, "s", "y", thresholds=[0.5]).first()
+    # n counts only fully-scored, labeled rows — tn/accuracy not inflated
+    assert r["tp"] + r["fp"] + r["tn"] + r["fn"] == 2
+    assert r["accuracy"] == 1.0

@@ -127,3 +127,29 @@ def test_streaming_foreachbatch_maintains_mart(spark, tmp_path):
         assert abs(g["sum_v"] - w["sum_v"]) < 1e-4
         assert abs(g["mean_v"] - w["mean_v"]) < 1e-6
         assert g["min_v"] == w["min_v"] and g["max_v"] == w["max_v"]
+
+
+def test_retraction_merge_output_is_reentrant(spark):
+    # yesterday's retraction-mode mart (no min/max) must merge again
+    base = [("a", 1.0), ("a", 3.0), ("b", 10.0)]
+    snap = agg_snapshot(_facts(spark, base), ["k"], "v")
+    undo = agg_snapshot(_facts(spark, [("a", 3.0)]), ["k"], "v", weight=-1)
+    day1 = merge_snapshots(snap, undo, ["k"], insert_only=False)
+    delta2 = agg_snapshot(_facts(spark, [("c", 5.0)]), ["k"], "v")
+    day2 = merge_snapshots(day1, delta2, ["k"], insert_only=False)
+    rows = {r["k"]: r for r in day2.collect()}
+    assert rows["a"]["n"] == 1 and rows["c"]["sum_v"] == 5.0
+
+
+def test_insert_only_merge_rejects_minmax_less_snapshot(spark):
+    import pytest as _pytest
+
+    snap = agg_snapshot(_facts(spark, [("a", 1.0)]), ["k"], "v")
+    undone = merge_snapshots(
+        snap,
+        agg_snapshot(_facts(spark, [("a", 1.0)]), ["k"], "v"),
+        ["k"],
+        insert_only=False,
+    )
+    with _pytest.raises(ValueError):
+        merge_snapshots(undone, snap, ["k"], insert_only=True)

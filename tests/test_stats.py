@@ -148,3 +148,18 @@ def test_jackknife_single_stratum_null_se(spark):
         _jk_frame(spark, [(1.0, 2.0, 0)]), "num", "den", "s"
     ).first()
     assert out["theta"] == 0.5 and out["se_jack"] is None
+
+
+def test_acf_null_values_excluded_consistently(spark):
+    from proyecto_final_de_big_data_spark.operators.stats import autocorrelation
+
+    rows = [("k", 0, 1.0), ("k", 1, None), ("k", 2, 3.0), ("k", 3, 1.0),
+            ("k", 4, 3.0), ("k", 5, 1.0)]
+    df = spark.createDataFrame(rows, "k string, t long, x double")
+    out = {r["lag"]: r for r in autocorrelation(
+        df, ["k"], "t", "x", max_lag=2
+    ).collect()}
+    # pairs at lag 2 among non-null ts {0,2,3,4,5}: (0,2),(2,4),(3,5)
+    assert out[2]["n_pairs"] == 3
+    # lag-1 pairs among non-null ts: (2,3),(3,4),(4,5) — t=1 is gone
+    assert out[1]["n_pairs"] == 3
