@@ -84,6 +84,18 @@ from . import quality  # noqa: E402,F401
 # if asof.py stays unchanged), canonicalize_contract /
 # export_round_trip_partitioned (multi-round green — move the family
 # probes to their CSV/JSON round-trip twins when swapping).
+# Rotation-OUT candidates once r7 lands green (for the r8 window):
+# the 27 round-7-new entries will have first-round evidence and the
+# multi-round-green carryovers (python_datasource r6+r7,
+# table_profile r6+r7, scd2 r6+r7, blocklist r6+r7, data_quality
+# r6+r7, token_budget r6+r7, heavy_hitter r6+r7, theta r6+r7, variant
+# r6+r7, priority_pivot r6+r7, zorder r6+r7, media_binary r6+r7,
+# ml_score r6+r7, embedding_kmeans r5+r6+r7) become the swap pool —
+# BUT each is its family's only in-window rep, so an r8 swap must
+# name the sibling that keeps the family covered (the hll/kll→theta
+# consolidation pattern), or rotate freshly-green r7 twins instead
+# (e.g. one of the two funnel gates, one of ml_auc/ml_lift once both
+# are green, jackknife vs ml_cv — same sufficient-stats family).
 _VERIFICATION_WINDOW = [
     # ------------------------------------------------------------------
     # ROUND-6 ROTATION (VERDICT r5 item 3): the entire 14-query queue of
