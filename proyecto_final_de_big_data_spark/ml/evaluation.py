@@ -235,3 +235,61 @@ def lift_table(
             ).alias("cum_capture"),
         )
     )
+
+
+def brier_and_ece(
+    df: DataFrame,
+    prob_col: Column | str,
+    label_col: Column | str,
+    n_buckets: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """One row ``(n, brier, ece)`` for a PROBABILITY column in [0, 1]:
+    ``brier`` = mean squared error of the probability against the 0/1
+    outcome (strictly proper — rewards calibration AND sharpness);
+    ``ece`` = expected calibration error over ``n_buckets`` fixed-width
+    probability cells, Σ (n_b/n)·|avg_prob_b − pos_rate_b| — the number
+    :mod:`.calibration` exists to drive toward zero.
+
+    One pass: the squared error aggregates globally while the same scan
+    feeds the bucket counts; both statistics reduce from the
+    ≤n_buckets-row cell frame (brier via the cell-level sum of squared
+    errors, which is exact — (p−y)² partitions cleanly by cell).
+    NULL/NaN probabilities and NULL labels are excluded.
+    """
+    p = (F.col(prob_col) if isinstance(prob_col, str) else prob_col).cast(
+        "double"
+    )
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast(
+        "boolean"
+    )
+    yd = y.cast("double")
+    cells = (
+        df.filter(p.isNotNull() & ~F.isnan(p) & y.isNotNull())
+        .select(
+            _bucket(p, 0.0, 1.0, n_buckets).alias("b"),
+            p.alias("p"),
+            yd.alias("y"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").alias("sp"),
+            F.sum("y").alias("sy"),
+            F.sum((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias(
+                "sq"
+            ),
+        )
+    )
+    nd = F.sum("n").cast("double")
+    return cells.agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("sq") / nd, decimals).alias("brier"),
+        F.round(
+            F.sum(
+                F.abs(F.col("sp") - F.col("sy"))
+            )
+            / nd,
+            decimals,
+        ).alias("ece"),
+    )

@@ -125,3 +125,33 @@ def test_classification_report_excludes_null_rows(spark):
     # n counts only fully-scored, labeled rows — tn/accuracy not inflated
     assert r["tp"] + r["fp"] + r["tn"] + r["fn"] == 2
     assert r["accuracy"] == 1.0
+
+
+def test_brier_and_ece_hand_checked(spark):
+    from proyecto_final_de_big_data_spark.ml.evaluation import brier_and_ece
+
+    rows = [(0.8, True), (0.8, False), (0.2, False), (0.2, False)]
+    out = brier_and_ece(_scored(spark, rows), "s", "y", n_buckets=10).first()
+    # brier = (0.04 + 0.64 + 0.04 + 0.04)/4 = 0.19
+    assert out["brier"] == pytest.approx(0.19)
+    # bucket .8: |1.6-1|/4 ; bucket .2: |0.4-0|/4 -> (0.6+0.4)/4 = 0.25
+    assert out["ece"] == pytest.approx(0.25)
+    assert out["n"] == 4
+
+
+def test_brier_perfect_probabilities(spark):
+    from proyecto_final_de_big_data_spark.ml.evaluation import brier_and_ece
+
+    rows = [(1.0, True), (0.0, False)] * 5
+    out = brier_and_ece(_scored(spark, rows), "s", "y").first()
+    assert out["brier"] == 0.0 and out["ece"] == 0.0
+
+
+def test_brier_excludes_nulls(spark):
+    from proyecto_final_de_big_data_spark.ml.evaluation import brier_and_ece
+
+    df = spark.createDataFrame(
+        [(0.5, True), (None, True), (float("nan"), False)],
+        "s double, y boolean",
+    )
+    assert brier_and_ece(df, "s", "y").first()["n"] == 1
