@@ -84,17 +84,21 @@ def test_calibrate_null_scores_get_null(spark):
 
 
 def test_calibrate_gap_buckets_inherit_from_left(spark):
-    rows = [(0.05, False)] * 4 + [(0.95, True)] * 4
-    # a fresh row scored mid-gap gets the left neighbor's value
-    fit_df = _scored(spark, rows)
-    applied = isotonic_calibrate(
-        fit_df.unionByName(_scored(spark, [(0.5, True)])),
-        "s", "y", lo=0.0, hi=1.0, n_buckets=10,
-    )
-    got = {r["s"]: r["calibrated"] for r in applied.collect()}
-    # 0.5's bucket is empty-in-fit? No: the union includes it in the
-    # fit — rate 1.0 at bucket 5 pools with nothing; check monotone
-    assert got[0.05] <= got[0.5] <= got[0.95]
+    # Labeled rows occupy buckets 1 (rate 0.2) and 8 (rate 0.8) only;
+    # label-NULL rows (scored but unlabeled — they are excluded from
+    # the fit) land left of the first occupied cell, mid-gap, and
+    # right of the last, exercising the dense-fill loop directly.
+    labeled = [(0.15, i < 1) for i in range(5)] + [
+        (0.85, i < 4) for i in range(5)
+    ]
+    unlabeled = [(0.05, None), (0.5, None), (0.95, None)]
+    df = spark.createDataFrame(labeled + unlabeled, "s double, y boolean")
+    got = {r["s"]: r["calibrated"] for r in isotonic_calibrate(
+        df, "s", "y", lo=0.0, hi=1.0, n_buckets=10
+    ).collect()}
+    assert got[0.05] == 0.2  # left of first occupied -> first pool
+    assert got[0.5] == 0.2   # mid-gap -> nearest occupied to the LEFT
+    assert got[0.95] == 0.8  # right of last -> last occupied
 
 
 def test_calibrate_empty_input_raises(spark):
