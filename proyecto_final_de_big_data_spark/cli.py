@@ -135,6 +135,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target-mb", type=int, default=128, help="target file size")
     p.add_argument("--sort-by", default=None, help="comma list — also lay out row groups for skipping on these columns")
 
+    p = sub.add_parser(
+        "evaluate",
+        help="classifier evaluation: AUC, threshold report, lift table, "
+        "calibration (Brier/ECE) over a scored parquet",
+    )
+    _add_spark_args(p)
+    p.add_argument("--input", required=True, help="scored parquet path")
+    p.add_argument("--score-col", required=True)
+    p.add_argument("--label-col", required=True, help="boolean-castable label column")
+    p.add_argument("--lo", type=float, required=True, help="score axis lower bound")
+    p.add_argument("--hi", type=float, required=True, help="score axis upper bound")
+    p.add_argument("--buckets", type=int, default=1024, help="score cells for AUC")
+    p.add_argument(
+        "--thresholds", default="0.5", help="comma list for the confusion report"
+    )
+    p.add_argument("--lift-bins", type=int, default=10)
+    p.add_argument(
+        "--probability",
+        action="store_true",
+        help="scores are probabilities in [0,1]: also report Brier/ECE",
+    )
+    p.add_argument("--output", default=None, help="write results under this dir instead of printing")
+
     p = sub.add_parser("profile", help="one-pass per-column table profile (EDA)")
     _add_spark_args(p)
     p.add_argument("--input", required=True, help="parquet path")
@@ -388,8 +411,47 @@ def cmd_profile(args, log) -> int:
     return 0
 
 
+def cmd_evaluate(args, log) -> int:
+    from .ml.evaluation import (
+        brier_and_ece,
+        classification_report,
+        lift_table,
+        roc_auc,
+    )
+
+    spark = _session(args)
+    df = spark.read.parquet(args.input)
+    ths = [float(t) for t in args.thresholds.split(",") if t.strip()]
+    results = {
+        "auc": roc_auc(
+            df, args.score_col, args.label_col, lo=args.lo, hi=args.hi,
+            n_buckets=args.buckets,
+        ),
+        "report": classification_report(
+            df, args.score_col, args.label_col, thresholds=ths
+        ),
+        "lift": lift_table(
+            df, args.score_col, args.label_col, n_bins=args.lift_bins
+        ),
+    }
+    if args.probability:
+        results["calibration"] = brier_and_ece(
+            df, args.score_col, args.label_col
+        )
+    for name, frame in results.items():
+        if args.output:
+            dest = f"{args.output.rstrip('/')}/{name}"
+            frame.coalesce(1).write.mode("overwrite").parquet(dest)
+            log.info("%s written to %s", name, dest)
+        else:
+            log.info("-- %s --", name)
+            frame.show(truncate=False)
+    return 0
+
+
 COMMANDS = {
     "download": cmd_download,
+    "evaluate": cmd_evaluate,
     "etl": cmd_etl,
     "run": cmd_run,
     "curate": cmd_curate,

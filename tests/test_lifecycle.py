@@ -329,3 +329,31 @@ def test_read_events_stream_probe_failure_falls_back(spark, tmp_path, monkeypatc
     stream = W.read_events_stream(spark, str(d))
     assert stream.isStreaming
     assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_cli_evaluate_writes_all_artifacts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from proyecto_final_de_big_data_spark.cli import main
+
+    scored = spark.createDataFrame(
+        [(i / 20.0, i >= 12) for i in range(20)], "score double, y boolean"
+    )
+    src = str(tmp_path / "scored")
+    scored.write.parquet(src)
+    out = str(tmp_path / "eval")
+    rc = main([
+        "evaluate", "--input", src, "--score-col", "score",
+        "--label-col", "y", "--lo", "0.0", "--hi", "1.0",
+        "--buckets", "64", "--thresholds", "0.3,0.6", "--lift-bins", "4",
+        "--probability", "--output", out,
+    ])
+    assert rc == 0
+    auc = spark.read.parquet(f"{out}/auc").first()
+    assert auc["auc"] == 1.0  # perfectly ranked fixture
+    report = spark.read.parquet(f"{out}/report")
+    assert report.count() == 2
+    lift = spark.read.parquet(f"{out}/lift")
+    assert lift.count() == 4
+    cal = spark.read.parquet(f"{out}/calibration").first()
+    assert cal["n"] == 20 and cal["brier"] is not None
