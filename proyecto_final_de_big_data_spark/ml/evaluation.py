@@ -192,12 +192,18 @@ def lift_table(
     Bins come from :func:`..operators.binning.equal_frequency_bins`
     (exact interpolated percentile bounds + map-only assignment — no
     ntile global sort), so the whole table is two aggregations.
+    NULL/NaN scores and NULL labels are excluded — the roc_auc policy,
+    so one `evaluate` run reports every metric over the SAME population
+    (a NULL score would otherwise ride the table as a NULL bin and
+    NULL labels would deflate every rate).
     """
     from ..operators.binning import equal_frequency_bins
 
+    sc = F.col(score_col).cast("double")
     y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast(
         "boolean"
     )
+    df = df.filter(sc.isNotNull() & ~F.isnan(sc) & y.isNotNull())
     binned, _bounds = equal_frequency_bins(
         df.withColumn("__y", y), score_col, n_bins=n_bins, exact=True
     )

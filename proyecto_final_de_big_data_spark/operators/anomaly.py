@@ -14,10 +14,15 @@ is collected to one ordered array (the `sessionize`/`paths`
 discipline: bounded series per key — a daily grid is ≤ a few thousand
 points even over a decade; ``max_points`` hard-fails on runaway keys
 rather than OOMing an executor) and the EWMA recursion — inherently
-sequential per key — runs as ONE in-memory array fold per key, O(n)
-per series, embarrassingly parallel across keys. The explode back to
-rows restores series cardinality; the residual-scale pass is one more
-keyed aggregation of three doubles per key.
+sequential per key — runs as ONE in-memory array fold per key,
+embarrassingly parallel across keys. Honest cost note: the fold grows
+an immutable array (Catalyst concat copies on append), so n points
+cost O(n²) element copies — trivial on the daily/hourly monitoring
+grids this targets (3.6k points ≈ 10⁷ copies), which is why
+``max_points`` defaults to 10_000; aggregate longer series to a
+coarser grid first. The explode back to rows restores series
+cardinality; the residual-scale pass is one more keyed aggregation of
+three doubles per key.
 
 The recursion s_t = α·x_t + (1−α)·s_{t−1}, s_1 = x_1 is evaluated as
 a literal left fold, so a SQL oracle replaying the identical fold
@@ -40,7 +45,7 @@ def ewma_anomaly(
     value_col: str,
     alpha: float = 0.3,
     k: float = 3.0,
-    max_points: int = 100_000,
+    max_points: int = 10_000,
     decimals: int = 6,
 ) -> DataFrame:
     """``(*key_cols, t, value, ewma, resid, is_anomaly)`` per input row.
@@ -67,7 +72,8 @@ def ewma_anomaly(
         df, key_cols, t_col, value_col, max_points, "ewma_anomaly"
     )
     # One left fold per key: append s_t = α·x + (1−α)·s_{t−1} (first
-    # point seeds the state). O(n) sequential work per series.
+    # point seeds the state). Sequential per series; array growth makes
+    # it O(n²) copies — see the module docstring's max_points note.
     ew = F.aggregate(
         F.col("__pts"),
         F.expr("CAST(array() AS ARRAY<DOUBLE>)"),

@@ -71,7 +71,11 @@ def benford_profile(
     from pyspark.sql import Window
 
     tot = F.sum(F.coalesce(F.col("n"), F.lit(0))).over(Window.partitionBy())
-    obs = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("__tot")
+    # Zero-total guard: screening a column whose every value was
+    # excluded (all NULL/0/NaN) must yield NULL fractions, not an ANSI
+    # DIVIDE_BY_ZERO.
+    safe_tot = F.when(F.col("__tot") > 0, F.col("__tot"))
+    obs = F.coalesce(F.col("n"), F.lit(0)).cast("double") / safe_tot
     return (
         spine.join(counts, "digit", "left")
         .withColumn("__tot", tot)
@@ -82,7 +86,7 @@ def benford_profile(
             F.round(F.col("expected_frac"), decimals).alias("expected_frac"),
             # n_total * (obs - exp)^2 / exp — the per-digit chi-square term
             F.round(
-                F.col("__tot")
+                safe_tot
                 * F.pow(obs - F.col("expected_frac"), 2)
                 / F.col("expected_frac"),
                 decimals,

@@ -30,9 +30,13 @@ Scale shape (100 TB): input is a SERIES frame (key, t, value) — the
 caller aggregates raw events onto a grid first, so cardinality is
 keys × grid points. One groupBy collects each key's bounded, sorted
 array (``max_points`` hard-fail, the :mod:`.sessionize` discipline),
-the inherently-sequential recursion is one O(n) in-memory fold per
-key, embarrassingly parallel across keys; posexplode restores series
-cardinality. No window over raw data, no driver state.
+the inherently-sequential recursion is one in-memory fold per key,
+embarrassingly parallel across keys; posexplode restores series
+cardinality. No window over raw data, no driver state. Honest cost
+note (shared with :mod:`.anomaly`): the fold grows an immutable array,
+so n points cost O(n²) element copies — fine on monitoring grids,
+which is why ``max_points`` defaults to 10_000; aggregate longer
+series to a coarser grid first.
 
 Extension surface — the reference has no monitoring stage.
 """
@@ -51,7 +55,7 @@ def cusum_changepoints(
     k: float = 0.5,
     h: float = 5.0,
     baseline_points: int | None = None,
-    max_points: int = 100_000,
+    max_points: int = 10_000,
     decimals: int = 6,
 ) -> DataFrame:
     """``(*key_cols, t, value, cusum_pos, cusum_neg, is_change)`` per

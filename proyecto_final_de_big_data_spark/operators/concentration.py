@@ -80,8 +80,12 @@ def lorenz_gini(
         .withColumn("__cv", F.sum("sum_v").over(w_cum))
     )
     pop_share = F.col("n") / F.col("__tn").cast("double")
-    l_cur = F.col("__cv") / F.col("__tv")
-    l_prev = (F.col("__cv") - F.col("sum_v")) / F.col("__tv")
+    # An all-zero measure is legal (only negatives are rejected):
+    # guard the value-share denominators so it reads as NULL shares,
+    # not an ANSI DIVIDE_BY_ZERO.
+    tv = F.when(F.col("__tv") != 0, F.col("__tv"))
+    l_cur = F.col("__cv") / tv
+    l_prev = (F.col("__cv") - F.col("sum_v")) / tv
     # Gini = 1 − Σ_b pop_share_b · (L_{b−1} + L_b); the sum is another
     # unpartitioned window over the ≤n_buckets-row frame.
     gini = F.lit(1.0) - F.sum(pop_share * (l_prev + l_cur)).over(w_all)

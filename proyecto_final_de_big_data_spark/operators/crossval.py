@@ -49,6 +49,15 @@ def kfold_linear_cv(
         F.col(x2).cast("double").alias("x2"),
         F.col(y).cast("double").alias("y"),
     )
+    # Complete rows only: count(lit(1)) alongside NULL-skipping sums
+    # would feed Cramer's rule an inconsistent system (wrong
+    # coefficients, not NULL ones) and over-report fold sizes.
+    complete = (
+        F.col("x1").isNotNull() & ~F.isnan("x1")
+        & F.col("x2").isNotNull() & ~F.isnan("x2")
+        & F.col("y").isNotNull() & ~F.isnan("y")
+    )
+    base = base.filter(complete)
     per_fold = base.groupBy("fold").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("x1").alias("sx1"),

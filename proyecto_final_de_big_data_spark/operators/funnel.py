@@ -114,11 +114,11 @@ def retention_cohorts(
     integral epoch-weeks — engine-portable, no week-start semantics."""
     from pyspark.sql import Window
 
-    # Integer floor division (matches the docstring's ``epoch //
-    # 604800`` and the DuckDB oracle's ``//``): ``div`` floors toward
-    # negative infinity on longs exactly like Python/DuckDB, whereas a
-    # double division + cast('long') would truncate toward zero and
-    # diverge for pre-1970 timestamps.
+    # Integer division via ``div`` (matches the DuckDB oracle's ``//``):
+    # both truncate toward zero on longs (NOT Python's floor — they
+    # differ for pre-1970 timestamps, as the module docstring states),
+    # and staying in exact long arithmetic avoids the double
+    # intermediate whose 2^53 precision loss the r6 ADVICE flagged.
     week = F.expr(
         f"unix_timestamp(`{ts_col}`) div {WEEK_SECONDS}"
     ).cast("long")

@@ -47,6 +47,12 @@ def mad_outlier_profile(
     sits exactly at one value"."""
     by = by or []
     x = F.col(col).cast("double")
+    # NaN sorts GREATEST in Spark: it would shift the exact percentiles,
+    # count into n, and always flag as an outlier — while DuckDB's
+    # quantile_cont treats it differently, silently diverging. Exclude
+    # NaN rows; NULL rows still flow through (ignored by count/percentile)
+    # so the documented NULL semantics are unchanged.
+    df = df.filter(x.isNull() | ~F.isnan(x))
 
     def _median(c):
         if exact:

@@ -35,6 +35,12 @@ def per_key_linear_trend(
     NULL for zero y-variance, where it is undefined)."""
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
+    # Complete pairs only: counting NULL/NaN rows that every sum skips
+    # would bias the normal equations silently (n_points=4 with 3
+    # summed pairs fits the WRONG line, it does not return NULL).
+    df = df.filter(
+        x.isNotNull() & ~F.isnan(x) & y.isNotNull() & ~F.isnan(y)
+    )
     agg = df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.sum(x).alias("__sx"),

@@ -79,3 +79,28 @@ def test_validates_k(spark):
     df = spark.createDataFrame([(1, 1.0, 1.0, 1.0)], "id long, x1 double, x2 double, y double")
     with pytest.raises(ValueError):
         kfold_linear_cv(df, "x1", "x2", "y", F.col("id") % 2, k=1)
+
+
+def test_incomplete_rows_excluded_from_system(spark):
+    from pyspark.sql import functions as F
+
+    from proyecto_final_de_big_data_spark.operators.crossval import (
+        kfold_linear_cv,
+    )
+
+    rows = [(i, float(i % 5), float(i % 3), float(2 * (i % 5) + 3 * (i % 3) + 1))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+    dirty = df.unionByName(
+        spark.createDataFrame(
+            [(100, None, 1.0, 1.0), (101, 2.0, None, 1.0)],
+            "id long, x1 double, x2 double, y double",
+        )
+    )
+    clean_out = sorted(
+        kfold_linear_cv(df, "x1", "x2", "y", F.col("id") % 2, k=2).collect()
+    )
+    dirty_out = sorted(
+        kfold_linear_cv(dirty, "x1", "x2", "y", F.col("id") % 2, k=2).collect()
+    )
+    assert clean_out == dirty_out  # NULL rows contribute nothing
