@@ -53,6 +53,19 @@ HEADLINERS = {
     "ewma_anomaly_contract": "EWMA — one array fold per key (sequential recursion localized), explode + one residual-scale agg",
     "autocorrelation_contract": "ACF — pre-aggregated self-join on day+lag via broadcast lag spine, raw-moment aggs, no window",
     "bm25_relevance_contract": "BM25 — tokens explode once, term stats filtered to |terms| keys pre-shuffle, idf broadcast join",
+    "ml_auc_contract": "bucketed ROC AUC — bucket counts partial/final, curve walk on one answer-scale window, no rank-sum sort",
+    "ml_classification_report_contract": "PRF report — k thresholds as conditional sums in ONE agg, inline reshape, no join",
+    "ml_lift_table_contract": "lift table — quantile-bound bins, window totals over the n_bins frame (no totals cross-join re-scan)",
+    "ml_cv_contract": "k-fold CV — ONE groupBy(fold) sufficient-stats pass, closed-form solve, broadcast scoring join",
+    "attribution_contract": "multi-touch attribution — one reverse cumulative user window, credit algebra at (user,conversion) cardinality",
+    "jackknife_ratio_contract": "jackknife ratio CI — one stratum agg, leave-one-out by subtraction, single scan",
+    "woe_iv_contract": "WOE/IV — category-cardinality agg, class totals on post-agg window, single scan",
+    "target_encoding_contract": "LOO target encoding — category stats broadcast back, decimal-exact sums, no raw-row window",
+    "benford_profile_contract": "Benford — lexical digit projection, <=9-key agg, 9-row literal spine join",
+    "incremental_agg_contract": "incremental mart merge — union-and-reaggregate at grain cardinality, no join to base facts",
+    "cusum_changepoint_contract": "CUSUM — moments + recursion as per-key array folds, posexplode back, no raw-row window",
+    "lorenz_gini_contract": "Lorenz/Gini — bucket counts partial/final, cumulative shares on answer-scale windows, no global sort",
+    "pagerank_contract": "PageRank — per-2-round lazy localCheckpoint truncation shows as LogicalRDD rounds; one join + one agg per round",
 }
 
 
