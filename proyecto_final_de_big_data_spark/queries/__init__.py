@@ -84,6 +84,14 @@ from . import quality  # noqa: E402,F401
 # if asof.py stays unchanged), canonicalize_contract /
 # export_round_trip_partitioned (multi-round green — move the family
 # probes to their CSV/JSON round-trip twins when swapping).
+# Rotation-IN candidates for r8 (register EARLY in the round so the
+# same-round-slot rule is honored with slots to spare): the round-7
+# pytest-gated surfaces with SQL-trivial oracles —
+# k_anonymity_profile (one GROUP BY + rollup), brier_and_ece (bucket
+# algebra, the ml_auc oracle pattern), basket_size_profile (one agg).
+# isotonic calibration stays pytest-only (PAV's merge loop is not
+# SQL-restatable without re-implementing it in a recursive CTE).
+#
 # Rotation-OUT candidates once r7 lands green (for the r8 window):
 # the 27 round-7-new entries will have first-round evidence and the
 # multi-round-green carryovers (python_datasource r6+r7,
