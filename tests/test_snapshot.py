@@ -126,3 +126,20 @@ def test_release_manifest_sql_twins_match_engine_on_nulls(spark):
         f"{content_checksum_sql(content_digest_sql(['text']))} FROM t"
     ).fetchone()
     assert (got["id_sum"], got["content_checksum"]) == want
+
+
+def test_schema_diff_reports_add_remove_retype(spark):
+    from proyecto_final_de_big_data_spark.operators.snapshot import schema_diff
+
+    old = spark.createDataFrame([], "a int, b string, c double")
+    new = spark.createDataFrame([], "a bigint, b string, d boolean")
+    diff = schema_diff(old, new)
+    assert diff == [
+        {"column": "a", "change": "retyped", "old_type": "int",
+         "new_type": "bigint"},
+        {"column": "c", "change": "removed", "old_type": "double",
+         "new_type": None},
+        {"column": "d", "change": "added", "old_type": None,
+         "new_type": "boolean"},
+    ]
+    assert schema_diff(old, old) == []
