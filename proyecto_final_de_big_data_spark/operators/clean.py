@@ -143,3 +143,54 @@ def clip_to_group_quantiles(
         *[f"__g_{g}" for g in group_cols],
         *[f"{c}__{s}" for c in cols for s in ("lo", "hi")],
     )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    fracs: list[float],
+    by: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Importance-weighted exact percentiles per group — the corpus
+    question "what's the median document quality, weighted by token
+    count?" asked correctly (an unweighted median over documents
+    answers a different question than one over tokens).
+
+    Uses ``percentile``'s frequency argument (each row counts
+    ``weight`` times — exact interpolated semantics over the expanded
+    multiset WITHOUT materializing it), so the weight column must be a
+    non-negative INTEGRAL type: a float weight silently truncates
+    toward a different multiset, so it is rejected loudly (the
+    :func:`.split.systematic_weighted_sample` contract). One
+    aggregation pass, map-side partials; output one row per group with
+    one column per requested fraction (``p50``-style names).
+    """
+    if not fracs:
+        raise ValueError("weighted_percentiles needs at least one fraction")
+    if any(not (0.0 <= f <= 1.0) for f in fracs):
+        raise ValueError(f"fractions must be in [0, 1], got {fracs}")
+    wtype = dict(df.dtypes).get(weight_col)
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"weighted_percentiles needs an integral weight column; "
+            f"{weight_col!r} is {wtype!r} — cast explicitly (and decide "
+            "the rounding) first"
+        )
+    by = by or []
+    x = F.col(col).cast("double")
+    p = F.percentile(x, F.lit(list(map(float, fracs))), F.col(weight_col))
+    agg = df.groupBy(*by).agg(p.alias("__p"))
+
+    def _name(f: float) -> str:
+        v = f * 100
+        return f"p{int(v)}" if v == int(v) else f"p{v}".replace(".", "_")
+
+    return agg.select(
+        *by,
+        *[
+            F.round(F.element_at("__p", i + 1), decimals).alias(_name(f))
+            for i, f in enumerate(fracs)
+        ],
+    )

@@ -40,3 +40,55 @@ def test_bounds_one_row_per_group(spark):
     b = grouped_quantile_bounds(_df(spark), ["g"], ["x"], 0.1, 0.9, exact=True)
     assert b.count() == 2
     assert set(b.columns) == {"g", "x__lo", "x__hi"}
+
+
+# ------------------------------------------------- weighted percentiles
+
+
+def test_weighted_median_counts_each_row_weight_times(spark):
+    from proyecto_final_de_big_data_spark.operators.clean import (
+        weighted_percentiles,
+    )
+
+    # multiset {1, 2,2,2, 10} -> median 2; unweighted median would be 2
+    # anyway, so also check p80 where they diverge: expanded sorted
+    # [1,2,2,2,10], p80 interpolates between index 3.2 -> 2 + .2*(10-2)
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 3), (10.0, 1)], "x double, w long"
+    )
+    out = weighted_percentiles(df, "x", "w", [0.5, 0.8]).first()
+    assert out["p50"] == 2.0
+    assert out["p80"] == 3.6
+
+
+def test_weighted_percentiles_per_group_and_naming(spark):
+    from proyecto_final_de_big_data_spark.operators.clean import (
+        weighted_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 3.0, 1), ("b", 5.0, 2)],
+        "k string, x double, w long",
+    )
+    out = {r["k"]: r for r in weighted_percentiles(
+        df, "x", "w", [0.5, 0.999], by=["k"]
+    ).collect()}
+    assert out["a"]["p50"] == 2.0 and out["b"]["p50"] == 5.0
+    assert "p99_9" in out["a"].asDict()
+
+
+def test_weighted_percentiles_rejects_float_weight_and_bad_fracs(spark):
+    import pytest as _pytest
+
+    from proyecto_final_de_big_data_spark.operators.clean import (
+        weighted_percentiles,
+    )
+
+    intdf = spark.createDataFrame([(1.0, 1)], "x double, w long")
+    fdf = spark.createDataFrame([(1.0, 1.5)], "x double, w double")
+    with _pytest.raises(ValueError):
+        weighted_percentiles(fdf, "x", "w", [0.5])
+    with _pytest.raises(ValueError):
+        weighted_percentiles(intdf, "x", "w", [])
+    with _pytest.raises(ValueError):
+        weighted_percentiles(intdf, "x", "w", [1.5])
