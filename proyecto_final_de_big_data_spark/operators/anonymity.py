@@ -35,16 +35,20 @@ def k_anonymity_profile(
         raise ValueError(f"k must be >= 2, got {k}")
     classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__c"))
     risky = F.when(F.col("__c") < k, F.col("__c")).otherwise(F.lit(0))
+    # Empty-input verdicts are explicit: an empty release is vacuously
+    # k-anonymous (a NULL verdict would read falsy in a compliance
+    # gate and block it), counts are 0 not NULL; min_class_size and
+    # at_risk_frac stay NULL (genuinely undefined on no classes).
     return classes.agg(
-        F.sum("__c").alias("n_rows"),
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("n_rows"),
         F.count(F.lit(1)).alias("n_classes"),
         F.min("__c").alias("min_class_size"),
         F.lit(int(k)).alias("k"),
-        F.sum(risky).alias("n_rows_at_risk"),
+        F.coalesce(F.sum(risky), F.lit(0)).alias("n_rows_at_risk"),
         F.round(
             F.sum(risky) / F.sum("__c").cast("double"), decimals
         ).alias("at_risk_frac"),
-        (F.min("__c") >= k).alias("is_k_anonymous"),
+        F.coalesce(F.min("__c") >= k, F.lit(True)).alias("is_k_anonymous"),
     )
 
 
@@ -54,8 +58,12 @@ def suppress_small_classes(
     """The blunt-but-sound enforcement: drop every row whose
     quasi-identifier class holds fewer than ``k`` rows (suppression —
     generalization hierarchies are a caller-side modeling choice).
-    Class sizes broadcast back onto the rows (class count ≪ rows), so
-    enforcement is one aggregation + one broadcast join."""
+    Enforcement is one aggregation + one join back onto the rows. The
+    surviving-class frame is usually far smaller than the rows, but its
+    size is data-dependent (up to n_rows/k classes for near-unique
+    quasi-identifiers) — so the join is left UN-hinted and AQE picks
+    broadcast only when the frame actually fits, instead of a forced
+    broadcast OOMing the driver on a high-cardinality release."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     from functools import reduce
@@ -80,4 +88,4 @@ def suppress_small_classes(
             for i, c in enumerate(quasi_cols)
         ],
     )
-    return df.join(F.broadcast(big), on=cond, how="inner").select(*df.columns)
+    return df.join(big, on=cond, how="inner").select(*df.columns)

@@ -184,7 +184,10 @@ def weighted_percentiles(
     agg = df.groupBy(*by).agg(p.alias("__p"))
 
     def _name(f: float) -> str:
-        v = f * 100
+        # round before the exactness check: 0.29*100 is
+        # 28.999999999999996 in binary, which would otherwise name the
+        # column p28_999999999999996 instead of p29
+        v = round(f * 100, 6)
         return f"p{int(v)}" if v == int(v) else f"p{v}".replace(".", "_")
 
     return agg.select(

@@ -67,3 +67,11 @@ def test_validations(spark):
         k_anonymity_profile(df, ["zip"], k=1)
     with pytest.raises(ValueError):
         suppress_small_classes(df, ["zip"], k=0)
+
+
+def test_empty_input_is_vacuously_k_anonymous(spark):
+    df = spark.createDataFrame([], "zip string, yob int, name string")
+    out = k_anonymity_profile(df, ["zip", "yob"], k=3).first()
+    assert out["n_rows"] == 0 and out["n_rows_at_risk"] == 0
+    assert out["is_k_anonymous"] is True
+    assert out["min_class_size"] is None

@@ -92,3 +92,13 @@ def test_weighted_percentiles_rejects_float_weight_and_bad_fracs(spark):
         weighted_percentiles(intdf, "x", "w", [])
     with _pytest.raises(ValueError):
         weighted_percentiles(intdf, "x", "w", [1.5])
+
+
+def test_weighted_percentile_names_survive_binary_fractions(spark):
+    from proyecto_final_de_big_data_spark.operators.clean import (
+        weighted_percentiles,
+    )
+
+    df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "x double, w long")
+    out = weighted_percentiles(df, "x", "w", [0.29, 0.07, 0.999])
+    assert set(out.columns) == {"p29", "p7", "p99_9"}
