@@ -266,6 +266,24 @@ def brier_and_ece(
     p = (F.col(prob_col) if isinstance(prob_col, str) else prob_col).cast(
         "double"
     )
+    # Probability-domain guard (ADVICE r7): a p outside [0, 1] (e.g. a
+    # raw margin column passed by mistake) would be silently clamped
+    # into the edge buckets while its raw value still feeds the sums,
+    # yielding plausible-looking-but-meaningless Brier/ECE. Hard-fail
+    # in-plan instead (the lorenz_gini raise_error pattern).
+    # (NaN compares greater than everything under Spark ordering, so it
+    # must be excused here — it stays excluded by the filter below,
+    # matching the documented NULL/NaN policy.)
+    p = F.when(
+        ~F.isnan(p) & ((p < 0.0) | (p > 1.0)),
+        F.raise_error(
+            F.format_string(
+                "brier_and_ece: probability %s outside [0, 1] — pass "
+                "calibrated probabilities, not raw scores/margins",
+                F.format_number(p, 6),
+            )
+        ).cast("double"),
+    ).otherwise(p)
     y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast(
         "boolean"
     )

@@ -180,7 +180,21 @@ def weighted_percentiles(
         )
     by = by or []
     x = F.col(col).cast("double")
-    p = F.percentile(x, F.lit(list(map(float, fracs))), F.col(weight_col))
+    # Runtime non-negativity guard (ADVICE r7): a negative integral
+    # weight fails deep inside Spark's percentile with an opaque error;
+    # hard-fail with the operator's own name instead (the lorenz_gini
+    # raise_error pattern — in-plan, no extra scan).
+    w = F.when(
+        F.col(weight_col) < 0,
+        F.raise_error(
+            F.format_string(
+                "weighted_percentiles: negative weight in %s — weights "
+                "are multiset frequencies and must be >= 0",
+                F.lit(weight_col),
+            )
+        ).cast(dict(df.dtypes)[weight_col]),
+    ).otherwise(F.col(weight_col))
+    p = F.percentile(x, F.lit(list(map(float, fracs))), w)
     agg = df.groupBy(*by).agg(p.alias("__p"))
 
     def _name(f: float) -> str:

@@ -71,12 +71,35 @@ def kfold_linear_cv(
     )
     stats = ["n", "sx1", "sx2", "sx11", "sx12", "sx22", "sy", "sx1y", "sx2y"]
     totals = per_fold.agg(
-        *[F.sum(s).alias(f"t_{s}") for s in stats]
+        F.count(F.lit(1)).alias("t_kfolds"),
+        *[F.sum(s).alias(f"t_{s}") for s in stats],
+    )
+    # Fold-expression reconciliation (ADVICE r7): per_fold has one row
+    # per DISTINCT fold value, so totals carries the realized fold
+    # count for free — a fold expression yielding values outside
+    # 0..k-1 or fewer distinct folds than requested would silently run
+    # a different CV than asked for. Hard-fail in-plan instead (the
+    # lorenz_gini raise_error pattern; no extra action, no extra scan).
+    fold_domain_ok = (F.col("fold") >= 0) & (F.col("fold") < k)
+    checked_n = F.when(
+        (F.col("t_kfolds") == k) & fold_domain_ok, F.col("n")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "kfold_linear_cv: fold expression produced %d distinct "
+                "fold(s) (saw fold=%d) but k=%d was requested — use a "
+                "deterministic expression covering exactly 0..k-1, e.g. "
+                "pmod(key, k)",
+                F.col("t_kfolds"),
+                F.col("fold"),
+                F.lit(k),
+            )
+        ).cast("double")
     )
     # Train-side statistics for fold f = totals − fold f's partials.
     tr = per_fold.crossJoin(F.broadcast(totals)).select(
         "fold",
-        F.col("n").alias("n_test_d"),
+        checked_n.alias("n_test_d"),
         *[(F.col(f"t_{s}") - F.col(s)).alias(s) for s in stats],
     )
     n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")

@@ -40,16 +40,22 @@ def target_encode_loo(
         enc_i = (Σ_cat y − y_i + m·μ_global) / (n_cat − 1 + m)
 
     With ``m = 0``, singleton categories (n_cat = 1) yield NULL — the
-    honest answer; give them the prior by setting ``m > 0``. NULL
-    targets contribute to neither sums nor counts, and their rows get
-    NULL encodings.
+    honest answer; give them the prior by setting ``m > 0``. NULL and
+    NaN targets contribute to neither sums nor counts, and their rows
+    get NULL encodings.
     """
     if prior_weight < 0:
         raise ValueError(f"prior_weight must be >= 0, got {prior_weight}")
     t = F.col(target_col)
+    # NaN targets are excluded like NULL ones (ADVICE r7): one NaN in a
+    # double target would otherwise poison the category's sum, so EVERY
+    # row of that category encodes to NaN. isnan only accepts
+    # float/double, so the check rides a double cast (exact for the
+    # int/decimal targets the gate uses; NaN only exists for floats).
+    t_valid = F.when(t.isNotNull() & ~F.isnan(t.cast("double")), t)
     per = df.groupBy(F.col(cat_col).alias("__cat")).agg(
-        F.count(t).alias("__nc"),
-        F.sum(t).alias("__sc"),
+        F.count(t_valid).alias("__nc"),
+        F.sum(t_valid).alias("__sc"),
     )
     w = Window.partitionBy()
     per = per.withColumn(
@@ -63,8 +69,11 @@ def target_encode_loo(
         "left",
     ).drop("__cat")
     denom = F.col("__nc") - 1 + F.lit(m)
+    # A NaN-target row gets NULL like a NULL-target row (its own target
+    # can't be subtracted out), and since it never entered the sums the
+    # LOO denominator for its siblings is already right.
     enc = F.when(
-        t.isNotNull() & (denom > 0),
+        t.isNotNull() & ~F.isnan(t.cast("double")) & (denom > 0),
         (
             F.col("__sc").cast("double")
             - t.cast("double")

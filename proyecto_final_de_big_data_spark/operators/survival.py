@@ -48,10 +48,16 @@ def kaplan_meier(
     censoring-only rows carry the unchanged running survival).
     ``event_col`` must be 0/1."""
     by = by or []
-    dur = F.col(duration_col).cast("double").alias("duration")
+    dur = F.col(duration_col).cast("double")
     ev = F.col(event_col).cast("long")
     per_t = (
-        df.select(*by, dur, ev.alias("__ev"))
+        # NULL/NaN durations are excluded up front (ADVICE r7): a NULL
+        # duration would otherwise form its own group that sorts FIRST
+        # under the cumulative windows, silently skewing n_at_risk and
+        # the survival product for the whole group. A subject with no
+        # observed duration carries no survival information.
+        df.filter(dur.isNotNull() & ~F.isnan(dur))
+        .select(*by, dur.alias("duration"), ev.alias("__ev"))
         .groupBy(*by, "duration")
         .agg(
             F.sum("__ev").alias("n_events"),

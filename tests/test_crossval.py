@@ -104,3 +104,25 @@ def test_incomplete_rows_excluded_from_system(spark):
         kfold_linear_cv(dirty, "x1", "x2", "y", F.col("id") % 2, k=2).collect()
     )
     assert clean_out == dirty_out  # NULL rows contribute nothing
+
+
+def test_fold_expression_reconciled_with_k(spark):
+    # ADVICE r7: a fold expression yielding fewer distinct folds than k
+    # (or values outside 0..k-1) must fail loudly, not run a different CV.
+    df = spark.createDataFrame(
+        [(i, float(i), float(2 * i), float(3 * i)) for i in range(20)],
+        "id long, x1 double, x2 double, y double",
+    )
+    with pytest.raises(Exception, match="distinct fold"):
+        kfold_linear_cv(
+            df, "x1", "x2", "y", F.pmod("id", F.lit(2)), k=4
+        ).collect()
+    with pytest.raises(Exception, match="distinct fold"):
+        # right count, wrong domain (1..4 instead of 0..3)
+        kfold_linear_cv(
+            df, "x1", "x2", "y", F.pmod("id", F.lit(4)) + 1, k=4
+        ).collect()
+    # the happy path still runs
+    assert kfold_linear_cv(
+        df, "x1", "x2", "y", F.pmod("id", F.lit(4)), k=4
+    ).count() == 4

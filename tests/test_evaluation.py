@@ -155,3 +155,20 @@ def test_brier_excludes_nulls(spark):
         "s double, y boolean",
     )
     assert brier_and_ece(df, "s", "y").first()["n"] == 1
+
+
+def test_brier_out_of_range_probability_raises(spark):
+    # ADVICE r7: raw margins passed as probabilities must hard-fail,
+    # not clamp into edge buckets and emit plausible-looking numbers.
+    from proyecto_final_de_big_data_spark.ml.evaluation import brier_and_ece
+
+    df = spark.createDataFrame(
+        [(0.5, True), (1.7, False)], "s double, y boolean"
+    )
+    with pytest.raises(Exception, match="outside \\[0, 1\\]"):
+        brier_and_ece(df, "s", "y").collect()
+    df2 = spark.createDataFrame(
+        [(0.5, True), (-0.2, False)], "s double, y boolean"
+    )
+    with pytest.raises(Exception, match="outside \\[0, 1\\]"):
+        brier_and_ece(df2, "s", "y").collect()

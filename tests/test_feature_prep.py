@@ -107,3 +107,15 @@ def test_loo_null_target_gets_null_and_does_not_pollute(spark):
     out = {r["id"]: r["enc"] for r in target_encode_loo(df, "c", "y").collect()}
     assert out[2] is None
     assert out[1] == 30.0 and out[3] == 10.0  # NULL row not in sums/counts
+
+
+def test_loo_nan_target_excluded_like_null(spark):
+    # ADVICE r7: one NaN target must not poison the category sum (every
+    # sibling row would encode to NaN); it behaves exactly like NULL.
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", float("nan")), (3, "a", 30.0)],
+        "id long, c string, y double",
+    )
+    out = {r["id"]: r["enc"] for r in target_encode_loo(df, "c", "y").collect()}
+    assert out[2] is None
+    assert out[1] == 30.0 and out[3] == 10.0

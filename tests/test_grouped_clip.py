@@ -102,3 +102,19 @@ def test_weighted_percentile_names_survive_binary_fractions(spark):
     df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "x double, w long")
     out = weighted_percentiles(df, "x", "w", [0.29, 0.07, 0.999])
     assert set(out.columns) == {"p29", "p7", "p99_9"}
+
+
+def test_weighted_percentiles_negative_weight_raises_named_error(spark):
+    # ADVICE r7: a negative weight fails with the operator's own named
+    # validation, not an opaque error from inside Spark's percentile.
+    import pytest
+
+    from proyecto_final_de_big_data_spark.operators.clean import (
+        weighted_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2), (2.0, -1)], "x double, w long"
+    )
+    with pytest.raises(Exception, match="weighted_percentiles: negative"):
+        weighted_percentiles(df, "x", "w", [0.5]).collect()

@@ -81,3 +81,21 @@ def test_grouped_curves_are_independent(spark):
 def test_no_events_flat_curve(spark):
     got = _km(spark, [(1.0, 0), (5.0, 0)])
     assert all(r["survival"] == 1.0 for r in got.values())
+
+
+def test_null_duration_excluded(spark):
+    # ADVICE r7: a NULL duration must not form its own first-sorted
+    # group skewing n_at_risk for everyone — same curve with/without it.
+    clean = _km(spark, [(1.0, 1), (2.0, 1), (3.0, 0)])
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 0), (None, 1), (float("nan"), 0)],
+        "duration double, event int",
+    )
+    got = {
+        r["duration"]: r.asDict()
+        for r in kaplan_meier(df, "duration", "event").collect()
+    }
+    assert set(got) == {1.0, 2.0, 3.0}
+    assert got[1.0]["n_at_risk"] == 3 == clean[(1.0,)]["n_at_risk"]
+    for t in (1.0, 2.0, 3.0):
+        assert got[t]["survival"] == clean[(t,)]["survival"]
