@@ -104,6 +104,40 @@ from . import quality  # noqa: E402,F401
 # consolidation pattern), or rotate freshly-green r7 twins instead
 # (e.g. one of the two funnel gates, one of ml_auc/ml_lift once both
 # are green, jackknife vs ml_cv — same sufficient-stats family).
+# ----------------------------------------------------------------------
+# ROUND-8 ROTATION (VERDICT r7 item 1 + the documented r8 pool above):
+# the four round-7 pytest-only surfaces are now registered with full
+# DuckDB oracles and rotate IN the round they are registered (standing
+# rule). Each swap names the sibling that keeps the family covered;
+# all four rotated-out entries are r7 first-round hash-green on code
+# whose relevant paths are unchanged this round:
+#   ml_lift_table_contract -> brier_ece_contract (classifier-eval
+#     family keeps ml_auc_contract + ml_classification_report_contract
+#     in-window; this round's evaluation.py change is local to
+#     brier_and_ece — exactly the function the NEW gate verifies — and
+#     the equal-frequency binning machinery lift re-exercises stays
+#     gated by decile_profile_contract).
+#   weekly_retention_cohorts -> k_anonymity_contract (funnel/retention
+#     family keeps event_funnel_profile in-window; funnel.py unchanged).
+#   jackknife_ratio_contract -> weighted_percentile_contract (the
+#     sufficient-statistics stats.py family keeps
+#     correlation_matrix_contract + autocorrelation_contract +
+#     categorical_association_contract in-window; stats.py unchanged.
+#     The new gate ALSO re-verifies clean.py, changed this round by the
+#     negative-weight guard).
+#   ml_classification_report_contract -> basket_size_profile (the
+#     classifier-eval family keeps ml_auc_contract + the NEW
+#     brier_ece_contract in-window — still two evaluation.py gates,
+#     one of them exactly the changed function. The basket family
+#     gains a second rep next to item_affinity_contract — deliberate:
+#     the new gate is the cap-pressure report that SIZES
+#     item_pair_affinity's max_basket guard. session_path_profile
+#     deliberately stays IN: it is the sessionization family's only
+#     in-window representative).
+# isotonic calibration stays pytest-only with its documented rationale
+# (PAV's pool-merge loop is not SQL-restatable without re-implementing
+# the algorithm in a recursive CTE — an oracle that shares the bug).
+# ----------------------------------------------------------------------
 _VERIFICATION_WINDOW = [
     # ------------------------------------------------------------------
     # ROUND-6 ROTATION (VERDICT r5 item 3): the entire 14-query queue of
@@ -269,7 +303,7 @@ _VERIFICATION_WINDOW = [
     # score-quintile lift/gains table (ml/evaluation.py), new this
     # round, which also re-exercises the equal-frequency binning
     # machinery decile_profile_contract gates.
-    "ml_lift_table_contract",
+    "brier_ece_contract",  # r8: swaps in for ml_lift_table_contract
     "decile_profile_contract",
     # mixing
     # source_cap_profile (r5+r6 green, mixing.py unchanged; the mixing
@@ -293,9 +327,9 @@ _VERIFICATION_WINDOW = [
     # jackknife_ratio_contract — delete-one-stratum uncertainty for
     # ratio metrics (operators/stats.py:jackknife_ratio), new this
     # round (same-round-slot rule).
-    "jackknife_ratio_contract",
+    "weighted_percentile_contract",  # r8: swaps in for jackknife_ratio
     "event_funnel_profile",
-    "weekly_retention_cohorts",
+    "k_anonymity_contract",  # r8: swaps in for weekly_retention_cohorts
     # streaming (real-stream parity + stateful + sinks).
     # tumbling_stream_parity (r2/r4/r5 green, window code unchanged)
     # rotates out for tws_histogram_parity — the custom stateful
@@ -364,7 +398,7 @@ _VERIFICATION_WINDOW = [
     # ml_score_contract) hands its slot to
     # ml_classification_report_contract — one-pass thresholded
     # confusion/PRF report (ml/evaluation.py), new this round.
-    "ml_classification_report_contract",
+    "basket_size_profile",  # r8: swaps in for ml_classification_report
     "ml_score_contract",
     # ml_feature_matrix_contract (r5+r6 green, ml/pipeline.py
     # featurization unchanged; M1-M3 stay exercised inside

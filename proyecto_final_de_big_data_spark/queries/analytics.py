@@ -2057,3 +2057,88 @@ def q_lorenz_gini_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     return lorenz_gini(li, "l_extendedprice", lo=0.0, hi=105000.0, n_buckets=256)
+
+
+@register(
+    "weighted_percentile_contract",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag, l_extendedprice AS x,
+               CAST(l_quantity AS INTEGER) AS w
+        FROM lineitem
+    ),
+    expanded AS (
+        SELECT l_returnflag, x FROM base, UNNEST(generate_series(1, w))
+    )
+    SELECT l_returnflag,
+           round(quantile_cont(x, 0.25), 6) AS p25,
+           round(quantile_cont(x, 0.5), 6) AS p50,
+           round(quantile_cont(x, 0.75), 6) AS p75,
+           round(quantile_cont(x, 0.9), 6) AS p90
+    FROM expanded GROUP BY 1
+    """,
+    description="Importance-weighted exact percentiles "
+    "(operators/clean.py:weighted_percentiles): quantity-weighted "
+    "price quartiles per return flag — each lineitem counts "
+    "l_quantity times, via percentile's frequency argument (exact "
+    "interpolated semantics over the expanded multiset WITHOUT "
+    "materializing it; integral weights enforced, negative weights "
+    "raise the operator's named error). ONE aggregation pass with "
+    "map-side partials; output is group-cardinality. The oracle "
+    "proves the frequency-argument semantics the honest-but-"
+    "infeasible-at-scale way: it MATERIALIZES the weighted multiset "
+    "(unnest over generate_series, fixture-scale only) and takes "
+    "quantile_cont over it.",
+)
+def q_weighted_percentile_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.clean import weighted_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("int").alias("qty"),
+    )
+    return weighted_percentiles(
+        li, "l_extendedprice", "qty", [0.25, 0.5, 0.75, 0.9],
+        by=["l_returnflag"],
+    )
+
+
+@register(
+    "basket_size_profile",
+    oracle="""
+    WITH sizes AS (
+        SELECT l_orderkey, count(DISTINCT l_partkey) AS b
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_baskets,
+           CAST(sum(CASE WHEN b > 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_over_cap,
+           round(avg(CASE WHEN b > 5 THEN 1.0 ELSE 0.0 END), 6)
+               AS over_cap_frac,
+           CAST(max(b) AS BIGINT) AS max_size,
+           CAST(quantile_disc(b, 0.99) AS BIGINT) AS p99_size
+    FROM sizes
+    """,
+    description="Basket-size cap-pressure report (operators/basket.py:"
+    "basket_size_profile) for item_pair_affinity's max_basket guard: "
+    "how many order-baskets a cap of 5 distinct parts would drop, "
+    "plus max/p99 sizes — the report you run BEFORE choosing the cap "
+    "that bounds the C(b,2) pair blowup. ONE distinct + ONE "
+    "aggregation, both map-side combined; the whole answer is one "
+    "row. p99 rides percentile_approx at accuracy 10000 — over the "
+    "small integer basket-size domain the sketch is exact and returns "
+    "an actual data value, which DuckDB's quantile_disc restates "
+    "(both sides verified value-identical on the fixtures).",
+)
+def q_basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.basket import basket_size_profile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return basket_size_profile(
+        li, basket_col="l_orderkey", item_col="l_partkey", max_basket=5
+    )

@@ -839,3 +839,52 @@ def q_target_encoding_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = target_encode_loo(orders, "o_orderpriority", "y")
     return out.select("o_orderkey", "o_orderpriority", "enc")
+
+
+@register(
+    "brier_ece_contract",
+    oracle="""
+    WITH base AS (
+        SELECT abs(CAST(embedding[1] AS DOUBLE))
+                 / (abs(CAST(embedding[1] AS DOUBLE))
+                    + abs(CAST(embedding[2] AS DOUBLE)) + 1.0) AS p,
+               (label % 2) = 1 AS y
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT LEAST(GREATEST(CAST(floor(p * 10) AS BIGINT), 0), 9) AS b,
+               count(*) AS n,
+               sum(p) AS sp,
+               sum(CASE WHEN y THEN 1.0 ELSE 0.0 END) AS sy,
+               sum((p - CASE WHEN y THEN 1.0 ELSE 0.0 END)
+                   * (p - CASE WHEN y THEN 1.0 ELSE 0.0 END)) AS sq
+        FROM base GROUP BY 1
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           round(sum(sq) / sum(n), 6) AS brier,
+           round(sum(abs(sp - sy)) / sum(n), 6) AS ece
+    FROM cells
+    """,
+    description="Brier score + expected calibration error "
+    "(ml/evaluation.py:brier_and_ece) of a deterministic "
+    "probability — abs(e1)/(abs(e1)+abs(e2)+1), pure IEEE arithmetic "
+    "in [0,1) that DuckDB restates bit-for-bit — against the odd-class "
+    "label. ONE scan feeds the 10 fixed-width probability cells "
+    "(map-side-combined groupBy at bucket cardinality); Brier reduces "
+    "exactly from per-cell squared-error sums ((p-y)^2 partitions "
+    "cleanly by cell) and ECE is the bucket-count-weighted "
+    "|avg_prob - pos_rate| sum, both on the <=10-row cell frame. "
+    "Probabilities outside [0,1] hard-fail in-plan (ADVICE r7) rather "
+    "than clamping raw margins into the edge buckets.",
+)
+def q_brier_ece_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.evaluation import brier_and_ece
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e1 = F.abs(F.element_at("embedding", 1).cast("double"))
+    e2 = F.abs(F.element_at("embedding", 2).cast("double"))
+    base = emb.select(
+        (e1 / (e1 + e2 + F.lit(1.0))).alias("p"),
+        (F.col("label") % 2 == 1).alias("y"),
+    )
+    return brier_and_ece(base, "p", "y", n_buckets=10)

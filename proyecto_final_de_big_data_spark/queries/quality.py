@@ -551,3 +551,72 @@ def q_drift_psi_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.select(
         "bin", "n_ref", "n_cur", F.round("psi_term", 6).alias("psi_term")
     )
+
+
+@register(
+    "k_anonymity_contract",
+    oracle="""
+    WITH cls AS (
+        SELECT lang, source, n_chars // 500 AS size_band,
+               count(*) AS c
+        FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT 'raw' AS stage,
+           CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(c) AS BIGINT) AS min_class_size,
+           5 AS k,
+           CAST(coalesce(sum(CASE WHEN c < 5 THEN c ELSE 0 END), 0)
+                AS BIGINT) AS n_rows_at_risk,
+           round(sum(CASE WHEN c < 5 THEN c ELSE 0 END)::DOUBLE
+                 / sum(c), 6) AS at_risk_frac,
+           coalesce(min(c) >= 5, TRUE) AS is_k_anonymous
+    FROM cls
+    UNION ALL
+    SELECT 'suppressed' AS stage,
+           CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(c) AS BIGINT) AS min_class_size,
+           5 AS k,
+           CAST(coalesce(sum(CASE WHEN c < 5 THEN c ELSE 0 END), 0)
+                AS BIGINT) AS n_rows_at_risk,
+           round(sum(CASE WHEN c < 5 THEN c ELSE 0 END)::DOUBLE
+                 / sum(c), 6) AS at_risk_frac,
+           coalesce(min(c) >= 5, TRUE) AS is_k_anonymous
+    FROM cls WHERE c >= 5
+    """,
+    description="k-anonymity risk profile + suppression enforcement "
+    "(operators/anonymity.py:k_anonymity_profile,"
+    "suppress_small_classes) over the documents release with "
+    "quasi-identifiers (lang, source, 500-char size band): the raw "
+    "release has singleton equivalence classes (re-identifiable rows), "
+    "the suppressed twin drops every class under k=5 and must profile "
+    "back as k-anonymous — both stages in one unioned readout. ONE "
+    "map-side-combined groupBy per stage at class cardinality, risk "
+    "rollup on the class frame; suppression is one agg + one "
+    "AQE-chosen join back (deliberately un-hinted: the surviving-class "
+    "frame can approach n_rows/k for near-unique quasi-identifiers). "
+    "The oracle restates suppression as a class-frame filter — "
+    "suppression keeps or drops whole classes, so no join is needed "
+    "on the SQL side.",
+)
+def q_k_anonymity_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.anonymity import (
+        k_anonymity_profile,
+        suppress_small_classes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / F.lit(500)).alias("size_band"),
+    )
+    quasi = ["lang", "source", "size_band"]
+    raw = k_anonymity_profile(docs, quasi, k=5)
+    sup = k_anonymity_profile(
+        suppress_small_classes(docs, quasi, k=5), quasi, k=5
+    )
+    return raw.select(F.lit("raw").alias("stage"), "*").unionByName(
+        sup.select(F.lit("suppressed").alias("stage"), "*")
+    )

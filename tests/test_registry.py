@@ -74,10 +74,13 @@ def test_window_covers_every_family():
                                      # r7 after r6 green; pivot family
                                      # keeps priority_pivot_by_year)
         "python_datasource_contract",      # Python Data Source API
-        "jackknife_ratio_contract",  # delete-one-stratum ratio CI
-                                     # (the TWA twin rotated out r7
-                                     # after r6 green; temporal family
-                                     # keeps ewma + acf + trend)
+        "weighted_percentile_contract",  # weighted exact percentiles
+                                     # (jackknife rotated out r8 after
+                                     # r7 green; the stats.py
+                                     # sufficient-stats family keeps
+                                     # corr + acf + chi2 in-window, and
+                                     # this NEW gate re-verifies
+                                     # clean.py's r8 guard change)
         "ewma_anomaly_contract",     # series monitoring (took the slot
                                      # of source_cap_profile, rotated
                                      # out r7 after r5/r6 green; caps
@@ -85,13 +88,18 @@ def test_window_covers_every_family():
                                      # selection gate)
         "embedding_sq_recall",       # SQ8 quantized ANN recall
         "event_funnel_profile",      # strict sequential funnel
-        "weekly_retention_cohorts",  # cohort retention triangle
+        "event_funnel_profile",      # funnel/retention family (the
+                                     # weekly-retention twin rotated
+                                     # out r8 after r7 green; same
+                                     # user-keyed monotone step frames)
         "event_type_trend_contract", # per-key OLS trend (sufficient stats)
-        "ml_lift_table_contract",    # score-quintile lift/gains
-                                     # (chunk_overlap_profile rotated
-                                     # out r7 after r6 green; LLM
-                                     # family keeps token-budget +
-                                     # blocklist + bm25 in-window)
+        "brier_ece_contract",        # classifier calibration metrics
+                                     # (the lift-table + PRF-report
+                                     # twins rotated out r8 after r7
+                                     # green; classifier-eval keeps
+                                     # ml_auc + this NEW gate — the
+                                     # exact function evaluation.py
+                                     # changed this round)
         "decile_profile_contract",   # equal-frequency binning
         "weighted_sample_profile",   # weight-proportional sampling
         "embedding_sq_recall",       # approximate-dedup/similarity
@@ -138,9 +146,9 @@ def test_window_covers_every_family():
                                      # feature-matrix hash twin rotated
                                      # out r7 after r5/r6 green)
         "ml_auc_contract",           # bucketed ROC AUC
-        "ml_classification_report_contract",  # one-pass PRF report
-                                     # (schema_evolution rotated out r7
-                                     # after r6 green; IO contracts
+        "basket_size_profile",       # basket cap-pressure report (the
+                                     # PRF-report twin rotated out r8
+                                     # after r7 green; IO contracts
                                      # keep cdc_merge + pydatasource +
                                      # media_binary in-window)
         "cdc_merge_contract",        # partition-pruned CDC merge
@@ -168,5 +176,9 @@ def test_window_covers_every_family():
         "categorical_association_contract",  # chi2 / Cramér's V / MI
         "ewma_anomaly_contract",     # EWMA + one-step anomaly flags
         "autocorrelation_contract",  # per-key ACF seasonality probe
+        "k_anonymity_contract",      # privacy: k-anonymity + suppression
+        "brier_ece_contract",        # probability calibration metrics
+        "weighted_percentile_contract",  # weighted exact percentiles
+        "basket_size_profile",       # max_basket cap sizing report
     ]:
         assert probe in window, f"family representative {probe} fell out of the window"
