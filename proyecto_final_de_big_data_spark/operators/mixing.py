@@ -270,6 +270,8 @@ def cap_per_group(
     id_col: str,
     cap: int,
     score_col: str | None = None,
+    prune_min_rows: int = 5_000_000,
+    prune_accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-group contribution cap (the Gopher/RefinedWeb per-domain
     cap): keep at most ``cap`` rows per group — the ``cap`` best by
@@ -298,35 +300,97 @@ def cap_per_group(
     probe), matching :func:`temperature_mix`'s stance: this operator
     never silently eats rows.
 
-    A single over-cap group with billions of rows still lands its sort
-    on one window partition; the refinement at that scale is a per-group
-    ``percentile_approx`` score threshold pre-prune (keep rows within
-    the approximation's rank-error margin of the cut, then rank only
-    the survivors). Not wired here — the two-phase split is already
-    exact and covers the long-tail case that dominates real corpora.
+    MEGAGROUP PRE-PRUNE (the SCALE.md refinement, wired): a single
+    over-cap group with billions of rows would still land its
+    ``row_number`` sort on one window partition. When ``score_col`` is
+    given, groups with at least ``prune_min_rows`` rows get a per-group
+    score-threshold pre-filter BEFORE the window: one map-side-combined
+    ``percentile_approx`` pass (partials merge across partitions — the
+    megagroup's rows never co-locate for it) picks a threshold
+    GUARANTEED at-or-below the true cap-th score, so filtering
+    ``score >= threshold`` keeps every possible top-``cap`` row and the
+    window then sorts ~``cap + 2·rows/accuracy`` survivors instead of
+    the whole group. Exactness argument: ``percentile_approx`` at
+    accuracy A returns a value whose true rank is within m/A of the
+    requested rank (m = non-null scores); requesting the ascending
+    fraction ``1 − (cap + 2m/A)/m`` — floored further down to a fixed
+    ladder, since the fraction argument must be foldable — lands a
+    value whose DESCENDING rank is ≥ cap, i.e. a lower bound on the
+    cut. Ties at the threshold are all kept; the top-``cap`` rows all
+    carry non-NULL scores ≥ threshold whenever a threshold exists at
+    all (NULL threshold ⇒ no prune). Groups ordered by ``id_col`` only
+    (no score) skip the prune — at megagroup scale give the operator a
+    score, even a hash of the id.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    over = (
+    sized = (
         df.groupBy(*groups)
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > cap)
-        .select(*groups)
     )
-    cond = None
-    for g in groups:
-        c = df[g].eqNullSafe(over[g])
-        cond = c if cond is None else (cond & c)
-    under_rows = df.join(F.broadcast(over), cond, "left_anti")
-    over_rows = df.join(F.broadcast(over), cond, "left_semi")
+    over = sized.select(*groups)
+
+    def _probe(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
+        cond = None
+        for g in groups:
+            c = left[g].eqNullSafe(right[g])
+            cond = c if cond is None else (cond & c)
+        return left.join(F.broadcast(right), cond, how)
+
+    under_rows = _probe(df, over, "left_anti")
+    over_rows = _probe(df, over, "left_semi")
 
     from pyspark.sql import Window
+
+    if score_col is not None:
+        mega = sized.where(F.col("__n") >= prune_min_rows).select(*groups)
+        plain_rows = _probe(over_rows, mega, "left_anti")
+        mega_rows = _probe(over_rows, mega, "left_semi")
+        # One ladder of foldable fractions evaluated in ONE pass; each
+        # group then reads the largest ladder level <= its own safe
+        # fraction (flooring only lowers the threshold — still exact).
+        ladder = [0.5, 0.9, 0.99, 0.999, 0.9999, 0.99999]
+        sc = F.col(score_col)
+        thr_stats = mega_rows.groupBy(*groups).agg(
+            F.count(sc).cast("double").alias("__m"),
+            F.percentile_approx(
+                sc, F.lit(ladder), F.lit(prune_accuracy)
+            ).alias("__qs"),
+        )
+        m = F.col("__m")
+        # m == 0 (all scores NULL) must not divide: NULL fraction ->
+        # NULL level -> NULL threshold -> no prune for that group.
+        safe_frac = F.when(
+            m > 0,
+            F.lit(1.0)
+            - ((F.lit(float(cap)) + F.lit(2.0) * m / prune_accuracy) / m),
+        )
+        level = sum(
+            (F.lit(step) <= safe_frac).cast("int") for step in ladder
+        )
+        thr = thr_stats.select(
+            *[F.col(g).alias(f"__tg_{i}") for i, g in enumerate(groups)],
+            F.when(level >= 1, F.element_at("__qs", level)).alias("__thr"),
+        )
+        tcond = None
+        for i, g in enumerate(groups):
+            c = mega_rows[g].eqNullSafe(thr[f"__tg_{i}"])
+            tcond = c if tcond is None else (tcond & c)
+        pruned = (
+            mega_rows.join(F.broadcast(thr), tcond, "left")
+            .where(F.col("__thr").isNull() | (sc >= F.col("__thr")))
+            .drop(*[f"__tg_{i}" for i in range(len(groups))], "__thr")
+        )
+        window_input = plain_rows.unionByName(pruned)
+    else:
+        window_input = over_rows
 
     order = (
         [F.col(score_col).desc()] if score_col is not None else []
     ) + [F.col(id_col).asc()]
     w = Window.partitionBy(*groups).orderBy(*order)
     capped = (
-        over_rows.withColumn("__rn", F.row_number().over(w))
+        window_input.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= cap)
         .drop("__rn")
     )

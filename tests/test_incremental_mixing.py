@@ -323,3 +323,69 @@ def test_epoch_upsample_argument_validation(spark):
     # natural call and must not be rejected
     assert epoch_upsample(df, "lang", "doc_id").count() == 1
     assert epoch_upsample(df, "lang", "doc_id", weights={"a": 2.0}).count() == 2
+
+
+def test_cap_megagroup_preprune_is_exact(spark):
+    # SCALE.md refinement (VERDICT r7 item 4): forcing the pre-prune
+    # (prune_min_rows=1) must give EXACTLY the default path's kept set
+    # on a skewed fixture — megagroup + long-tail + under-cap groups,
+    # score ties straddling the cut, NULL scores, a NULL group key.
+    from proyecto_final_de_big_data_spark.operators.mixing import cap_per_group
+
+    rows = []
+    for i in range(400):  # megagroup: many ties so the cut is degenerate
+        rows.append(("mega", i, float(i % 7)))
+    for i in range(20):  # over-cap, below any sane prune_min_rows
+        rows.append(("tail", 1000 + i, float(i)))
+    rows += [("tiny", 2000, 9.0), ("tiny", 2001, None), (None, 3000, 1.0)]
+    rows.append(("mega", 5000, None))  # NULL score inside the megagroup
+    df = spark.createDataFrame(rows, "src string, doc_id long, score double")
+
+    def kept(**kw):
+        return sorted(
+            ((r["src"] or "", r["doc_id"])
+             for r in cap_per_group(
+                 df, "src", "doc_id", 5, "score", **kw
+             ).collect())
+        )
+
+    baseline = kept(prune_min_rows=10**9)  # prune disabled
+    assert kept(prune_min_rows=1) == baseline
+    assert kept(prune_min_rows=1, prune_accuracy=100) == baseline
+    assert kept(prune_min_rows=21) == baseline  # only mega pruned
+
+
+def test_cap_megagroup_preprune_all_null_scores_no_prune(spark):
+    from proyecto_final_de_big_data_spark.operators.mixing import cap_per_group
+
+    df = spark.createDataFrame(
+        [("a", i, None) for i in range(30)], "src string, doc_id long, score double"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in cap_per_group(
+            df, "src", "doc_id", 3, "score", prune_min_rows=1
+        ).collect()
+    )
+    assert got == [0, 1, 2]  # NULL threshold -> no prune; id tie-break
+
+
+def test_cap_megagroup_preprune_shapes_the_plan(spark):
+    # The window's input must carry the percentile_approx threshold
+    # filter when the prune is active — and must NOT when it is off.
+    from proyecto_final_de_big_data_spark.operators.mixing import cap_per_group
+
+    df = spark.range(0, 1000).selectExpr(
+        "'g' AS src", "id AS doc_id", "CAST(id % 97 AS DOUBLE) AS score"
+    )
+    pruned = cap_per_group(df, "src", "doc_id", 5, "score", prune_min_rows=10)
+    plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" in plan
+    assert "__thr" in plan
+    # The prune subtree is data-dependent (group sizes are unknown at
+    # plan time), so it is present whenever a score is given and AQE's
+    # empty-relation propagation elides it at runtime for non-mega
+    # data. Id-ordered capping carries no prune machinery at all.
+    off = cap_per_group(df, "src", "doc_id", 5)
+    plan_off = off._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" not in plan_off
