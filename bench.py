@@ -99,6 +99,31 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 4)
+
+    # Isolated-warm re-measurement of the 3 costliest queries (the
+    # BASELINE.md mover-audit protocol, now mechanical): their in-suite
+    # medians carry interleaved-pass cold effects (executor-memory
+    # churn from 170+ other plans between samples), which polluted
+    # round-over-round comparisons for pagerank/ml_train in r6/r7.
+    # Back-to-back warm runs right after the suite give the number a
+    # human would get re-running the query alone; both are recorded so
+    # a mover can be attributed to load/floor without a manual session.
+    top3 = sorted(timings, key=timings.get, reverse=True)[:3]
+    isolated_warm: dict[str, dict[str, object]] = {}
+    for name in top3:
+        vals = []
+        for _ in range(runs + 1):
+            t0 = time.perf_counter()
+            QUERIES[name].spark_fn(spark, sf_dir).count()
+            vals.append(time.perf_counter() - t0)
+        isolated_warm[name] = {
+            # drop the first back-to-back run: it still pays the
+            # re-warm after whatever query ran last in the suite
+            "median_warm": round(statistics.median(vals[1:]), 4),
+            "runs": [round(v, 4) for v in vals],
+            "in_suite_median": timings[name],
+        }
+
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w", encoding="utf-8") as f:
         json.dump(
@@ -111,6 +136,7 @@ def main() -> None:
                 "loadavg_per_pass": pass_loads,
                 "loadavg_end": round(os.getloadavg()[0], 2),
                 "protocol": "median of interleaved round-robin passes",
+                "isolated_warm_top3": isolated_warm,
             },
             f,
             indent=2,
