@@ -277,7 +277,15 @@ _VERIFICATION_WINDOW = [
     # family keeps cluster_keep_best + semantic_dedup + the curation
     # contract) hands its slot to embedding_sq_recall — SQ8 scalar
     # quantization recall vs the exact float baseline, new this round.
-    "embedding_sq_recall",
+    # r8: embedding_sq_recall (r7 green, quantize.py unchanged; the
+    # SQ8 code path stays in-window COMPOSED inside
+    # knn_ann_ivf_sq_recall — same codes, same moment-expanded cosine,
+    # scored against the same exact-float baseline) hands its slot to
+    # setsim_prefix_join_contract — the prefix-filtered EXACT Jaccard
+    # join (operators/setsim.py), new this round (same-round-slot
+    # rule); the exact-near-dup family gains its lossless scale path
+    # next to the pytest-pinned inverted-index equality.
+    "setsim_prefix_join_contract",
     # text quality / scoring. Round-6 additions rotate in the round
     # they land: chunk_overlap_profile (context-window chunking, the
     # retrieval-side sibling of sequence packing) and

@@ -1932,3 +1932,60 @@ def q_bm25_relevance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_scores(docs, ["spark", "join", "filter"])
+
+
+@register(
+    "setsim_prefix_join_contract",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS w
+        FROM documents WHERE doc_id < 500
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(w) >= 3 THEN
+                       list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [text] END
+               ) AS sh
+        FROM toks
+    )
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+    )
+    WHERE jaccard >= 0.6
+    """,
+    description="Prefix-filtered EXACT set-similarity join "
+    "(operators/setsim.py:jaccard_prefix_pairs — the PPJoin/AllPairs "
+    "candidate-generation principle): word-3-gram Jaccard >= 0.6 "
+    "pairs, but candidates come only from each document's "
+    "|A|-ceil(0.6|A|)+1 RAREST shingles under a global "
+    "doc-frequency-ascending order — provably lossless (prefix-filter "
+    "theorem, proof in the docstring) while the self-join touches "
+    "Sum df^2 over PREFIX shingles only, measured >5x below the full "
+    "inverted index's join rows on this fixture "
+    "(tests/test_setsim.py). No silent caps: completeness is by "
+    "theorem, not by sampling. The oracle is the honest all-pairs "
+    "restatement at fixture scale (doc_id < 500, the "
+    "ngram_jaccard_pairs bounding pattern); equality with the full "
+    "inverted index is ALSO pinned in pytest at three thresholds.",
+)
+def q_setsim_prefix_join_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.setsim import jaccard_prefix_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 500)
+    )
+    return jaccard_prefix_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.6
+    ).withColumn("jaccard", F.round("jaccard", 6))

@@ -86,7 +86,10 @@ def test_window_covers_every_family():
                                      # out r7 after r5/r6 green; caps
                                      # stay repped by the token-budget
                                      # selection gate)
-        "embedding_sq_recall",       # SQ8 quantized ANN recall
+        "knn_ann_ivf_sq_recall",     # SQ8 quantized ANN (composed IVF
+                                     # gate; the standalone SQ recall
+                                     # twin rotated out r8 after r7
+                                     # green on unchanged quantize.py)
         "event_funnel_profile",      # strict sequential funnel
         "event_funnel_profile",      # funnel/retention family (the
                                      # weekly-retention twin rotated
@@ -102,9 +105,10 @@ def test_window_covers_every_family():
                                      # changed this round)
         "decile_profile_contract",   # equal-frequency binning
         "weighted_sample_profile",   # weight-proportional sampling
-        "embedding_sq_recall",       # approximate-dedup/similarity
-                                     # contracts (minhash twin rotated
-                                     # out r7 after r4/r5/r6 green;
+        "setsim_prefix_join_contract",  # exact near-dup similarity
+                                     # (prefix-filtered Jaccard join,
+                                     # NEW r8; minhash twin rotated out
+                                     # r7 after r4/r5/r6 green;
                                      # semantic_dedup_profile rotated
                                      # out r7 after r5/r6 green —
                                      # cluster-then-prune stays repped
