@@ -313,3 +313,97 @@ def pagerank(
         if (it + 1) % max(1, checkpoint_every) == 0 or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst", decimals: int = 6
+) -> DataFrame:
+    """Per-vertex triangle counts + local clustering coefficient over
+    an UNDIRECTED graph: ``(node, degree, n_triangles, clustering)``
+    with ``clustering = 2T / (d·(d−1))`` (0 when d < 2) — the
+    community-density readout (how clique-like is each vertex's
+    neighborhood) that complements :func:`pagerank`'s centrality and
+    :func:`connected_components`'s reachability.
+
+    Algorithm: degree-oriented wedge closing (the "compact-forward" /
+    MapReduce node-iterator++ scheme — Suri & Vassilvitskii, WWW 2011;
+    public literature). Edges are canonicalized (loops dropped,
+    direction collapsed, dedup'd), then ORIENTED from the
+    lower-(degree, id) endpoint to the higher: every triangle
+    {a, b, c} has exactly one orientation a→b, a→c, b→c under that
+    total order, so one self-join on the low endpoint builds each
+    wedge once and one join against the oriented edge set closes it —
+    no triangle is counted twice, no orientation permutations.
+
+    Why degree orientation matters at scale: wedges are built ONLY at
+    each edge's LOWER-degree endpoint, so a degree-D hub contributes
+    wedges only through its (rare) neighbors of even higher degree —
+    the join is O(Σ out_deg²) with out-degrees bounded by ~√m on any
+    graph (the arboricity argument), instead of a star hub exploding
+    into D² wedges under naive id orientation. The total-order key is
+    a (degree, node) STRUCT compared lexicographically — no global
+    rank window, so no single-partition vertex sort anywhere.
+
+    Output includes every vertex (triangle-free ones at 0/0.0).
+    """
+    u, v = F.col("__u"), F.col("__v")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("__u"),
+            F.greatest(F.col(src), F.col(dst)).alias("__v"),
+        )
+        .filter(u.isNotNull() & v.isNotNull() & (u != v))
+        .distinct()
+    )
+    deg = (
+        und.select(u.alias("node"))
+        .unionAll(und.select(v.alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    keyed = und.join(
+        deg.select(F.col("node").alias("__u"), F.col("degree").alias("__du")),
+        "__u",
+    ).join(
+        deg.select(F.col("node").alias("__v"), F.col("degree").alias("__dv")),
+        "__v",
+    )
+    ku = F.struct(F.col("__du").alias("d"), u.alias("n"))
+    kv = F.struct(F.col("__dv").alias("d"), v.alias("n"))
+    oriented = keyed.select(
+        F.when(ku < kv, u).otherwise(v).alias("lo"),
+        F.when(ku < kv, v).otherwise(u).alias("hi"),
+        F.when(ku < kv, kv).otherwise(ku).alias("k_hi"),
+    )
+    w1 = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("k_hi").alias("kb")
+    )
+    w2 = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("c"), F.col("k_hi").alias("kc")
+    )
+    wedges = w1.join(w2, "a").filter(F.col("kb") < F.col("kc"))
+    closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    triangles = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    per_vertex = (
+        triangles.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(per_vertex, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    F.lit(2.0)
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (d * (d - 1.0)),
+                ).otherwise(F.lit(0.0)),
+                decimals,
+            ).alias("clustering"),
+        )
+    )

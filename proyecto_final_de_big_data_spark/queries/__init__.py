@@ -157,7 +157,15 @@ _VERIFICATION_WINDOW = [
     # identical gap-split machinery) hands its slot to
     # cusum_changepoint_contract — two-sided CUSUM level-shift
     # detection (operators/changepoint.py), new this round.
-    "cusum_changepoint_contract",
+    # r8: cusum_changepoint_contract (r7 first-round green,
+    # changepoint.py unchanged; the series-monitoring family keeps
+    # ewma_anomaly_contract + event_type_trend_contract in-window)
+    # hands its slot to triangle_count_contract — degree-oriented
+    # triangle counting / local clustering (operators/graph.py:
+    # triangle_stats), new this round (same-round-slot rule); the
+    # graph family gains the join-based sibling next to pagerank's
+    # Pregel iteration.
+    "triangle_count_contract",
     "heavy_hitter_keys",
     # hll_mergeable_rollup_contract + kll_quantile_rollup_contract
     # (r6 green, sketches.py unchanged; the mergeable-sketch family

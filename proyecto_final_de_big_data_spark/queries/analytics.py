@@ -2142,3 +2142,71 @@ def q_basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basket_size_profile(
         li, basket_col="l_orderkey", item_col="l_partkey", max_basket=5
     )
+
+
+@register(
+    "triangle_count_contract",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        GROUP BY 1
+    ),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM e0 e1
+        JOIN e0 e2 ON e2.u = e1.v
+        JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pv AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1
+    )
+    SELECT deg.node, deg.degree,
+           coalesce(pv.n, 0) AS n_triangles,
+           round(CASE WHEN deg.degree >= 2
+                      THEN 2.0 * coalesce(pv.n, 0)
+                           / (deg.degree * (deg.degree - 1.0))
+                      ELSE 0.0 END, 6) AS clustering
+    FROM deg LEFT JOIN pv USING (node)
+    """,
+    description="Per-vertex triangle counts + local clustering "
+    "coefficient (operators/graph.py:triangle_stats) over the part "
+    "co-purchase graph (parts sharing an order). Degree-oriented "
+    "wedge closing (Suri & Vassilvitskii's MapReduce node-iterator++, "
+    "public literature): edges orient from the lower-(degree, id) "
+    "endpoint via STRUCT-key comparison — no global rank window — so "
+    "each triangle closes exactly once and hub vertices never explode "
+    "into D^2 wedges (wedges build only at the lower-degree endpoint; "
+    "out-degrees are ~sqrt(m)-bounded). The oracle deliberately uses "
+    "DIFFERENT algebra — the id-canonical 3-way self-join "
+    "(x<y<z, all three edges present) with no orientation at all — so "
+    "a bug in the orientation/wedge machinery cannot hide in a shared "
+    "restatement; pytest additionally pins K4/path/pendant fixtures "
+    "and an O(n^3) brute-force random-graph comparison.",
+)
+def q_triangle_count_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_stats(edges)

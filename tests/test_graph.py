@@ -179,3 +179,79 @@ def test_cluster_safe_split_empty_pairs_degenerates_to_hash_split(spark):
     a = {r["doc_id"]: r["split"] for r in cluster_safe_split(docs, pairs, "doc_id", fr).collect()}
     b = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", fr).collect()}
     assert a == b
+
+
+# ------------------------------------------------------ triangle stats
+
+
+def _tri(spark, edges):
+    from proyecto_final_de_big_data_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in triangle_stats(df).collect()
+    }
+
+
+def test_triangle_k4_hand_checked(spark):
+    # K4: every vertex has degree 3, sits in 3 triangles, clustering 1.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _tri(spark, k4)
+    assert got == {i: (3, 3, 1.0) for i in range(4)}
+
+
+def test_triangle_path_has_none(spark):
+    got = _tri(spark, [(1, 2), (2, 3), (3, 4)])
+    assert all(t == 0 and c == 0.0 for (_, t, c) in got.values())
+    assert got[2][0] == 2
+
+
+def test_triangle_k3_with_pendant(spark):
+    # Triangle {1,2,3} + pendant 4 on 3: vertex 3 has degree 3, one
+    # triangle -> clustering 2*1/(3*2) = 1/3.
+    got = _tri(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert got[1] == (2, 1, 1.0) and got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, round(1 / 3, 6))
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_triangle_dedup_loops_and_direction(spark):
+    # Duplicate edges, both directions, and self-loops must not
+    # inflate counts: still exactly one triangle.
+    got = _tri(
+        spark,
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 3), (1, 1), (2, 2)],
+    )
+    assert got[1] == (2, 1, 1.0) and got[2] == (2, 1, 1.0) and got[3] == (2, 1, 1.0)
+
+
+def test_triangle_matches_bruteforce_on_random_graph(spark):
+    # Erdos-Renyi-ish deterministic graph vs an O(n^3) reference.
+    import itertools
+
+    n = 40
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(range(n), 2)
+        if (a * 7919 + b * 104729) % 5 == 0
+    ]
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect_t = {
+        i: sum(
+            1
+            for x, y in itertools.combinations(sorted(adj[i]), 2)
+            if y in adj[x]
+        )
+        for i in range(n)
+    }
+    got = _tri(spark, edges)
+    for i in range(n):
+        if adj[i]:
+            assert got[i][1] == expect_t[i], f"vertex {i}"
+            d = len(adj[i])
+            want_c = round(2 * expect_t[i] / (d * (d - 1)), 6) if d >= 2 else 0.0
+            assert got[i][2] == want_c

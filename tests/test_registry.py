@@ -48,7 +48,12 @@ def test_window_covers_every_family():
         "session_path_profile",      # sessionization (the stats-by-dow
                                      # twin rotated out r7 after r6
                                      # green; same gap-split machinery)
-        "cusum_changepoint_contract",  # CUSUM level-shift monitor
+        "ewma_anomaly_contract",     # series monitoring (the CUSUM
+                                     # twin rotated out r8 after r7
+                                     # green; EWMA + trend keep the
+                                     # family in-window)
+        "triangle_count_contract",   # degree-oriented triangles /
+                                     # local clustering (NEW r8)
         "scd2_user_state_history",   # SCD Type-2 window algebra
         "data_quality_contract",     # expectations validator
         "blocklist_filter_profile",  # content blocklist filter
