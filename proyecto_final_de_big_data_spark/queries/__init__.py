@@ -422,7 +422,16 @@ _VERIFICATION_WINDOW = [
     # structural gate) hands its slot to autocorrelation_contract —
     # per-key ACF at lags 1..7 from raw moments (operators/stats.py),
     # new this round.
-    "autocorrelation_contract",
+    # r8: autocorrelation_contract (r7 first-round green, stats.py
+    # unchanged; the sufficient-statistics stats.py family keeps
+    # correlation_matrix_contract + categorical_association_contract
+    # in-window, and the temporal family keeps ewma_anomaly +
+    # event_type_trend) hands its slot to conformal_interval_contract
+    # — split-conformal prediction intervals (ml/conformal.py), new
+    # this round (same-round-slot rule); the ML-evaluation family
+    # gains the distribution-free uncertainty readout next to
+    # AUC/Brier.
+    "conformal_interval_contract",
     "embedding_kmeans_contract",
     # contracts / IO
     # export_round_trip_orc (r5 green, export code unchanged) hands

@@ -888,3 +888,68 @@ def q_brier_ece_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") % 2 == 1).alias("y"),
     )
     return brier_and_ece(base, "p", "y", n_buckets=10)
+
+
+@register(
+    "conformal_interval_contract",
+    oracle="""
+    WITH base AS (
+        SELECT (l_orderkey % 5) = 0 AS cal,
+               abs(l_extendedprice - 1000.0 * l_quantity) AS r
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    calset AS (SELECT r FROM base WHERE cal),
+    nk AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(ceil((count(*) + 1) * 0.9) AS BIGINT) AS k
+        FROM calset
+    ),
+    q AS (
+        SELECT ranked.r AS q
+        FROM (SELECT r, row_number() OVER (ORDER BY r) AS rn
+              FROM calset) ranked, nk
+        WHERE ranked.rn = nk.k
+    )
+    SELECT nk.n AS n_cal,
+           CAST(nk.k AS INTEGER) AS k_order,
+           round(q.q, 6) AS q_hat,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.r <= q.q THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered,
+           round(avg(CASE WHEN t.r <= q.q THEN 1.0 ELSE 0.0 END), 6)
+               AS coverage,
+           round(2.0 * q.q, 6) AS interval_width
+    FROM base t, nk, q
+    WHERE NOT t.cal
+    GROUP BY 1, 2, 3, 7
+    """,
+    description="Split-conformal prediction interval "
+    "(ml/conformal.py:split_conformal_profile): the k-th smallest "
+    "calibration residual with k = ceil((n+1)(1-alpha)) gives "
+    "distribution-free >=90% coverage for ANY point predictor; "
+    "fitted on the pmod-5 calibration split of a deterministic "
+    "quantity-based price predictor and verified on the disjoint "
+    "test split in the same one-row readout (empirical coverage "
+    "0.90-0.91 on the fixtures — the guarantee, observed). Residuals "
+    "reduce in ONE map-side pass; the exact path takes the order "
+    "statistic via percentile_disc at the foldable fraction k/n "
+    "(bit-safe: cume_dist and the fraction are the same IEEE "
+    "division); exact=False keeps the guarantee under KLL sketching "
+    "by asking for rank k + 2n/accuracy (intervals only widen — the "
+    "cap_per_group rank-margin argument, pinned conservative in "
+    "pytest). The oracle uses DIFFERENT algebra: a row_number order "
+    "statistic, no percentile function at all.",
+)
+def q_conformal_interval_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..ml.conformal import split_conformal_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.lit(1000.0) * F.col("l_quantity")).alias("pred"),
+        F.col("l_extendedprice").alias("y"),
+        (F.col("l_orderkey") % 5 == 0).alias("cal"),
+    )
+    return split_conformal_profile(base, "pred", "y", F.col("cal"), alpha=0.1)

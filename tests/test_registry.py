@@ -184,7 +184,11 @@ def test_window_covers_every_family():
         "robust_outlier_profile",    # median/MAD outlier fence
         "categorical_association_contract",  # chi2 / Cramér's V / MI
         "ewma_anomaly_contract",     # EWMA + one-step anomaly flags
-        "autocorrelation_contract",  # per-key ACF seasonality probe
+        "correlation_matrix_contract",  # stats.py sufficient-stats rep
+                                     # (the ACF twin rotated out r8
+                                     # after r7 green on unchanged
+                                     # stats.py)
+        "conformal_interval_contract",  # split-conformal intervals (NEW r8)
         "k_anonymity_contract",      # privacy: k-anonymity + suppression
         "brier_ece_contract",        # probability calibration metrics
         "weighted_percentile_contract",  # weighted exact percentiles
