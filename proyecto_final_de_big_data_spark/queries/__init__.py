@@ -276,7 +276,15 @@ _VERIFICATION_WINDOW = [
     #     session_stream_parity + tws in-window) and
     #     text_quality_classifier_contract (r5+r6 green; the ML family
     #     keeps 4 reps incl. the new tree-ensemble gate).
-    "event_transition_matrix",
+    # r8: event_transition_matrix (r7 first-round green, paths.py
+    # unchanged; the behavioral-paths family keeps session_path_profile
+    # in-window — the same user-keyed ordered-window machinery plus the
+    # gap-split sessionization on top) hands its slot to
+    # rfm_segment_profile — recency/frequency/monetary quintile
+    # segmentation (operators/rfm.py), new this round (same-round-slot
+    # rule); the behavioral-analytics family gains the WHO-profile
+    # sibling of the funnel/paths WHAT-flow gates.
+    "rfm_segment_profile",
     "session_path_profile",
     "ab_test_contract",
     "knn_ann_ivf_sq_recall",

@@ -2210,3 +2210,70 @@ def q_triangle_count_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_stats(edges)
+
+
+@register(
+    "rfm_segment_profile",
+    oracle="""
+    WITH pc AS (
+        SELECT o_custkey AS customer,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         DATE '1998-12-31') AS recency_days,
+               count(*) AS frequency,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    b AS (
+        SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS br,
+               quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS bf,
+               quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS bm
+        FROM pc
+    ),
+    scored AS (
+        SELECT pc.*,
+               5 - ((recency_days > br[1])::INT + (recency_days > br[2])::INT
+                  + (recency_days > br[3])::INT + (recency_days > br[4])::INT)
+                   AS r_score,
+               1 + (frequency > bf[1])::INT + (frequency > bf[2])::INT
+                 + (frequency > bf[3])::INT + (frequency > bf[4])::INT
+                   AS f_score,
+               1 + (monetary > bm[1])::INT + (monetary > bm[2])::INT
+                 + (monetary > bm[3])::INT + (monetary > bm[4])::INT
+                   AS m_score
+        FROM pc, b
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(recency_days)::DOUBLE / count(*), 6) AS avg_recency_days,
+           round(sum(frequency)::DOUBLE / count(*), 6) AS avg_frequency,
+           round(sum(monetary)::DOUBLE / count(*), 6) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    description="RFM customer segmentation (operators/rfm.py:"
+    "rfm_segments): recency / frequency / monetary quintile scores "
+    "(higher = better, recency inverted) per customer, profiled per "
+    "segment. ONE scan of the order log collapses to the "
+    "customer-cardinality R/F/M frame; three quintile-BOUND fits "
+    "(equal_frequency_bins — no ntile global sort, ties to the lower "
+    "bin so the segmentation is partition-stable) and a map-only "
+    "score chain; the profile aggregates at <=125-segment "
+    "cardinality. Amounts ride DECIMAL(18,2) and segment averages are "
+    "exact-sum-then-one-division (the WOE bit-stability pattern) — "
+    "F.avg over doubles flipped a 6th decimal at a round boundary on "
+    "this very fixture. reference_date is an explicit anchor, never "
+    "inferred, so the readout is reproducible.",
+)
+def q_rfm_segment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rfm import rfm_segments
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "amt", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    return rfm_segments(
+        orders,
+        "o_custkey",
+        "o_orderdate",
+        "amt",
+        reference_date="1998-12-31",
+        n_bins=5,
+    )

@@ -147,7 +147,11 @@ def test_window_covers_every_family():
                                      # algebra x4 folds)
         "ml_tree_ensemble_contract", # GBT/RF structural gate (M4/M5)
         "pagerank_contract",         # Pregel-pattern graph analytics
-        "event_transition_matrix",   # Markov next-event transitions
+        "session_path_profile",      # behavioral paths (the Markov
+                                     # transition twin rotated out r8
+                                     # after r7 green; same user-keyed
+                                     # window machinery)
+        "rfm_segment_profile",       # RFM quintile segmentation (NEW r8)
         "session_path_profile",      # sessionized path analysis
         "ab_test_contract",          # two-proportion z-test readout
         "ml_score_contract",         # batch scoring + model save/load
