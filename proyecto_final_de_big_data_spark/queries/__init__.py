@@ -174,7 +174,15 @@ _VERIFICATION_WINDOW = [
     # their slots to the two supervised feature-prep gates, new this
     # round: woe_iv_contract (scorecard screening) and
     # target_encoding_contract (leakage-safe LOO mean encoding).
-    "woe_iv_contract",
+    # r8: woe_iv_contract (r7 first-round green, woe.py unchanged;
+    # the supervised feature-screening family keeps
+    # target_encoding_contract — whose encode.py CHANGED this round
+    # and so must stay gated — plus categorical_association_contract's
+    # chi2/Cramer/MI screen in-window) hands its slot to
+    # rolling_active_users — DAU/WAU/stickiness via the
+    # dedup-then-expand sliding-distinct shape (operators/activity.py),
+    # new this round (same-round-slot rule).
+    "rolling_active_users",
     "target_encoding_contract",
     "theta_cohort_overlap_contract",
     "variant_props_stats",

@@ -264,3 +264,44 @@ def q_time_weighted_avg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_points", F.round("twa", 6).alias("twa")
     )
+
+
+@register(
+    "rolling_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT d AS day FROM ud),
+    wau AS (
+        SELECT days.day, CAST(count(DISTINCT ud.u) AS BIGINT) AS wau
+        FROM days JOIN ud
+          ON ud.d <= days.day AND ud.d > days.day - 7
+        GROUP BY 1
+    ),
+    dau AS (
+        SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           round(dau.dau::DOUBLE / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau USING (day)
+    """,
+    description="Rolling active users (operators/activity.py:"
+    "rolling_active_users): per active day, DAU, trailing-7-day WAU "
+    "and DAU/WAU stickiness. Sliding DISTINCT does not decompose over "
+    "windows, so the distributed shape is dedup-to-(user,day) (ONE "
+    "distinct at user-day cardinality, never event cardinality), a "
+    "map-side sequence/explode expanding each active day to the 7 "
+    "target days it covers, and a second distinct + count per target "
+    "day — no range join, no per-window recompute; the HLL sketch "
+    "family is the documented approx swap at extreme scale. The "
+    "oracle deliberately uses the OTHER algebra (a day-range join "
+    "with count(DISTINCT)) so the expansion machinery is verified "
+    "against an independent restatement, not mirrored.",
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.activity import rolling_active_users
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_active_users(ev, "user_id", "ts", window_days=7)

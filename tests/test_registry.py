@@ -65,7 +65,11 @@ def test_window_covers_every_family():
         "theta_cohort_overlap_contract",   # mergeable sketches (the
                                      # HLL/KLL twins rotated out r7
                                      # after r6 green; theta + cm stay)
-        "woe_iv_contract",           # WOE/IV scorecard screening
+        "target_encoding_contract",  # supervised feature prep (the
+                                     # WOE/IV twin rotated out r8 after
+                                     # r7 green; encode.py changed this
+                                     # round so its gate stays)
+        "rolling_active_users",      # DAU/WAU sliding distinct (NEW r8)
         "target_encoding_contract",  # leakage-safe LOO mean encoding
         "theta_cohort_overlap_contract",   # Theta set algebra
         "lorenz_gini_contract",      # Lorenz/Gini concentration (the
