@@ -283,7 +283,7 @@ def q_time_weighted_avg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau AS (
         SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
     )
-    SELECT dau.day, dau.dau, wau.wau,
+    SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
            round(dau.dau::DOUBLE / wau.wau, 6) AS stickiness
     FROM dau JOIN wau USING (day)
     """,
@@ -304,4 +304,13 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.activity import rolling_active_users
 
     ev = load_table(spark, sf_dir, "events")
-    return rolling_active_users(ev, "user_id", "ts", window_days=7)
+    out = rolling_active_users(ev, "user_id", "ts", window_days=7)
+    # ISO string for the gate (the scd2 pattern): Spark date columns
+    # reach pandas as python dates while DuckDB emits datetime64 —
+    # the raw types never canonicalize equal.
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        "dau",
+        "wau",
+        "stickiness",
+    )
