@@ -1,0 +1,222 @@
+"""Product quantization (PQ) for embedding similarity — the third leg
+of the FAISS-style ANN family (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011 — public literature), next to the
+IVF cell probe (:mod:`.similarity_ivf`) and SQ8 scalar codes
+(:mod:`.quantize`).
+
+Where SQ8 compresses each DIMENSION to a byte (64 bytes for a 64-dim
+vector), PQ compresses each SUBVECTOR to a codebook id: with ``m``
+subspaces of ``k`` centroids each, a vector is ``m·log2(k)`` bits
+(8 subspaces × 16 centroids = 4 bytes — 64× below float32). Scoring
+is ADC (asymmetric distance computation): the QUERY stays float and
+precomputes, per subspace, its dot product with every centroid — an
+``m × k`` lookup table — so scoring a candidate is ``m`` array
+lookups + adds, never a float-vector read. The reconstructed norm
+``|x̂|² = Σ_j |C_j[code_j]|²`` is exact (subspaces are orthogonal
+coordinate blocks) and computed once at encode time.
+
+Codebook fit follows the ``ivf_centroids`` discipline: a deterministic
+xxhash64-ordered sample of ``m·k`` corpus vectors, sliced per
+subspace — a tiny driver-side model (m·k·d/m floats), no data-path
+collect; swap in offline per-subspace KMeans fits where distortion
+matters (the operator takes codebooks as a plain nested list).
+
+Scale shape (100 TB): encoding is ONE Arrow map pass (numpy einsum per
+batch); the scoring scan reads ``m`` small ints per candidate row with
+a per-row cost of m interpreted lookups (m = 8 beats interpreting a
+64-element float fold, and the bytes through memory drop 16-64×).
+Compose with the IVF cell probe to bound WHICH rows are scanned — the
+FAISS ``IVF,PQ`` posture — exactly as ``ivf_sq8_cosine_topk`` composes
+the SQ8 codes. Accuracy is contract-by-recall (``knn_ann_pq_recall``)
+against the exact float top-k, the same stance as every ANN gate here.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .rollup import argmax_per_group
+from .similarity import as_double_array
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """``codebooks[j][c]`` = centroid ``c`` of subspace ``j`` (each of
+    length dim/m), fit by per-subspace Lloyd iterations on a
+    DETERMINISTIC xxhash64-ordered sample of ≤ ``sample_size`` corpus
+    vectors — the standard FAISS train-on-sample practice, and the
+    house bounded-collect discipline (the sample is the quantizer's
+    training set, a tiny driver-side model fit; no data-path collect).
+    Everything is deterministic: seedless hash ordering, evenly-spaced
+    sample rows as initial centroids, ties to the lower centroid id,
+    empty clusters keep their previous centroid. Requires
+    ``dim % m == 0`` and at least ``k`` sampled rows."""
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("__id"), as_double_array(vec_col).alias("__v")
+        )
+        .orderBy(F.xxhash64(F.col("__id").cast("string")), F.col("__id"))
+        .limit(sample_size)
+        .collect()
+    )
+    n = len(rows)
+    if n < k:
+        raise ValueError(f"pq_codebooks: sample has {n} rows < k = {k}")
+    dim = len(rows[0]["__v"])
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    x = np.asarray([list(r["__v"]) for r in rows], dtype=np.float64).reshape(
+        n, m, dsub
+    )
+    books = []
+    for j in range(m):
+        xj = x[:, j, :]  # (n, dsub)
+        # evenly-spaced init over the hash-ordered sample: spread, and
+        # a different donor set per subspace via the j offset
+        idx = (np.arange(k) * n // k + j) % n
+        cents = xj[idx].copy()
+        for _ in range(iters):
+            d2 = ((xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> lower id (argmin)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xj[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``(id, codes array<int>[m], cnorm2 double)``: per subspace the
+    nearest-centroid id (L2), plus the exact reconstructed squared
+    norm. One Arrow batch pass — reshape, einsum, argmin — no shuffle."""
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    m, k, dsub = books.shape
+    cn2 = np.einsum("mkd,mkd->mk", books, books)  # (m, k) centroid norms²
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["__v"].tolist(), dtype=np.float64).reshape(
+                len(pdf), m, dsub
+            )
+            # ||x_j - c||² = |x_j|² - 2·x_j·c + |c|²; |x_j|² is constant
+            # over c, so argmin needs only the cross and centroid terms.
+            cross = np.einsum("nmd,mkd->nmk", x, books)
+            codes = np.argmin(cn2[None, :, :] - 2.0 * cross, axis=2)
+            cnorm2 = cn2[np.arange(m)[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "codes": [c.astype("int32").tolist() for c in codes],
+                    "cnorm2": cnorm2,
+                }
+            )
+
+    staged = corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+    return staged.mapInPandas(
+        do, schema=f"{id_col} long, codes array<int>, cnorm2 double"
+    )
+
+
+def pq_query_luts(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``(query_id, lut array<double>[m·k], qnorm double)``: the ADC
+    lookup table, flattened so ``lut[j·k + c] = dot(q_j, C_j[c])``.
+    Answer-scale (queries are few); one Arrow pass."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, dsub = books.shape
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.asarray(pdf["__v"].tolist(), dtype=np.float64).reshape(
+                len(pdf), m, dsub
+            )
+            lut = np.einsum("nmd,mkd->nmk", q, books).reshape(len(pdf), m * k)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[id_col].values,
+                    "lut": [r.tolist() for r in lut],
+                    "qnorm": np.sqrt(np.einsum("nmd,nmd->n", q, q)),
+                }
+            )
+
+    staged = queries.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+    return staged.mapInPandas(
+        do, schema="query_id long, lut array<double>, qnorm double"
+    )
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """PQ-ADC approximate cosine top-k: ``(query_id, neighbor_id, rank,
+    cosine_sim_pq)`` — the brute-force-scan-but-tiny-bytes posture
+    (compose with the IVF probe to also bound rows). The only
+    per-candidate work is ``m`` lookups into the broadcast query LUT;
+    float corpus vectors are never read on the scoring path."""
+    books = pq_codebooks(corpus, id_col, vec_col, m=m, k=n_centroids)
+    enc = pq_encode(corpus, books, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    luts = pq_query_luts(queries, books, id_col, vec_col)
+    kk = n_centroids
+    dot = F.aggregate(
+        F.zip_with(
+            "codes",
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at("lut", (j * kk + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        enc.join(F.broadcast(luts), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim_pq",
+            F.when(
+                (F.col("cnorm2") > 0) & (F.col("qnorm") > 0),
+                dot / (F.col("qnorm") * F.sqrt("cnorm2")),
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim_pq")
+    )
+    top = argmax_per_group(
+        cand,
+        ["query_id"],
+        [F.desc_nulls_last("cosine_sim_pq"), F.asc("neighbor_id")],
+        n=k,
+    )
+    return top.select("query_id", "neighbor_id", "rank", "cosine_sim_pq")

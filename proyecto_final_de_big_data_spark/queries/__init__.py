@@ -485,7 +485,16 @@ _VERIFICATION_WINDOW = [
     #     quantile-clip family).
     # ------------------------------------------------------------------
     "survival_km_contract",
-    "item_affinity_contract",
+    # r8: item_affinity_contract (r7 first-round green, basket.py
+    # unchanged; the basket family keeps basket_size_profile NEW
+    # in-window — the same distinct+groupBy basket machinery, sizing
+    # the very max_basket cap the pair join enforces; the pair
+    # self-join stays full-catalog/pytest gated) hands its slot to
+    # knn_ann_pq_recall — product-quantization ADC top-k
+    # (operators/pq.py), new this round (same-round-slot rule),
+    # completing the FAISS index triad (IVF probe / SQ8 codes / PQ
+    # codebooks) in-window next to knn_ann_ivf_sq_recall.
+    "knn_ann_pq_recall",
     "cdc_merge_contract",
     "media_binary_ingest",
     "robust_outlier_profile",

@@ -1989,3 +1989,55 @@ def q_setsim_prefix_join_contract(
     return jaccard_prefix_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.6
     ).withColumn("jaccard", F.round("jaccard", 6))
+
+
+@register(
+    "knn_ann_pq_recall",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                 AS cosine_sim
+        FROM q, c
+        WHERE neighbor_id != query_id
+    ), exact AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        WHERE rank <= 5
+    )
+    SELECT count(*) AS n_exact, 1 AS recall_ok FROM exact
+    """,
+    description="Product-quantization ADC top-k recall (the FAISS PQ "
+    "index leg, operators/pq.py:pq_cosine_topk): 32 subspaces x 64 "
+    "centroids = 24 bytes/vector (~11x below float32); codebooks fit "
+    "by deterministic per-subspace Lloyd on an xxhash64-ordered "
+    "bounded sample (the FAISS train-on-sample practice), encoding is "
+    "one Arrow einsum pass, and scoring is asymmetric distance "
+    "computation — m lookups into the broadcast query LUT per "
+    "candidate, float corpus vectors never read. Exact reconstructed "
+    "norms (subspaces are orthogonal blocks) make the PQ cosine equal "
+    "the numpy-reconstruction cosine bit-for-bit (pinned in pytest, "
+    "plus a zero-distortion k=n fixture). Same exact-baseline oracle "
+    "and 0.5 flag threshold as the IVF/SQ gates; measured recall@5 "
+    "0.80-0.82 on the (worst-case, unclustered) fixtures.",
+)
+def q_knn_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5, batch_cosine=True)
+    approx = pq_cosine_topk(emb, queries, k=5, m=32, n_centroids=64)
+    return _pair_recall(exact, approx, ["query_id", "neighbor_id"], threshold=0.5)

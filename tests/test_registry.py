@@ -188,7 +188,11 @@ def test_window_covers_every_family():
         "fuzzy_name_match_profile",
         "correlation_matrix_contract",  # pairwise sufficient-stats corr
         "survival_km_contract",      # Kaplan-Meier censored retention
-        "item_affinity_contract",    # market-basket support/lift/cosine
+        "basket_size_profile",       # market-basket machinery (the
+                                     # pair-affinity twin rotated out
+                                     # r8 after r7 green; same
+                                     # distinct+groupBy basket frame)
+        "knn_ann_pq_recall",         # PQ-ADC ANN recall (NEW r8)
         "robust_outlier_profile",    # median/MAD outlier fence
         "categorical_association_contract",  # chi2 / Cramér's V / MI
         "ewma_anomaly_contract",     # EWMA + one-step anomaly flags
