@@ -105,13 +105,17 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str,
     vec_col: str,
+    keep_cols: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
-    """``(id, codes array<int>[m], cnorm2 double)``: per subspace the
-    nearest-centroid id (L2), plus the exact reconstructed squared
-    norm. One Arrow batch pass — reshape, einsum, argmin — no shuffle."""
+    """``(id, [keep_cols...,] codes array<int>[m], cnorm2 double)``:
+    per subspace the nearest-centroid id (L2), plus the exact
+    reconstructed squared norm. One Arrow batch pass — reshape,
+    einsum, argmin — no shuffle. ``keep_cols`` is ``[(name, ddl_type)]``
+    pairs carried through untouched (e.g. the IVF cell id)."""
     books = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
     m, k, dsub = books.shape
     cn2 = np.einsum("mkd,mkd->mk", books, books)  # (m, k) centroid norms²
+    keep = keep_cols or []
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -125,17 +129,22 @@ def pq_encode(
             cross = np.einsum("nmd,mkd->nmk", x, books)
             codes = np.argmin(cn2[None, :, :] - 2.0 * cross, axis=2)
             cnorm2 = cn2[np.arange(m)[None, :], codes].sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    "codes": [c.astype("int32").tolist() for c in codes],
-                    "cnorm2": cnorm2,
-                }
-            )
+            out = {id_col: pdf[id_col].values}
+            for name, _t in keep:
+                out[name] = pdf[name].values
+            out["codes"] = [c.astype("int32").tolist() for c in codes]
+            out["cnorm2"] = cnorm2
+            yield pd.DataFrame(out)
 
-    staged = corpus.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+    staged = corpus.select(
+        F.col(id_col),
+        *[F.col(name) for name, _t in keep],
+        as_double_array(vec_col).alias("__v"),
+    )
+    kept_ddl = "".join(f", {name} {t}" for name, t in keep)
     return staged.mapInPandas(
-        do, schema=f"{id_col} long, codes array<int>, cnorm2 double"
+        do,
+        schema=f"{id_col} long{kept_ddl}, codes array<int>, cnorm2 double",
     )
 
 
@@ -204,6 +213,95 @@ def pq_cosine_topk(
     )
     cand = (
         enc.join(F.broadcast(luts), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim_pq",
+            F.when(
+                (F.col("cnorm2") > 0) & (F.col("qnorm") > 0),
+                dot / (F.col("qnorm") * F.sqrt("cnorm2")),
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim_pq")
+    )
+    top = argmax_per_group(
+        cand,
+        ["query_id"],
+        [F.desc_nulls_last("cosine_sim_pq"), F.asc("neighbor_id")],
+        n=k,
+    )
+    return top.select("query_id", "neighbor_id", "rank", "cosine_sim_pq")
+
+
+def ivf_pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 32,
+    n_centroids: int = 64,
+) -> DataFrame:
+    """IVF cell probe composed with PQ-ADC scoring — the FAISS
+    ``IVF,PQ`` index posture, completing the composition matrix next
+    to ``similarity_ivf.ivf_sq8_cosine_topk``: the coarse quantizer
+    bounds WHICH rows a query touches (~n_probe/n_cells of the
+    corpus), PQ codes bound BYTES per touched row (m·log2(k) bits vs
+    4 bytes/dim float). Codes are fit on RAW vectors (IVF,Flat + PQ),
+    not residuals — the residual refinement is a documented upgrade,
+    orthogonal to the plan shape.
+
+    Plan: one Arrow projection assigns cells, one encodes PQ (cell id
+    rides through the encode pass — the corpus is scanned ONCE and
+    never shuffled); queries probe cells float-side and carry their
+    ADC LUT; the tiny (query × probe) frame broadcasts onto the cell
+    equi-join; candidates cost m lookups each. Output
+    ``(query_id, neighbor_id, rank, cosine_sim_pq)``; accuracy is
+    contract-by-recall (``knn_ann_ivf_pq_recall``).
+    """
+    from .similarity_ivf import _cell_scores, ivf_centroids
+
+    centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    books = pq_codebooks(corpus, id_col, vec_col, m=m, k=n_centroids)
+
+    from .similarity_ivf import ivf_assign
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    enc = pq_encode(
+        assigned.select(F.col(id_col), "cell", F.col("__v")),
+        books,
+        id_col,
+        "__v",
+        keep_cols=[("cell", "int")],
+    ).withColumnRenamed(id_col, "neighbor_id")
+
+    q_scored = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("__qv"),
+        )
+        .withColumn("__scores", _cell_scores(F.col("__qv"), centroids))
+        .select("query_id", F.posexplode("__scores").alias("__pos", "__score"))
+    )
+    q_cells = argmax_per_group(
+        q_scored, ["query_id"], [F.desc("__score"), F.asc("__pos")], n=n_probe
+    ).select("query_id", (F.col("__pos") + 1).cast("int").alias("cell"))
+    luts = pq_query_luts(queries, books, id_col, vec_col)
+    q_side = q_cells.join(luts, "query_id")
+
+    kk = n_centroids
+    dot = F.aggregate(
+        F.zip_with(
+            "codes",
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at("lut", (j * kk + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        enc.join(F.broadcast(q_side), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim_pq",
             F.when(

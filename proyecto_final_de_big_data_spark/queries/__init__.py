@@ -448,7 +448,17 @@ _VERIFICATION_WINDOW = [
     # gains the distribution-free uncertainty readout next to
     # AUC/Brier.
     "conformal_interval_contract",
-    "embedding_kmeans_contract",
+    # r8: embedding_kmeans_contract (r5+r6+r7 green — the named
+    # longest-green entry in the VERDICT r7 swap pool; ml/clustering.py
+    # unchanged) hands its slot to knn_ann_ivf_pq_recall — the
+    # composed FAISS IVF,PQ posture (operators/pq.py), new this round
+    # (same-round-slot rule). The centroid-assignment machinery the
+    # kmeans gate exercised stays in-window THREE ways: the IVF coarse
+    # quantizer inside knn_ann_ivf_sq_recall and this new gate, and
+    # the per-subspace Lloyd codebook fit inside both PQ gates; MLlib
+    # KMeans itself stays pytest-gated (blob recovery) + full-catalog
+    # attested.
+    "knn_ann_ivf_pq_recall",
     # contracts / IO
     # export_round_trip_orc (r5 green, export code unchanged) hands
     # the IO-contract slot to schema_evolution_contract — mergeSchema

@@ -2041,3 +2041,55 @@ def q_knn_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5, batch_cosine=True)
     approx = pq_cosine_topk(emb, queries, k=5, m=32, n_centroids=64)
     return _pair_recall(exact, approx, ["query_id", "neighbor_id"], threshold=0.5)
+
+
+@register(
+    "knn_ann_ivf_pq_recall",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                 AS cosine_sim
+        FROM q, c
+        WHERE neighbor_id != query_id
+    ), exact AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        WHERE rank <= 5
+    )
+    SELECT count(*) AS n_exact, 1 AS recall_ok FROM exact
+    """,
+    description="Composed IVF+PQ top-k recall (the FAISS IVF,PQ index "
+    "posture, operators/pq.py:ivf_pq_cosine_topk), completing the "
+    "composition matrix next to IVF,SQ8: the coarse cell probe bounds "
+    "WHICH rows a query touches (n_probe/n_cells), PQ codes bound "
+    "BYTES per touched row (24 B/vector at 32x64) — candidates are "
+    "scored by m LUT lookups from the broadcast query table; the cell "
+    "id rides through the single Arrow encode pass so the corpus is "
+    "scanned once and never shuffled. Codes fit on raw vectors "
+    "(IVF,Flat+PQ; residual refinement documented as orthogonal). "
+    "Same exact-baseline oracle and flag threshold style as the other "
+    "ANN gates (0.4, below the measured 0.68-0.74 at probe 8/16).",
+)
+def q_knn_ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivf_pq_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5, batch_cosine=True)
+    approx = ivf_pq_cosine_topk(
+        emb, queries, k=5, n_cells=16, n_probe=8, m=32, n_centroids=64
+    )
+    return _pair_recall(exact, approx, ["query_id", "neighbor_id"], threshold=0.4)

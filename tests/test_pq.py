@@ -91,3 +91,27 @@ def test_recall_beats_chance_on_fixture(spark, sf_dir):
     # measured 0.80-0.82 on the (worst-case, unclustered) fixtures;
     # gate far below measured, the ANN-family contract style
     assert recall >= 0.5, recall
+
+
+def test_ivf_pq_composition_recall_and_bounds(spark, sf_dir):
+    from proyecto_final_de_big_data_spark.catalog import load_table
+    from proyecto_final_de_big_data_spark.operators.pq import ivf_pq_cosine_topk
+    from proyecto_final_de_big_data_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5, batch_cosine=True)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    rows = ivf_pq_cosine_topk(
+        emb, queries, k=5, n_cells=16, n_probe=8, m=32, n_centroids=64
+    ).collect()
+    ap = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(ex & ap) / len(ex) >= 0.4  # measured 0.68-0.74
+    # contract shape: <= k per query, ranks 1..k, no self-pairs
+    per_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5

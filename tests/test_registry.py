@@ -174,9 +174,12 @@ def test_window_covers_every_family():
         "attribution_contract",      # multi-touch conversion credit
         "media_binary_ingest",       # raw-file multimodal ingestion
         "drift_psi_contract",        # PSI snapshot drift
-        "embedding_kmeans_contract",  # unsupervised clustering (also
-                                     # the SemDeDup cluster-then-prune
-                                     # family rep since the r7 rotation)
+        "knn_ann_ivf_pq_recall",     # composed IVF,PQ ANN (NEW r8; the
+                                     # kmeans gate rotated out after
+                                     # r5+r6+r7 green — centroid
+                                     # assign/Lloyd machinery stays via
+                                     # the IVF quantizer + PQ codebook
+                                     # fits in the in-window ANN gates)
         "bm25_relevance_contract",   # text scoring (the lm_quality twin
                                      # rotated out r7 after r5/r6 green)
         # r7 late rotation: manifest_ingest_contract (r5+r6 green) ->
