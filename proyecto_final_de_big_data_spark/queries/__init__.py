@@ -249,7 +249,15 @@ _VERIFICATION_WINDOW = [
     # + embedding_sq_recall + knn_ann_ivf_sq_recall) hands its slot to
     # bm25_relevance_contract — Okapi BM25 corpus-triage scoring
     # (operators/bm25.py), new this round (same-round-slot rule).
-    "bm25_relevance_contract",
+    # r8: bm25_relevance_contract (r7 first-round green, bm25.py
+    # unchanged) hands its slot to hybrid_search_rrf — reciprocal-rank
+    # fusion of the BM25 lexical leg with an exact-cosine semantic leg
+    # (operators/rrf.py), new this round (same-round-slot rule). The
+    # ivf->ivf_sq upgrade-swap precedent: the new gate restates the
+    # FULL bm25 tokenization/idf/tf algebra term for term inside its
+    # own oracle (the lexical leg), so the BM25 machinery keeps exact
+    # in-window evidence while the fusion surface gains its first.
+    "hybrid_search_rrf",
     # ------------------------------------------------------------------
     # ROUND-7 ROTATION (VERDICT r6 items 1/4/5):
     #   pagerank_contract IN — the ONLY registered query that had zero

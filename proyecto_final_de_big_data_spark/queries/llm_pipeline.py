@@ -2093,3 +2093,107 @@ def q_knn_ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, n_cells=16, n_probe=8, m=32, n_centroids=64
     )
     return _pair_recall(exact, approx, ["query_id", "neighbor_id"], threshold=0.4)
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  w -> len(w) > 0)) AS word
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+    ad AS (SELECT avg(dl) AS avgdl FROM dl),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    qt AS (SELECT doc_id, word FROM tok
+           WHERE word IN ('spark', 'join', 'filter')),
+    tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+           FROM qt GROUP BY 1, 2),
+    dfq AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+            FROM qt GROUP BY 1),
+    idf AS (SELECT word, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+            FROM dfq, nd),
+    bm AS (
+        SELECT tf.doc_id,
+               round(sum(idf * (tf * (1.2 + 1.0))
+                         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+                   AS score
+        FROM tf JOIN idf USING (word) JOIN dl USING (doc_id), ad GROUP BY 1
+    ),
+    lex AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM bm QUALIFY rnk <= 50
+    ),
+    qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    sem0 AS (
+        SELECT vec_id AS doc_id,
+               round(list_dot_product(embedding::DOUBLE[], qv)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS cs
+        FROM embeddings, qv WHERE vec_id != 0
+    ),
+    sem AS (
+        SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS rnk
+        FROM sem0 QUALIFY rnk <= 50
+    ),
+    u AS (
+        SELECT doc_id, 1.0 / (60 + rnk) AS c FROM lex
+        UNION ALL SELECT doc_id, 1.0 / (60 + rnk) FROM sem
+    ),
+    f AS (SELECT doc_id, sum(c) AS s, CAST(count(*) AS BIGINT) AS n_lists
+          FROM u GROUP BY 1)
+    SELECT doc_id, round(s, 6) AS rrf_score, n_lists,
+           row_number() OVER (ORDER BY s DESC, doc_id) AS fused_rank
+    FROM f QUALIFY fused_rank <= 10
+    """,
+    description="Hybrid lexical+semantic retrieval fused by "
+    "reciprocal-rank fusion (operators/rrf.py:rrf_fuse, Cormack et "
+    "al. SIGIR'09): BM25 top-50 for {spark, join, filter} (the FULL "
+    "bm25_relevance_contract machinery and oracle algebra, restated "
+    "term for term as this gate's lexical leg) merges with the exact "
+    "cosine top-50 against document 0's embedding via "
+    "score(d)=SUM 1/(60+rank_l(d)) — rank-only fusion, so log-scores "
+    "and cosines need no calibration. Both leg rankings order by "
+    "6-decimal-rounded scores (id tie-break) so leg membership is "
+    "ULP-stable across engines; fusion sums <=2 commutative doubles "
+    "per doc. Inputs are answer-scale top-N frames by construction — "
+    "the fusion never touches the corpus; the cosine leg uses the "
+    "sequential-fold dot that matches DuckDB's list_dot_product "
+    "bit-for-bit.",
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.bm25 import bm25_scores
+    from ..operators.rrf import rrf_fuse
+    from ..operators.similarity import as_double_array, cosine
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bm = bm25_scores(docs, ["spark", "join", "filter"])
+    w_lex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = bm.select(
+        "doc_id", F.row_number().over(w_lex).alias("rank")
+    ).filter(F.col("rank") <= 50)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array("embedding").alias("qv")
+    )
+    sc = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(as_double_array("embedding"), F.col("qv")), 6
+            ).alias("cs"),
+        )
+    )
+    w_sem = Window.orderBy(F.desc("cs"), F.asc("doc_id"))
+    sem = sc.select(
+        "doc_id", F.row_number().over(w_sem).alias("rank")
+    ).filter(F.col("rank") <= 50)
+    return rrf_fuse([lex, sem], ["doc_id"], k=60, top_n=10)

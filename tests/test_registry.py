@@ -180,8 +180,11 @@ def test_window_covers_every_family():
                                      # assign/Lloyd machinery stays via
                                      # the IVF quantizer + PQ codebook
                                      # fits in the in-window ANN gates)
-        "bm25_relevance_contract",   # text scoring (the lm_quality twin
-                                     # rotated out r7 after r5/r6 green)
+        "hybrid_search_rrf",         # text scoring + fusion (contains
+                                     # the full BM25 leg; the
+                                     # standalone bm25 gate rotated out
+                                     # r8 after r7 green — upgrade-swap
+                                     # precedent)
         # r7 late rotation: manifest_ingest_contract (r5+r6 green) ->
         # ingest stays repped by python_datasource + media_binary +
         # schema_evolution; quarter_resolution_contract (r5+r6) is
