@@ -331,7 +331,14 @@ _VERIFICATION_WINDOW = [
     # stream_pii_curation_round_trip + chunk_overlap_profile) hands its
     # slot to categorical_association_contract — chi-square / Cramér's
     # V / mutual information (operators/stats.py), new this round.
-    "categorical_association_contract",
+    # r8: categorical_association_contract (r7 first-round green,
+    # stats.py unchanged; the stats.py sufficient-statistics family
+    # keeps correlation_matrix_contract in-window, and the chi2/MI
+    # algebra stays hand-checked in pytest + full-catalog attested)
+    # hands its slot to negative_sampling_contract — deterministic
+    # md5-draw negative sampling for contrastive training data
+    # (operators/negatives.py), new this round (same-round-slot rule).
+    "negative_sampling_contract",
     # repetition_profile (r5 green, quality.py unchanged; the text
     # family keeps lm_quality + the chunk gate + stream_pii_curation)
     # hands its slot to drift_psi_contract — PSI snapshot-drift

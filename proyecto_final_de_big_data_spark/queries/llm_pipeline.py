@@ -2197,3 +2197,64 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.row_number().over(w_sem).alias("rank")
     ).filter(F.col("rank") <= 50)
     return rrf_fuse([lex, sem], ["doc_id"], k=60, top_n=10)
+
+
+@register(
+    "negative_sampling_contract",
+    oracle="""
+    WITH pos AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS it
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_custkey < 200
+    ),
+    dim AS (SELECT DISTINCT l_partkey AS it FROM lineitem),
+    idx AS (SELECT it, CAST(row_number() OVER (ORDER BY it) - 1 AS BIGINT)
+                   AS i FROM dim),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dim),
+    users AS (SELECT DISTINCT u FROM pos),
+    draws AS (
+        SELECT u, j,
+               (('0x' || substr(md5(u || ':neg:' || j), 1, 15))::BIGINT)
+                   % n.n AS i
+        FROM users, UNNEST(generate_series(1, 20)) AS t(j), n
+    ),
+    cand AS (SELECT d.u, idx.it, d.j FROM draws d JOIN idx USING (i)),
+    neg AS (
+        SELECT c.u, c.it, c.j FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM pos p
+                          WHERE p.u = c.u AND p.it = c.it)
+    ),
+    first_hit AS (SELECT u, it, min(j) AS mj FROM neg GROUP BY 1, 2)
+    SELECT u AS "user", it AS item,
+           row_number() OVER (PARTITION BY u ORDER BY mj) AS draw_rank
+    FROM first_hit QUALIFY draw_rank <= 5
+    """,
+    description="Deterministic negative sampling "
+    "(operators/negatives.py:hash_negative_samples) — the BPR/"
+    "contrastive data-prep step: 5 non-purchased parts per customer "
+    "via indexed pseudo-random draws, draw j landing on item index "
+    "md5int(user:salt:j) mod n_items (the house portable md5 band — "
+    "conv(hex,16,10) in Spark, ('0x'||hex)::BIGINT in DuckDB — so the "
+    "exact same draws replay on any engine; rand()-based sampling is "
+    "partitioning-dependent and unverifiable). Work is O(users x "
+    "k*oversample) draws + ONE anti-join against positives; the item "
+    "universe is touched only through its dimension-sized dense "
+    "index; repeats collapse to first hit and ranks are draw-order. "
+    "Users whose positives blanket the universe honestly get fewer "
+    "than k.",
+)
+def q_negative_sampling_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.negatives import hash_negative_samples
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pos = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("o_custkey") < 200)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    items = li.select("l_partkey")
+    return hash_negative_samples(
+        pos, "o_custkey", "l_partkey", items, k=5, oversample=4
+    )

@@ -200,7 +200,9 @@ def test_window_covers_every_family():
                                      # distinct+groupBy basket frame)
         "knn_ann_pq_recall",         # PQ-ADC ANN recall (NEW r8)
         "robust_outlier_profile",    # median/MAD outlier fence
-        "categorical_association_contract",  # chi2 / Cramér's V / MI
+        "correlation_matrix_contract",  # stats family (the chi2/MI twin
+                                     # rotated out r8 after r7 green)
+        "negative_sampling_contract",  # md5-draw negatives (NEW r8)
         "ewma_anomaly_contract",     # EWMA + one-step anomaly flags
         "correlation_matrix_contract",  # stats.py sufficient-stats rep
                                      # (the ACF twin rotated out r8
