@@ -126,3 +126,79 @@ def jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ASYMMETRIC near-duplication — ``(id_a, id_b, common, size_a,
+    size_b, containment_a, containment_b)`` for ordered pairs
+    (id_a < id_b) where EITHER direction's containment
+    ``|A∩B| / |A|`` reaches ``threshold``.
+
+    Jaccard misses the quotation/subset case by construction: a short
+    document fully quoted inside a long one has tiny |A∩B|/|A∪B| but
+    containment_a = 1.0 — and "drop the contained duplicate, keep the
+    superset" is a standard curation rule Jaccard cannot express. Same
+    inverted-index shape as :func:`.dedup.jaccard_pairs_index` (docs
+    only meet if they share a shingle; zero-overlap pairs never
+    materialize — correct for any threshold > 0); the score just
+    divides by ONE side's size instead of the union.
+
+    Note the prefix filter is deliberately NOT applied here: its
+    losslessness argument is Jaccard-specific (|A∩B| ≥ τ·|A| holds for
+    both sides under Jaccard, but containment of a small A in a huge B
+    bounds only A's side), so the index join carries the completeness.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = with_word_shingles(
+        df.select(id_col, text_col), text_col, "__sh", shingle_n
+    ).select(F.col(id_col), F.explode("__sh").alias("__shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.__shingle") == F.col("b.__shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(
+            sizes.select(
+                F.col(id_col).alias("id_a"), F.col("__sz").alias("size_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("id_b"), F.col("__sz").alias("size_b")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "containment_a",
+            F.round(F.col("common") / F.col("size_a"), 6),
+        )
+        .withColumn(
+            "containment_b",
+            F.round(F.col("common") / F.col("size_b"), 6),
+        )
+    )
+    return out.filter(
+        (F.col("common") / F.col("size_a") >= threshold)
+        | (F.col("common") / F.col("size_b") >= threshold)
+    ).select(
+        "id_a", "id_b", "common", "size_a", "size_b",
+        "containment_a", "containment_b",
+    )

@@ -147,7 +147,16 @@ _VERIFICATION_WINDOW = [
     # fixed (fresh relation per branch; see io/pydatasource.py docstring
     # and tests/test_pydatasource.py mixed-branch regression).
     "python_datasource_contract",
-    "table_profile_contract",
+    # r8: table_profile_contract (r6+r7 green, operators/profile.py
+    # unchanged; the one-pass agg-profiling surface keeps FOUR
+    # in-window reps — decile_profile_contract, robust_outlier_profile,
+    # rfm_segment_profile and basket_size_profile are all
+    # aggregate-then-profile readouts) hands its slot to
+    # containment_pairs_contract — asymmetric containment near-dup
+    # pairs (operators/setsim.py:containment_pairs), new this round
+    # (same-round-slot rule); the quotation/subset case the Jaccard
+    # gates structurally miss.
+    "containment_pairs_contract",
     "scd2_user_state_history",
     "blocklist_filter_profile",
     "data_quality_contract",

@@ -2258,3 +2258,59 @@ def q_negative_sampling_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_negative_samples(
         pos, "o_custkey", "l_partkey", items, k=5, oversample=4
     )
+
+
+@register(
+    "containment_pairs_contract",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS w
+        FROM documents WHERE doc_id < 500
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(w) >= 3 THEN
+                       list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [text] END
+               ) AS sh
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
+               CAST(len(a.sh) AS BIGINT) AS size_a,
+               CAST(len(b.sh) AS BIGINT) AS size_b
+        FROM sh a, sh b WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, common, size_a, size_b,
+           round(common::DOUBLE / size_a, 6) AS containment_a,
+           round(common::DOUBLE / size_b, 6) AS containment_b
+    FROM pairs
+    WHERE common::DOUBLE / size_a >= 0.6 OR common::DOUBLE / size_b >= 0.6
+    """,
+    description="Asymmetric containment near-dup pairs "
+    "(operators/setsim.py:containment_pairs): |A∩B|/|A| >= 0.6 in "
+    "EITHER direction over word-3-gram shingle sets — the "
+    "quotation/subset case Jaccard structurally misses (a short doc "
+    "fully quoted in a long one scores containment 1.0 but tiny "
+    "Jaccard; 'drop the contained copy, keep the superset' is the "
+    "curation rule this feeds). Same inverted-index shape as "
+    "jaccard_pairs_index — docs only meet if they share a shingle, "
+    "zero-overlap pairs never materialize; the prefix filter is "
+    "deliberately NOT applied (its losslessness is Jaccard-specific — "
+    "documented in the operator). Oracle: all-pairs intersect "
+    "restatement at fixture scale (the doc_id < 500 bounding "
+    "pattern).",
+)
+def q_containment_pairs_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.setsim import containment_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 500)
+    )
+    return containment_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.6)

@@ -43,7 +43,11 @@ def test_window_covers_every_family():
     for probe in [
         # aggregation/profiling marts: kpis (r1-r4), grouped clip (r5)
         # rotated out; the one-pass profiler carries the agg surface.
-        "table_profile_contract",
+        "decile_profile_contract",   # one-pass agg profiling (the
+                                     # table-profiler twin rotated out
+                                     # r8 after r6+r7 green; robust/
+                                     # rfm/basket profiles also rep)
+        "containment_pairs_contract",  # asymmetric containment (NEW r8)
         "zorder_cells_contract",     # layout maintenance (z-order)
         "session_path_profile",      # sessionization (the stats-by-dow
                                      # twin rotated out r7 after r6

@@ -93,3 +93,47 @@ def test_short_doc_whole_text_shingle(spark):
     )
     got = _pairs(jaccard_prefix_pairs(df, "doc_id", "text", shingle_n=3, threshold=0.9))
     assert got == [(1, 2, 1.0)]
+
+
+# ---------------------------------------------------- containment join
+
+
+def test_containment_hand_checked_subset(spark):
+    from proyecto_final_de_big_data_spark.operators.setsim import (
+        containment_pairs,
+    )
+
+    # 1-shingles: A = {a,b}, B = {a,b,c,d,e,f}: containment_a = 1.0,
+    # containment_b = 2/6; Jaccard = 2/6 would MISS at tau 0.9.
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e f"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    got = containment_pairs(df, "doc_id", "text", shingle_n=1, threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_a"] == 1.0
+    assert r["containment_b"] == pytest.approx(round(2 / 6, 6))
+    assert r["common"] == 2 and r["size_a"] == 2 and r["size_b"] == 6
+
+
+def test_containment_zero_overlap_never_materializes(spark):
+    from proyecto_final_de_big_data_spark.operators.setsim import (
+        containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], "doc_id long, text string"
+    )
+    assert containment_pairs(df, "doc_id", "text", 1, 0.1).count() == 0
+
+
+def test_containment_threshold_validated(spark):
+    from proyecto_final_de_big_data_spark.operators.setsim import (
+        containment_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(df, "doc_id", "text", threshold=0.0)
