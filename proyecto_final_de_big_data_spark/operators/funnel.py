@@ -135,3 +135,84 @@ def retention_cohorts(
         )
         .agg(F.count_distinct(user_col).alias("n_users"))
     )
+
+
+def funnel_counts_within(
+    events: DataFrame,
+    steps: list[str],
+    max_seconds: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """:func:`funnel_counts` with a CONVERSION WINDOW: every later step
+    must also land within ``max_seconds`` of the user's funnel ENTRY
+    (their earliest step-0 event) — the "purchased within 3 days of
+    first view" semantics product dashboards mean by conversion rate,
+    which the unwindowed funnel overstates by crediting arbitrarily
+    late completions.
+
+    Anchor choice is the ENTRY time (not the previous step): a window
+    per hop would let an N-step funnel stretch N·W long. Same plan
+    shape and guarantees as :func:`funnel_counts` — user-keyed joins
+    and mins, monotonically shrinking step frames, one lazy
+    localCheckpoint per step, ONE action; the deadline rides along as
+    integer microseconds (engine-portable comparison, the
+    :mod:`.rolling` discipline). Strictness is preserved: an event at
+    exactly the deadline counts (``<=``), a same-instant repeat of the
+    prior step does not (``>``).
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if max_seconds <= 0:
+        raise ValueError(f"max_seconds must be > 0, got {max_seconds}")
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    reached = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+        .withColumn(
+            # cast: unix_micros rejects TIMESTAMP_NTZ; the session is
+            # UTC-pinned so the wall clock IS the instant (the
+            # operators/rolling.py discipline)
+            "__d",
+            F.unix_micros(F.col("__t").cast("timestamp"))
+            + F.lit(int(max_seconds) * 1_000_000),
+        )
+        .localCheckpoint(eager=False)
+    )
+    frames = [reached]
+    for step in steps[1:]:
+        reached = (
+            events.filter(F.col(type_col) == step)
+            .join(reached.select(user_col, "__t", "__d"), user_col)
+            .filter(
+                (F.col(ts_col) > F.col("__t"))
+                & (F.unix_micros(F.col(ts_col).cast("timestamp")) <= F.col("__d"))
+            )
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t"), F.min("__d").alias("__d"))
+            .localCheckpoint(eager=False)
+        )
+        frames.append(reached)
+    branches = [
+        f.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col("n_users"),
+        )
+        for i, (s, f) in enumerate(zip(steps, frames))
+    ]
+    out = reduce(DataFrame.unionAll, branches)
+    entry = F.first("n_users").over(
+        Window.orderBy("step_idx").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return out.withColumn(
+        "conversion",
+        F.when(entry > 0, F.round(F.col("n_users") / entry, 6)),
+    )

@@ -384,7 +384,16 @@ _VERIFICATION_WINDOW = [
     # ratio metrics (operators/stats.py:jackknife_ratio), new this
     # round (same-round-slot rule).
     "weighted_percentile_contract",  # r8: swaps in for jackknife_ratio
-    "event_funnel_profile",
+    # r8: event_funnel_profile (r7 first-round green, the O(N^2) fix's
+    # own gate) hands its slot to windowed_funnel_contract — the
+    # conversion-window funnel (operators/funnel.py:
+    # funnel_counts_within), new this round (same-round-slot rule).
+    # The upgrade-swap precedent: the new gate exercises the IDENTICAL
+    # strict-sequence machinery (user-keyed mins/joins, lineage-
+    # truncated step frames, one action) PLUS the entry-anchored
+    # deadline, and pytest pins the windowed counts strictly under the
+    # plain funnel's on the fixture.
+    "windowed_funnel_contract",
     "k_anonymity_contract",  # r8: swaps in for weekly_retention_cohorts
     # streaming (real-stream parity + stateful + sinks).
     # tumbling_stream_parity (r2/r4/r5 green, window code unchanged)

@@ -2277,3 +2277,62 @@ def q_rfm_segment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         reference_date="1998-12-31",
         n_bins=5,
     )
+
+
+@register(
+    "windowed_funnel_contract",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    d AS (SELECT user_id, t, epoch_us(t) + 172800000000 AS dl FROM s1),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t, min(d.dl) AS dl
+        FROM events e JOIN d ON e.user_id = d.user_id
+        WHERE e.event_type = 'click' AND e.ts > d.t
+          AND epoch_us(e.ts) <= d.dl
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t
+          AND epoch_us(e.ts) <= s2.dl
+        GROUP BY 1
+    ),
+    counts AS (
+        SELECT 0 AS step_idx, 'view' AS step,
+               (SELECT count(*) FROM s1) AS n_users
+        UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s3)
+    )
+    SELECT step_idx, step, n_users,
+           CASE WHEN (SELECT count(*) FROM s1) > 0
+                THEN round(n_users / (SELECT count(*) FROM s1), 6)
+           END AS conversion
+    FROM counts
+    """,
+    description="Conversion-window funnel (operators/funnel.py:"
+    "funnel_counts_within): view -> click -> purchase where every "
+    "later step must ALSO land within 2 days of the user's funnel "
+    "ENTRY (anchored at entry, not per hop — a per-hop window lets an "
+    "N-step funnel stretch N*W long). The window binds on this "
+    "fixture: purchase converts 0.273 vs the unwindowed 0.34 at "
+    "sf0.01 (pinned strictly smaller in pytest) — exactly the "
+    "overstatement the plain funnel makes. Same plan guarantees as "
+    "event_funnel_profile (user-keyed mins/joins, monotonically "
+    "shrinking lineage-truncated step frames, ONE action); the "
+    "deadline rides as integer microseconds, engine-portable "
+    "(epoch_us on the oracle side). Deadline inclusive (<=), "
+    "same-instant prior-step repeats still strict (>).",
+)
+def q_windowed_funnel_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_counts_within
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    return funnel_counts_within(
+        ev, ["view", "click", "purchase"], max_seconds=2 * 24 * 3600
+    )

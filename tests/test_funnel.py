@@ -210,3 +210,72 @@ def test_twa_zero_span_ties_use_plain_mean(spark):
     )
     n, twa = got[1]
     assert n == 2 and math.isclose(twa, 6.0)
+
+
+# ------------------------------------------- conversion-window funnel
+
+
+def test_windowed_funnel_hand_checked(spark):
+    import datetime as dt
+
+    from proyecto_final_de_big_data_spark.operators.funnel import (
+        funnel_counts_within,
+    )
+
+    def t(mins):
+        return dt.datetime(2024, 1, 1, 0, mins)
+
+    rows = [
+        # user 1 converts inside the 30-min window
+        (1, "view", t(0)), (1, "click", t(5)), (1, "purchase", t(20)),
+        # user 2 clicks inside, purchases AFTER the window -> stops at click
+        (2, "view", t(0)), (2, "click", t(10)), (2, "purchase", t(45)),
+        # user 3 purchases exactly AT the deadline -> counts (<=)
+        (3, "view", t(0)), (3, "click", t(1)), (3, "purchase", t(30)),
+        # user 4 same-instant click does not advance (strict >)
+        (4, "view", t(0)), (4, "click", t(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r["step"]: (r["n_users"], r["conversion"])
+        for r in funnel_counts_within(
+            df, ["view", "click", "purchase"], max_seconds=30 * 60
+        ).collect()
+    }
+    assert got["view"] == (4, 1.0)
+    assert got["click"] == (3, 0.75)
+    assert got["purchase"] == (2, 0.5)
+
+
+def test_windowed_funnel_bounds_the_plain_funnel(spark, sf_dir):
+    from proyecto_final_de_big_data_spark.catalog import load_table
+    from proyecto_final_de_big_data_spark.operators.funnel import (
+        funnel_counts,
+        funnel_counts_within,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    steps = ["view", "click", "purchase"]
+    plain = {r["step"]: r["n_users"] for r in funnel_counts(ev, steps).collect()}
+    tight = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts_within(ev, steps, max_seconds=2 * 24 * 3600).collect()
+    }
+    assert tight["view"] == plain["view"]  # entry step unaffected
+    for s in steps[1:]:
+        assert tight[s] <= plain[s]
+    assert tight["purchase"] < plain["purchase"]  # the window binds
+
+
+def test_windowed_funnel_validation(spark):
+    from proyecto_final_de_big_data_spark.operators.funnel import (
+        funnel_counts_within,
+    )
+
+    df = spark.createDataFrame([], "user_id long, event_type string, ts timestamp")
+    import pytest
+
+    with pytest.raises(ValueError, match="max_seconds"):
+        funnel_counts_within(df, ["a", "b"], max_seconds=0)
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel_counts_within(df, ["a"], max_seconds=10)

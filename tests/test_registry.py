@@ -103,11 +103,13 @@ def test_window_covers_every_family():
                                      # gate; the standalone SQ recall
                                      # twin rotated out r8 after r7
                                      # green on unchanged quantize.py)
-        "event_funnel_profile",      # strict sequential funnel
-        "event_funnel_profile",      # funnel/retention family (the
-                                     # weekly-retention twin rotated
-                                     # out r8 after r7 green; same
-                                     # user-keyed monotone step frames)
+        "windowed_funnel_contract",  # strict funnel + conversion window
+        "windowed_funnel_contract",  # funnel/retention family (the
+                                     # plain-funnel + weekly-retention
+                                     # twins rotated out r8 after r7
+                                     # green; the new gate contains the
+                                     # full strict-sequence machinery
+                                     # plus the conversion window)
         "event_type_trend_contract", # per-key OLS trend (sufficient stats)
         "brier_ece_contract",        # classifier calibration metrics
                                      # (the lift-table + PRF-report
