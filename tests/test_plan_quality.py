@@ -663,3 +663,54 @@ def test_lorenz_gini_is_bucket_agg_not_global_sort(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Scan parquet") <= 2  # one scan; tree + detail
     assert "HashAggregate" in plan
+
+
+# ----------------------------------------------------- round-8 shapes
+
+
+def test_triangle_count_has_no_window_anywhere(spark, sf_dir):
+    # degree orientation is a struct-key comparison, per-vertex counts
+    # are groupBys — a Window in this plan would mean a global vertex
+    # rank sneaked back in (the single-partition hazard the operator
+    # exists to avoid).
+    plan = _plan(spark, sf_dir, "triangle_count_contract")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_profile_is_windowless_no_ntile(spark, sf_dir):
+    # quintile scores come from quantile BOUNDS + comparisons; ntile
+    # (a global customer sort) must never appear.
+    plan = _plan(spark, sf_dir, "rfm_segment_profile")
+    assert "Window" not in plan
+    assert "ntile" not in plan.lower()
+
+
+def test_rolling_actives_expand_not_range_join(spark, sf_dir):
+    # the sliding distinct comes from a map-side sequence/explode
+    # (Generate), never a cartesian/range join of days x events.
+    plan = _plan(spark, sf_dir, "rolling_active_users")
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_negative_sampling_single_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "negative_sampling_contract")
+    # exactly one anti-join operator (the positives exclusion); the
+    # formatted detail section repeats the join type, so count tree
+    # nodes, not substrings
+    n_anti = sum(
+        plan.count(f"{j} LeftAnti")
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_anti == 1, plan
+    assert "CartesianProduct" not in plan  # never user x item
+
+
+def test_hybrid_rrf_fuses_answer_scale_frames(spark, sf_dir):
+    # fusion aggregates a union of two top-50 frames; the corpus scan
+    # feeds the LEGS (bm25/cosine), and no join in the fused region is
+    # a sort-merge over corpus-scale rows — the fused agg reads a
+    # Union of two windowed top-N branches.
+    plan = _plan(spark, sf_dir, "hybrid_search_rrf")
+    assert "Union" in plan
