@@ -66,6 +66,21 @@ HEADLINERS = {
     "cusum_changepoint_contract": "CUSUM — moments + recursion as per-key array folds, posexplode back, no raw-row window",
     "lorenz_gini_contract": "Lorenz/Gini — bucket counts partial/final, cumulative shares on answer-scale windows, no global sort",
     "pagerank_contract": "PageRank — per-2-round lazy localCheckpoint truncation shows as LogicalRDD rounds; one join + one agg per round",
+    "setsim_prefix_join_contract": "prefix-filtered exact Jaccard — candidates only from rarest-shingle prefixes (doc-keyed windows), verify via array set ops on the pair table",
+    "triangle_count_contract": "triangle counting — degree orientation by struct-key compare (NO window anywhere), wedge + closing joins, per-vertex rollup",
+    "conformal_interval_contract": "split-conformal — one residual agg (percentile_disc order statistic), 1-row broadcast onto the test-side reduce",
+    "rfm_segment_profile": "RFM — customer-cardinality agg, quantile-bound score chain (windowless, no ntile), <=125-segment profile",
+    "rolling_active_users": "DAU/WAU — dedup to (user,day), Generate expansion x window days, second distinct; no range join",
+    "knn_ann_pq_recall": "PQ-ADC — Arrow encode pass, m LUT lookups per candidate from the broadcast query table, float vectors never read",
+    "knn_ann_ivf_pq_recall": "IVF,PQ — cell id rides the single Arrow encode pass, query-probe LUT frame broadcasts onto the cell equi-join",
+    "hybrid_search_rrf": "RRF fusion — Union of two answer-scale top-N legs, one keys-keyed agg, query-partitioned fused ordering",
+    "negative_sampling_contract": "negative sampling — dimension-index joins + ONE positives anti-join; never a user x item cross product",
+    "containment_pairs_contract": "containment join — inverted-index self-join (zero-overlap pairs never materialize), per-side denominators",
+    "windowed_funnel_contract": "conversion-window funnel — same monotone step frames as the plain funnel; the deadline is one integer-micros column on the same joins",
+    "k_anonymity_contract": "k-anonymity — class-cardinality groupBys; suppression anti/semi probes, AQE-chosen join back",
+    "weighted_percentile_contract": "weighted percentiles — percentile frequency argument, ONE map-side-combined agg, group-cardinality output",
+    "brier_ece_contract": "Brier/ECE — 10 probability cells from one scan, both statistics reduce from the cell frame",
+    "basket_size_profile": "basket cap sizing — one distinct + one agg, single-row answer",
 }
 
 
