@@ -343,8 +343,16 @@ def cap_per_group(
     from pyspark.sql import Window
 
     if score_col is not None:
+        # The prune costs ONE extra (mega-semi-filtered) aggregation
+        # pass, and the window input is over_rows LEFT-joined to the
+        # mega-group thresholds: non-mega groups (and all-NULL-score
+        # mega groups) simply have no/NULL threshold and pass through.
+        # No plain/mega split of over_rows — the r8 first cut split it
+        # with an extra anti+semi pass, which cost +0.4 s even on
+        # prune-free fixtures; with this shape, an empty mega set lets
+        # AQE empty-relation propagation collapse the threshold
+        # subtree entirely.
         mega = sized.where(F.col("__n") >= prune_min_rows).select(*groups)
-        plain_rows = _probe(over_rows, mega, "left_anti")
         mega_rows = _probe(over_rows, mega, "left_semi")
         # One ladder of foldable fractions evaluated in ONE pass; each
         # group then reads the largest ladder level <= its own safe
@@ -374,14 +382,13 @@ def cap_per_group(
         )
         tcond = None
         for i, g in enumerate(groups):
-            c = mega_rows[g].eqNullSafe(thr[f"__tg_{i}"])
+            c = over_rows[g].eqNullSafe(thr[f"__tg_{i}"])
             tcond = c if tcond is None else (tcond & c)
-        pruned = (
-            mega_rows.join(F.broadcast(thr), tcond, "left")
+        window_input = (
+            over_rows.join(F.broadcast(thr), tcond, "left")
             .where(F.col("__thr").isNull() | (sc >= F.col("__thr")))
             .drop(*[f"__tg_{i}" for i in range(len(groups))], "__thr")
         )
-        window_input = plain_rows.unionByName(pruned)
     else:
         window_input = over_rows
 
