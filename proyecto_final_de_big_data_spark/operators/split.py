@@ -265,3 +265,63 @@ def systematic_weighted_sample(
         f"(__cum div {int(stride)}) > ((__cum - __w) div {int(stride)})"
     )
     return staged.filter(crossed).drop("__cum", "__w")
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    by: list[str] | None = None,
+    salt: str = "wsk",
+) -> DataFrame:
+    """EXACTLY-k weighted sampling WITHOUT replacement per group — the
+    Efraimidis–Spirakis A-ES scheme (IPL 2006, public literature) made
+    deterministic: each row draws u ∈ (0,1) from the portable md5 band
+    of ``(salt, key)`` and wins on the largest ``u^(1/w)``, computed in
+    the numerically-stable monotone-equivalent form ``ln(u)/w`` (the
+    literal ``u^(1/w)`` underflows for tiny weights). The top-k rows by
+    that sort key ARE a weight-proportional without-replacement sample
+    — and because u is content-keyed, the selected set is identical
+    across runs, partitionings, and engines (the ``hash_split``
+    determinism contract; an RNG-based A-ES can never be
+    hash-verified).
+
+    Complements :func:`systematic_weighted_sample`: that one selects a
+    weight-proportional FRACTION via cumulative strides (rows with
+    weight above the stride are certain picks); this one yields an
+    EXACT per-group k. Non-positive or NULL weights are excluded (a
+    zero-weight row can never win; a negative weight has no A-ES
+    meaning) — documented, not an error, matching weighted-sampling
+    practice.
+
+    Scale shape: the sort key is a pure projection; per-group top-k is
+    a k-bounded window on the group key (global top-k compiles to
+    TakeOrderedAndProject when ``by`` is empty). One shuffle.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    by = by or []
+    from pyspark.sql import Window
+
+    from .rollup import argmax_per_group
+
+    w = F.col(weight_col).cast("double")
+    # u in (0, 1]: (band + 1) / 16^15 over 15 md5 hex chars — never 0,
+    # so ln(u) is finite; u == 1 gives ln 0 = sort key 0, the maximum.
+    band = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (band + F.lit(1.0)) / F.lit(float(16**15))
+    es_key = F.log(u) / w
+    staged = df.filter(w.isNotNull() & (w > 0)).withColumn("__es", es_key)
+    top = argmax_per_group(
+        staged, by, [F.desc("__es"), F.asc(key)], n=k
+    )
+    return top.drop("__es", "rank")

@@ -246,7 +246,15 @@ _VERIFICATION_WINDOW = [
     # weight-proportional systematic sampling, new this round; the
     # leakage-safe split family keeps curate_documents_contract's
     # hash-split stage in-window.
-    "weighted_sample_profile",
+    # r8: weighted_sample_profile (r7 first-round green, the
+    # systematic-stride path of split.py) hands its slot to
+    # weighted_ksample_contract — deterministic Efraimidis-Spirakis
+    # exactly-k weighted sampling (operators/split.py:
+    # weighted_sample_k), new this round (same-round-slot rule); the
+    # weighted-sampling family keeps an in-window rep, now covering
+    # BOTH selection semantics (proportional stride behind the window,
+    # exact-k in it).
+    "weighted_ksample_contract",
     # curate_documents_contract (r5+r6 green, pipeline code unchanged;
     # every stage it composes keeps its own in-window gate: pii
     # curation, chunking, selection, weighted sampling, semantic

@@ -2314,3 +2314,44 @@ def q_containment_pairs_contract(
         .filter(F.col("doc_id") < 500)
     )
     return containment_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.6)
+
+
+@register(
+    "weighted_ksample_contract",
+    oracle="""
+    WITH staged AS (
+        SELECT lang, doc_id, n_chars,
+               ln((('0x' || substr(md5('wsk:' || doc_id), 1, 15))::BIGINT + 1)
+                  / 1152921504606846976.0)
+                 / CAST(n_chars AS DOUBLE) AS es
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT lang, doc_id, n_chars
+    FROM (SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY es DESC, doc_id) AS rn
+          FROM staged)
+    WHERE rn <= 5
+    """,
+    description="Exactly-k weighted sampling WITHOUT replacement per "
+    "language (operators/split.py:weighted_sample_k — the "
+    "Efraimidis-Spirakis A-ES scheme made deterministic): each row "
+    "draws u from the portable md5 band of its key and wins on the "
+    "largest u^(1/w), computed as the numerically-stable monotone "
+    "equivalent ln(u)/w; u = (band+1)/16^15 is never 0 so ln stays "
+    "finite. Content-keyed draws make the SELECTED SET itself "
+    "hash-verifiable (an RNG A-ES never is); non-positive/NULL "
+    "weights are excluded by contract. Complements "
+    "weighted_sample_profile's proportional-stride selection with an "
+    "exact per-group k; sort key is a pure projection, per-group "
+    "top-k is a k-bounded window on the group key. The oracle "
+    "restates the draw, the log-key and the ranking verbatim.",
+)
+def q_weighted_ksample_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return weighted_sample_k(docs, "doc_id", "n_chars", k=5, by=["lang"])

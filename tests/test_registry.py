@@ -119,7 +119,10 @@ def test_window_covers_every_family():
                                      # exact function evaluation.py
                                      # changed this round)
         "decile_profile_contract",   # equal-frequency binning
-        "weighted_sample_profile",   # weight-proportional sampling
+        "weighted_ksample_contract", # weighted sampling family (the
+                                     # stride twin rotated out r8 after
+                                     # r7 green; exact-k A-ES now the
+                                     # in-window rep)
         "setsim_prefix_join_contract",  # exact near-dup similarity
                                      # (prefix-filtered Jaccard join,
                                      # NEW r8; minhash twin rotated out
