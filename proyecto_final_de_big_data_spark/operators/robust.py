@@ -90,3 +90,76 @@ def mad_outlier_profile(
             decimals,
         ).alias("outlier_frac"),
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    cols: list[str],
+    by: list[str] | None = None,
+    suffix: str = "_scaled",
+    exact: bool = True,
+    relative_error: float = 0.001,
+    decimals: int = 6,
+) -> DataFrame:
+    """Median/IQR feature scaling — ``(x − median) / (p75 − p25)`` per
+    group (sklearn's RobustScaler semantics): the standardization that
+    survives the outliers a mean/stddev scaler lets define its own
+    scale. Input rows + one ``col + suffix`` column per input column;
+    a degenerate group (IQR 0 — over half the values identical) scales
+    to NULL rather than ±inf, and NULL/NaN inputs stay NULL.
+
+    Scale shape: ONE aggregation pass fits all three quartiles for all
+    columns at group cardinality (exact ``percentile`` for the gate,
+    KLL ``approx_percentile`` via ``exact=False`` at 100 TB), joined
+    back broadcast; scaling is a map-only projection.
+    """
+    if not cols:
+        raise ValueError("robust_scale needs at least one column")
+    by = by or []
+    fn = (
+        F.percentile
+        if exact
+        else (
+            lambda c, p: F.approx_percentile(
+                c, p, F.lit(int(1 / relative_error))
+            )
+        )
+    )
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs.append(
+            fn(x, F.lit([0.25, 0.5, 0.75])).alias(f"__q_{c}")
+        )
+    stats = df.groupBy(
+        *[F.col(g).alias(f"__g_{i}") for i, g in enumerate(by)]
+    ).agg(*aggs)
+    if by:
+        from functools import reduce
+
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(g).eqNullSafe(F.col(f"__g_{i}"))
+                for i, g in enumerate(by)
+            ],
+        )
+        joined = df.join(F.broadcast(stats), cond, "left")
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
+    out = joined
+    for c in cols:
+        q = F.col(f"__q_{c}")
+        med = F.element_at(q, 2)
+        iqr = F.element_at(q, 3) - F.element_at(q, 1)
+        x = F.col(c).cast("double")
+        out = out.withColumn(
+            c + suffix,
+            F.round(
+                F.when(iqr > 0, (x - med) / iqr), decimals
+            ),
+        )
+    return out.drop(
+        *[f"__g_{i}" for i in range(len(by))],
+        *[f"__q_{c}" for c in cols],
+    )

@@ -368,7 +368,15 @@ _VERIFICATION_WINDOW = [
     # round, which also re-exercises the equal-frequency binning
     # machinery decile_profile_contract gates.
     "brier_ece_contract",  # r8: swaps in for ml_lift_table_contract
-    "decile_profile_contract",
+    # r8: decile_profile_contract (r6+r7 green, binning.py unchanged;
+    # the equal-frequency binning machinery STAYS in-window inside
+    # rfm_segment_profile, which drives three equal_frequency_bins
+    # fits, and the quantile surface keeps robust_outlier_profile +
+    # weighted_percentile_contract) hands its slot to
+    # robust_scaler_contract — median/IQR feature scaling verified at
+    # row cardinality (operators/robust.py:robust_scale), new this
+    # round (same-round-slot rule).
+    "robust_scaler_contract",
     # mixing
     # source_cap_profile (r5+r6 green, mixing.py unchanged; the mixing
     # family keeps token_budget_selection_profile in-window) hands its

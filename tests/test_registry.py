@@ -43,10 +43,11 @@ def test_window_covers_every_family():
     for probe in [
         # aggregation/profiling marts: kpis (r1-r4), grouped clip (r5)
         # rotated out; the one-pass profiler carries the agg surface.
-        "decile_profile_contract",   # one-pass agg profiling (the
-                                     # table-profiler twin rotated out
-                                     # r8 after r6+r7 green; robust/
-                                     # rfm/basket profiles also rep)
+        "robust_outlier_profile",    # one-pass agg profiling (the
+                                     # table-profiler + decile twins
+                                     # rotated out r8 after multi-round
+                                     # green; rfm/basket profiles also
+                                     # rep)
         "containment_pairs_contract",  # asymmetric containment (NEW r8)
         "zorder_cells_contract",     # layout maintenance (z-order)
         "session_path_profile",      # sessionization (the stats-by-dow
@@ -118,7 +119,11 @@ def test_window_covers_every_family():
                                      # ml_auc + this NEW gate — the
                                      # exact function evaluation.py
                                      # changed this round)
-        "decile_profile_contract",   # equal-frequency binning
+        "rfm_segment_profile",       # equal-frequency binning machinery
+                                     # (three equal_frequency_bins fits
+                                     # inside; the standalone decile
+                                     # gate rotated out r8 after r6+r7)
+        "robust_scaler_contract",    # median/IQR scaling (NEW r8)
         "weighted_ksample_contract", # weighted sampling family (the
                                      # stride twin rotated out r8 after
                                      # r7 green; exact-k A-ES now the

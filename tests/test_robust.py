@@ -73,3 +73,65 @@ def test_groups_independent_and_approx_mode_runs(spark):
     # the sketch returns an actual data value (no interpolation):
     # within one grid step of the exact interpolated median here
     assert abs(exact["a"]["median"] - approx["a"]["median"]) <= 1.0
+
+
+# ------------------------------------------------------ robust scaler
+
+
+def test_robust_scale_hand_checked(spark):
+    from proyecto_final_de_big_data_spark.operators.robust import robust_scale
+
+    # values 1..5: median 3, IQR = 4 - 2 = 2 -> scaled (x-3)/2
+    df = spark.createDataFrame([(float(i),) for i in range(1, 6)], "x double")
+    got = sorted(
+        r["x_scaled"] for r in robust_scale(df, ["x"]).collect()
+    )
+    assert got == [-1.0, -0.5, 0.0, 0.5, 1.0]
+
+
+def test_robust_scale_outlier_immunity(spark):
+    # A huge outlier must not change the scale of the bulk (that is
+    # the point): only ITS OWN scaled value is extreme.
+    from proyecto_final_de_big_data_spark.operators.robust import robust_scale
+
+    clean = spark.createDataFrame([(float(i),) for i in range(1, 6)], "x double")
+    dirty = spark.createDataFrame(
+        [(float(i),) for i in range(1, 6)] + [(1e9,)], "x double"
+    )
+    want = {
+        r["x"]: r["x_scaled"] for r in robust_scale(clean, ["x"]).collect()
+    }
+    got = {
+        r["x"]: r["x_scaled"] for r in robust_scale(dirty, ["x"]).collect()
+    }
+    for v in (1.0, 2.0, 3.0):
+        assert abs(got[v] - want[v]) < 0.6  # bulk barely moves
+    assert got[1e9] > 1e8  # the outlier itself is off the charts
+
+
+def test_robust_scale_degenerate_iqr_null(spark):
+    from proyecto_final_de_big_data_spark.operators.robust import robust_scale
+
+    df = spark.createDataFrame([(5.0,)] * 10 + [(7.0,)], "x double")
+    rows = robust_scale(df, ["x"]).collect()
+    assert all(r["x_scaled"] is None for r in rows)  # IQR 0 -> NULL, not inf
+
+
+def test_robust_scale_grouped_and_null_group(spark):
+    from proyecto_final_de_big_data_spark.operators.robust import robust_scale
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), (None, 10.0), (None, 20.0), (None, 30.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {(r["g"], r["x"]): r["x_scaled"] for r in robust_scale(df, ["x"], by=["g"]).collect()}
+    assert got[("a", 2.0)] == 0.0 and got[(None, 20.0)] == 0.0
+    assert got[("a", 3.0)] == 1.0 and got[(None, 30.0)] == 1.0
+
+
+def test_robust_scale_validates(spark):
+    import pytest
+
+    from proyecto_final_de_big_data_spark.operators.robust import robust_scale
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="at least one"):
+        robust_scale(df, [])
