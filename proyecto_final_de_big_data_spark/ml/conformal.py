@@ -85,27 +85,35 @@ def split_conformal_profile(
         q_agg = F.percentile_approx(
             "__r", F.lit(k_marg / n), F.lit(accuracy)
         )
+    # The 1-row fit frame is lineage-truncated: it feeds BOTH the
+    # test-side coverage agg and the final readout, and it must
+    # survive an EMPTY test split (an agg over the empty crossJoin
+    # yields NULL first()s — the fitted radius would silently vanish).
     qf = cal.agg(
         F.count(F.lit(1)).alias("n_cal"), q_agg.alias("__q")
-    )
+    ).localCheckpoint(eager=False)
     test = base.filter(~F.col("__cal"))
     # 1-row crossJoin scalar pattern: q rides broadcast, no collect.
-    return (
-        test.crossJoin(F.broadcast(qf))
-        .agg(
-            F.first("n_cal").alias("n_cal"),
-            F.lit(int(k)).alias("k_order"),
-            F.round(F.first("__q"), decimals).alias("q_hat"),
-            F.count(F.lit(1)).alias("n_test"),
-            F.sum(
-                (F.col("__r") <= F.col("__q")).cast("long")
-            ).alias("n_covered"),
-            F.round(
-                F.avg((F.col("__r") <= F.col("__q")).cast("double")),
-                decimals,
-            ).alias("coverage"),
-            F.round(F.lit(2.0) * F.first("__q"), decimals).alias(
-                "interval_width"
-            ),
-        )
+    tstats = test.crossJoin(F.broadcast(qf)).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum((F.col("__r") <= F.col("__q")).cast("long")).alias(
+            "__covered"
+        ),
+        F.round(
+            F.avg((F.col("__r") <= F.col("__q")).cast("double")),
+            decimals,
+        ).alias("coverage"),
+    )
+    return qf.crossJoin(tstats).select(
+        "n_cal",
+        F.lit(int(k)).alias("k_order"),
+        F.round("__q", decimals).alias("q_hat"),
+        "n_test",
+        F.coalesce("__covered", F.lit(0)).alias("n_covered"),
+        # coverage stays NULL on an empty test split — genuinely
+        # undefined, unlike the counts
+        "coverage",
+        F.round(F.lit(2.0) * F.col("__q"), decimals).alias(
+            "interval_width"
+        ),
     )

@@ -278,9 +278,9 @@ def brier_and_ece(
         ~F.isnan(p) & ((p < 0.0) | (p > 1.0)),
         F.raise_error(
             F.format_string(
-                "brier_and_ece: probability %s outside [0, 1] — pass "
+                "brier_and_ece: probability %.6f outside [0, 1] — pass "
                 "calibrated probabilities, not raw scores/margins",
-                F.format_number(p, 6),
+                p,
             )
         ).cast("double"),
     ).otherwise(p)

@@ -34,6 +34,7 @@ def funnel_counts(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_seconds: int | None = None,
 ) -> DataFrame:
     """Strict sequential funnel: a user completes step k+1 only with an
     event of that type STRICTLY AFTER their earliest completion of
@@ -54,6 +55,8 @@ def funnel_counts(
     """
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    if max_seconds is not None and max_seconds <= 0:
+        raise ValueError(f"max_seconds must be > 0, got {max_seconds}")
     from functools import reduce
 
     from pyspark.sql import Window
@@ -64,20 +67,46 @@ def funnel_counts(
     # lazy localCheckpoint truncates lineage at first materialisation
     # and persists the step frame (MEMORY_AND_DISK), so each step is
     # computed once per action, never re-derived from step 0.
-    reached = (
+    # With ``max_seconds`` the entry-anchored deadline rides the SAME
+    # frames as one extra integer-microsecond column (__d) — one
+    # implementation serves both gates, so a fix to the step machinery
+    # can never fork (the r8 review's duplication finding).
+    windowed = max_seconds is not None
+    entry = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("__t"))
-        .localCheckpoint(eager=False)
     )
+    carry = [user_col, "__t"]
+    if windowed:
+        # cast: unix_micros rejects TIMESTAMP_NTZ; the session is
+        # UTC-pinned so the wall clock IS the instant (the
+        # operators/rolling.py discipline)
+        entry = entry.withColumn(
+            "__d",
+            F.unix_micros(F.col("__t").cast("timestamp"))
+            + F.lit(int(max_seconds) * 1_000_000),
+        )
+        carry = [user_col, "__t", "__d"]
+    reached = entry.localCheckpoint(eager=False)
     frames = [reached]
     for step in steps[1:]:
+        nxt = events.filter(F.col(type_col) == step).join(
+            reached.select(*carry), user_col
+        )
+        cond = F.col(ts_col) > F.col("__t")
+        if windowed:
+            cond = cond & (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                <= F.col("__d")
+            )
+        aggs = [F.min(ts_col).alias("__t")]
+        if windowed:
+            aggs.append(F.min("__d").alias("__d"))
         reached = (
-            events.filter(F.col(type_col) == step)
-            .join(reached.select(user_col, "__t"), user_col)
-            .filter(F.col(ts_col) > F.col("__t"))
+            nxt.filter(cond)
             .groupBy(user_col)
-            .agg(F.min(ts_col).alias("__t"))
+            .agg(*aggs)
             .localCheckpoint(eager=False)
         )
         frames.append(reached)
@@ -153,66 +182,20 @@ def funnel_counts_within(
     late completions.
 
     Anchor choice is the ENTRY time (not the previous step): a window
-    per hop would let an N-step funnel stretch N·W long. Same plan
-    shape and guarantees as :func:`funnel_counts` — user-keyed joins
-    and mins, monotonically shrinking step frames, one lazy
-    localCheckpoint per step, ONE action; the deadline rides along as
-    integer microseconds (engine-portable comparison, the
-    :mod:`.rolling` discipline). Strictness is preserved: an event at
-    exactly the deadline counts (``<=``), a same-instant repeat of the
-    prior step does not (``>``).
+    per hop would let an N-step funnel stretch N·W long. Thin wrapper
+    over :func:`funnel_counts` — literally the same step machinery,
+    plan guarantees included; the deadline is one extra
+    integer-microsecond column on the same user-keyed joins.
+    Strictness is preserved: an event at exactly the deadline counts
+    (``<=``), a same-instant repeat of the prior step does not (``>``).
     """
-    if len(steps) < 2:
-        raise ValueError("a funnel needs at least 2 steps")
-    if max_seconds <= 0:
+    if max_seconds is None or max_seconds <= 0:
         raise ValueError(f"max_seconds must be > 0, got {max_seconds}")
-    from functools import reduce
-
-    from pyspark.sql import Window
-
-    reached = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("__t"))
-        .withColumn(
-            # cast: unix_micros rejects TIMESTAMP_NTZ; the session is
-            # UTC-pinned so the wall clock IS the instant (the
-            # operators/rolling.py discipline)
-            "__d",
-            F.unix_micros(F.col("__t").cast("timestamp"))
-            + F.lit(int(max_seconds) * 1_000_000),
-        )
-        .localCheckpoint(eager=False)
-    )
-    frames = [reached]
-    for step in steps[1:]:
-        reached = (
-            events.filter(F.col(type_col) == step)
-            .join(reached.select(user_col, "__t", "__d"), user_col)
-            .filter(
-                (F.col(ts_col) > F.col("__t"))
-                & (F.unix_micros(F.col(ts_col).cast("timestamp")) <= F.col("__d"))
-            )
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias("__t"), F.min("__d").alias("__d"))
-            .localCheckpoint(eager=False)
-        )
-        frames.append(reached)
-    branches = [
-        f.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(i).alias("step_idx"),
-            F.lit(s).alias("step"),
-            F.col("n_users"),
-        )
-        for i, (s, f) in enumerate(zip(steps, frames))
-    ]
-    out = reduce(DataFrame.unionAll, branches)
-    entry = F.first("n_users").over(
-        Window.orderBy("step_idx").rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-    )
-    return out.withColumn(
-        "conversion",
-        F.when(entry > 0, F.round(F.col("n_users") / entry, 6)),
+    return funnel_counts(
+        events,
+        steps,
+        user_col=user_col,
+        type_col=type_col,
+        ts_col=ts_col,
+        max_seconds=max_seconds,
     )

@@ -141,10 +141,13 @@ def pq_encode(
         *[F.col(name) for name, _t in keep],
         as_double_array(vec_col).alias("__v"),
     )
+    # id dtype follows the input (string doc ids are legal), never a
+    # hardcoded long
+    id_type = dict(corpus.dtypes)[id_col]
     kept_ddl = "".join(f", {name} {t}" for name, t in keep)
     return staged.mapInPandas(
         do,
-        schema=f"{id_col} long{kept_ddl}, codes array<int>, cnorm2 double",
+        schema=f"{id_col} {id_type}{kept_ddl}, codes array<int>, cnorm2 double",
     )
 
 
@@ -177,8 +180,9 @@ def pq_query_luts(
             )
 
     staged = queries.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+    id_type = dict(queries.dtypes)[id_col]
     return staged.mapInPandas(
-        do, schema="query_id long, lut array<double>, qnorm double"
+        do, schema=f"query_id {id_type}, lut array<double>, qnorm double"
     )
 
 

@@ -54,12 +54,22 @@ def rfm_segments(
     ``equal_frequency_bins`` contract: bound placement approximates,
     bin assignment around the returned bounds stays exact).
     """
-    per_cust = df.groupBy(F.col(customer_col).alias("customer")).agg(
-        F.datediff(
-            F.to_date(F.lit(reference_date)), F.to_date(F.max(ts_col))
-        ).alias("recency_days"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(amount_col).alias("monetary"),
+    per_cust = (
+        df.groupBy(F.col(customer_col).alias("customer"))
+        .agg(
+            F.datediff(
+                F.to_date(F.lit(reference_date)), F.to_date(F.max(ts_col))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(amount_col).alias("monetary"),
+        )
+        # Lineage-truncated: the three quantile-bound fits below are
+        # eager collect actions and the final profile is a fourth —
+        # without this the transaction log would be re-scanned per
+        # action (the r8 review finding); with it, the log is scanned
+        # exactly once and everything after runs on the materialized
+        # customer-cardinality frame.
+        .localCheckpoint(eager=False)
     )
     binned = per_cust
     for col in ("recency_days", "frequency", "monetary"):

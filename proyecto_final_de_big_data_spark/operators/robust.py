@@ -128,8 +128,14 @@ def robust_scale(
     aggs = []
     for c in cols:
         x = F.col(c).cast("double")
+        # NaN exclusion at fit time (the mad_outlier_profile filter,
+        # per column): one NaN would otherwise ride the percentile
+        # sort as the greatest value, make q75/IQR NaN, and — because
+        # NaN > 0 is TRUE under Spark ordering — poison EVERY scaled
+        # value in the group through the F.when(iqr > 0) branch.
+        x_fit = F.when(~F.isnan(x), x)
         aggs.append(
-            fn(x, F.lit([0.25, 0.5, 0.75])).alias(f"__q_{c}")
+            fn(x_fit, F.lit([0.25, 0.5, 0.75])).alias(f"__q_{c}")
         )
     stats = df.groupBy(
         *[F.col(g).alias(f"__g_{i}") for i, g in enumerate(by)]
@@ -156,7 +162,7 @@ def robust_scale(
         out = out.withColumn(
             c + suffix,
             F.round(
-                F.when(iqr > 0, (x - med) / iqr), decimals
+                F.when((iqr > 0) & ~F.isnan(x), (x - med) / iqr), decimals
             ),
         )
     return out.drop(

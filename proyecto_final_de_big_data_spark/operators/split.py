@@ -304,24 +304,41 @@ def weighted_sample_k(
     by = by or []
     from pyspark.sql import Window
 
-    from .rollup import argmax_per_group
-
     w = F.col(weight_col).cast("double")
     # u in (0, 1]: (band + 1) / 16^15 over 15 md5 hex chars — never 0,
     # so ln(u) is finite; u == 1 gives ln 0 = sort key 0, the maximum.
-    band = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("double")
-    u = (band + F.lit(1.0)) / F.lit(float(16**15))
-    es_key = F.log(u) / w
-    staged = df.filter(w.isNotNull() & (w > 0)).withColumn("__es", es_key)
-    top = argmax_per_group(
-        staged, by, [F.desc("__es"), F.asc(key)], n=k
+    # The +1 happens in INTEGER space before the double cast: band is
+    # 60 bits, beyond double granularity, so double(band) + 1.0 would
+    # be absorbed for ~1/128 of keys while the oracle's
+    # (bigint+1)::DOUBLE rounds band+1 — a 1-ulp divergent draw and a
+    # cross-engine selection flip. Integer-first matches the oracle
+    # bit for bit.
+    band1 = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1).cast("long")
     )
-    return top.drop("__es", "rank")
+    u = band1.cast("double") / F.lit(float(16**15))
+    es_key = F.log(u) / w
+    # Internal columns are rename-guarded (a caller's own `rank` or
+    # `__es` column must survive), so the window runs on private names
+    # and the output restores exactly the input column set.
+    staged = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "__es_wsk", es_key
+    )
+    w_rank = Window.partitionBy(*by).orderBy(
+        F.desc("__es_wsk"), F.asc(key)
+    )
+    top = staged.withColumn("__rn_wsk", F.row_number().over(w_rank)).filter(
+        F.col("__rn_wsk") <= k
+    )
+    return top.select(*df.columns)

@@ -70,3 +70,16 @@ def test_null_nan_rows_excluded(spark):
         df, "pred", "y", F.col("is_cal") == 1, alpha=0.2
     ).first()
     assert r["n_cal"] == 10 and r["n_test"] == 1
+
+
+def test_empty_test_split_keeps_the_fit(spark):
+    # Fitting on a full-calibration split must not lose the radius.
+    from pyspark.sql import functions as F
+
+    df = _df(spark, range(1, 11), [])
+    r = split_conformal_profile(
+        df, "pred", "y", F.col("is_cal") == 1, alpha=0.2
+    ).first()
+    assert r["n_cal"] == 10 and r["q_hat"] == 9.0
+    assert r["n_test"] == 0 and r["n_covered"] == 0
+    assert r["coverage"] is None  # undefined, not fake

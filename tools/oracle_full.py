@@ -24,7 +24,10 @@ spark = (
     .config("spark.driver.memory", "8g")
     .getOrCreate()
 )
-from proyecto_final_de_big_data_spark.queries import QUERIES  # noqa: E402
+from proyecto_final_de_big_data_spark.queries import (  # noqa: E402
+    QUERIES,
+    _VERIFICATION_WINDOW,
+)
 from proyecto_final_de_big_data_spark.oracle import run_oracle, compare  # noqa: E402
 
 SF = "/root/testdata/sf0.01"
@@ -53,7 +56,7 @@ for i, (name, q) in enumerate(QUERIES.items(), 1):
             "detail": f"{type(e).__name__}: {str(e)[:200]}",
         }
     entry["sec"] = round(time.perf_counter() - t0, 2)
-    entry["in_window"] = i <= 50
+    entry["in_window"] = i <= len(_VERIFICATION_WINDOW)
     results[name] = entry
     print(f"{i:3d} {name}: {entry['status']} ({entry['sec']}s)")
 
