@@ -1,17 +1,23 @@
 """Experiment (A/B test) analysis: two-proportion z-test over per-unit
-conversion flags — the readout every experimentation dashboard runs on
-top of an event store.
+conversion flags, and CUPED variance-reduced mean comparison — the
+readouts every experimentation dashboard runs on top of an event store.
 
-Everything is closed-form arithmetic over TWO group aggregates (count +
-success count), so the whole readout is one aggregation pass at
-group cardinality and is exactly restatable in ANSI SQL — the gate
-hash-matches the z statistic and the confidence interval, not just the
-counts. No sampling, no simulation, no SciPy.
+Everything is closed-form arithmetic over TWO group aggregates, so each
+readout is one aggregation pass at group cardinality and is exactly
+restatable in ANSI SQL — the gates hash-match the statistics and the
+confidence intervals, not just the counts. No sampling, no simulation,
+no SciPy.
 
 Scale shape: the per-unit frame (one row per experiment unit with its
-variant and 0/1 outcome) is produced upstream by a user-keyed
+variant and outcome/covariate) is produced upstream by a user-keyed
 aggregation over events; this module then reduces it to ONE row. The
-z-test itself is O(groups) — free at any corpus size.
+CUPED readout needs only the six per-arm sufficient sums (n, ΣX, ΣY,
+ΣX², ΣY², ΣXY) — θ, the adjusted means, and the adjusted variances all
+expand algebraically from those, so the whole thing is a single
+conditional-aggregation pass (no second scan to apply θ row-wise).
+
+Extension surface — the reference has no experimentation stage
+(`/root/reference` computes only descriptive marts, README.md:60-90).
 """
 
 from __future__ import annotations
@@ -104,4 +110,151 @@ def two_proportion_ztest(
         "conv_treatment long, rate_control double, rate_treatment double, "
         "abs_lift double, z_stat double, ci_low double, ci_high double, "
         "significant int",
+    )
+
+
+def cuped_mean_ztest(
+    units: DataFrame,
+    group_col: str,
+    metric_col: str,
+    covariate_col: str,
+    control: str,
+    treatment: str,
+    z_crit: float = 1.959963984540054,  # 95% two-sided normal quantile
+) -> DataFrame:
+    """One-row CUPED (Controlled-experiment Using Pre-Existing Data,
+    Deng et al., WSDM 2013) variance-reduced comparison of a continuous
+    metric between two arms:
+
+    ``(n_control, n_treatment, theta, mean_control, mean_treatment,
+    lift_raw, se_raw, lift_cuped, se_cuped, z_cuped, ci_low, ci_high,
+    var_reduction_pct, significant)``
+
+    - ``theta = cov(X, Y) / var(X)`` pooled over both arms (the
+      standard estimator; the sample/population divisor cancels in the
+      ratio);
+    - the adjusted metric is ``Y' = Y − θ·(X − mean(X))``; its per-arm
+      mean and SAMPLE variance are expanded algebraically from the six
+      per-arm sufficient sums, so no second pass applies θ row-wise;
+    - ``z_cuped`` is the Welch-style z on adjusted means
+      (``se = sqrt(s²_t/n_t + s²_c/n_c)``), CI at ``z_crit``;
+    - ``var_reduction_pct = 100·(1 − s²_adj,pooled / s²_raw,pooled)``
+      — the realized variance reduction (≈ 100·ρ² for large n).
+
+    Rows with NULL/NaN metric or covariate are excluded up front (one
+    poisoned unit would NULL every statistic). Statistics round to 6
+    decimals so engines agree to the hash. Raises upfront if either arm
+    has fewer than 2 usable units or the covariate is constant (θ
+    undefined — CUPED over a degenerate covariate is a caller bug, not
+    a zero).
+    """
+    g = F.col(group_col)
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    clean = units.filter(
+        y.isNotNull() & ~F.isnan(y) & x.isNotNull() & ~F.isnan(x)
+    )
+
+    def _arm(val: str, expr, name: str):
+        return F.coalesce(
+            F.sum(F.when(g == val, expr).otherwise(F.lit(0.0))), F.lit(0.0)
+        ).alias(name)
+
+    agg = clean.agg(
+        F.coalesce(
+            F.sum(F.when(g == control, 1).otherwise(0)), F.lit(0)
+        ).alias("n_c"),
+        _arm(control, x, "sx_c"),
+        _arm(control, y, "sy_c"),
+        _arm(control, x * x, "sxx_c"),
+        _arm(control, y * y, "syy_c"),
+        _arm(control, x * y, "sxy_c"),
+        F.coalesce(
+            F.sum(F.when(g == treatment, 1).otherwise(0)), F.lit(0)
+        ).alias("n_t"),
+        _arm(treatment, x, "sx_t"),
+        _arm(treatment, y, "sy_t"),
+        _arm(treatment, x * x, "sxx_t"),
+        _arm(treatment, y * y, "syy_t"),
+        _arm(treatment, x * y, "sxy_t"),
+    )
+    # NULL-when-degenerate denominators: under ANSI mode a 0/1-unit arm
+    # or a constant covariate would raise DIVIDE_BY_ZERO inside the
+    # plan before the friendly validation below ever ran; NULL instead
+    # propagates and lets the check report properly.
+    n_c = F.when(F.col("n_c") >= 2, F.col("n_c").cast("double"))
+    n_t = F.when(F.col("n_t") >= 2, F.col("n_t").cast("double"))
+    nn = n_c + n_t
+    sx, sy = F.col("sx_c") + F.col("sx_t"), F.col("sy_c") + F.col("sy_t")
+    sxx = F.col("sxx_c") + F.col("sxx_t")
+    sxy = F.col("sxy_c") + F.col("sxy_t")
+    ssx = sxx - sx * sx / nn  # pooled centered Σ(x−x̄)²
+    theta = (sxy - sx * sy / nn) / F.when(ssx > 0, ssx)
+    mean_x = sx / nn
+
+    def _stats(suffix: str, n):
+        sy_a, sx_a = F.col(f"sy_{suffix}"), F.col(f"sx_{suffix}")
+        syy_a, sxx_a = F.col(f"syy_{suffix}"), F.col(f"sxx_{suffix}")
+        sxy_a = F.col(f"sxy_{suffix}")
+        mean_y = sy_a / n
+        mean_adj = mean_y - theta * (sx_a / n - mean_x)
+        var_raw = (syy_a - sy_a * sy_a / n) / (n - 1.0)
+        s_adj = sy_a - theta * sx_a  # Σ(y−θx)
+        ss_adj = syy_a - 2.0 * theta * sxy_a + theta * theta * sxx_a
+        var_adj = (ss_adj - s_adj * s_adj / n) / (n - 1.0)
+        return mean_y, mean_adj, var_raw, var_adj
+
+    mean_c, adj_c, vraw_c, vadj_c = _stats("c", n_c)
+    mean_t, adj_t, vraw_t, vadj_t = _stats("t", n_t)
+    lift_raw = mean_t - mean_c
+    se_raw = F.sqrt(vraw_t / n_t + vraw_c / n_c)
+    lift_cuped = adj_t - adj_c
+    se_cuped = F.sqrt(vadj_t / n_t + vadj_c / n_c)
+    z = F.when(se_cuped > 0, lift_cuped / se_cuped).otherwise(F.lit(0.0))
+    pooled_raw = ((n_c - 1.0) * vraw_c + (n_t - 1.0) * vraw_t) / (nn - 2.0)
+    pooled_adj = ((n_c - 1.0) * vadj_c + (n_t - 1.0) * vadj_t) / (nn - 2.0)
+    var_red = F.when(
+        pooled_raw > 0, 100.0 * (1.0 - pooled_adj / pooled_raw)
+    ).otherwise(F.lit(0.0))
+    out = agg.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.round(theta, 6).alias("theta"),
+        F.round(mean_c, 6).alias("mean_control"),
+        F.round(mean_t, 6).alias("mean_treatment"),
+        F.round(lift_raw, 6).alias("lift_raw"),
+        F.round(se_raw, 6).alias("se_raw"),
+        F.round(lift_cuped, 6).alias("lift_cuped"),
+        F.round(se_cuped, 6).alias("se_cuped"),
+        F.round(z, 6).alias("z_cuped"),
+        F.round(lift_cuped - F.lit(z_crit) * se_cuped, 6).alias("ci_low"),
+        F.round(lift_cuped + F.lit(z_crit) * se_cuped, 6).alias("ci_high"),
+        F.round(var_red, 6).alias("var_reduction_pct"),
+        (F.abs(z) > F.lit(z_crit)).cast("int").alias("significant"),
+        F.when(ssx > 0, F.lit(1)).alias("__cov_ok"),
+    )
+    # One pass: evaluate the Spark-side hash-exact arithmetic once,
+    # validate, and rehydrate the single answer row — callers' actions
+    # then never rescan the units frame.
+    row = out.collect()[0]
+    if int(row["n_control"]) < 2 or int(row["n_treatment"]) < 2:
+        raise ValueError(
+            f"cuped_mean_ztest needs >=2 usable units in BOTH arms; got "
+            f"control={control!r} n={int(row['n_control'])}, "
+            f"treatment={treatment!r} n={int(row['n_treatment'])}"
+        )
+    if row["__cov_ok"] is None:
+        raise ValueError(
+            f"cuped_mean_ztest: covariate {covariate_col!r} is constant "
+            "across units — theta is undefined; use the plain z-test"
+        )
+    spark = units.sparkSession
+    names = [c for c in out.columns if c != "__cov_ok"]
+    return spark.createDataFrame(
+        [tuple(row[c] for c in names)],
+        "n_control long, n_treatment long, theta double, "
+        "mean_control double, mean_treatment double, lift_raw double, "
+        "se_raw double, lift_cuped double, se_cuped double, "
+        "z_cuped double, ci_low double, ci_high double, "
+        "var_reduction_pct double, significant int",
     )

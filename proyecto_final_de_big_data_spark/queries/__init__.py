@@ -158,7 +158,18 @@ _VERIFICATION_WINDOW = [
     # gates structurally miss.
     "containment_pairs_contract",
     "scd2_user_state_history",
-    "blocklist_filter_profile",
+    # r8: blocklist_filter_profile (r6+r7 green, content_filter.py and
+    # its query untouched this round; named swap currency in the
+    # VERDICT r7 rotation pool — the broadcast small-list filter
+    # machinery stays in-window via k_anonymity_contract's suppression
+    # semi-join and the selection surface via
+    # token_budget_selection_profile) hands its slot to
+    # cuped_ab_contract — CUPED variance-reduced mean comparison
+    # (operators/abtest.py:cuped_mean_ztest, Deng et al. WSDM'13), new
+    # this round (same-round-slot rule); the experimentation family
+    # gains the continuous-metric readout next to ab_test_contract's
+    # proportion z-test.
+    "cuped_ab_contract",
     "data_quality_contract",
     "token_budget_selection_profile",
     # session_stats_by_dow (r6 green, sessionize.py unchanged; the

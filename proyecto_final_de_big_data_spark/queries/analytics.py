@@ -2384,3 +2384,129 @@ def q_robust_scaler_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_scaled",
         "discount_scaled",
     )
+
+
+@register(
+    "cuped_ab_contract",
+    oracle="""
+    WITH units AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS variant,
+               coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                 THEN value END), 0.0) AS pre,
+               coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                 THEN value END), 0.0) AS post
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT
+          CAST(sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+          sum(CASE WHEN variant = 'control' THEN pre ELSE 0 END) AS sx_c,
+          sum(CASE WHEN variant = 'control' THEN post ELSE 0 END) AS sy_c,
+          sum(CASE WHEN variant = 'control' THEN pre * pre ELSE 0 END) AS sxx_c,
+          sum(CASE WHEN variant = 'control' THEN post * post ELSE 0 END) AS syy_c,
+          sum(CASE WHEN variant = 'control' THEN pre * post ELSE 0 END) AS sxy_c,
+          CAST(sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+          sum(CASE WHEN variant = 'treatment' THEN pre ELSE 0 END) AS sx_t,
+          sum(CASE WHEN variant = 'treatment' THEN post ELSE 0 END) AS sy_t,
+          sum(CASE WHEN variant = 'treatment' THEN pre * pre ELSE 0 END) AS sxx_t,
+          sum(CASE WHEN variant = 'treatment' THEN post * post ELSE 0 END) AS syy_t,
+          sum(CASE WHEN variant = 'treatment' THEN pre * post ELSE 0 END) AS sxy_t
+        FROM units
+    ), m AS (
+        SELECT *,
+               (n_c + n_t)::DOUBLE AS nn,
+               ((sxy_c + sxy_t) - (sx_c + sx_t) * (sy_c + sy_t)
+                    / (n_c + n_t)::DOUBLE)
+                 / ((sxx_c + sxx_t) - (sx_c + sx_t) * (sx_c + sx_t)
+                    / (n_c + n_t)::DOUBLE) AS theta,
+               (sx_c + sx_t) / (n_c + n_t)::DOUBLE AS mean_x
+        FROM s
+    ), a AS (
+        SELECT *,
+               sy_c / n_c AS mean_c, sy_t / n_t AS mean_t,
+               sy_c / n_c - theta * (sx_c / n_c - mean_x) AS adj_c,
+               sy_t / n_t - theta * (sx_t / n_t - mean_x) AS adj_t,
+               (syy_c - sy_c * sy_c / n_c) / (n_c - 1.0) AS vraw_c,
+               (syy_t - sy_t * sy_t / n_t) / (n_t - 1.0) AS vraw_t,
+               ((syy_c - 2.0 * theta * sxy_c + theta * theta * sxx_c)
+                 - (sy_c - theta * sx_c) * (sy_c - theta * sx_c) / n_c)
+                 / (n_c - 1.0) AS vadj_c,
+               ((syy_t - 2.0 * theta * sxy_t + theta * theta * sxx_t)
+                 - (sy_t - theta * sx_t) * (sy_t - theta * sx_t) / n_t)
+                 / (n_t - 1.0) AS vadj_t
+        FROM m
+    ), f AS (
+        SELECT *,
+               adj_t - adj_c AS lift_cuped,
+               sqrt(vadj_t / n_t + vadj_c / n_c) AS se_cuped,
+               CASE WHEN sqrt(vadj_t / n_t + vadj_c / n_c) > 0
+                    THEN (adj_t - adj_c) / sqrt(vadj_t / n_t + vadj_c / n_c)
+                    ELSE 0.0 END AS z,
+               ((n_c - 1.0) * vraw_c + (n_t - 1.0) * vraw_t) / (nn - 2.0)
+                   AS pooled_raw,
+               ((n_c - 1.0) * vadj_c + (n_t - 1.0) * vadj_t) / (nn - 2.0)
+                   AS pooled_adj
+        FROM a
+    )
+    SELECT n_c AS n_control, n_t AS n_treatment,
+           round(theta, 6) AS theta,
+           round(mean_c, 6) AS mean_control,
+           round(mean_t, 6) AS mean_treatment,
+           round(mean_t - mean_c, 6) AS lift_raw,
+           round(sqrt(vraw_t / n_t + vraw_c / n_c), 6) AS se_raw,
+           round(lift_cuped, 6) AS lift_cuped,
+           round(se_cuped, 6) AS se_cuped,
+           round(z, 6) AS z_cuped,
+           round(lift_cuped - 1.959963984540054 * se_cuped, 6) AS ci_low,
+           round(lift_cuped + 1.959963984540054 * se_cuped, 6) AS ci_high,
+           round(CASE WHEN pooled_raw > 0
+                      THEN 100.0 * (1.0 - pooled_adj / pooled_raw)
+                      ELSE 0.0 END, 6) AS var_reduction_pct,
+           CASE WHEN abs(z) > 1.959963984540054 THEN 1 ELSE 0 END
+               AS significant
+    FROM f
+    """,
+    description="CUPED variance-reduced experiment readout (operators/"
+    "abtest.py:cuped_mean_ztest, Deng et al. WSDM'13): per-user units "
+    "with pre-period spend (ts < Jan 16) as the covariate and "
+    "post-period spend as the metric, variant = user_id parity. "
+    "theta = cov(X,Y)/var(X) pooled, adjusted per-arm means and SAMPLE "
+    "variances expanded algebraically from the six per-arm sufficient "
+    "sums — the WHOLE readout is ONE conditional-aggregation pass at "
+    "unit-frame scale plus answer-scale arithmetic (no second scan "
+    "applies theta row-wise). Welch z on adjusted means, 95% CI, "
+    "realized variance-reduction percent. The oracle restates the "
+    "identical expansion; the adjusted-mean algebra is additionally "
+    "pinned against literal row-wise Y' = Y - theta*(X - mean(X)) "
+    "computation on hand-sized fixtures in tests/test_cuped.py.",
+)
+def q_cuped_ab_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.abtest import cuped_mean_ztest
+
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < boundary, F.col("value"))),
+                F.lit(0.0),
+            ).alias("pre"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= boundary, F.col("value"))),
+                F.lit(0.0),
+            ).alias("post"),
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+            .otherwise(F.lit("treatment"))
+            .alias("variant"),
+            "pre",
+            "post",
+        )
+    )
+    return cuped_mean_ztest(
+        units, "variant", "post", "pre", control="control",
+        treatment="treatment",
+    )

@@ -61,7 +61,14 @@ def test_window_covers_every_family():
                                      # local clustering (NEW r8)
         "scd2_user_state_history",   # SCD Type-2 window algebra
         "data_quality_contract",     # expectations validator
-        "blocklist_filter_profile",  # content blocklist filter
+        "k_anonymity_contract",      # broadcast small-list filtering
+                                     # (the blocklist twin rotated
+                                     # out r8 after r6+r7 green on
+                                     # unchanged content_filter.py;
+                                     # the suppression semi-join is
+                                     # the same broadcast machinery)
+        "cuped_ab_contract",         # CUPED variance-reduced A/B
+                                     # readout (NEW r8)
         "token_budget_selection_profile",  # sort-free budget selection
                                      # (also the mixing family rep: the
                                      # source-cap twin rotated out r7
