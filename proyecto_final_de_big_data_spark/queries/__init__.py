@@ -157,7 +157,18 @@ _VERIFICATION_WINDOW = [
     # (same-round-slot rule); the quotation/subset case the Jaccard
     # gates structurally miss.
     "containment_pairs_contract",
-    "scd2_user_state_history",
+    # r8: scd2_user_state_history (r6+r7 green, operators/scd.py
+    # untouched this round; named swap currency in the VERDICT r7
+    # rotation pool — the ordered per-key window state machinery stays
+    # in-window via attribution_contract's reverse cumulative window
+    # and session_path_profile's user-keyed ordered windows) hands its
+    # slot to bootstrap_ci_contract — one-pass Poisson-bootstrap
+    # percentile CIs (operators/bootstrap.py, Chamandy et al. 2012),
+    # new this round (same-round-slot rule); the stats family gains
+    # the resampling-free uncertainty readout next to the jackknife's
+    # delete-one-stratum estimator (full-catalog attested behind the
+    # window).
+    "bootstrap_ci_contract",
     # r8: blocklist_filter_profile (r6+r7 green, content_filter.py and
     # its query untouched this round; named swap currency in the
     # VERDICT r7 rotation pool — the broadcast small-list filter

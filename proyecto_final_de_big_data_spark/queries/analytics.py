@@ -2510,3 +2510,80 @@ def q_cuped_ab_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         units, "variant", "post", "pre", control="control",
         treatment="treatment",
     )
+
+
+@register(
+    "bootstrap_ci_contract",
+    oracle="""
+    WITH rows AS (
+        SELECT event_type, event_id AS k, value::DOUBLE AS x
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+    ), rep AS (
+        SELECT unnest(generate_series(0, 100)) AS r
+    ), w AS (
+        SELECT event_type, r, x,
+               CASE WHEN r = 0 THEN 1.0 ELSE CAST(
+                 CASE WHEN u < 0.36787944117144233 THEN 0
+                      WHEN u < 0.7357588823428847 THEN 1
+                      WHEN u < 0.9196986029286055 THEN 2
+                      WHEN u < 0.9810118431238462 THEN 3
+                      WHEN u < 0.9963401531726563 THEN 4
+                      WHEN u < 0.9994058151824183 THEN 5
+                      ELSE 6 END AS DOUBLE) END AS w
+        FROM (
+            SELECT event_type, x, r,
+                   (('0x' || substr(md5(CAST(k AS VARCHAR) || ':boot:'
+                        || CAST(r AS VARCHAR)), 1, 15))::BIGINT)
+                     / 1152921504606846976.0 AS u
+            FROM rows CROSS JOIN rep
+        )
+    ), g AS (
+        SELECT event_type, r,
+               sum(w * x) AS swx, sum(w) AS sw, count(*) AS n
+        FROM w GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, r, n,
+               CASE WHEN sw > 0 THEN swx / sw END AS m
+        FROM g
+    )
+    SELECT event_type,
+           max(CASE WHEN r = 0 THEN n END) AS n_units,
+           round(max(CASE WHEN r = 0 THEN m END), 6) AS mean,
+           round(stddev_samp(CASE WHEN r > 0 THEN m END), 6) AS se_boot,
+           round(quantile_cont(CASE WHEN r > 0 THEN m END, 0.025), 6)
+               AS ci_low,
+           round(quantile_cont(CASE WHEN r > 0 THEN m END, 0.975), 6)
+               AS ci_high,
+           CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_replicates
+    FROM m
+    GROUP BY 1
+    """,
+    description="Poisson-bootstrap CI (operators/bootstrap.py:"
+    "poisson_bootstrap_mean, Chamandy et al. 2012): per-event-type mean "
+    "of value with a 100-replicate percentile-bootstrap 95% CI and "
+    "bootstrap SE, ALL replicates from ONE scan — per-row Poisson(1) "
+    "weights drawn deterministically from the portable md5 band "
+    "(key:salt:replicate), inverse-CDF thresholds as literals truncated "
+    "at w=6, replicate 0 pinned to weight 1 so the exact sample mean "
+    "rides the same pass. Map-side partial aggregation collapses the "
+    "R+1-fold explode to (groups x replicates) rows before the shuffle; "
+    "the percentile step runs at answer scale. The gate hash-matches "
+    "the CI BOUNDS themselves, not just the point estimate; the weight "
+    "draw and replicate means are additionally pinned against a pure "
+    "hashlib/Python reimplementation in tests/test_bootstrap.py.",
+)
+def q_bootstrap_ci_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bootstrap import poisson_bootstrap_mean
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return poisson_bootstrap_mean(
+        ev,
+        key_col="event_id",
+        value_col="value",
+        group_cols=["event_type"],
+        n_replicates=100,
+    )

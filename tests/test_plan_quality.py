@@ -714,3 +714,21 @@ def test_hybrid_rrf_fuses_answer_scale_frames(spark, sf_dir):
     # Union of two windowed top-N branches.
     plan = _plan(spark, sf_dir, "hybrid_search_rrf")
     assert "Union" in plan
+
+
+def test_bootstrap_partial_agg_collapses_explode_before_shuffle(spark, sf_dir):
+    # the R+1-fold Generate must be followed by a PARTIAL HashAggregate
+    # on (group, replicate) BEFORE the exchange — the shuffle carries
+    # (groups x replicates) rows, never the exploded frame — and the
+    # whole chain stays JVM-side (no Python UDF in the draw).
+    plan = _plan(spark, sf_dir, "bootstrap_ci_contract", mode="extended")
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "Generate explode" in physical
+    gen_pos = physical.index("Generate explode")
+    last_exch_pos = physical.rindex("Exchange")
+    partial_pos = physical.rindex("partial_sum")
+    # plans print top-down: between the exchange nearest the Generate
+    # and the Generate itself sits the map-side partial aggregate
+    assert last_exch_pos < partial_pos < gen_pos
+    assert "BatchEvalPython" not in physical
+    assert "ArrowEvalPython" not in physical

@@ -59,7 +59,13 @@ def test_window_covers_every_family():
                                      # family in-window)
         "triangle_count_contract",   # degree-oriented triangles /
                                      # local clustering (NEW r8)
-        "scd2_user_state_history",   # SCD Type-2 window algebra
+        "attribution_contract",      # ordered per-key window state
+                                     # machinery (the SCD2 twin
+                                     # rotated out r8 after r6+r7
+                                     # green on unchanged scd.py;
+                                     # reverse-cumulative + session
+                                     # windows keep the family)
+        "bootstrap_ci_contract",     # Poisson-bootstrap CIs (NEW r8)
         "data_quality_contract",     # expectations validator
         "k_anonymity_contract",      # broadcast small-list filtering
                                      # (the blocklist twin rotated
