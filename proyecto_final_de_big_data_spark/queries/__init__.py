@@ -502,7 +502,18 @@ _VERIFICATION_WINDOW = [
     # ml_classification_report_contract — one-pass thresholded
     # confusion/PRF report (ml/evaluation.py), new this round.
     "basket_size_profile",  # r8: swaps in for ml_classification_report
-    "ml_score_contract",
+    # r8: ml_score_contract (r6+r7 green, ml/pipeline.py untouched this
+    # round; named swap currency in the VERDICT r7 rotation pool — the
+    # batch-scoring machinery stays in-window inside
+    # ml_tree_ensemble_contract's deterministic scoring bands and the
+    # closed-form fold models of ml_cv_contract, while the save/load
+    # surface stays full-catalog attested + pytest round-tripped) hands
+    # its slot to rater_agreement_contract — Cohen's kappa, quadratic-
+    # weighted Cohen, and Fleiss' kappa (operators/agreement.py), new
+    # this round (same-round-slot rule); the evaluation family gains
+    # the labeling-QA / LLM-as-judge agreement readout next to
+    # AUC/Brier/conformal.
+    "rater_agreement_contract",
     # ml_feature_matrix_contract (r5+r6 green, ml/pipeline.py
     # featurization unchanged; M1-M3 stay exercised inside
     # ml_score_contract's saved-pipeline transform and the GBT/RF

@@ -2587,3 +2587,153 @@ def q_bootstrap_ci_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"],
         n_replicates=100,
     )
+
+
+@register(
+    "rater_agreement_contract",
+    oracle="""
+    WITH base AS (
+        SELECT event_id,
+               least(greatest(CAST(floor(value / 20) AS BIGINT), 0), 4)
+                   AS la_n,
+               (('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':rater'),
+                    1, 15))::BIGINT) / 1152921504606846976.0 AS u
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+    ), pairs AS (
+        SELECT CAST(la_n AS VARCHAR) AS la,
+               CAST(CASE WHEN u < 0.25 THEN (la_n + 1) % 5
+                         ELSE la_n END AS VARCHAR) AS lb,
+               event_id
+        FROM base
+    ), ct AS (
+        SELECT la, lb, count(*) AS c FROM pairs GROUP BY 1, 2
+    ), rows_m AS (
+        SELECT la, sum(c) AS ra FROM ct GROUP BY 1
+    ), cols_m AS (
+        SELECT lb, sum(c) AS cb FROM ct GROUP BY 1
+    ), nt AS (
+        SELECT sum(c)::DOUBLE AS nn, CAST(sum(c) AS BIGINT) AS n_items
+        FROM ct
+    ), sp AS (
+        SELECT greatest((SELECT max(la::DOUBLE) FROM rows_m),
+                        (SELECT max(lb::DOUBLE) FROM cols_m))
+             - least((SELECT min(la::DOUBLE) FROM rows_m),
+                     (SELECT min(lb::DOUBLE) FROM cols_m)) AS s
+    ), ncat AS (
+        SELECT CAST(count(*) AS INTEGER) AS n_categories FROM (
+            SELECT la FROM rows_m UNION SELECT lb FROM cols_m)
+    ), po AS (
+        SELECT sum(CASE WHEN la = lb THEN c ELSE 0 END)
+                   / (SELECT nn FROM nt) AS po_plain,
+               sum((1.0 - pow(abs(la::DOUBLE - lb::DOUBLE)
+                       / (SELECT s FROM sp), 2)) * c)
+                   / (SELECT nn FROM nt) AS po_quad
+        FROM ct
+    ), pe AS (
+        SELECT sum(CASE WHEN la = lb THEN ra * cb ELSE 0 END)
+                   / pow((SELECT nn FROM nt), 2) AS pe_plain,
+               sum((1.0 - pow(abs(la::DOUBLE - lb::DOUBLE)
+                       / (SELECT s FROM sp), 2)) * ra * cb)
+                   / pow((SELECT nn FROM nt), 2) AS pe_quad
+        FROM rows_m CROSS JOIN cols_m
+    ), f_ratings AS (
+        SELECT item, la FROM (
+            SELECT event_id % 400 AS item, CAST(la_n AS VARCHAR) AS la,
+                   row_number() OVER (PARTITION BY event_id % 400
+                                      ORDER BY event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_id % 400) AS tot
+            FROM base)
+        WHERE rn <= 3 AND tot >= 3
+    ), f_cnt AS (
+        SELECT item, la, count(*) AS c FROM f_ratings GROUP BY 1, 2
+    ), f_item AS (
+        SELECT item, sum(c * c) AS c2 FROM f_cnt GROUP BY 1
+    ), f_po AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               avg((c2 - 3.0) / 6.0) AS po_raw
+        FROM f_item
+    ), f_pj AS (
+        SELECT la, sum(c)::DOUBLE AS cj FROM f_cnt GROUP BY 1
+    ), f_pe AS (
+        SELECT CAST(count(*) AS INTEGER) AS n_categories,
+               sum(pow(cj / (SELECT sum(cj) FROM f_pj), 2)) AS pe_raw
+        FROM f_pj
+    )
+    SELECT 'cohen' AS statistic, nt.n_items, ncat.n_categories,
+           round(po.po_plain, 6) AS po, round(pe.pe_plain, 6) AS pe,
+           round((po.po_plain - pe.pe_plain) / (1.0 - pe.pe_plain), 6)
+               AS kappa
+    FROM nt, ncat, po, pe
+    UNION ALL
+    SELECT 'cohen_quadratic', nt.n_items, ncat.n_categories,
+           round(po.po_quad, 6), round(pe.pe_quad, 6),
+           round((po.po_quad - pe.pe_quad) / (1.0 - pe.pe_quad), 6)
+    FROM nt, ncat, po, pe
+    UNION ALL
+    SELECT 'fleiss', f_po.n_items, f_pe.n_categories,
+           round(f_po.po_raw, 6), round(f_pe.pe_raw, 6),
+           round((f_po.po_raw - f_pe.pe_raw) / (1.0 - f_pe.pe_raw), 6)
+    FROM f_po, f_pe
+    """,
+    description="Inter-rater agreement readout (operators/agreement.py): "
+    "Cohen's kappa, quadratic-weighted Cohen (Cohen 1968) and Fleiss' "
+    "kappa (fixed 3-rater panel) in one 3-row contract — the labeling-"
+    "QA statistics for human or LLM-as-judge pipelines. Rater A = "
+    "clamped value-quintile label; rater B = A with a deterministic "
+    "25% md5-band category shift; the Fleiss panel takes the first 3 "
+    "events per (event_id % 400) item, items with fewer than 3 "
+    "dropped symmetrically in both engines. Every statistic reduces "
+    "at contingency-cell cardinality (pe over the FULL marginal cross "
+    "product, so unobserved cells still contribute); the kappa "
+    "algebra is pinned on published textbook fixtures (Cohen 1960 "
+    "2x2, the Fleiss 1971 14-rater worked example, a hand-computed "
+    "weighted case) in tests/test_agreement.py, independent of this "
+    "oracle.",
+)
+def q_rater_agreement_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.agreement import cohens_kappa, fleiss_kappa
+    from ..operators.mixing import _md5_fold
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    v = F.col("value").cast("double")
+    la_n = F.least(
+        F.greatest(F.floor(v / 20.0), F.lit(0).cast("long")),
+        F.lit(4).cast("long"),
+    )
+    base = ev.filter(v.isNotNull() & ~F.isnan(v)).select(
+        "event_id",
+        la_n.alias("la_n"),
+        (
+            _md5_fold(
+                F.concat(F.col("event_id").cast("string"), F.lit(":rater"))
+            )
+            / F.lit(float(1 << 60))
+        ).alias("u"),
+    )
+    pairs = base.select(
+        F.col("la_n").cast("string").alias("la"),
+        F.when(F.col("u") < 0.25, (F.col("la_n") + 1) % 5)
+        .otherwise(F.col("la_n"))
+        .cast("string")
+        .alias("lb"),
+    )
+    c_plain = cohens_kappa(pairs, "la", "lb")
+    c_quad = cohens_kappa(pairs, "la", "lb", weighting="quadratic")
+    item = (F.col("event_id") % 400).alias("item")
+    w_rn = Window.partitionBy(F.col("event_id") % 400).orderBy("event_id")
+    w_tot = Window.partitionBy(F.col("event_id") % 400)
+    panel = (
+        base.select(
+            item,
+            F.col("la_n").cast("string").alias("la"),
+            F.row_number().over(w_rn).alias("rn"),
+            F.count(F.lit(1)).over(w_tot).alias("tot"),
+        )
+        .filter((F.col("rn") <= 3) & (F.col("tot") >= 3))
+        .select("item", "la")
+    )
+    f = fleiss_kappa(panel, "item", "la")
+    return c_plain.unionByName(c_quad).unionByName(f)

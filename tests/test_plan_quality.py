@@ -732,3 +732,14 @@ def test_bootstrap_partial_agg_collapses_explode_before_shuffle(spark, sf_dir):
     assert last_exch_pos < partial_pos < gen_pos
     assert "BatchEvalPython" not in physical
     assert "ArrowEvalPython" not in physical
+
+
+def test_rater_agreement_cross_joins_only_contingency_scale(spark, sf_dir):
+    # kappa reduces a label CONTINGENCY: the only joins are over
+    # k-cardinality marginal frames (broadcast NL join of aggregates),
+    # never a corpus-scale CartesianProduct, and the whole chain stays
+    # JVM-side.
+    plan = _plan(spark, sf_dir, "rater_agreement_contract")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -185,7 +185,14 @@ def test_window_covers_every_family():
         "rfm_segment_profile",       # RFM quintile segmentation (NEW r8)
         "session_path_profile",      # sessionized path analysis
         "ab_test_contract",          # two-proportion z-test readout
-        "ml_score_contract",         # batch scoring + model save/load
+        "ml_tree_ensemble_contract", # batch scoring machinery (the
+                                     # save/load score twin rotated
+                                     # out r8 after r6+r7 green on
+                                     # unchanged ml/pipeline.py;
+                                     # deterministic scoring bands
+                                     # + CV fold models keep it)
+        "rater_agreement_contract",  # Cohen/weighted/Fleiss kappa
+                                     # labeling QA (NEW r8)
                                      # (+ M1-M3 featurization: the
                                      # feature-matrix hash twin rotated
                                      # out r7 after r5/r6 green)
