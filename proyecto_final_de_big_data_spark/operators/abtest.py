@@ -258,3 +258,127 @@ def cuped_mean_ztest(
         "z_cuped double, ci_low double, ci_high double, "
         "var_reduction_pct double, significant int",
     )
+
+
+def experiment_power(
+    units: DataFrame,
+    metric_col: str,
+    covariate_col: str | None = None,
+    target_rel_mde: float = 0.01,
+    z_alpha: float = 1.959963984540054,  # two-sided 5%
+    z_power: float = 0.8416212335729143,  # 80% power
+) -> DataFrame:
+    """One-row pre-experiment power/MDE planning readout over a
+    HISTORICAL unit frame (the sample you would randomize):
+
+    ``(n_units, mean, sd, cv, mde_abs, mde_rel, n_per_arm_target,
+    rho2, var_reduction_pct, mde_abs_cuped, n_per_arm_target_cuped)``
+
+    - ``mde_abs`` is the absolute lift detectable at significance
+      z_alpha / power z_power if THIS sample were split 50/50:
+      ``(z_a + z_b) * sd * sqrt(2/(n/2))``; ``mde_rel`` divides by the
+      mean (NULL when the mean is 0);
+    - ``n_per_arm_target = ceil(2 * sd^2 * (z_a+z_b)^2 / delta^2)``
+      for the target absolute effect ``delta = target_rel_mde * mean``
+      — the standard two-sample normal-approximation sample size;
+    - with ``covariate_col``, ``rho2`` is the squared Pearson
+      correlation between covariate and metric on the same frame, and
+      the ``_cuped`` columns re-run both formulas on the CUPED-adjusted
+      variance ``sd^2 * (1 - rho2)`` (Deng et al. WSDM'13) — the
+      planning-side twin of :func:`cuped_mean_ztest`; without a
+      covariate they are NULL.
+
+    One aggregation pass at unit-frame scale; everything else is
+    closed-form arithmetic on the single answer row. NULL/NaN metric
+    (or covariate, when given) rows are excluded. Raises on fewer than
+    2 usable units or zero metric variance (power over a constant
+    metric is a caller bug).
+    """
+    if target_rel_mde <= 0:
+        raise ValueError(
+            f"experiment_power needs target_rel_mde > 0; got {target_rel_mde}"
+        )
+    y = F.col(metric_col).cast("double")
+    cond = y.isNotNull() & ~F.isnan(y)
+    cols = [y.alias("__y")]
+    if covariate_col is not None:
+        x = F.col(covariate_col).cast("double")
+        cond = cond & x.isNotNull() & ~F.isnan(x)
+        cols.append(x.alias("__x"))
+    clean = units.filter(cond).select(*cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+    ]
+    if covariate_col is not None:
+        aggs += [
+            F.sum("__x").alias("sx"),
+            F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+            F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        ]
+    agg = clean.agg(*aggs)
+    # NULL-propagating degenerate guards (ANSI-safe, validated below).
+    n = F.when(F.col("n") >= 2, F.col("n").cast("double"))
+    var = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1.0)
+    var = F.when(var > 0, var)
+    mean = F.col("sy") / n
+    sd = F.sqrt(var)
+    zsum = F.lit(z_alpha + z_power)
+    # 50/50 split of THIS sample: se = sd * sqrt(1/(n/2) + 1/(n/2)).
+    mde_abs = zsum * sd * F.sqrt(4.0 / n)
+    delta = F.when(mean != 0, F.lit(target_rel_mde) * F.abs(mean))
+    n_target = F.ceil(2.0 * var * zsum * zsum / (delta * delta))
+    if covariate_col is not None:
+        ssx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+        ssy = F.col("syy") - F.col("sy") * F.col("sy") / n
+        sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / n
+        rho2 = F.when(
+            (ssx > 0) & (ssy > 0), (sxy_c * sxy_c) / (ssx * ssy)
+        )
+        var_adj = var * (1.0 - rho2)
+        mde_cuped = zsum * F.sqrt(var_adj) * F.sqrt(4.0 / n)
+        n_target_cuped = F.ceil(
+            2.0 * var_adj * zsum * zsum / (delta * delta)
+        )
+        var_red = 100.0 * rho2
+    else:
+        rho2 = F.lit(None).cast("double")
+        var_red = F.lit(None).cast("double")
+        mde_cuped = F.lit(None).cast("double")
+        n_target_cuped = F.lit(None).cast("long")
+    out = agg.select(
+        F.col("n").alias("n_units"),
+        F.round(mean, 6).alias("mean"),
+        F.round(sd, 6).alias("sd"),
+        F.round(F.when(mean != 0, sd / F.abs(mean)), 6).alias("cv"),
+        F.round(mde_abs, 6).alias("mde_abs"),
+        F.round(F.when(mean != 0, mde_abs / F.abs(mean)), 6).alias(
+            "mde_rel"
+        ),
+        n_target.cast("long").alias("n_per_arm_target"),
+        F.round(rho2, 6).alias("rho2"),
+        F.round(var_red, 6).alias("var_reduction_pct"),
+        F.round(mde_cuped, 6).alias("mde_abs_cuped"),
+        n_target_cuped.cast("long").alias("n_per_arm_target_cuped"),
+        F.when(var.isNotNull(), F.lit(1)).alias("__var_ok"),
+    )
+    row = out.collect()[0]
+    if row["n_units"] < 2:
+        raise ValueError(
+            f"experiment_power needs >= 2 usable units; got {row['n_units']}"
+        )
+    if row["__var_ok"] is None:
+        raise ValueError(
+            f"experiment_power: metric {metric_col!r} has zero variance — "
+            "MDE/sample-size are undefined over a constant metric"
+        )
+    spark = units.sparkSession
+    names = [c for c in out.columns if c != "__var_ok"]
+    return spark.createDataFrame(
+        [tuple(row[c] for c in names)],
+        "n_units long, mean double, sd double, cv double, mde_abs double, "
+        "mde_rel double, n_per_arm_target long, rho2 double, "
+        "var_reduction_pct double, mde_abs_cuped double, "
+        "n_per_arm_target_cuped long",
+    )

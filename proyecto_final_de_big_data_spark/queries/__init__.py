@@ -341,7 +341,19 @@ _VERIFICATION_WINDOW = [
     # sibling of the funnel/paths WHAT-flow gates.
     "rfm_segment_profile",
     "session_path_profile",
-    "ab_test_contract",
+    # r8: ab_test_contract (r7 first-round green; its
+    # two_proportion_ztest algebra is untouched this round — the
+    # abtest.py diff is module-docstring plus the new cuped/power
+    # siblings) hands its slot to experiment_power_contract — the
+    # pre-experiment MDE / sample-size planning readout with
+    # CUPED-adjusted twins (operators/abtest.py:experiment_power), new
+    # this round (same-round-slot rule). Family-upgrade posture: the
+    # experimentation family keeps TWO in-window reps (cuped_ab_contract
+    # carries the Welch z + CI analysis arithmetic over the same
+    # sufficient-sums machinery; this gate carries the planning side),
+    # and the proportion z-test stays full-catalog attested + pytest
+    # fixture-pinned.
+    "experiment_power_contract",
     "knn_ann_ivf_sq_recall",
     "ml_tree_ensemble_contract",
     # incremental_dedup_profile (r5 green, unchanged; exact-dedup

@@ -2737,3 +2737,83 @@ def q_rater_agreement_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f = fleiss_kappa(panel, "item", "la")
     return c_plain.unionByName(c_quad).unionByName(f)
+
+
+@register(
+    "experiment_power_contract",
+    oracle="""
+    WITH units AS (
+        SELECT user_id,
+               coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                 THEN value END), 0.0) AS pre,
+               coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                 THEN value END), 0.0) AS post
+        FROM events GROUP BY 1
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(post) AS sy, sum(post * post) AS syy,
+               sum(pre) AS sx, sum(pre * pre) AS sxx,
+               sum(pre * post) AS sxy
+        FROM units
+    ), m AS (
+        SELECT n,
+               sy / n AS mean,
+               (syy - sy * sy / n) / (n - 1.0) AS var,
+               (sxx - sx * sx / n) AS ssx,
+               (syy - sy * sy / n) AS ssy,
+               (sxy - sx * sy / n) AS cxy,
+               2.801585218112968 AS zsum
+        FROM s
+    ), f AS (
+        SELECT *,
+               cxy * cxy / (ssx * ssy) AS rho2,
+               var * (1.0 - cxy * cxy / (ssx * ssy)) AS var_adj,
+               0.01 * abs(mean) AS delta
+        FROM m
+    )
+    SELECT n AS n_units,
+           round(mean, 6) AS mean,
+           round(sqrt(var), 6) AS sd,
+           round(sqrt(var) / abs(mean), 6) AS cv,
+           round(zsum * sqrt(var) * sqrt(4.0 / n), 6) AS mde_abs,
+           round(zsum * sqrt(var) * sqrt(4.0 / n) / abs(mean), 6)
+               AS mde_rel,
+           CAST(ceil(2.0 * var * zsum * zsum / (delta * delta)) AS BIGINT)
+               AS n_per_arm_target,
+           round(rho2, 6) AS rho2,
+           round(100.0 * rho2, 6) AS var_reduction_pct,
+           round(zsum * sqrt(var_adj) * sqrt(4.0 / n), 6) AS mde_abs_cuped,
+           CAST(ceil(2.0 * var_adj * zsum * zsum / (delta * delta))
+               AS BIGINT) AS n_per_arm_target_cuped
+    FROM f
+    """,
+    description="Pre-experiment power planning readout (operators/"
+    "abtest.py:experiment_power): MDE at a 50/50 split of the historical "
+    "per-user unit frame, required n per arm for a 1% relative effect, "
+    "and the CUPED-adjusted twins using the pre-period covariate's rho^2 "
+    "(Deng et al. WSDM'13) — ONE aggregation pass collecting six "
+    "sufficient sums, closed-form arithmetic on the single answer row "
+    "(zsum = z_{0.025} + z_{0.20} for 95% significance / 80% power). "
+    "Same unit-frame construction as cuped_ab_contract, so the planning "
+    "readout and the analysis readout are verified against each other's "
+    "machinery; formulas pinned by hand (n=449 worked example) in "
+    "tests/test_power.py.",
+)
+def q_experiment_power_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.abtest import experiment_power
+
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    units = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < boundary, F.col("value"))),
+            F.lit(0.0),
+        ).alias("pre"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= boundary, F.col("value"))),
+            F.lit(0.0),
+        ).alias("post"),
+    )
+    return experiment_power(
+        units, "post", covariate_col="pre", target_rel_mde=0.01
+    )

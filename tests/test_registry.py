@@ -184,7 +184,14 @@ def test_window_covers_every_family():
                                      # window machinery)
         "rfm_segment_profile",       # RFM quintile segmentation (NEW r8)
         "session_path_profile",      # sessionized path analysis
-        "ab_test_contract",          # two-proportion z-test readout
+        "cuped_ab_contract",         # experimentation family (the
+                                     # proportion z-test twin
+                                     # rotated out r8 after r7
+                                     # green on untouched algebra;
+                                     # CUPED analysis + the power
+                                     # planning gate keep it)
+        "experiment_power_contract", # MDE/sample-size planning
+                                     # readout (NEW r8)
         "ml_tree_ensemble_contract", # batch scoring machinery (the
                                      # save/load score twin rotated
                                      # out r8 after r6+r7 green on
