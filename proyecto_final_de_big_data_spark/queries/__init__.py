@@ -282,7 +282,17 @@ _VERIFICATION_WINDOW = [
     # curation, chunking, selection, weighted sampling, semantic
     # dedup, cdc merge) hands its slot to event_type_trend_contract —
     # per-key OLS trend from sufficient statistics, new this round.
-    "event_type_trend_contract",
+    # r8: event_type_trend_contract (r7 first-round green, trend.py
+    # unchanged) hands its slot to seasonal_decomposition_contract —
+    # classical trend+season decomposition (operators/seasonal.py), new
+    # this round (same-round-slot rule). Upgrade-swap precedent (the
+    # bm25 -> hybrid_search_rrf pattern): the new gate restates the
+    # FULL per-key OLS normal-equations fit over the identical daily
+    # series inside its own oracle, then decomposes the residuals into
+    # dow indices + Hyndman strength — the trend machinery keeps exact
+    # in-window evidence while the decomposition surface gains its
+    # first.
+    "seasonal_decomposition_contract",
     # semantic_dedup_profile (r5+r6 green, semdedup.py unchanged; the
     # cluster-then-prune shape stays repped by embedding_kmeans_contract
     # + embedding_sq_recall + knn_ann_ivf_sq_recall) hands its slot to

@@ -2817,3 +2817,92 @@ def q_experiment_power_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return experiment_power(
         units, "post", covariate_col="pre", target_rel_mde=0.01
     )
+
+
+@register(
+    "seasonal_decomposition_contract",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               avg(value) AS y
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+        GROUP BY 1, 2
+    ), base AS (
+        SELECT event_type, day::DOUBLE AS x, y,
+               CAST(((day + 4) % 7) + 1 AS INTEGER) AS slot
+        FROM daily
+    ), sums AS (
+        SELECT event_type, count(*)::DOUBLE AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM base GROUP BY 1
+    ), tr AS (
+        SELECT event_type,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS icept
+        FROM sums WHERE n >= 2 AND (n * sxx - sx * sx) > 0
+    ), res AS (
+        SELECT b.event_type, b.slot,
+               b.y - (t.icept + t.slope * b.x) AS r,
+               t.slope, t.icept
+        FROM base b JOIN tr t USING (event_type)
+    ), slotagg AS (
+        SELECT event_type, slot, count(*) AS n_obs,
+               sum(r) AS sr, sum(r * r) AS srr,
+               max(slope) AS slope, max(icept) AS icept
+        FROM res GROUP BY 1, 2
+    ), keyagg AS (
+        SELECT event_type,
+               sum(n_obs)::DOUBLE AS n_tot, sum(sr) AS sr_tot,
+               sum(srr) AS srr_tot,
+               sum(srr - sr * sr / n_obs::DOUBLE) AS ss_rem
+        FROM slotagg GROUP BY 1
+    )
+    SELECT s.event_type, s.slot, s.n_obs,
+           round(s.sr / s.n_obs, 6) AS seasonal_index,
+           round(s.slope, 6) AS slope,
+           round(s.icept, 6) AS intercept,
+           round(CASE WHEN (k.srr_tot - k.sr_tot * k.sr_tot / k.n_tot) > 0
+                      THEN greatest(0.0, 1.0 - k.ss_rem
+                           / (k.srr_tot - k.sr_tot * k.sr_tot / k.n_tot))
+                      ELSE 0.0 END, 6) AS seasonal_strength
+    FROM slotagg s JOIN keyagg k USING (event_type)
+    """,
+    description="Classical seasonal decomposition (operators/seasonal.py:"
+    "seasonal_decompose): daily mean value per event type decomposed "
+    "into an OLS linear trend over epoch days (the SAME normal-equations "
+    "sufficient-statistics algebra as per_key_linear_trend — this gate "
+    "is the trend gate's decomposition superset), day-of-week seasonal "
+    "indices (mean detrended residual per slot), and Hyndman's F_s "
+    "seasonal strength from slot-level residual sums — two aggregation "
+    "passes plus one broadcast join of the key-cardinality trend frame, "
+    "no window over the facts, every share at answer scale. Recovery of "
+    "exact synthetic trend+season signals and a pure-Python replica are "
+    "pinned in tests/test_seasonal.py, independent of this oracle.",
+)
+def q_seasonal_decomposition_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.seasonal import seasonal_decompose
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+    v = F.col("value").cast("double")
+    daily = (
+        ev.filter(F.col("ts").isNotNull() & v.isNotNull() & ~F.isnan(v))
+        .groupBy(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day"),
+        )
+        .agg(F.avg("value").alias("y"))
+    )
+    series = daily.select(
+        "event_type",
+        F.to_timestamp(F.col("day") * 86400).alias("ts"),
+        "y",
+    )
+    return seasonal_decompose(series, ["event_type"], "ts", "y", season="dow")

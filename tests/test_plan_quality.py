@@ -743,3 +743,13 @@ def test_rater_agreement_cross_joins_only_contingency_scale(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_seasonal_trend_frame_broadcasts_back(spark, sf_dir):
+    # pass 2 joins the key-cardinality trend frame onto the series via
+    # broadcast — never a shuffle of the fact side on the key — and the
+    # slot-level strength window partitions by key (no SinglePartition).
+    plan = _plan(spark, sf_dir, "seasonal_decomposition_contract")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "SinglePartition" not in plan

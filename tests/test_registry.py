@@ -124,7 +124,13 @@ def test_window_covers_every_family():
                                      # green; the new gate contains the
                                      # full strict-sequence machinery
                                      # plus the conversion window)
-        "event_type_trend_contract", # per-key OLS trend (sufficient stats)
+        "seasonal_decomposition_contract",  # per-key OLS trend +
+                                     # dow decomposition (the
+                                     # standalone trend gate
+                                     # rotated out r8 after r7
+                                     # green; this superset gate
+                                     # restates the full OLS
+                                     # algebra in its oracle)
         "brier_ece_contract",        # classifier calibration metrics
                                      # (the lift-table + PRF-report
                                      # twins rotated out r8 after r7
