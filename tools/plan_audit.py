@@ -81,6 +81,11 @@ HEADLINERS = {
     "weighted_percentile_contract": "weighted percentiles — percentile frequency argument, ONE map-side-combined agg, group-cardinality output",
     "brier_ece_contract": "Brier/ECE — 10 probability cells from one scan, both statistics reduce from the cell frame",
     "basket_size_profile": "basket cap sizing — one distinct + one agg, single-row answer",
+    "cuped_ab_contract": "CUPED — six per-arm sufficient sums in ONE conditional agg, theta/adjusted means expand driver-side, units never rescanned",
+    "bootstrap_ci_contract": "Poisson bootstrap — partial agg collapses the R+1 explode before the shuffle, percentile step at answer scale",
+    "rater_agreement_contract": "kappa statistics — label-contingency aggs, every join over k-cardinality frames, no cartesian",
+    "experiment_power_contract": "power/MDE — one sufficient-sums agg over the unit frame, closed-form on the answer row",
+    "seasonal_decomposition_contract": "seasonal decomposition — OLS sums agg + broadcast trend join + slot agg, no fact-side window",
 }
 
 
