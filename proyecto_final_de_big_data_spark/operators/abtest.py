@@ -198,10 +198,18 @@ def cuped_mean_ztest(
         sxy_a = F.col(f"sxy_{suffix}")
         mean_y = sy_a / n
         mean_adj = mean_y - theta * (sx_a / n - mean_x)
-        var_raw = (syy_a - sy_a * sy_a / n) / (n - 1.0)
+        # greatest(0, ·): the expansions are algebraically >= 0, but FP
+        # cancellation on a (near-)perfectly-correlated or constant
+        # metric can dip a hair negative — sqrt would then be NaN here
+        # and a hard error in the SQL restatement.
+        var_raw = F.greatest(
+            F.lit(0.0), (syy_a - sy_a * sy_a / n) / (n - 1.0)
+        )
         s_adj = sy_a - theta * sx_a  # Σ(y−θx)
         ss_adj = syy_a - 2.0 * theta * sxy_a + theta * theta * sxx_a
-        var_adj = (ss_adj - s_adj * s_adj / n) / (n - 1.0)
+        var_adj = F.greatest(
+            F.lit(0.0), (ss_adj - s_adj * s_adj / n) / (n - 1.0)
+        )
         return mean_y, mean_adj, var_raw, var_adj
 
     mean_c, adj_c, vraw_c, vadj_c = _stats("c", n_c)
@@ -291,8 +299,9 @@ def experiment_power(
     One aggregation pass at unit-frame scale; everything else is
     closed-form arithmetic on the single answer row. NULL/NaN metric
     (or covariate, when given) rows are excluded. Raises on fewer than
-    2 usable units or zero metric variance (power over a constant
-    metric is a caller bug).
+    2 usable units, zero metric variance, or a constant covariate
+    (power over a constant metric and rho^2 over a degenerate
+    covariate are caller bugs — the cuped_mean_ztest posture).
     """
     if target_rel_mde <= 0:
         raise ValueError(
@@ -336,7 +345,7 @@ def experiment_power(
         rho2 = F.when(
             (ssx > 0) & (ssy > 0), (sxy_c * sxy_c) / (ssx * ssy)
         )
-        var_adj = var * (1.0 - rho2)
+        var_adj = F.greatest(F.lit(0.0), var * (1.0 - rho2))
         mde_cuped = zsum * F.sqrt(var_adj) * F.sqrt(4.0 / n)
         n_target_cuped = F.ceil(
             2.0 * var_adj * zsum * zsum / (delta * delta)
@@ -362,6 +371,7 @@ def experiment_power(
         F.round(mde_cuped, 6).alias("mde_abs_cuped"),
         n_target_cuped.cast("long").alias("n_per_arm_target_cuped"),
         F.when(var.isNotNull(), F.lit(1)).alias("__var_ok"),
+        (F.lit(None) if covariate_col is None else rho2).alias("__rho"),
     )
     row = out.collect()[0]
     if row["n_units"] < 2:
@@ -373,8 +383,15 @@ def experiment_power(
             f"experiment_power: metric {metric_col!r} has zero variance — "
             "MDE/sample-size are undefined over a constant metric"
         )
+    if covariate_col is not None and row["__rho"] is None:
+        raise ValueError(
+            f"experiment_power: covariate {covariate_col!r} is constant "
+            "across units — rho^2 is undefined; plan without a covariate "
+            "(the cuped_mean_ztest posture: a degenerate covariate is a "
+            "caller bug, not a zero)"
+        )
     spark = units.sparkSession
-    names = [c for c in out.columns if c != "__var_ok"]
+    names = [c for c in out.columns if c not in ("__var_ok", "__rho")]
     return spark.createDataFrame(
         [tuple(row[c] for c in names)],
         "n_units long, mean double, sd double, cv double, mde_abs double, "

@@ -88,15 +88,23 @@ def cohens_kappa(
         span = F.when(hi > lo, hi - lo)
         dist = F.abs(va - vb) / span
         w = 1.0 - (dist * dist if weighting == "quadratic" else dist)
-        return F.when(
-            bad,
-            F.raise_error(
-                F.lit(
-                    "cohens_kappa: weighted kappa needs numeric-castable "
-                    "labels"
-                )
-            ).cast("double"),
-        ).otherwise(w)
+        return (
+            F.when(
+                bad,
+                F.raise_error(
+                    F.lit(
+                        "cohens_kappa: weighted kappa needs "
+                        "numeric-castable labels"
+                    )
+                ).cast("double"),
+            )
+            # diagonal weight is 1 by definition, independent of span —
+            # without this branch a single-value alphabet (span NULL)
+            # silently NULLs po/pe where the unweighted path returns
+            # the documented 1.0/1.0.
+            .when(va == vb, F.lit(1.0))
+            .otherwise(w)
+        )
 
     po_df = ct.select(
         "la", "lb", "c", _weight().alias("w")
@@ -131,13 +139,28 @@ def cohens_kappa(
         (F.col("po_raw") - F.col("pe_raw")) / (1.0 - F.col("pe_raw")),
     )
     label = "cohen" if weighting is None else f"cohen_{weighting}"
-    return out.select(
+    shaped = out.select(
         F.lit(label).alias("statistic"),
         "n_items",
         "n_categories",
         po.alias("po"),
         pe.alias("pe"),
         F.round(kappa, 6).alias("kappa"),
+    )
+    # One answer-scale action: validate the degenerate-input case
+    # loudly (the abtest collect+rehydrate posture) — an empty or
+    # all-NULL frame would otherwise return a silent row of NULLs.
+    row = shaped.collect()[0]
+    if row["n_items"] is None or row["n_items"] == 0:
+        raise ValueError(
+            f"cohens_kappa: no usable ({rater_a!r}, {rater_b!r}) label "
+            "pairs — every row had a NULL label or the frame is empty"
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [tuple(row[c] for c in shaped.columns)],
+        "statistic string, n_items long, n_categories int, po double, "
+        "pe double, kappa double",
     )
 
 

@@ -97,8 +97,16 @@ def poisson_bootstrap_mean(
         *groups, F.col(key_col).alias("__bk"), x.alias("__bx")
     )
     r = F.col("__br")
+    # NULL keys fold as the empty string (the _md5_fold convention) —
+    # concat_ws would silently SKIP a NULL element, dropping its
+    # separator and diverging from the oracle's coalesce-to-'' form.
     u = _md5_fold(
-        F.concat_ws(":", F.col("__bk").cast("string"), F.lit(salt), r)
+        F.concat_ws(
+            ":",
+            F.coalesce(F.col("__bk").cast("string"), F.lit("")),
+            F.lit(salt),
+            r,
+        )
     ) / F.lit(_BAND)
     w = F.when(r == 0, F.lit(1)).otherwise(_poisson1_weight(u)).cast("double")
     exploded = clean.select(

@@ -2398,6 +2398,9 @@ def q_robust_scaler_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
                                  THEN value END), 0.0) AS post
         FROM events GROUP BY 1
+    ), units_clean AS (
+        SELECT * FROM units
+        WHERE NOT isnan(pre) AND NOT isnan(post)
     ), s AS (
         SELECT
           CAST(sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
@@ -2412,7 +2415,7 @@ def q_robust_scaler_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
           sum(CASE WHEN variant = 'treatment' THEN pre * pre ELSE 0 END) AS sxx_t,
           sum(CASE WHEN variant = 'treatment' THEN post * post ELSE 0 END) AS syy_t,
           sum(CASE WHEN variant = 'treatment' THEN pre * post ELSE 0 END) AS sxy_t
-        FROM units
+        FROM units_clean
     ), m AS (
         SELECT *,
                (n_c + n_t)::DOUBLE AS nn,
@@ -2427,14 +2430,18 @@ def q_robust_scaler_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                sy_c / n_c AS mean_c, sy_t / n_t AS mean_t,
                sy_c / n_c - theta * (sx_c / n_c - mean_x) AS adj_c,
                sy_t / n_t - theta * (sx_t / n_t - mean_x) AS adj_t,
-               (syy_c - sy_c * sy_c / n_c) / (n_c - 1.0) AS vraw_c,
-               (syy_t - sy_t * sy_t / n_t) / (n_t - 1.0) AS vraw_t,
-               ((syy_c - 2.0 * theta * sxy_c + theta * theta * sxx_c)
+               greatest(0.0, (syy_c - sy_c * sy_c / n_c) / (n_c - 1.0))
+                   AS vraw_c,
+               greatest(0.0, (syy_t - sy_t * sy_t / n_t) / (n_t - 1.0))
+                   AS vraw_t,
+               greatest(0.0, ((syy_c - 2.0 * theta * sxy_c
+                     + theta * theta * sxx_c)
                  - (sy_c - theta * sx_c) * (sy_c - theta * sx_c) / n_c)
-                 / (n_c - 1.0) AS vadj_c,
-               ((syy_t - 2.0 * theta * sxy_t + theta * theta * sxx_t)
+                 / (n_c - 1.0)) AS vadj_c,
+               greatest(0.0, ((syy_t - 2.0 * theta * sxy_t
+                     + theta * theta * sxx_t)
                  - (sy_t - theta * sx_t) * (sy_t - theta * sx_t) / n_t)
-                 / (n_t - 1.0) AS vadj_t
+                 / (n_t - 1.0)) AS vadj_t
         FROM m
     ), f AS (
         SELECT *,
@@ -2533,8 +2540,8 @@ def q_cuped_ab_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE 6 END AS DOUBLE) END AS w
         FROM (
             SELECT event_type, x, r,
-                   (('0x' || substr(md5(CAST(k AS VARCHAR) || ':boot:'
-                        || CAST(r AS VARCHAR)), 1, 15))::BIGINT)
+                   (('0x' || substr(md5(coalesce(CAST(k AS VARCHAR), '')
+                        || ':boot:' || CAST(r AS VARCHAR)), 1, 15))::BIGINT)
                      / 1152921504606846976.0 AS u
             FROM rows CROSS JOIN rep
         )
@@ -2749,12 +2756,15 @@ def q_rater_agreement_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
                                  THEN value END), 0.0) AS post
         FROM events GROUP BY 1
+    ), units_clean AS (
+        SELECT * FROM units
+        WHERE NOT isnan(pre) AND NOT isnan(post)
     ), s AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
                sum(post) AS sy, sum(post * post) AS syy,
                sum(pre) AS sx, sum(pre * pre) AS sxx,
                sum(pre * post) AS sxy
-        FROM units
+        FROM units_clean
     ), m AS (
         SELECT n,
                sy / n AS mean,
@@ -2762,12 +2772,13 @@ def q_rater_agreement_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                (sxx - sx * sx / n) AS ssx,
                (syy - sy * sy / n) AS ssy,
                (sxy - sx * sy / n) AS cxy,
-               2.801585218112968 AS zsum
+               (1.959963984540054 + 0.8416212335729143) AS zsum
         FROM s
     ), f AS (
         SELECT *,
                cxy * cxy / (ssx * ssy) AS rho2,
-               var * (1.0 - cxy * cxy / (ssx * ssy)) AS var_adj,
+               greatest(0.0, var * (1.0 - cxy * cxy / (ssx * ssy)))
+                   AS var_adj,
                0.01 * abs(mean) AS delta
         FROM m
     )

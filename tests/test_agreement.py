@@ -173,3 +173,26 @@ def test_fleiss_unanimous_single_category_null_kappa(spark):
     assert row["po"] == pytest.approx(1.0)
     assert row["pe"] == pytest.approx(1.0)
     assert row["kappa"] is None
+
+
+def test_weighted_single_value_alphabet_diagonal_weight_is_one(spark):
+    # span is undefined with one numeric label, but diagonal weight is
+    # 1 by definition: po=pe=1 and NULL kappa, matching the unweighted
+    # path — not a silent row of NULLs.
+    df = _pairs_df(spark, [("2", "2", 7)])
+    row = cohens_kappa(df, "a", "b", weighting="linear").collect()[0]
+    assert row["po"] == pytest.approx(1.0)
+    assert row["pe"] == pytest.approx(1.0)
+    assert row["kappa"] is None
+
+
+def test_cohen_empty_frame_raises(spark):
+    df = spark.createDataFrame([], "a string, b string")
+    with pytest.raises(ValueError, match="no usable"):
+        cohens_kappa(df, "a", "b")
+
+
+def test_cohen_all_null_labels_raise(spark):
+    df = spark.createDataFrame([("x", None), (None, "y")], "a string, b string")
+    with pytest.raises(ValueError, match="no usable"):
+        cohens_kappa(df, "a", "b")

@@ -159,3 +159,17 @@ def test_ci_brackets_truth_on_large_sample(spark):
     assert got["se_boot"] == pytest.approx(
         math.sqrt(833.25 / 2000), rel=0.35
     )
+
+
+def test_null_key_folds_as_empty_string(spark):
+    """A NULL key draws via the documented _md5_fold convention
+    (fold of ''), exactly as the oracle's coalesce-to-'' restates —
+    concat_ws would have silently dropped the element AND its
+    separator."""
+    rows = [(None, 10.0), ("a", 20.0), ("b", 30.0)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    got = poisson_bootstrap_mean(df, "k", "x", n_replicates=R).collect()[0]
+    want = _py_bootstrap([("" if k is None else k, x) for k, x in rows])
+    assert got["mean"] == pytest.approx(want["mean"], abs=1e-6)
+    assert got["se_boot"] == pytest.approx(want["se_boot"], abs=2e-6)
+    assert got["ci_low"] == pytest.approx(want["ci_low"], abs=2e-6)

@@ -95,3 +95,11 @@ def test_invalid_target_rejected(spark):
     df = spark.createDataFrame([(1.0,), (2.0,)], "y double")
     with pytest.raises(ValueError, match="target_rel_mde"):
         experiment_power(df, "y", target_rel_mde=0.0)
+
+
+def test_constant_covariate_raises(spark):
+    df = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(5)], "x double, y double"
+    )
+    with pytest.raises(ValueError, match="constant"):
+        experiment_power(df, "y", covariate_col="x")
