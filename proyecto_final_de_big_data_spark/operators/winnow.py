@@ -1,0 +1,113 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+SIGMOD 2003 — the MOSS algorithm): local fingerprints for PARTIAL
+overlap detection. Whole-document hashing (operators/text.py:
+fingerprint) only catches exact duplicates; MinHash/SimHash estimate
+GLOBAL similarity. Winnowing selects a position-robust subset of
+k-gram hashes such that any shared substring of length >= w + k - 1
+between two documents is GUARANTEED to share at least one selected
+fingerprint — the plagiarism/quotation primitive.
+
+Algorithm, per document: normalize (lowercase, strip non-alphanumerics
+— the standard MOSS preprocessing), take all character k-grams, hash
+each (portable md5 band; a polynomial rolling hash is the
+constant-factor optimization of this step at scale — the selection
+algebra below is identical), slide a window of w consecutive hashes
+and keep each window's MINIMUM; the distinct selected hashes are the
+document's fingerprint set.
+
+Scale shape (100 TB): the whole computation is a map-only projection
+built from higher-order functions (sequence/transform/slice/
+array_min/array_distinct) — no shuffle, no UDF, no Python; per-row
+cost is O(len · w) inside whole-stage codegen, and the output explodes
+to (id, fingerprint) rows ready for the standard inverted-index
+self-join (the setsim/containment machinery) to find overlapping
+pairs. Fingerprint density is ~2/(w+1) per k-gram (the paper's
+expected density), so w directly trades index size for the guaranteed
+detectable overlap length.
+
+Extension surface — the reference has no fingerprinting
+(`/root/reference` computes only descriptive marts, README.md:60-90).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .mixing import _md5_fold
+
+
+def _normalized(text: Column) -> Column:
+    return F.regexp_replace(F.lower(text), "[^a-z0-9]", "")
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Explodes each document into its winnowing fingerprint set:
+
+    ``(id, fingerprint)`` — one row per distinct selected hash.
+
+    - ``k``: character k-gram length (match granularity);
+    - ``w``: winnowing window — any shared substring of length
+      >= ``w + k - 1`` (on the normalized text) is guaranteed to
+      produce a shared fingerprint (the paper's detection guarantee);
+    - a document whose normalized text has fewer than ``k`` characters
+      yields NO rows (nothing to fingerprint); one with fewer than
+      ``w`` k-grams yields exactly one fingerprint (the global min —
+      the whole document is one window).
+
+    Deterministic and engine-portable: the k-gram hash is the house
+    md5 band, so a DuckDB oracle reproduces the exact fingerprint
+    sets. Guarantees (subset-of-hashes, every-window-covered, shared-
+    substring detection) are property-tested against a pure-Python
+    twin in tests/test_winnow.py.
+    """
+    if k < 1:
+        raise ValueError(f"winnowing_fingerprints needs k >= 1; got {k}")
+    if w < 1:
+        raise ValueError(f"winnowing_fingerprints needs w >= 1; got {w}")
+    txt = _normalized(F.col(text_col))
+    n_grams = F.length(txt) - k + 1  # m: number of k-grams
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda p: txt.substr(p, F.lit(k)),
+    )
+    hashes = F.transform(grams, _md5_fold)
+    mins = F.when(
+        n_grams >= w,
+        F.transform(
+            F.sequence(F.lit(1), n_grams - w + 1),
+            lambda i: F.array_min(F.slice(hashes, i, w)),
+        ),
+    ).otherwise(F.array(F.array_min(hashes)))
+    fps = F.array_distinct(mins)
+    return (
+        df.filter(txt.isNotNull() & (F.length(txt) >= k))
+        .select(F.col(id_col).alias("id"), F.explode(fps).alias("fingerprint"))
+    )
+
+
+def shared_fingerprint_pairs(
+    fps: DataFrame,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Inverted-index self-join over a ``(id, fingerprint)`` frame:
+    ``(id_a, id_b, n_shared)`` for pairs sharing >= ``min_shared``
+    fingerprints, id_a < id_b. Pairs sharing nothing never materialize
+    (the setsim/containment join shape); by the winnowing guarantee a
+    returned pair shares at least one normalized substring of length
+    >= w + k - 1."""
+    a = fps.select(F.col("id").alias("id_a"), "fingerprint")
+    b = fps.select(F.col("id").alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

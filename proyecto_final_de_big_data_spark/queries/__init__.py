@@ -262,7 +262,17 @@ _VERIFICATION_WINDOW = [
     # dedup stage in-window) hands its slot to
     # fuzzy_name_match_profile — the blocked edit-distance join
     # (entity-resolution primitive), new this round.
-    "fuzzy_name_match_profile",
+    # r8: fuzzy_name_match_profile (r7 first-round green, fuzzyjoin.py
+    # unchanged this round) hands its slot to
+    # winnowing_fingerprint_contract — MOSS winnowing document
+    # fingerprints (operators/winnow.py, Schleimer et al. SIGMOD'03),
+    # new this round (same-round-slot rule). The string-similarity /
+    # near-dup family keeps THREE in-window reps (setsim_prefix_join's
+    # exact Jaccard, containment_pairs' asymmetric overlap, and now the
+    # winnowing local-fingerprint primitive they both lack — guaranteed
+    # shared-substring detection); the blocked ER join stays
+    # full-catalog attested + pair-identity pytest-pinned.
+    "winnowing_fingerprint_contract",
     # cluster_safe_split_profile (r5 green, unchanged) hands the
     # sampling/split slot to weighted_sample_profile — integer-exact
     # weight-proportional systematic sampling, new this round; the

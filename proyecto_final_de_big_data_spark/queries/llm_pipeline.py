@@ -2355,3 +2355,71 @@ def q_weighted_ksample_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "doc_id", "n_chars"
     )
     return weighted_sample_k(docs, "doc_id", "n_chars", k=5, by=["lang"])
+
+
+@register(
+    "winnowing_fingerprint_contract",
+    oracle="""
+    WITH sub AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+        FROM documents
+        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':winnow'),
+                    1, 15))::BIGINT) / 1152921504606846976.0 < 0.05
+    ), g AS (
+        SELECT doc_id, t, length(t) - 4 AS m
+        FROM sub WHERE t IS NOT NULL AND length(t) >= 5
+    ), h AS (
+        SELECT doc_id, m,
+               list_transform(generate_series(1, m),
+                   p -> ('0x' || substr(md5(substr(t, p, 5)), 1, 15))::BIGINT)
+                   AS hashes
+        FROM g
+    ), f AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN m >= 4
+                   THEN list_transform(generate_series(1, m - 3),
+                        i -> list_min(list_slice(hashes, i, i + 3)))
+                   ELSE [list_min(hashes)] END) AS fps
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CAST(list_min(fps) AS BIGINT) AS min_fp,
+           CAST(list_max(fps) AS BIGINT) AS max_fp,
+           CAST(list_aggregate(list_transform(fps, x -> x % 1000003),
+                    'sum') AS BIGINT) AS fp_checksum
+    FROM f
+    """,
+    description="Winnowing document fingerprints (operators/winnow.py, "
+    "Schleimer et al. SIGMOD'03 / MOSS) on a deterministic 5% md5-band "
+    "document subset: per doc the count, min, max and mod-1000003 checksum "
+    "of the distinct selected k-gram hashes (k=5, w=4 — any shared "
+    "normalized substring of length >= 8 is guaranteed a shared "
+    "fingerprint). The whole computation is a map-only higher-order-"
+    "function projection (sequence/transform/slice/array_min) inside "
+    "whole-stage codegen — no shuffle before the per-doc profile agg, "
+    "no UDF; the checksum pins the exact fingerprint SETS, not just "
+    "their sizes. The winnowing guarantees (every-window-covered, "
+    "shared-substring detection through the shared_fingerprint_pairs "
+    "join — the setsim inverted-index shape) are property-tested "
+    "against a pure hashlib twin in tests/test_winnow.py.",
+)
+def q_winnowing_fingerprint_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.mixing import _md5_fold
+    from ..operators.winnow import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    u = _md5_fold(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":winnow"))
+    ) / F.lit(float(1 << 60))
+    sub = docs.filter(u < 0.05)
+    fps = winnowing_fingerprints(sub, "doc_id", "text", k=5, w=4)
+    return fps.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+        F.sum(F.col("fingerprint") % 1000003).alias("fp_checksum"),
+    )

@@ -753,3 +753,14 @@ def test_seasonal_trend_frame_broadcasts_back(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_winnowing_is_map_only_before_profile_agg(spark, sf_dir):
+    # fingerprint selection is a higher-order-function projection: one
+    # Generate(explode) fed by the scan, no join, no Python eval; the
+    # only exchange belongs to the per-doc profile aggregation.
+    plan = _plan(spark, sf_dir, "winnowing_fingerprint_contract")
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan

@@ -155,7 +155,11 @@ def test_window_covers_every_family():
                                      # out r7 after r5/r6 green —
                                      # cluster-then-prune stays repped
                                      # by kmeans + the SQ/IVF recalls)
-        "fuzzy_name_match_profile",  # blocked edit-distance ER join
+        "winnowing_fingerprint_contract",  # MOSS winnowing local
+                                     # fingerprints (NEW r8; the
+                                     # blocked ER join rotated out
+                                     # r8 after r7 green on
+                                     # unchanged fuzzyjoin.py)
         "incremental_agg_contract",  # incremental mart maintenance
                                      # (stream_cdc rotated out r7 after
                                      # r5/r6 green; real-stream mode
@@ -238,7 +242,8 @@ def test_window_covers_every_family():
         # pytest-gated; bucketed_colocated_join (r3-r6 green) hands the
         # join family to the blocked/iterated join gates below.
         "python_datasource_contract",
-        "fuzzy_name_match_profile",
+        "setsim_prefix_join_contract",  # join-family probe (the
+                                     # fuzzy ER twin rotated out r8)
         "correlation_matrix_contract",  # pairwise sufficient-stats corr
         "survival_km_contract",      # Kaplan-Meier censored retention
         "basket_size_profile",       # market-basket machinery (the
