@@ -18,7 +18,11 @@ document's fingerprint set.
 Scale shape (100 TB): the whole computation is a map-only projection
 built from higher-order functions (sequence/transform/slice/
 array_min/array_distinct) — no shuffle, no UDF, no Python; per-row
-cost is O(len · w) inside whole-stage codegen, and the output explodes
+cost is O(len · w). Two lazy localCheckpoint barriers pin the
+normalized text and the hash array to ONE evaluation per row —
+Catalyst's CollapseProject would otherwise inline them into the
+consuming lambdas and re-evaluate per element (measured: 180 s -> 0.57 s
+at sf0.1, SCALE.md probe table). The output explodes
 to (id, fingerprint) rows ready for the standard inverted-index
 self-join (the setsim/containment machinery) to find overlapping
 pairs. Fingerprint density is ~2/(w+1) per k-gram (the paper's
@@ -72,23 +76,38 @@ def winnowing_fingerprints(
     if w < 1:
         raise ValueError(f"winnowing_fingerprints needs w >= 1; got {w}")
     txt = _normalized(F.col(text_col))
-    n_grams = F.length(txt) - k + 1  # m: number of k-grams
+    # Materialization barriers (lazy localCheckpoint, the funnel.py
+    # pattern): Catalyst's CollapseProject inlines a once-used column
+    # INTO the consuming lambda, so without a barrier the normalized
+    # text would re-run its regex per k-gram (O(m·len)) and the hash
+    # array would be rebuilt per window (O(m²) md5s) — measured as an
+    # 8.8x scaling ratio before the fix. Each stage below is computed
+    # exactly once per row; no shuffle is introduced.
+    base = (
+        df.filter(txt.isNotNull() & (F.length(txt) >= k))
+        .select(F.col(id_col).alias("id"), txt.alias("__t"))
+        .localCheckpoint(eager=False)
+    )
+    t = F.col("__t")
+    n_grams = F.length(t) - k + 1  # m: number of k-grams
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda p: txt.substr(p, F.lit(k)),
+        lambda p: t.substr(p, F.lit(k)),
     )
-    hashes = F.transform(grams, _md5_fold)
+    hashed = base.select(
+        "id", F.transform(grams, _md5_fold).alias("__hashes")
+    ).localCheckpoint(eager=False)
+    hashes = F.col("__hashes")
+    m = F.size(hashes)
     mins = F.when(
-        n_grams >= w,
+        m >= w,
         F.transform(
-            F.sequence(F.lit(1), n_grams - w + 1),
+            F.sequence(F.lit(1), m - w + 1),
             lambda i: F.array_min(F.slice(hashes, i, w)),
         ),
     ).otherwise(F.array(F.array_min(hashes)))
-    fps = F.array_distinct(mins)
-    return (
-        df.filter(txt.isNotNull() & (F.length(txt) >= k))
-        .select(F.col(id_col).alias("id"), F.explode(fps).alias("fingerprint"))
+    return hashed.select(
+        "id", F.explode(F.array_distinct(mins)).alias("fingerprint")
     )
 
 

@@ -33,6 +33,8 @@ PROBES = [
     "lorenz_gini_contract",       # bucketed concentration
     "event_funnel_profile",       # user-keyed funnel joins
     "jackknife_ratio_contract",   # stratum sufficient stats
+    "bootstrap_ci_contract",      # R+1-fold explode + map-side collapse
+    "winnowing_fingerprint_contract",  # map-only HOF fingerprint projection
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
