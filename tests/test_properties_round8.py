@@ -121,7 +121,12 @@ def test_conformal_quantile_is_a_calibration_residual(spark, resids):
     ).first()
     q = out["q_hat"]
     assert any(abs(q - round(r, 6)) < 1e-9 for r in resids)
-    share = sum(1 for r in resids if r <= q + 1e-9) / len(resids)
+    # compare at the operator's 6-decimal output precision: q_hat is
+    # the rounded order statistic, so a raw residual with >6 decimals
+    # can sit a hair above it (hypothesis found 0.33203125 -> 0.332031)
+    # while its rounded value is exactly q — the coverage guarantee
+    # holds at output precision.
+    share = sum(1 for r in resids if round(r, 6) <= q + 1e-9) / len(resids)
     assert share >= 0.8 - 1e-9
 
 
