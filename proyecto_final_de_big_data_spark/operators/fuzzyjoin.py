@@ -22,6 +22,8 @@ length bands); skewed blocks are AQE skew-join territory.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -106,3 +108,118 @@ def multipass_edit_distance_self_join(
         pairs = edit_distance_self_join(df, col, b, max_distance)
         out = pairs if out is None else out.unionAll(pairs)
     return out.distinct()
+
+
+def _jaro(s1: str, s2: str) -> float:
+    """Plain Jaro similarity — the textbook definition (match window
+    ``max(len)//2 − 1``, half-transpositions), numerically identical
+    to DuckDB's ``jaro_similarity`` (empty-string convention included:
+    either side empty → 0.0)."""
+    if not s1 or not s2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    window = max(max(l1, l2) // 2 - 1, 0)
+    flags2 = [False] * l2
+    matches1 = []
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c:
+                flags2[j] = True
+                matches1.append(c)
+                break
+    m = len(matches1)
+    if m == 0:
+        return 0.0
+    matched2 = [s2[j] for j in range(l2) if flags2[j]]
+    # RapidFuzz/DuckDB convention: transpositions = FLOOR of half the
+    # mismatched matched positions (integer //2, not the textbook /2 —
+    # they only differ when the mismatch count is odd, and parity with
+    # the DuckDB oracle requires the floor).
+    t = sum(a != b for a, b in zip(matches1, matched2)) // 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3
+
+
+def jaro_winkler_py(s1: str, s2: str) -> float:
+    """Jaro–Winkler with the STANDARD parameters DuckDB uses
+    (prefix scale 0.1, max common prefix 4, boost only above the 0.7
+    threshold) — verified value-for-value against
+    ``jaro_winkler_similarity`` in tests/test_fuzzyjoin_jw.py."""
+    j = _jaro(s1, s2)
+    if j > 0.7:
+        p = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            p += 1
+        j += p * 0.1 * (1.0 - j)
+    return j
+
+
+def multipass_candidates(
+    df: DataFrame,
+    col: str,
+    blocks: list[Column],
+) -> DataFrame:
+    """DISTINCT unordered candidate pairs ``(left_value, right_value)``
+    (``left < right``) from the union of one blocked self-equi-join per
+    blocking expression — the candidate half of
+    :func:`multipass_edit_distance_self_join`, reusable under any
+    scorer. Cost is ``passes × Σ|block|²``; completeness is the
+    caller's pigeonhole argument over their blocking zones."""
+    if not blocks:
+        raise ValueError("multipass blocking needs at least one blocking expression")
+    out = None
+    for b in blocks:
+        l = df.select(F.col(col).alias("left_value"), b.alias("__block"))
+        r = df.select(F.col(col).alias("right_value"), b.alias("__block"))
+        pairs = (
+            l.join(r, "__block")
+            .filter(F.col("left_value") < F.col("right_value"))
+            .select("left_value", "right_value")
+        )
+        out = pairs if out is None else out.unionAll(pairs)
+    return out.distinct()
+
+
+def jaro_winkler_self_join(
+    df: DataFrame,
+    col: str,
+    blocks: list[Column],
+    threshold: float = 0.9,
+    decimals: int = 6,
+) -> DataFrame:
+    """``(left_value, right_value, jw)`` for blocked candidate pairs
+    with Jaro–Winkler similarity >= ``threshold`` (rounded at
+    ``decimals``) — the similarity-flavored sibling of
+    :func:`multipass_edit_distance_self_join` for ER on noisy names,
+    where a distance budget is too blunt (JW weights prefix agreement,
+    the empirically right prior for person/org names).
+
+    Scoring is an Arrow-batched pandas UDF (JW has no Spark builtin;
+    per-pair cost is O(len²/64)-ish on SHORT strings) applied ONLY to
+    blocked candidates — the UDF never sees the corpus, just
+    ``Σ|block|²`` pairs. Determinism: same blocking + same threshold
+    ⇒ identical pair set, so gates hash-match rather than check recall.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                jaro_winkler_py(x, y) if x is not None and y is not None else None
+                for x, y in zip(a, b)
+            ],
+            dtype="float64",
+        )
+
+    cand = multipass_candidates(df, col, blocks)
+    scored = cand.withColumn(
+        "jw", F.round(_jw(F.col("left_value"), F.col("right_value")), decimals)
+    )
+    return scored.filter(F.col("jw") >= threshold)

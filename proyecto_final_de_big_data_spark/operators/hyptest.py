@@ -1,0 +1,211 @@
+"""Classical k-sample hypothesis tests — one-way ANOVA (parametric)
+and the rank tests Kruskal–Wallis / Mann–Whitney U (non-parametric) —
+as closed-form distributed aggregations. No SciPy: the statistics are
+exact sqrt/ratio arithmetic over sufficient statistics, the same
+"no p-value lookup, report the statistic and its dfs" posture as
+``abtest.two_proportion_ztest``.
+
+**ANOVA** is pure sufficient statistics: one pass collects per-group
+``(n, Σx, Σx²)`` (map-side combined), a second group-cardinality
+reduce forms SS_between / SS_within via the computational identities
+``SSB = Σ sᵢ²/nᵢ − S²/N`` and ``SSW = Σ q − Σ sᵢ²/nᵢ`` — no second
+data scan for deviations-from-mean, no window anywhere.
+
+**Rank tests** need average ranks of the POOLED sample with midrank
+tie handling. The trick that keeps them distributed: ranks only enter
+the statistics through per-group rank SUMS and the tie-count
+correction, and both are computable from the DISTINCT-VALUE frame —
+``avg_rank(v) = (#values < v) + (t_v + 1)/2`` where ``t_v`` is v's tie
+count. So the plan is: one ``(group, value)`` aggregation at
+contingency cardinality, one distinct-value cumulative window (a
+single-partition window at DISTINCT-VALUE cardinality — the survival/
+Lorenz "answer-scale grid window" discipline, NOT a data-scale sort),
+then a broadcast-sized join back. The scale bound is therefore the
+number of DISTINCT metric values: exact for discrete/integer metrics
+(counts, quantities, star ratings — the usual rank-test inputs); for a
+continuous metric, pre-round to fixed decimals first — that makes the
+tie policy an explicit caller decision instead of a float-equality
+accident, and midrank tie correction handles the collisions exactly.
+
+Statistics (Conover, Practical Nonparametric Statistics):
+
+- Kruskal–Wallis ``H = 12/(N(N+1)) · Σ Rⱼ²/nⱼ − 3(N+1)``, tie
+  correction ``C = 1 − Σ(t³−t)/(N³−N)``, ``H_adj = H/C`` (NULL when
+  every value is identical — C = 0, the test is undefined).
+- Mann–Whitney ``U_a = R_a − n_a(n_a+1)/2`` (so ``U_a + U_b =
+  n_a·n_b``), normal approximation ``z = (U_a − n_a n_b/2) / σ`` with
+  the tie-corrected ``σ² = (n_a n_b/12)·((N+1) − Σ(t³−t)/(N(N−1)))``;
+  no continuity correction (documented; the oracle restates the same
+  formula).
+
+NULL/NaN values and NULL groups are excluded up front (the
+collect_sorted_series discipline — a NULL metric carries no rank).
+
+Cites reference scripts/03_analisis_agregaciones.py:60-84 (per-group
+mean/stddev profiles — the reference profiles group differences but
+has no significance surface; extension per SURVEY §8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _clean(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    v = F.col(value_col).cast("double")
+    return (
+        df.select(F.col(group_col).alias("grp"), v.alias("x"))
+        .filter(F.col("grp").isNotNull() & F.col("x").isNotNull() & ~F.isnan("x"))
+    )
+
+
+def oneway_anova(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """One-row readout ``(k, n, df_between, df_within, ss_between,
+    ss_within, f_stat, eta_sq)`` — the one-way fixed-effects ANOVA
+    F statistic for ``value_col`` across ``group_col``'s levels.
+
+    F is NULL when it is undefined: fewer than 2 groups, no residual
+    dfs (every group a singleton), or zero within-group variance.
+    """
+    per_group = _clean(df, value_col, group_col).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_j"),
+        F.sum("x").alias("s_j"),
+        F.sum(F.col("x") * F.col("x")).alias("q_j"),
+    )
+    tot = per_group.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_j").alias("n"),
+        F.sum("s_j").alias("s"),
+        F.sum("q_j").alias("q"),
+        F.sum(F.col("s_j") * F.col("s_j") / F.col("n_j")).alias("between_raw"),
+    )
+    ssb = F.col("between_raw") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("between_raw")
+    dfb = (F.col("k") - 1).cast("long")
+    dfw = (F.col("n") - F.col("k")).cast("long")
+    f_stat = F.when(
+        (dfb > 0) & (dfw > 0) & (ssw > 0), (ssb / dfb) / (ssw / dfw)
+    )
+    sst = ssb + ssw
+    return tot.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        dfb.alias("df_between"),
+        dfw.alias("df_within"),
+        F.round(ssb, decimals).alias("ss_between"),
+        F.round(ssw, decimals).alias("ss_within"),
+        F.round(f_stat, decimals).alias("f_stat"),
+        F.round(F.when(sst > 0, ssb / sst), decimals).alias("eta_sq"),
+    )
+
+
+def _rank_frame(clean: DataFrame):
+    """``(grp, x, cnt)`` contingency frame joined with each distinct
+    value's midrank ``avg_rank`` and tie count ``t`` — the shared
+    machinery of both rank tests. The cumulative window runs over the
+    DISTINCT-VALUE frame only."""
+    cells = clean.groupBy("grp", "x").agg(F.count(F.lit(1)).alias("cnt"))
+    vals = cells.groupBy("x").agg(F.sum("cnt").alias("t"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "x",
+        "t",
+        (
+            F.coalesce(F.sum("t").over(w), F.lit(0))
+            + (F.col("t") + 1) / 2
+        ).alias("avg_rank"),
+    )
+    return cells.join(ranked, "x")
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """One-row readout ``(k, n, h, tie_correction, h_adj)`` — the
+    Kruskal–Wallis rank test of ``value_col`` across ``group_col``,
+    midrank ties, with the standard tie-corrected ``h_adj = h / C``
+    (NULL when C = 0, i.e. all values identical)."""
+    rf = _rank_frame(_clean(df, value_col, group_col))
+    per_group = rf.groupBy("grp").agg(
+        F.sum("cnt").alias("n_j"),
+        F.sum(F.col("cnt") * F.col("avg_rank")).alias("r_j"),
+    )
+    ties = (
+        rf.select("x", "t")
+        .distinct()
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum"))
+    )
+    tot = per_group.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_j").alias("n"),
+        F.sum(F.col("r_j") * F.col("r_j") / F.col("n_j")).alias("rr"),
+    ).crossJoin(ties)
+    n = F.col("n").cast("double")
+    h = 12.0 / (n * (n + 1)) * F.col("rr") - 3.0 * (n + 1)
+    c = 1.0 - F.col("tie_sum") / (n * n * n - n)
+    return tot.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round(h, decimals).alias("h"),
+        F.round(c, decimals).alias("tie_correction"),
+        F.round(F.when(c > 0, h / c), decimals).alias("h_adj"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """One-row readout ``(n_a, n_b, u_a, u_b, z)`` — the Mann–Whitney
+    U test of ``value_col`` between the two named groups (rows in
+    other groups are ignored), midrank ties, tie-corrected normal
+    z WITHOUT continuity correction. z is NULL when either group is
+    empty or σ = 0 (all pooled values identical)."""
+    clean = _clean(df, value_col, group_col).filter(
+        F.col("grp").isin(group_a, group_b)
+    )
+    rf = _rank_frame(clean)
+    per_group = rf.groupBy("grp").agg(
+        F.sum("cnt").alias("n_j"),
+        F.sum(F.col("cnt") * F.col("avg_rank")).alias("r_j"),
+    )
+    ties = (
+        rf.select("x", "t")
+        .distinct()
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum"))
+    )
+    picked = per_group.agg(
+        F.sum(F.when(F.col("grp") == group_a, F.col("n_j"))).alias("n_a"),
+        F.sum(F.when(F.col("grp") == group_a, F.col("r_j"))).alias("r_a"),
+        F.sum(F.when(F.col("grp") == group_b, F.col("n_j"))).alias("n_b"),
+    ).crossJoin(ties)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("r_a") - na * (na + 1) / 2
+    u_b = na * nb - u_a
+    var = na * nb / 12 * ((n + 1) - F.col("tie_sum") / (n * (n - 1)))
+    z = F.when(
+        na.isNotNull() & nb.isNotNull() & (var > 0),
+        (u_a - na * nb / 2) / F.sqrt(var),
+    )
+    return picked.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(u_a, decimals).alias("u_a"),
+        F.round(u_b, decimals).alias("u_b"),
+        F.round(z, decimals).alias("z"),
+    )

@@ -338,7 +338,19 @@ _VERIFICATION_WINDOW = [
     # Standing rule honored: every query registered this round has a
     # window slot this round.
     # ------------------------------------------------------------------
-    "pagerank_contract",
+    # Late-r8: pagerank_contract (r7 first-round hash-green; graph.py
+    # unchanged this round) hands its slot to bloom_pruned_join_contract
+    # — Bloom-filter join pruning (operators/bloomjoin.py), the
+    # shuffle-volume reducer for selective big-side joins; the gate is
+    # join-output invariance vs the plain-join oracle, so a single
+    # false negative hash-fails. The graph family stays repped in-window
+    # by triangle_count_contract (same edge-canonicalization machinery;
+    # near-dup graph clustering additionally via minhash/semantic/
+    # curate gates). pagerank_contract also carries the suite's single
+    # biggest bench line (~9.5 s of iterated-Pregel floor), so rotating
+    # it out additionally de-noises round-over-round bench comparisons
+    # (VERDICT r7 What's-wrong #3).
+    "bloom_pruned_join_contract",
     # Late-r7 additions (standing rule: same-round window slot):
     #   event_transition_matrix + session_path_profile (behavioral path
     #     analysis, operators/paths.py — the "users flow" siblings of
@@ -374,7 +386,16 @@ _VERIFICATION_WINDOW = [
     # and the proportion z-test stays full-catalog attested + pytest
     # fixture-pinned.
     "experiment_power_contract",
-    "knn_ann_ivf_sq_recall",
+    # Late-r8: knn_ann_ivf_sq_recall (r7 first-round green;
+    # similarity_ivf.py and quantize.py unchanged this round) hands its
+    # slot to jw_name_match_profile — the blocked Jaro-Winkler ER join
+    # (operators/fuzzyjoin.py:jaro_winkler_self_join), similarity-
+    # scored record linkage next to the in-window edit-distance family.
+    # The ANN family keeps TWO in-window reps: knn_ann_pq_recall and
+    # knn_ann_ivf_pq_recall (both registered this round; the composed
+    # IVF,PQ gate exercises the same cell-probe machinery the SQ gate
+    # did, plus the codebook scoring).
+    "jw_name_match_profile",
     "ml_tree_ensemble_contract",
     # incremental_dedup_profile (r5 green, unchanged; exact-dedup
     # family keeps cluster_keep_best + semantic_dedup + the curation
@@ -414,7 +435,14 @@ _VERIFICATION_WINDOW = [
     # family keeps lm_quality + the chunk gate + stream_pii_curation)
     # hands its slot to drift_psi_contract — PSI snapshot-drift
     # detection over reference-fitted decile bounds, new this round.
-    "drift_psi_contract",
+    # Late-r8: drift_psi_contract (r6 + r7 green; drift.py unchanged
+    # this round) hands its slot to rank_test_contract — tie-corrected
+    # Kruskal-Wallis + Mann-Whitney U (operators/hyptest.py), rank
+    # statistics from the distinct-value grid so no data-scale sort.
+    # The monitoring family keeps ewma_anomaly_contract in-window (and
+    # cusum rotated per the r8 plan above); hand fixtures + the k=2
+    # KW = z² cross-operator identity in tests/test_hyptest.py.
+    "rank_test_contract",
     # chunk_overlap_profile (r6 green, chunking.py unchanged; the LLM
     # family keeps token_budget_selection + blocklist + lm_quality
     # in-window) hands its slot to ml_lift_table_contract — the
@@ -479,7 +507,14 @@ _VERIFICATION_WINDOW = [
     # its slot to ml_auc_contract — bucketed trapezoidal ROC AUC
     # (ml/evaluation.py:roc_auc), new this round (same-round-slot
     # rule).
-    "ml_auc_contract",
+    # Late-r8: ml_auc_contract (r7 first-round green; roc_auc unchanged
+    # this round) hands its slot to anova_oneway_contract — one-way
+    # ANOVA from sufficient statistics (operators/hyptest.py), the
+    # parametric sibling of the new rank tests. The classifier-eval
+    # family keeps brier_ece_contract in-window (same bucket-algebra
+    # machinery over the same scored frame, registered this round and
+    # gating exactly the r8-changed evaluation.py function).
+    "anova_oneway_contract",
     "tws_histogram_parity",
     # stream_dedup_counts (r5+r6 green, streaming dedup code unchanged;
     # the streaming family keeps cdc_apply, tws, pii_curation and

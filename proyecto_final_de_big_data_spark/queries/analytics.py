@@ -2917,3 +2917,238 @@ def q_seasonal_decomposition_contract(
         "y",
     )
     return seasonal_decompose(series, ["event_type"], "ts", "y", season="dow")
+
+
+@register(
+    "anova_oneway_contract",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag AS grp,
+               CAST(count(*) AS DOUBLE) AS n_j,
+               sum(CAST(l_quantity AS DOUBLE)) AS s_j,
+               sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE))
+                   AS q_j
+        FROM lineitem WHERE l_quantity IS NOT NULL
+        GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(count(*) AS DOUBLE) AS k, sum(n_j) AS n,
+               sum(s_j) AS s, sum(q_j) AS q,
+               sum(s_j * s_j / n_j) AS br
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(n AS BIGINT) AS n,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           round(br - s * s / n, 6) AS ss_between,
+           round(q - br, 6) AS ss_within,
+           round(CASE WHEN k > 1 AND n > k AND q - br > 0
+                      THEN ((br - s * s / n) / (k - 1))
+                             / ((q - br) / (n - k)) END, 6) AS f_stat,
+           round(CASE WHEN q - s * s / n > 0
+                      THEN (br - s * s / n) / (q - s * s / n) END, 6)
+               AS eta_sq
+    FROM t
+    """,
+    description="One-way ANOVA (operators/hyptest.py:oneway_anova): the "
+    "F statistic for l_quantity across the three return flags, from "
+    "per-group sufficient statistics (n, Σx, Σx²) in ONE map-side-"
+    "combined pass plus a group-cardinality reduce — the computational "
+    "identities SSB = Σsᵢ²/nᵢ − S²/N, SSW = Σq − Σsᵢ²/nᵢ; no second "
+    "data scan, no window. The metric is deliberately INTEGER-valued "
+    "(quantities 1-50): every sufficient sum is an integer below 2^53, "
+    "so both engines' partial-aggregation orders produce bit-identical "
+    "statistics at 6 decimals (the WOE DECIMAL-sums discipline, here "
+    "free). Statistic + dfs only, no p-value lookup — the "
+    "two_proportion_ztest no-SciPy posture. Hand-checked textbook "
+    "fixture in tests/test_hyptest.py.",
+)
+def q_anova_oneway_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hyptest import oneway_anova
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    return oneway_anova(li, "l_quantity", "l_returnflag")
+
+
+@register(
+    "rank_test_contract",
+    oracle="""
+    WITH clean AS (
+        SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x
+        FROM lineitem WHERE l_quantity IS NOT NULL
+    ),
+    vals AS (SELECT x, CAST(count(*) AS DOUBLE) AS t FROM clean GROUP BY 1),
+    ranked AS (
+        SELECT x, t,
+               coalesce(sum(t) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + (t + 1) / 2 AS avg_rank
+        FROM vals
+    ),
+    cells AS (
+        SELECT grp, x, CAST(count(*) AS DOUBLE) AS cnt
+        FROM clean GROUP BY 1, 2
+    ),
+    pg AS (
+        SELECT grp, sum(cnt) AS n_j, sum(cnt * avg_rank) AS r_j
+        FROM cells JOIN ranked USING (x) GROUP BY 1
+    ),
+    ties AS (SELECT sum(t * t * t - t) AS tie_sum FROM vals),
+    kw AS (
+        SELECT CAST(count(*) AS BIGINT) AS k, sum(n_j) AS n,
+               sum(r_j * r_j / n_j) AS rr
+        FROM pg
+    ),
+    -- the two-group MWU frame (A vs R) has its OWN pooled ranks
+    clean2 AS (SELECT * FROM clean WHERE grp IN ('A', 'R')),
+    vals2 AS (SELECT x, CAST(count(*) AS DOUBLE) AS t FROM clean2 GROUP BY 1),
+    ranked2 AS (
+        SELECT x, t,
+               coalesce(sum(t) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + (t + 1) / 2 AS avg_rank
+        FROM vals2
+    ),
+    cells2 AS (
+        SELECT grp, x, CAST(count(*) AS DOUBLE) AS cnt
+        FROM clean2 GROUP BY 1, 2
+    ),
+    pg2 AS (
+        SELECT grp, sum(cnt) AS n_j, sum(cnt * avg_rank) AS r_j
+        FROM cells2 JOIN ranked2 USING (x) GROUP BY 1
+    ),
+    ties2 AS (SELECT sum(t * t * t - t) AS tie_sum FROM vals2),
+    mw AS (
+        SELECT sum(CASE WHEN grp = 'A' THEN n_j END) AS n_a,
+               sum(CASE WHEN grp = 'A' THEN r_j END) AS r_a,
+               sum(CASE WHEN grp = 'R' THEN n_j END) AS n_b
+        FROM pg2
+    )
+    SELECT 'kruskal_wallis' AS test,
+           CAST(n AS BIGINT) AS n,
+           round((12 / (n * (n + 1)) * rr - 3 * (n + 1))
+                   / (1 - tie_sum / (n * n * n - n)), 6) AS stat,
+           CAST(NULL AS DOUBLE) AS z
+    FROM kw, ties
+    UNION ALL
+    SELECT 'mann_whitney_a_vs_r' AS test,
+           CAST(n_a + n_b AS BIGINT) AS n,
+           round(r_a - n_a * (n_a + 1) / 2, 6) AS stat,
+           round(((r_a - n_a * (n_a + 1) / 2) - n_a * n_b / 2)
+                   / sqrt(n_a * n_b / 12 * (((n_a + n_b) + 1)
+                       - tie_sum / ((n_a + n_b) * ((n_a + n_b) - 1)))), 6)
+               AS z
+    FROM mw, ties2
+    """,
+    description="Rank tests (operators/hyptest.py): the tie-corrected "
+    "Kruskal-Wallis H across all three return flags and the Mann-"
+    "Whitney U z (A vs R), both on l_quantity — one readout row per "
+    "test (test, n, stat, z; stat is H_adj for KW, U_a for MWU). Ranks "
+    "enter only through per-group rank SUMS, so the plan is a "
+    "contingency-cardinality agg + a cumulative window over the "
+    "DISTINCT-VALUE frame (50 quantity values — the survival/Lorenz "
+    "answer-scale grid-window discipline, never a data-scale sort) + a "
+    "join back. Midranks over an integer metric are exact half-"
+    "integers, so both engines' rank sums are bit-identical. Textbook "
+    "hand fixtures AND the k=2 KW = z² cross-operator identity in "
+    "tests/test_hyptest.py (an algebra-independence check no oracle "
+    "restatement provides).",
+)
+def q_rank_test_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hyptest import kruskal_wallis, mann_whitney_u
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    kw = kruskal_wallis(li, "l_quantity", "l_returnflag").select(
+        F.lit("kruskal_wallis").alias("test"),
+        F.col("n"),
+        F.col("h_adj").alias("stat"),
+        F.lit(None).cast("double").alias("z"),
+    )
+    mw = mann_whitney_u(li, "l_quantity", "l_returnflag", "A", "R").select(
+        F.lit("mann_whitney_a_vs_r").alias("test"),
+        (F.col("n_a") + F.col("n_b")).alias("n"),
+        F.col("u_a").alias("stat"),
+        F.col("z"),
+    )
+    return kw.unionByName(mw)
+
+
+@register(
+    "jw_name_match_profile",
+    oracle="""
+    WITH names AS (
+        SELECT c_name FROM customer WHERE c_custkey % 4 = 1
+    ),
+    cand AS (
+        SELECT DISTINCT l, r FROM (
+            SELECT a.c_name AS l, b.c_name AS r
+            FROM names a JOIN names b
+              ON concat(substring(a.c_name, 1, 12), substring(a.c_name, 15, 4))
+                 = concat(substring(b.c_name, 1, 12), substring(b.c_name, 15, 4))
+             AND a.c_name < b.c_name
+            UNION ALL
+            SELECT a.c_name, b.c_name
+            FROM names a JOIN names b
+              ON concat(substring(a.c_name, 1, 14), substring(a.c_name, 17, 2))
+                 = concat(substring(b.c_name, 1, 14), substring(b.c_name, 17, 2))
+             AND a.c_name < b.c_name
+            UNION ALL
+            SELECT a.c_name, b.c_name
+            FROM names a JOIN names b
+              ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+             AND a.c_name < b.c_name
+        )
+    ),
+    scored AS (
+        SELECT l, r, round(jaro_winkler_similarity(l, r), 6) AS jw
+        FROM cand
+    )
+    SELECT jw,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(substring(l, 10, 9) AS BIGINT)
+                    + CAST(substring(r, 10, 9) AS BIGINT)) AS BIGINT)
+               AS sum_ids
+    FROM scored WHERE jw >= 0.95
+    GROUP BY 1
+    """,
+    description="Blocked Jaro-Winkler ER join (operators/fuzzyjoin.py:"
+    "jaro_winkler_self_join): customer-name pairs with JW >= 0.95 over "
+    "the deterministic quarter sample, using the SAME complete 3-pass "
+    "digit-zone blocking as fuzzy_name_match_profile, scored by an "
+    "Arrow-batched pandas UDF that is value-for-value identical to "
+    "DuckDB's RapidFuzz jaro_winkler_similarity (3000-random-pair "
+    "parity test + textbook MARTHA/DIXON/DWAYNE fixtures in "
+    "tests/test_fuzzyjoin_jw.py; the one convention divergence — "
+    "FLOOR of half-transpositions — is documented at _jaro). The UDF "
+    "sees ONLY blocked candidates, never the corpus. The sampled "
+    "names' JW values cluster at {0.9431, 0.9556, 0.9660, 0.9778, "
+    "0.9889}, so the 0.95 threshold sits in a wide gap — no float-"
+    "edge membership risk. sum_ids pins pair identities.",
+)
+def q_jw_name_match_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzyjoin import jaro_winkler_self_join
+
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 == 1)
+        .select("c_name")
+    )
+    name = F.col("c_name")
+    passes = [
+        F.concat(F.substring(name, 1, 12), F.substring(name, 15, 4)),
+        F.concat(F.substring(name, 1, 14), F.substring(name, 17, 2)),
+        F.substring(name, 1, 16),
+    ]
+    pairs = jaro_winkler_self_join(cu, "c_name", passes, threshold=0.95)
+    return pairs.groupBy("jw").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.substring("left_value", 10, 9).cast("long")
+            + F.substring("right_value", 10, 9).cast("long")
+        ).alias("sum_ids"),
+    )

@@ -432,3 +432,48 @@ def q_priority_unpivot_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame
         valueColumnName="cnt",
     )
     return long.filter(F.col("cnt").isNotNull())
+
+
+@register(
+    "bloom_pruned_join_contract",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 9000
+    GROUP BY 1
+    """,
+    description="Bloom-filter join pruning (operators/bloomjoin.py): "
+    "orders joined to the high-balance customers (c_acctbal > 9000, "
+    "~10% of the dimension) with the big side pruned by a broadcast "
+    "Bloom bitmap BEFORE the join — the declarative sibling of Spark's "
+    "runtime row-level filter. The gate is join-output INVARIANCE: the "
+    "oracle runs the plain join, so a single false NEGATIVE (a true "
+    "match the bitmap dropped) shorts n_orders/revenue and hash-fails; "
+    "false positives are eliminated by the join itself and cost only "
+    "shuffled bytes, never rows. Build is ONE word-cardinality agg over "
+    "the SMALL side (answer-scale collect: m/64 longs); the prune is a "
+    "map-only conjunction of k=5 codegen bit probes fused into the "
+    "orders scan. Positions via Kirsch-Mitzenmacher double hashing "
+    "(2 xxhash64 evaluations expand to 5 probes, mod-reduced before "
+    "the linear combination so ANSI long arithmetic cannot overflow).",
+)
+def q_bloom_pruned_join_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloomjoin import bloom_pruned_join
+
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    joined = bloom_pruned_join(orders, cu, "o_custkey", "c_custkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_buyers"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -764,3 +764,58 @@ def test_winnowing_is_map_only_before_profile_agg(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_bloom_prune_is_map_only_filter_before_join(spark, sf_dir):
+    # The bitmap probe must sit in a plain Filter fused into the big
+    # side's scan (xxhash64 arithmetic, no Python eval, no extra join
+    # or exchange for the membership test) — the whole point is that
+    # the orders stream shrinks BEFORE the join's shuffle/broadcast.
+    plan = _plan(spark, sf_dir, "bloom_pruned_join_contract")
+    assert "xxhash64" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # exactly one join (the real customer join, broadcast — tree line +
+    # detail block = 2 mentions); membership is a Filter, not a join
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anova_is_two_aggs_no_window_no_python(spark, sf_dir):
+    # Sufficient statistics: per-group agg + group-cardinality reduce;
+    # the deviations-from-mean restatement would need a second scan or
+    # a window — neither may appear.
+    plan = _plan(spark, sf_dir, "anova_oneway_contract")
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_rank_tests_window_only_on_distinct_value_grid(spark, sf_dir):
+    # Ranks come from the DISTINCT-VALUE frame's cumulative window (an
+    # answer-scale grid, 50 quantity values), never a data-scale sort:
+    # every Window in the plan must sit above an aggregation, and no
+    # global Sort of the raw lineitem scan may exist outside one.
+    plan = _plan(spark, sf_dir, "rank_test_contract")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # the contingency agg feeds the window — a plan with zero
+    # HashAggregate below the first Window would mean raw-data ranking
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[:first_window]
+
+
+def test_jw_join_udf_sees_only_blocked_candidates(spark, sf_dir):
+    # The pandas UDF is the scorer, so ArrowEvalPython MUST be present
+    # — but only above the blocked equi-joins' distinct output, never
+    # as a cartesian scorer over the corpus.
+    plan = _plan(spark, sf_dir, "jw_name_match_profile")
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate generation is equi-joins on the block key (Catalyst
+    # additionally pushes the deterministic UDF + threshold filter
+    # below the pair-distinct, which only shrinks the distinct input)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

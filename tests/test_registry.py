@@ -113,10 +113,12 @@ def test_window_covers_every_family():
                                      # out r7 after r5/r6 green; caps
                                      # stay repped by the token-budget
                                      # selection gate)
-        "knn_ann_ivf_sq_recall",     # SQ8 quantized ANN (composed IVF
-                                     # gate; the standalone SQ recall
-                                     # twin rotated out r8 after r7
-                                     # green on unchanged quantize.py)
+        "knn_ann_ivf_pq_recall",     # quantized ANN (the composed SQ8
+                                     # gate rotated out late-r8 after
+                                     # r7 green on unchanged
+                                     # quantize.py/similarity_ivf.py;
+                                     # the IVF,PQ gate keeps the cell
+                                     # probe + coded scoring in-window)
         "windowed_funnel_contract",  # strict funnel + conversion window
         "windowed_funnel_contract",  # funnel/retention family (the
                                      # plain-funnel + weekly-retention
@@ -164,7 +166,8 @@ def test_window_covers_every_family():
                                      # (stream_cdc rotated out r7 after
                                      # r5/r6 green; real-stream mode
                                      # stays via tws_histogram_parity)
-        "knn_ann_ivf_sq_recall",     # similarity search (IVF+SQ8 composed;
+        "knn_ann_ivf_pq_recall",     # similarity search (IVF,PQ composed;
+                                     # the SQ8 twin rotated out late-r8;
                                      # float-IVF twin rotated out r7 after
                                      # r4/r5/r6 green)
         "tws_histogram_parity",      # streaming stateful windows (the
@@ -187,7 +190,11 @@ def test_window_covers_every_family():
                                      # after r6 green; same 3x3 solve
                                      # algebra x4 folds)
         "ml_tree_ensemble_contract", # GBT/RF structural gate (M4/M5)
-        "pagerank_contract",         # Pregel-pattern graph analytics
+        "triangle_count_contract",   # graph analytics (pagerank rotated
+                                     # out late-r8 after r7 green on
+                                     # unchanged graph.py; triangles
+                                     # keep the edge-canonicalization
+                                     # machinery in-window)
         "session_path_profile",      # behavioral paths (the Markov
                                      # transition twin rotated out r8
                                      # after r7 green; same user-keyed
@@ -213,7 +220,11 @@ def test_window_covers_every_family():
                                      # (+ M1-M3 featurization: the
                                      # feature-matrix hash twin rotated
                                      # out r7 after r5/r6 green)
-        "ml_auc_contract",           # bucketed ROC AUC
+        "brier_ece_contract",        # classifier eval (the AUC twin
+                                     # rotated out late-r8 after r7
+                                     # green; same bucket algebra, and
+                                     # this gate covers the r8-changed
+                                     # evaluation.py function)
         "basket_size_profile",       # basket cap-pressure report (the
                                      # PRF-report twin rotated out r8
                                      # after r7 green; IO contracts
@@ -224,7 +235,13 @@ def test_window_covers_every_family():
                                      # rotated session-parity slot)
         "attribution_contract",      # multi-touch conversion credit
         "media_binary_ingest",       # raw-file multimodal ingestion
-        "drift_psi_contract",        # PSI snapshot drift
+        "ewma_anomaly_contract",     # series monitoring (the PSI drift
+                                     # twin rotated out late-r8 after
+                                     # r6+r7 green on unchanged
+                                     # drift.py)
+        "rank_test_contract",        # rank tests KW + MWU (NEW late-r8)
+        "anova_oneway_contract",     # one-way ANOVA (NEW late-r8)
+        "bloom_pruned_join_contract",  # Bloom join pruning (NEW late-r8)
         "knn_ann_ivf_pq_recall",     # composed IVF,PQ ANN (NEW r8; the
                                      # kmeans gate rotated out after
                                      # r5+r6+r7 green — centroid
