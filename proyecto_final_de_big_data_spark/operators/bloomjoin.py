@@ -43,9 +43,10 @@ Mechanics, all JVM-side builtins (no UDFs anywhere):
   tests — whole-stage-codegen arithmetic, no join, no shuffle, no
   Python.
 
-False-positive rate ≈ ``(1 − e^{−k·n/m})^k``; the auto-sizer picks
-``m = next_pow2(16·n)`` (≈ 0.6% at k = 5) so the pruned stream is
-within a whisker of the true semi-join size.
+False-positive rate ≈ ``(1 − e^{−k·n/m})^k`` with n the DISTINCT key
+count; the auto-sizer picks ``m = next_pow2(16·n)`` (≈ 0.14% at
+k = 5) so the pruned stream is within a whisker of the true semi-join
+size.
 
 Scale shape (100 TB): one pass over the SMALL side to build (word-
 cardinality shuffle, KB-scale result), one map-only pass over the BIG
@@ -61,6 +62,8 @@ the reference has no join-pruning surface).
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -100,14 +103,26 @@ def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
     return [F.pmod(a + F.lit(i) * b, m) for i in range(num_hashes)]
 
 
+class BloomBits(NamedTuple):
+    """A built Bloom filter: the dense word bitmap PLUS the hash count
+    it was built with. Carrying ``num_hashes`` inside the value makes a
+    build/probe k mismatch impossible — probing with fewer or more
+    hashes than the build silently FORFEITS the no-false-negative
+    guarantee, so the probe side must never guess k."""
+
+    words: list[int]
+    num_hashes: int
+
+
 def bloom_build(
     df: DataFrame,
     key_col: str,
     num_bits: int = 1 << 17,
     num_hashes: int = 5,
-) -> list[int]:
-    """Dense Bloom bitmap over ``df[key_col]``'s non-NULL keys, as
-    ``num_bits / 64`` little-endian 64-bit words (plain Python ints).
+) -> BloomBits:
+    """Dense Bloom bitmap over ``df[key_col]``'s non-NULL keys:
+    ``num_bits / 64`` little-endian 64-bit words plus the build's
+    ``num_hashes`` (see :class:`BloomBits`).
 
     ONE word-cardinality aggregation + an answer-scale collect
     (``num_bits/64`` rows). NULL keys are excluded — NULL never equals
@@ -134,37 +149,28 @@ def bloom_build(
     dense = [0] * (num_bits // 64)
     for row in words:
         dense[row["word"]] = row["bits"]
-    return dense
+    return BloomBits(words=dense, num_hashes=num_hashes)
 
 
-def bloom_might_contain(
-    key: Column,
-    words: list[int],
-    num_hashes: int = 5,
-) -> Column:
-    """Boolean membership test column — a conjunction of k codegen
-    bit probes against the ``words`` array literal. NULL keys test
-    False (a NULL key cannot match any join partner)."""
-    num_bits = len(words) * 64
-    _validate_params(num_bits, num_hashes)
-    arr = F.lit(words)
+def bloom_might_contain(key: Column, bits: BloomBits) -> Column:
+    """Boolean membership test column — a conjunction of the build's k
+    codegen bit probes against the ``bits.words`` array literal. NULL
+    keys test False (a NULL key cannot match any join partner)."""
+    num_bits = len(bits.words) * 64
+    _validate_params(num_bits, bits.num_hashes)
+    arr = F.lit(bits.words)
     test = F.lit(True)
-    for p in _positions(key, num_bits, num_hashes):
+    for p in _positions(key, num_bits, bits.num_hashes):
         word = F.element_at(arr, F.shiftright(p, 6).cast("int") + F.lit(1))
         test = test & (word.bitwiseAND(_bit_mask(p)) != 0)
     return key.isNotNull() & test
 
 
-def bloom_prune(
-    df: DataFrame,
-    key_col: str,
-    words: list[int],
-    num_hashes: int = 5,
-) -> DataFrame:
+def bloom_prune(df: DataFrame, key_col: str, bits: BloomBits) -> DataFrame:
     """``df`` filtered to rows whose ``key_col`` MIGHT be in the
     filter — a map-only superset of the true semi-join (never drops a
     true match; false positives pass through)."""
-    return df.filter(bloom_might_contain(F.col(key_col), words, num_hashes))
+    return df.filter(bloom_might_contain(F.col(key_col), bits))
 
 
 def _next_pow2(n: int) -> int:
@@ -185,9 +191,11 @@ def bloom_pruned_join(
     false positives; true matches always survive the filter), but the
     exchange only carries the survivors.
 
-    ``num_bits=None`` auto-sizes to ``next_pow2(16 · |small keys|)``
-    (one count action on the SMALL side — ≈0.6% false positives at
-    k = 5). ``how`` admits the match-preserving joins (inner /
+    ``num_bits=None`` auto-sizes to ``next_pow2(16 · n)`` where n is
+    the SMALL side's DISTINCT key count (one count-distinct action;
+    the FP formula is in terms of distinct keys, so a duplicate-heavy
+    small side must not inflate the bitmap) — ≈0.14% false positives
+    at k = 5. ``how`` admits the match-preserving joins (inner /
     left_semi); outer joins would need the big side's non-matches,
     which pruning deliberately drops.
     """
@@ -198,8 +206,8 @@ def bloom_pruned_join(
             "pruning drops by design"
         )
     if num_bits is None:
-        n = small.filter(F.col(small_key).isNotNull()).count()
+        n = small.select(F.countDistinct(small_key)).first()[0]
         num_bits = _next_pow2(16 * max(1, n))
-    words = bloom_build(small, small_key, num_bits, num_hashes)
-    pruned = bloom_prune(big, big_key, words, num_hashes)
+    bits = bloom_build(small, small_key, num_bits, num_hashes)
+    pruned = bloom_prune(big, big_key, bits)
     return pruned.join(small, pruned[big_key] == small[small_key], how)

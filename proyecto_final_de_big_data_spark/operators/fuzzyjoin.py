@@ -100,14 +100,24 @@ def multipass_edit_distance_self_join(
     For general edit distance (insertions shift positions) the same
     union-of-passes shape applies with segment-slack keys; callers own
     choosing zones that cover where their strings actually vary.
+
+    Candidate generation is shared with :func:`multipass_candidates`
+    (one copy of the union-of-blocked-self-joins machinery); the
+    deterministic thresholded-levenshtein filter is pushed below the
+    pair-distinct by Catalyst, so the physical shape matches the
+    per-pass-filter formulation while shrinking the distinct's input.
     """
-    if not blocks:
-        raise ValueError("multipass blocking needs at least one blocking expression")
-    out = None
-    for b in blocks:
-        pairs = edit_distance_self_join(df, col, b, max_distance)
-        out = pairs if out is None else out.unionAll(pairs)
-    return out.distinct()
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    cand = multipass_candidates(df, col, blocks)
+    dist = F.levenshtein(
+        F.col("left_value"), F.col("right_value"), max_distance
+    )
+    return (
+        cand.withColumn("distance", dist)
+        .filter(F.col("distance") >= 0)
+        .select("left_value", "right_value", "distance")
+    )
 
 
 def _jaro(s1: str, s2: str) -> float:

@@ -106,22 +106,29 @@ def oneway_anova(
 
 
 def _rank_frame(clean: DataFrame):
-    """``(grp, x, cnt)`` contingency frame joined with each distinct
-    value's midrank ``avg_rank`` and tie count ``t`` — the shared
-    machinery of both rank tests. The cumulative window runs over the
-    DISTINCT-VALUE frame only."""
+    """``(ranked_cells, tie_sum)`` — the ``(grp, x, cnt)`` contingency
+    frame joined with each distinct value's midrank ``avg_rank``, plus
+    the one-row ``Σ(t³−t)`` tie-correction frame, the shared machinery
+    of both rank tests. The cumulative window runs over the
+    DISTINCT-VALUE frame only. Tie counts are DOUBLES before cubing:
+    ``t³`` on a long overflows at t ≈ 2.1M — exactly the large-N/
+    small-grid regime this module targets — and ANSI mode would raise
+    (the oracle casts before cubing too)."""
     cells = clean.groupBy("grp", "x").agg(F.count(F.lit(1)).alias("cnt"))
-    vals = cells.groupBy("x").agg(F.sum("cnt").alias("t"))
+    vals = cells.groupBy("x").agg(F.sum("cnt").cast("double").alias("t"))
     w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
     ranked = vals.select(
         "x",
         "t",
         (
-            F.coalesce(F.sum("t").over(w), F.lit(0))
+            F.coalesce(F.sum("t").over(w), F.lit(0.0))
             + (F.col("t") + 1) / 2
         ).alias("avg_rank"),
     )
-    return cells.join(ranked, "x")
+    tie_sum = vals.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum")
+    )
+    return cells.join(ranked, "x"), tie_sum
 
 
 def kruskal_wallis(
@@ -134,15 +141,10 @@ def kruskal_wallis(
     Kruskal–Wallis rank test of ``value_col`` across ``group_col``,
     midrank ties, with the standard tie-corrected ``h_adj = h / C``
     (NULL when C = 0, i.e. all values identical)."""
-    rf = _rank_frame(_clean(df, value_col, group_col))
+    rf, ties = _rank_frame(_clean(df, value_col, group_col))
     per_group = rf.groupBy("grp").agg(
         F.sum("cnt").alias("n_j"),
         F.sum(F.col("cnt") * F.col("avg_rank")).alias("r_j"),
-    )
-    ties = (
-        rf.select("x", "t")
-        .distinct()
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum"))
     )
     tot = per_group.agg(
         F.count(F.lit(1)).alias("k"),
@@ -151,7 +153,11 @@ def kruskal_wallis(
     ).crossJoin(ties)
     n = F.col("n").cast("double")
     h = 12.0 / (n * (n + 1)) * F.col("rr") - 3.0 * (n + 1)
-    c = 1.0 - F.col("tie_sum") / (n * n * n - n)
+    # n = 1 makes n³ − n = 0: guard the 0/0 (ANSI raises on double
+    # division by zero) — the one-observation test is undefined anyway.
+    c = F.when(
+        n * n * n - n > 0, 1.0 - F.col("tie_sum") / (n * n * n - n)
+    )
     return tot.select(
         F.col("k").cast("long").alias("k"),
         F.col("n").cast("long").alias("n"),
@@ -177,15 +183,10 @@ def mann_whitney_u(
     clean = _clean(df, value_col, group_col).filter(
         F.col("grp").isin(group_a, group_b)
     )
-    rf = _rank_frame(clean)
+    rf, ties = _rank_frame(clean)
     per_group = rf.groupBy("grp").agg(
         F.sum("cnt").alias("n_j"),
         F.sum(F.col("cnt") * F.col("avg_rank")).alias("r_j"),
-    )
-    ties = (
-        rf.select("x", "t")
-        .distinct()
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum"))
     )
     picked = per_group.agg(
         F.sum(F.when(F.col("grp") == group_a, F.col("n_j"))).alias("n_a"),

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from proyecto_final_de_big_data_spark.operators.bloomjoin import (
     _MASK_WORDS,
     _next_pow2,
+    BloomBits,
     bloom_build,
     bloom_might_contain,
     bloom_prune,
@@ -44,18 +45,18 @@ def test_next_pow2():
 @pytest.mark.parametrize("num_bits", [64, 4096, 1 << 14])
 def test_no_false_negatives(spark, num_bits):
     keys = spark.range(0, 500).select((F.col("id") * 37 + 11).alias("k"))
-    words = bloom_build(keys, "k", num_bits, num_hashes=5)
+    bits = bloom_build(keys, "k", num_bits, num_hashes=5)
     # EVERY inserted key must test positive — the Bloom theorem.
-    survivors = bloom_prune(keys, "k", words).count()
+    survivors = bloom_prune(keys, "k", bits).count()
     assert survivors == 500
 
 
 def test_false_positive_rate_bounded(spark):
     small = spark.range(0, 200).select(F.col("id").alias("k"))
     probe = spark.range(10_000, 30_000).select(F.col("id").alias("k"))
-    # m = 16n -> theoretical fp ~0.6% at k=5; assert a loose 5% bound.
-    words = bloom_build(small, "k", _next_pow2(16 * 200), num_hashes=5)
-    fp = bloom_prune(probe, "k", words).count()
+    # m = 16n -> theoretical fp ~0.14% at k=5; assert a loose 5% bound.
+    bits = bloom_build(small, "k", _next_pow2(16 * 200), num_hashes=5)
+    fp = bloom_prune(probe, "k", bits).count()
     assert fp / 20_000 < 0.05
 
 
@@ -66,8 +67,8 @@ def test_string_keys(spark):
     big = spark.createDataFrame(
         [(f"user-{i}",) for i in range(0, 1000, 3)], ["k"]
     )
-    words = bloom_build(small, "k", 4096)
-    got = {r["k"] for r in bloom_prune(big, "k", words).collect()}
+    bits = bloom_build(small, "k", 4096)
+    got = {r["k"] for r in bloom_prune(big, "k", bits).collect()}
     true = {f"user-{i}" for i in range(0, 100, 3)}
     assert true <= got  # no false negatives, fps allowed
 
@@ -75,8 +76,8 @@ def test_string_keys(spark):
 def test_null_keys_dropped_both_sides(spark):
     small = spark.createDataFrame([(1,), (None,), (2,)], "k int")
     big = spark.createDataFrame([(1,), (None,), (3,)], "k int")
-    words = bloom_build(small, "k", 64)
-    out = bloom_prune(big, "k", words).collect()
+    bits = bloom_build(small, "k", 64)
+    out = bloom_prune(big, "k", bits).collect()
     # NULL never equals a join key: it must not pass the prune.
     assert all(r["k"] is not None for r in out)
     assert {r["k"] for r in out} >= {1}
@@ -85,9 +86,10 @@ def test_null_keys_dropped_both_sides(spark):
 def test_empty_small_side_prunes_everything(spark):
     small = spark.range(0).select(F.col("id").alias("k"))
     big = spark.range(100).select(F.col("id").alias("k"))
-    words = bloom_build(small, "k", 64)
-    assert words == [0]
-    assert bloom_prune(big, "k", words).count() == 0
+    bits = bloom_build(small, "k", 64)
+    assert bits.words == [0]
+    assert bits.num_hashes == 5
+    assert bloom_prune(big, "k", bits).count() == 0
 
 
 def test_join_output_invariance(spark):
@@ -129,8 +131,24 @@ def test_param_validation(spark):
 
 def test_might_contain_null_is_false(spark):
     keys = spark.range(4).select(F.col("id").alias("k"))
-    words = bloom_build(keys, "k", 64)
+    bits = bloom_build(keys, "k", 64)
     row = spark.range(1).select(
-        bloom_might_contain(F.lit(None).cast("long"), words).alias("hit")
+        bloom_might_contain(F.lit(None).cast("long"), bits).alias("hit")
     ).first()
     assert row["hit"] is False or row["hit"] is None
+
+
+def test_build_k_rides_with_the_bitmap(spark):
+    # The filter value carries its own num_hashes: probing a k=3-built
+    # filter automatically probes 3 positions — a build/probe k
+    # mismatch (which would forfeit the no-false-negative guarantee)
+    # is unrepresentable in the API.
+    keys = spark.range(0, 300).select(F.col("id").alias("k"))
+    bits = bloom_build(keys, "k", 4096, num_hashes=3)
+    assert bits.num_hashes == 3
+    assert bloom_prune(keys, "k", bits).count() == 300
+
+
+def test_probe_validates_carried_params(spark):
+    with pytest.raises(ValueError, match="num_hashes"):
+        bloom_might_contain(F.lit(1), BloomBits(words=[0], num_hashes=0))

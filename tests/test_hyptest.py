@@ -155,3 +155,28 @@ def test_kw_two_groups_equals_mwu_z_squared(spark):
     h = kruskal_wallis(df, "x", "grp").first()["h_adj"]
     z = mann_whitney_u(df, "x", "grp", "a", "b").first()["z"]
     assert h == pytest.approx(z * z, abs=1e-4)
+
+
+def test_kruskal_wallis_single_observation_no_ansi_crash(spark):
+    # n = 1 makes the tie-correction denominator n^3 - n = 0; the 0/0
+    # must surface as NULL, not an ANSI DIVIDE_BY_ZERO.
+    out = kruskal_wallis(_df(spark, [("a", 5.0)]), "x", "grp").first()
+    assert out["n"] == 1
+    assert out["tie_correction"] is None
+    assert out["h_adj"] is None
+
+
+def test_tie_cubes_computed_in_double_not_long(spark):
+    # A tie group of 3,000,000 rows: t^3 = 2.7e19 overflows a 64-bit
+    # long (ANSI would raise); doubles carry it exactly enough.
+    # sum(t^3 - t) for t=3e6 on one value ~ 2.7e19.
+    df = spark.range(0, 3_000_000).select(
+        F.lit("a").alias("grp"), F.lit(1.0).alias("x")
+    ).union(
+        spark.range(0, 10).select(
+            F.lit("b").alias("grp"), F.lit(2.0).alias("x")
+        )
+    )
+    out = kruskal_wallis(df, "x", "grp").first()
+    assert out["n"] == 3_000_010
+    assert out["tie_correction"] is not None
