@@ -86,6 +86,11 @@ HEADLINERS = {
     "rater_agreement_contract": "kappa statistics — label-contingency aggs, every join over k-cardinality frames, no cartesian",
     "experiment_power_contract": "power/MDE — one sufficient-sums agg over the unit frame, closed-form on the answer row",
     "seasonal_decomposition_contract": "seasonal decomposition — OLS sums agg + broadcast trend join + slot agg, no fact-side window",
+    "winnowing_fingerprint_contract": "winnowing fingerprints — map-only higher-order-function selection, Exchange only for the per-doc profile agg",
+    "bloom_pruned_join_contract": "Bloom join pruning — k codegen bit probes fused into the orders scan BEFORE the broadcast join; membership is a Filter, never a join",
+    "anova_oneway_contract": "one-way ANOVA — per-group sufficient stats partial/final, group-cardinality reduce, no window no join",
+    "rank_test_contract": "rank tests — contingency agg, cumulative window ONLY over the 50-value distinct grid, broadcast join back",
+    "jw_name_match_profile": "Jaro-Winkler ER join — blocked equi-join candidates; the deterministic pandas-UDF scorer + threshold pushed below the pair-distinct",
 }
 
 

@@ -35,6 +35,8 @@ PROBES = [
     "jackknife_ratio_contract",   # stratum sufficient stats
     "bootstrap_ci_contract",      # R+1-fold explode + map-side collapse
     "winnowing_fingerprint_contract",  # map-only HOF fingerprint projection
+    "bloom_pruned_join_contract",      # bitmap build + map-only k-probe prune
+    "rank_test_contract",              # distinct-value-grid rank statistics
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
