@@ -213,6 +213,16 @@ def jaro_winkler_self_join(
     blocked candidates — the UDF never sees the corpus, just
     ``Σ|block|²`` pairs. Determinism: same blocking + same threshold
     ⇒ identical pair set, so gates hash-match rather than check recall.
+
+    TWO lazy ``localCheckpoint`` barriers (the winnow.py HOF rule
+    applied to UDFs: an expensive expression consumed downstream must
+    be materialized, or Catalyst re-evaluates it). Without the first,
+    the deterministic UDF + threshold filter get pushed into EVERY
+    blocking branch plus a rescore above the pair-distinct —
+    ~(passes+1)× the evaluations, measured 2.2× slower at sf0.1;
+    without the second, the filter's UDF and the output column's UDF
+    split into two Arrow passes over every candidate. With both, each
+    DISTINCT pair is scored exactly once (7.2 → 2.9 s warm at sf0.1).
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -228,8 +238,8 @@ def jaro_winkler_self_join(
             dtype="float64",
         )
 
-    cand = multipass_candidates(df, col, blocks)
+    cand = multipass_candidates(df, col, blocks).localCheckpoint(eager=False)
     scored = cand.withColumn(
         "jw", F.round(_jw(F.col("left_value"), F.col("right_value")), decimals)
-    )
+    ).localCheckpoint(eager=False)
     return scored.filter(F.col("jw") >= threshold)

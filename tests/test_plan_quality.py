@@ -808,14 +808,36 @@ def test_rank_tests_window_only_on_distinct_value_grid(spark, sf_dir):
 
 
 def test_jw_join_udf_sees_only_blocked_candidates(spark, sf_dir):
-    # The pandas UDF is the scorer, so ArrowEvalPython MUST be present
-    # — but only above the blocked equi-joins' distinct output, never
-    # as a cartesian scorer over the corpus.
+    # The consumer plan reads the SECOND barrier (scored pairs), so no
+    # ArrowEvalPython may appear in it at all — both the per-branch
+    # UDF pushdown and the filter/output recompute are pinned away by
+    # the two-barrier shape (each distinct pair scored exactly once;
+    # 7.2 -> 2.9 s warm at sf0.1).
     plan = _plan(spark, sf_dir, "jw_name_match_profile")
-    assert "ArrowEvalPython" in plan
+    assert plan.count("ArrowEvalPython") == 0
+    assert "Scan ExistingRDD" in plan  # the barrier
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # candidate generation is equi-joins on the block key (Catalyst
-    # additionally pushes the deterministic UDF + threshold filter
-    # below the pair-distinct, which only shrinks the distinct input)
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # Candidate generation itself is equi-joins on the block key — the
+    # barrier hides it from the consumer plan, so assert it directly.
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from proyecto_final_de_big_data_spark.catalog import load_table
+    from proyecto_final_de_big_data_spark.operators.fuzzyjoin import (
+        multipass_candidates,
+    )
+
+    cu = load_table(spark, sf_dir, "customer").select("c_name")
+    cand = multipass_candidates(
+        cu, "c_name", [F.substring("c_name", 1, 16)]
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cand.explain("formatted")
+    cplan = buf.getvalue()
+    assert "CartesianProduct" not in cplan
+    assert "BroadcastNestedLoopJoin" not in cplan
+    assert "BroadcastHashJoin" in cplan or "SortMergeJoin" in cplan
