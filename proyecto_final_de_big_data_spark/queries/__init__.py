@@ -105,6 +105,25 @@ from . import quality  # noqa: E402,F401
 # (e.g. one of the two funnel gates, one of ml_auc/ml_lift once both
 # are green, jackknife vs ml_cv — same sufficient-stats family).
 # ----------------------------------------------------------------------
+# Rotation plan for r9 (write the swaps HERE when executing): once the
+# r8 window lands green, the 27 r8-new in-window entries (the 23
+# early-round registrations plus the late-r8 quartet
+# bloom_pruned_join_contract / anova_oneway_contract /
+# rank_test_contract / jw_name_match_profile) become first-round-green
+# swap currency. Multi-round-green carryovers eligible to rotate out
+# with their family notes: python_datasource, data_quality,
+# token_budget, heavy_hitter, theta, variant, priority_pivot, zorder,
+# media_binary (r6+r7+r8 once green) — but each is its family's ONLY
+# in-window rep, so any swap must name a sibling or rotate an r8 twin
+# instead (candidate twin pairs: anova/rank_test — hyptest.py;
+# cuped/experiment_power — abtest.py; knn_ann_pq/knn_ann_ivf_pq —
+# pq.py; basket_size/item_affinity — basket.py). Rotated-out r7/r8
+# greens with standing off-window evidence: pagerank, ml_auc,
+# drift_psi, knn_ann_ivf_sq (late-r8 swaps), fuzzy_name_match,
+# event_transition_matrix, weekly_retention, ml_lift,
+# ml_classification_report, jackknife (early-r8 swaps) — all remain in
+# the full-catalog attestation (tools/oracle_full.py) every round.
+# ----------------------------------------------------------------------
 # ROUND-8 ROTATION (VERDICT r7 item 1 + the documented r8 pool above):
 # the four round-7 pytest-only surfaces are now registered with full
 # DuckDB oracles and rotate IN the round they are registered (standing
