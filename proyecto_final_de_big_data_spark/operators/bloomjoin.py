@@ -56,9 +56,18 @@ shuffles only survivors. The bitmap is O(small-side keys) bits
 regardless of big-side size — the asymmetry that makes the pattern
 work at any scale ratio.
 
-Cites reference scripts/02_spark_etl.py:150-162 (the reference joins
-its lookup tables with no pre-filtering; extension per SURVEY §8 —
-the reference has no join-pruning surface).
+**Hashing is TYPE-sensitive** — ``xxhash64(42 :: int)`` differs from
+``xxhash64(42 :: bigint)`` — so join-coercible key types must hash
+identically or true matches silently vanish. Every key is therefore
+cast to a CANONICAL hash type before any probe (integrals → bigint,
+float → double), the built filter carries that type
+(:class:`BloomBits.key_type`), and :func:`bloom_pruned_join` raises
+when the two sides canonicalize differently rather than return an
+empty superset.
+
+Extension surface — the reference performs no Spark-layer joins at
+all (SURVEY §2.5: its enrichment is driver-side column maps), so this
+has no reference analog; extension per SURVEY §8.
 """
 
 from __future__ import annotations
@@ -67,6 +76,7 @@ from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Single-bit masks for bit index 0..63 as SIGNED 64-bit longs (bit 63
 # is the sign bit). A literal lookup table because Spark's shiftleft()
@@ -80,6 +90,23 @@ def _bit_mask(p: Column) -> Column:
     return F.element_at(
         F.lit(_MASK_WORDS), p.bitwiseAND(F.lit(63)).cast("int") + F.lit(1)
     )
+
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _canonical_hash_type(dtype: T.DataType) -> str:
+    """The type a key is cast to before hashing. ``xxhash64`` hashes
+    the PHYSICAL representation, so the members of each join-coercible
+    numeric family must collapse to one hash type (integrals → bigint,
+    float → double) or an int-keyed probe against a bigint-built
+    filter would test negative on every true match. Non-numeric types
+    hash as themselves."""
+    if isinstance(dtype, _INTEGRAL):
+        return "bigint"
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return "double"
+    return dtype.simpleString()
 
 
 def _validate_params(num_bits: int, num_hashes: int) -> None:
@@ -108,10 +135,15 @@ class BloomBits(NamedTuple):
     it was built with. Carrying ``num_hashes`` inside the value makes a
     build/probe k mismatch impossible — probing with fewer or more
     hashes than the build silently FORFEITS the no-false-negative
-    guarantee, so the probe side must never guess k."""
+    guarantee, so the probe side must never guess k. ``key_type`` is
+    the canonical type the build keys were cast to before hashing
+    (see :func:`_canonical_hash_type`); every probe casts to it, so a
+    type-coercible build/probe mismatch (int vs bigint) cannot break
+    the guarantee either."""
 
     words: list[int]
     num_hashes: int
+    key_type: str = "bigint"
 
 
 def bloom_build(
@@ -129,7 +161,8 @@ def bloom_build(
     a join key, so pruning them is exactly what the join would do.
     """
     _validate_params(num_bits, num_hashes)
-    key = F.col(key_col)
+    key_type = _canonical_hash_type(df.schema[key_col].dataType)
+    key = F.col(key_col).cast(key_type)
     probes = F.array(
         *[
             F.struct(
@@ -149,15 +182,19 @@ def bloom_build(
     dense = [0] * (num_bits // 64)
     for row in words:
         dense[row["word"]] = row["bits"]
-    return BloomBits(words=dense, num_hashes=num_hashes)
+    return BloomBits(words=dense, num_hashes=num_hashes, key_type=key_type)
 
 
 def bloom_might_contain(key: Column, bits: BloomBits) -> Column:
     """Boolean membership test column — a conjunction of the build's k
-    codegen bit probes against the ``bits.words`` array literal. NULL
-    keys test False (a NULL key cannot match any join partner)."""
+    codegen bit probes against the ``bits.words`` array literal. The
+    probe key is first cast to the build's canonical ``key_type`` so
+    an int probe matches a bigint build (xxhash64 is type-sensitive).
+    NULL keys — including values the cast cannot represent — test
+    False (a NULL key cannot match any join partner)."""
     num_bits = len(bits.words) * 64
     _validate_params(num_bits, bits.num_hashes)
+    key = key.cast(bits.key_type)
     arr = F.lit(bits.words)
     test = F.lit(True)
     for p in _positions(key, num_bits, bits.num_hashes):
@@ -204,6 +241,16 @@ def bloom_pruned_join(
             f"bloom_pruned_join supports inner/left_semi, got {how!r} — "
             "outer joins need the big side's non-matching rows, which "
             "pruning drops by design"
+        )
+    big_t = _canonical_hash_type(big.schema[big_key].dataType)
+    small_t = _canonical_hash_type(small.schema[small_key].dataType)
+    if big_t != small_t:
+        raise ValueError(
+            f"bloom_pruned_join key types are not hash-compatible: "
+            f"{big_key} canonicalizes to {big_t}, {small_key} to "
+            f"{small_t} — cast one side explicitly (xxhash64 is "
+            "type-sensitive; a silent mismatch would prune every true "
+            "match)"
         )
     if num_bits is None:
         n = small.select(F.countDistinct(small_key)).first()[0]

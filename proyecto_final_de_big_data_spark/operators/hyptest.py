@@ -23,9 +23,14 @@ Lorenz "answer-scale grid window" discipline, NOT a data-scale sort),
 then a broadcast-sized join back. The scale bound is therefore the
 number of DISTINCT metric values: exact for discrete/integer metrics
 (counts, quantities, star ratings — the usual rank-test inputs); for a
-continuous metric, pre-round to fixed decimals first — that makes the
-tie policy an explicit caller decision instead of a float-equality
-accident, and midrank tie correction handles the collisions exactly.
+continuous metric, pass ``round_decimals`` to pre-round first — that
+makes the tie policy an explicit caller decision instead of a
+float-equality accident, and midrank tie correction handles the
+collisions exactly. The bound is ENFORCED, not advisory: both rank
+tests run an approx-count-distinct precondition and raise ValueError
+when the grid would exceed ``max_distinct`` (default 100,000 — a
+window that size is still answer-scale; a continuous double metric at
+data scale is not), naming ``round_decimals`` as the fix.
 
 Statistics (Conover, Practical Nonparametric Statistics):
 
@@ -41,9 +46,9 @@ Statistics (Conover, Practical Nonparametric Statistics):
 NULL/NaN values and NULL groups are excluded up front (the
 collect_sorted_series discipline — a NULL metric carries no rank).
 
-Cites reference scripts/03_analisis_agregaciones.py:60-84 (per-group
-mean/stddev profiles — the reference profiles group differences but
-has no significance surface; extension per SURVEY §8).
+Extension surface — the reference's EDA profiles per-group mean/stddev
+differences (scripts/03_spark_eda_agg.py's grouped aggregations) but
+has no significance-testing surface; extension per SURVEY §8.
 """
 
 from __future__ import annotations
@@ -51,13 +56,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_DEFAULT_MAX_DISTINCT = 100_000
 
-def _clean(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+
+def _clean(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    round_decimals: int | None = None,
+) -> DataFrame:
     v = F.col(value_col).cast("double")
+    if round_decimals is not None:
+        v = F.round(v, round_decimals)
     return (
         df.select(F.col(group_col).alias("grp"), v.alias("x"))
         .filter(F.col("grp").isNotNull() & F.col("x").isNotNull() & ~F.isnan("x"))
     )
+
+
+def _guard_distinct_grid(clean: DataFrame, max_distinct: int, test: str) -> None:
+    """Enforce the rank tests' scale bound BEFORE the distinct-value
+    window runs: the cumulative midrank window is single-partition by
+    design (answer-scale grid), so a continuous metric whose distinct
+    count approaches N must be rounded first, not silently sorted on
+    one task. One approx-count-distinct action (±5% default rsd —
+    a guard, not a statistic)."""
+    approx = clean.agg(F.approx_count_distinct("x").alias("d")).first()["d"]
+    if approx > max_distinct:
+        raise ValueError(
+            f"{test}: ~{approx:,} distinct metric values exceeds "
+            f"max_distinct={max_distinct:,} — the midrank grid window "
+            "would become a data-scale single-partition sort. Pass "
+            "round_decimals to discretize the metric (explicit tie "
+            "policy), or raise max_distinct if the grid is genuinely "
+            "answer-scale."
+        )
 
 
 def oneway_anova(
@@ -136,12 +169,21 @@ def kruskal_wallis(
     value_col: str,
     group_col: str,
     decimals: int = 6,
+    round_decimals: int | None = None,
+    max_distinct: int = _DEFAULT_MAX_DISTINCT,
 ) -> DataFrame:
     """One-row readout ``(k, n, h, tie_correction, h_adj)`` — the
     Kruskal–Wallis rank test of ``value_col`` across ``group_col``,
     midrank ties, with the standard tie-corrected ``h_adj = h / C``
-    (NULL when C = 0, i.e. all values identical)."""
-    rf, ties = _rank_frame(_clean(df, value_col, group_col))
+    (NULL when C = 0, i.e. all values identical).
+
+    ``round_decimals`` discretizes the metric before ranking (the
+    explicit tie policy for continuous metrics); the distinct-value
+    grid is guarded at ``max_distinct`` (raises, never silently sorts
+    a data-scale grid on one task)."""
+    clean = _clean(df, value_col, group_col, round_decimals)
+    _guard_distinct_grid(clean, max_distinct, "kruskal_wallis")
+    rf, ties = _rank_frame(clean)
     per_group = rf.groupBy("grp").agg(
         F.sum("cnt").alias("n_j"),
         F.sum(F.col("cnt") * F.col("avg_rank")).alias("r_j"),
@@ -174,15 +216,26 @@ def mann_whitney_u(
     group_a: str,
     group_b: str,
     decimals: int = 6,
+    round_decimals: int | None = None,
+    max_distinct: int = _DEFAULT_MAX_DISTINCT,
 ) -> DataFrame:
     """One-row readout ``(n_a, n_b, u_a, u_b, z)`` — the Mann–Whitney
     U test of ``value_col`` between the two named groups (rows in
     other groups are ignored), midrank ties, tie-corrected normal
     z WITHOUT continuity correction. z is NULL when either group is
-    empty or σ = 0 (all pooled values identical)."""
-    clean = _clean(df, value_col, group_col).filter(
+    empty or σ = 0 (all pooled values identical). ``group_a ==
+    group_b`` raises — comparing a group against itself is undefined,
+    not a well-formed readout. ``round_decimals`` / ``max_distinct``
+    as in :func:`kruskal_wallis`."""
+    if group_a == group_b:
+        raise ValueError(
+            f"mann_whitney_u: group_a and group_b are both {group_a!r} — "
+            "the two-sample test against the same group is undefined"
+        )
+    clean = _clean(df, value_col, group_col, round_decimals).filter(
         F.col("grp").isin(group_a, group_b)
     )
+    _guard_distinct_grid(clean, max_distinct, "mann_whitney_u")
     rf, ties = _rank_frame(clean)
     per_group = rf.groupBy("grp").agg(
         F.sum("cnt").alias("n_j"),

@@ -39,9 +39,9 @@ Scale shape (100 TB): one shingle scan; one vocab-cardinality count
 array intersect/union on the pair table (pairs ≪ corpus). AQE skew
 join stays on as the second line of defense.
 
-Cites reference scripts/02_spark_etl.py:118-136 (dedup-by-filtering
-lineage; the reference has no near-dup surface — extension per
-SURVEY §8).
+Extension surface — the reference's closest analog is row-level
+validity/outlier filtering (scripts/02_spark_etl.py:118-136); it has
+no near-dup or set-similarity surface at all. Extension per SURVEY §8.
 """
 
 from __future__ import annotations

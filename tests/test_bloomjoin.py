@@ -152,3 +152,48 @@ def test_build_k_rides_with_the_bitmap(spark):
 def test_probe_validates_carried_params(spark):
     with pytest.raises(ValueError, match="num_hashes"):
         bloom_might_contain(F.lit(1), BloomBits(words=[0], num_hashes=0))
+
+
+def test_mixed_int_bigint_keys_no_false_negatives(spark):
+    # ADVICE r8 regression: xxhash64 is type-sensitive, so a bigint
+    # small side probed by an int big side used to drop EVERY true
+    # match. Both must canonicalize to bigint before hashing.
+    small = spark.range(0, 50).select(F.col("id").alias("sk"))  # bigint
+    big = spark.createDataFrame(
+        [(i,) for i in range(200)], "bk int"
+    )  # int
+    assert dict(small.dtypes)["sk"] == "bigint"
+    assert dict(big.dtypes)["bk"] == "int"
+    out = bloom_pruned_join(big, small, "bk", "sk", num_bits=1 << 12)
+    assert out.count() == 50
+    plain = big.join(small, big["bk"] == small["sk"], "inner")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, out.collect())
+    )
+
+
+def test_mixed_type_prune_coerces_probe_side(spark):
+    # bloom_prune on its own must coerce too: int-built filter, bigint
+    # probe keys.
+    small = spark.createDataFrame([(i,) for i in range(30)], "k int")
+    big = spark.range(0, 100).select(F.col("id").alias("k"))  # bigint
+    bits = bloom_build(small, "k", 1 << 12)
+    assert bits.key_type == "bigint"
+    got = {r["k"] for r in bloom_prune(big, "k", bits).collect()}
+    assert set(range(30)) <= got  # no false negatives across the coercion
+
+
+def test_incompatible_key_types_raise(spark):
+    small = spark.createDataFrame([("1",), ("2",)], "sk string")
+    big = spark.range(10).select(F.col("id").alias("bk"))
+    with pytest.raises(ValueError, match="hash-compatible"):
+        bloom_pruned_join(big, small, "bk", "sk")
+
+
+def test_float_double_keys_canonicalize_together(spark):
+    small = spark.createDataFrame(
+        [(float(i),) for i in range(20)], "sk float"
+    )
+    big = spark.range(0, 60).select(F.col("id").cast("double").alias("bk"))
+    out = bloom_pruned_join(big, small, "bk", "sk", num_bits=1 << 12)
+    assert out.count() == 20

@@ -180,3 +180,45 @@ def test_tie_cubes_computed_in_double_not_long(spark):
     out = kruskal_wallis(df, "x", "grp").first()
     assert out["n"] == 3_000_010
     assert out["tie_correction"] is not None
+
+
+def test_rank_test_distinct_grid_guard_raises(spark):
+    # VERDICT r8 item 3: a continuous metric (distinct ~ N) must fail
+    # LOUDLY instead of silently running a data-scale single-partition
+    # window. max_distinct shrunk so the guard trips at test scale.
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 2).cast("string").alias("grp"),
+        (F.col("id") * 0.001).alias("x"),
+    )
+    with pytest.raises(ValueError, match="round_decimals"):
+        kruskal_wallis(df, "x", "grp", max_distinct=1_000)
+    with pytest.raises(ValueError, match="round_decimals"):
+        mann_whitney_u(df, "x", "grp", "0", "1", max_distinct=1_000)
+
+
+def test_rank_test_round_decimals_discretizes(spark):
+    # The documented fix: round_decimals collapses the grid under the
+    # bound and the test runs; rounding to 0 decimals here leaves 5
+    # distinct values (0..4 from id*0.001 over 0..4999).
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 2).cast("string").alias("grp"),
+        (F.col("id") * 0.001).alias("x"),
+    )
+    out = kruskal_wallis(
+        df, "x", "grp", round_decimals=0, max_distinct=1_000
+    ).first()
+    assert out["n"] == 5_000
+    assert out["h_adj"] is not None
+    # Hand check of the discretization itself: round(x, 0) over
+    # 0.000..4.999 yields the 6-value grid {0,1,2,3,4,5} (banker's-free
+    # double rounding on .5 boundaries aside, the grid is tiny).
+    grid = (
+        df.select(F.round("x", 0).alias("r")).distinct().count()
+    )
+    assert grid <= 6
+
+
+def test_mann_whitney_same_group_raises(spark):
+    df = _df(spark, [("a", 1.0), ("b", 2.0)])
+    with pytest.raises(ValueError, match="same group"):
+        mann_whitney_u(df, "x", "grp", "a", "a")
