@@ -2423,3 +2423,150 @@ def q_winnowing_fingerprint_contract(
         F.max("fingerprint").alias("max_fp"),
         F.sum(F.col("fingerprint") % 1000003).alias("fp_checksum"),
     )
+
+
+@register(
+    "duplicate_span_removal_contract",
+    oracle="""
+    WITH sub AS (
+        SELECT doc_id, text FROM documents
+        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':span'),
+                    1, 15))::BIGINT) / 1152921504606846976.0 < 0.10
+    ), rn AS (
+        SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rn
+        FROM sub
+    ), corpus AS (
+        SELECT a.doc_id,
+               CASE WHEN a.rn % 4 = 0 AND b.doc_id IS NOT NULL
+                    THEN a.text || ' ' || substr(b.text, 5, 150)
+                    ELSE a.text END AS text
+        FROM rn a LEFT JOIN rn b ON b.rn = a.rn - 3 AND a.rn % 4 = 0
+    ), g AS (
+        SELECT doc_id, p AS pos,
+               ('0x' || substr(md5(substr(text, p, 100)), 1, 15))::BIGINT AS h
+        FROM corpus,
+             LATERAL (SELECT unnest(range(1, length(text) - 100 + 2)) AS p) u
+        WHERE length(text) >= 100
+    ), k AS (
+        SELECT h, min(doc_id) AS keeper, count(DISTINCT doc_id) AS ndocs
+        FROM g GROUP BY h
+    ), dup AS (
+        SELECT g.doc_id, g.pos FROM g JOIN k USING (h)
+        WHERE k.ndocs >= 2 AND g.doc_id > k.keeper
+    ), isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN max(pos + 99) OVER w IS NULL
+                      OR pos > max(pos + 99) OVER w + 1 THEN 1 ELSE 0 END AS ni
+        FROM dup
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sp AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + 99 AS e
+        FROM (SELECT doc_id, pos,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM isl) t
+        GROUP BY doc_id, island
+    ), gaps AS (
+        SELECT doc_id,
+               coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+                   AS gs,
+               s - 1 AS ge
+        FROM sp
+        UNION ALL
+        SELECT doc_id, max(e) + 1 AS gs, NULL AS ge FROM sp GROUP BY doc_id
+    ), clean AS (
+        SELECT c.doc_id,
+               string_agg(substr(c.text, gp.gs,
+                                 coalesce(gp.ge, length(c.text)) - gp.gs + 1),
+                          '' ORDER BY gp.gs) AS clean_text
+        FROM corpus c JOIN gaps gp USING (doc_id)
+        GROUP BY c.doc_id
+    ), prof AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+        FROM sp GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_spans, p.removed_chars,
+           CAST(length(c2.text) AS BIGINT) AS orig_len,
+           CAST(length(cl.clean_text) AS BIGINT) AS clean_len,
+           md5(cl.clean_text) AS clean_md5
+    FROM prof p
+    JOIN corpus c2 USING (doc_id)
+    JOIN clean cl USING (doc_id)
+    """,
+    description="Exact duplicate-SPAN extraction + removal "
+    "(operators/spandedup.py — the Lee et al. 2022 ExactSubstr posture "
+    "as distributed algebra): a deterministic 10% document band gets "
+    "cross-document quotes planted (every 4th doc appends 150 chars of "
+    "an earlier doc), then duplicate_spans localizes every repeated "
+    ">=100-char substring via the gram-position index -> per-gram "
+    "min-id keeper -> per-document islands merge, and strip_spans "
+    "removes each span with a per-row fold — exactly one occurrence of "
+    "every long repeated substring survives the corpus. The Spark side "
+    "runs the SCALE path (winnowing fingerprint prefilter bounds the "
+    "char-level index to flagged candidates; prefilter==brute-force "
+    "equality is pytest-pinned in tests/test_spandedup.py); the oracle "
+    "deliberately restates the UNPRUNED brute-force algebra — a "
+    "structurally different computation of the same answer (the "
+    "triangle-counting different-algebra discipline). Gate hashes "
+    "per-affected-doc span counts, removed char volume, and the md5 of "
+    "the reassembled clean text (start/end/middle span positions all "
+    "pinned by the digest). Hand-worked span fixtures + a pure-Python "
+    "twin in tests/test_spandedup.py.",
+)
+def q_duplicate_span_removal_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.mixing import _md5_fold
+    from ..operators.spandedup import duplicate_spans, strip_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    u = _md5_fold(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":span"))
+    ) / F.lit(float(1 << 60))
+    # Planted-quote corpus (answer-scale fixture construction: the 10%
+    # band is small by design; the single-partition row_number window
+    # runs over it, not the corpus).
+    sub = docs.filter(u < 0.10).withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    a = sub.alias("a")
+    b = sub.alias("b")
+    corpus = a.join(
+        b,
+        (F.col("b.rn") == F.col("a.rn") - 3) & (F.col("a.rn") % 4 == 0),
+        "left",
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.when(
+            (F.col("a.rn") % 4 == 0) & F.col("b.doc_id").isNotNull(),
+            F.concat(
+                F.col("a.text"),
+                F.lit(" "),
+                F.col("b.text").substr(F.lit(5), F.lit(150)),
+            ),
+        )
+        .otherwise(F.col("a.text"))
+        .alias("text"),
+    )
+    spans = duplicate_spans(
+        corpus, "doc_id", "text", min_span=100, prefilter=True
+    )
+    prof = spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("removed_chars"),
+    )
+    cleaned = strip_spans(corpus, spans, "doc_id", "text")
+    return (
+        prof.join(cleaned, prof["id"] == cleaned["doc_id"])
+        .select(
+            "doc_id",
+            "n_spans",
+            F.col("removed_chars").cast("long").alias("removed_chars"),
+            F.length("text").cast("long").alias("orig_len"),
+            F.length("clean_text").cast("long").alias("clean_len"),
+            F.md5("clean_text").alias("clean_md5"),
+        )
+    )

@@ -841,3 +841,19 @@ def test_jw_join_udf_sees_only_blocked_candidates(spark, sf_dir):
     assert "CartesianProduct" not in cplan
     assert "BroadcastNestedLoopJoin" not in cplan
     assert "BroadcastHashJoin" in cplan or "SortMergeJoin" in cplan
+
+
+def test_duplicate_span_removal_no_python_no_cartesian(spark, sf_dir):
+    # The whole span pipeline — winnowing prefilter, gram-position
+    # index, keeper resolution, islands merge, strip fold — is built
+    # from HOF projections, hash joins and per-document windows: no
+    # Python eval anywhere, no cartesian product (the pair machinery
+    # is the inverted-index equi-join), and the islands/strip windows
+    # are partitioned per document (never a SinglePartition over the
+    # gram index; the only global window is the answer-scale planted-
+    # quote row_number fixture).
+    plan = _plan(spark, sf_dir, "duplicate_span_removal_contract")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the gram/fingerprint explodes

@@ -1,0 +1,274 @@
+"""Duplicate-span extraction/removal (operators/spandedup.py).
+
+Hand-computed fixture discipline (VERDICT r7 item 7): the small-corpus
+span positions below are worked out BY HAND from the gram/merge
+definitions, independent of any SQL restatement; the pure-Python twin
+then pins the operator across a randomized corpus, and the
+prefilter=True path is pinned EQUAL to the brute-force path (the
+losslessness claim the scale posture rests on).
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from proyecto_final_de_big_data_spark.operators.spandedup import (
+    duplicate_spans,
+    gram_position_index,
+    strip_duplicate_spans,
+    strip_spans,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# --- pure-Python twin ---------------------------------------------------
+
+
+def _twin_spans(rows, min_span):
+    """Brute-force reference: duplicated positions by raw gram lookup
+    against smaller-id docs, then interval merge."""
+    texts = dict(rows)
+    gram_owner = {}  # gram -> smallest doc id containing it
+    for doc_id in sorted(texts):
+        t = texts[doc_id]
+        for p in range(len(t) - min_span + 1):
+            g = t[p : p + min_span]
+            gram_owner.setdefault(g, doc_id)
+    spans = {}
+    for doc_id in sorted(texts):
+        t = texts[doc_id]
+        dup = [
+            p
+            for p in range(len(t) - min_span + 1)
+            if gram_owner[t[p : p + min_span]] < doc_id
+        ]
+        merged = []
+        for p in dup:  # 0-based start, covers [p, p+min_span-1]
+            if merged and p <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], p + min_span - 1)
+            else:
+                merged.append([p, p + min_span - 1])
+        if merged:
+            spans[doc_id] = [(s + 1, e + 1) for s, e in merged]  # 1-based
+    return spans
+
+
+def _twin_strip(rows, spans):
+    out = {}
+    for doc_id, text in rows:
+        kept = []
+        nxt = 0  # 0-based
+        for s, e in spans.get(doc_id, []):
+            kept.append(text[nxt : s - 1])
+            nxt = e
+        kept.append(text[nxt:])
+        out[doc_id] = "".join(kept)
+    return out
+
+
+# --- hand fixtures ------------------------------------------------------
+
+
+def test_hand_worked_single_shared_span(spark):
+    # doc 1: "abcdefghij" (10 chars). doc 2 embeds chars "cdefgh" (6)
+    # at 1-based position 3 of its text "xy" + "cdefgh" + "zw".
+    # min_span=4: doc-2 grams duplicated against doc 1 are the 3 grams
+    # of "cdefgh" starting at positions 3,4,5 -> windows [3,6],[4,7],
+    # [5,8] merge to the single span [3,8], len 6. Doc 1 (keeper) is
+    # never marked.
+    rows = [(1, "abcdefghij"), (2, "xycdefghzw")]
+    out = duplicate_spans(
+        _docs(spark, rows), "doc_id", "text", min_span=4, prefilter=False
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id"], r["span_start"], r["span_end"], r["span_len"]) == (
+        2, 3, 8, 6,
+    )
+
+
+def test_hand_worked_strip(spark):
+    rows = [(1, "abcdefghij"), (2, "xycdefghzw")]
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_duplicate_spans(
+            df, "doc_id", "text", min_span=4, prefilter=False
+        ).collect()
+    }
+    assert out[1] == "abcdefghij"  # keeper untouched
+    assert out[2] == "xyzw"  # span [3,8] removed
+
+
+def test_hand_worked_two_disjoint_spans(spark):
+    # doc 2 quotes doc 1 twice with a gap: spans must NOT merge.
+    # doc 1 = "aaaabbbbccccdddd"; doc 2 = "AAAA" + "aaaabbbb" + "MMMM"
+    # + "ccccdddd" + "ZZZZ" (1-based: quote1 at [5,12], quote2 at
+    # [17,24]). min_span=8 -> exactly the two full quotes flag (the 8-
+    # grams bridging the gap contain 'M's and exist nowhere else).
+    rows = [(1, "aaaabbbbccccdddd"), (2, "AAAAaaaabbbbMMMMccccddddZZZZ")]
+    out = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicate_spans(
+            _docs(spark, rows), "doc_id", "text", min_span=8, prefilter=False
+        ).collect()
+    )
+    assert out == [(5, 12), (17, 24)]
+
+
+def test_keeper_is_smallest_id_not_all_occurrences(spark):
+    # Three docs share one span: the smallest id keeps it, BOTH later
+    # docs strip it — exactly one occurrence survives the corpus.
+    span = "0123456789abcdef"
+    rows = [(7, "xx" + span), (3, span + "yy"), (9, span)]
+    df = _docs(spark, rows)
+    cleaned = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_duplicate_spans(
+            df, "doc_id", "text", min_span=16, prefilter=False
+        ).collect()
+    }
+    assert cleaned[3] == span + "yy"  # keeper (min id)
+    assert cleaned[7] == "xx"
+    assert cleaned[9] == ""
+    assert sum(span in c for c in cleaned.values()) == 1
+
+
+def test_within_document_repeat_not_marked(spark):
+    rows = [(1, "abcdabcdabcd")]  # self-repetition only
+    out = duplicate_spans(
+        _docs(spark, rows), "doc_id", "text", min_span=4, prefilter=False
+    ).collect()
+    assert out == []
+
+
+def test_short_repeats_below_min_span_ignored(spark):
+    rows = [(1, "hello world"), (2, "world hello")]
+    out = duplicate_spans(
+        _docs(spark, rows), "doc_id", "text", min_span=12, prefilter=False
+    ).collect()
+    assert out == []
+
+
+def test_gram_index_positions_and_count(spark):
+    rows = [(1, "abcde")]
+    out = gram_position_index(
+        _docs(spark, rows), "doc_id", "text", 3
+    ).collect()
+    assert sorted(r["pos"] for r in out) == [1, 2, 3]
+    # identical grams hash identically
+    rows2 = [(1, "abcabc")]
+    hs = {
+        r["pos"]: r["gram_hash"]
+        for r in gram_position_index(
+            _docs(spark, rows2), "doc_id", "text", 3
+        ).collect()
+    }
+    assert hs[1] == hs[4]  # "abc" == "abc"
+    assert hs[1] != hs[2]
+
+
+def test_python_twin_randomized_corpus(spark):
+    # Random corpus with planted cross-doc quotes; operator must match
+    # the brute-force twin span-for-span and char-for-char.
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    base = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(10, 30))))
+        for i in range(12)
+    ]
+    rows = []
+    for i, t in base:
+        if i % 3 == 2:  # quote a slice of an earlier doc
+            src = dict(base)[i - 2]
+            t = t + " " + src[: rng.randint(25, min(60, len(src)))]
+        rows.append((i, t))
+    min_span = 20
+    expected = _twin_spans(rows, min_span)
+    got = {}
+    for r in duplicate_spans(
+        _docs(spark, rows), "doc_id", "text", min_span=min_span, prefilter=False
+    ).collect():
+        got.setdefault(r["id"], []).append((r["span_start"], r["span_end"]))
+    assert {k: sorted(v) for k, v in got.items()} == expected
+
+    exp_clean = _twin_strip(rows, expected)
+    got_clean = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_duplicate_spans(
+            _docs(spark, rows), "doc_id", "text",
+            min_span=min_span, prefilter=False,
+        ).collect()
+    }
+    assert got_clean == exp_clean
+
+
+def test_prefilter_losslessness_vs_brute_force(spark):
+    # The scale claim: winnowing candidate pruning computes the SAME
+    # spans as the unpruned path (natural text, min_span far above the
+    # w+k-1 guarantee threshold).
+    rng = random.Random(7)
+    vocab = ["spark", "query", "table", "join", "scan", "merge", "batch"]
+    base = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(15, 40))))
+        for i in range(16)
+    ]
+    rows = []
+    for i, t in base:
+        if i % 4 == 1:
+            src = dict(base)[(i + 5) % 16]
+            t = src[:45] + " " + t
+        rows.append((i, t))
+    df = _docs(spark, rows)
+    brute = sorted(
+        map(
+            tuple,
+            duplicate_spans(
+                df, "doc_id", "text", min_span=30, prefilter=False
+            ).collect(),
+        )
+    )
+    pruned = sorted(
+        map(
+            tuple,
+            duplicate_spans(
+                df, "doc_id", "text", min_span=30, prefilter=True
+            ).collect(),
+        )
+    )
+    assert brute == pruned
+    assert len(brute) > 0  # the fixture actually plants duplicates
+
+
+def test_strip_spans_no_span_docs_pass_through(spark):
+    df = _docs(spark, [(1, "hello"), (2, "world")])
+    spans = spark.createDataFrame(
+        [(2, 1, 3, 3)], ["id", "span_start", "span_end", "span_len"]
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_spans(df, spans, "doc_id", "text").collect()
+    }
+    assert out == {1: "hello", 2: "ld"}
+
+
+def test_strip_span_at_both_edges(spark):
+    df = _docs(spark, [(1, "abcdef")])
+    spans = spark.createDataFrame(
+        [(1, 1, 2, 2), (1, 5, 6, 2)],
+        ["id", "span_start", "span_end", "span_len"],
+    )
+    out = strip_spans(df, spans, "doc_id", "text").first()["clean_text"]
+    assert out == "cd"
+
+
+def test_param_validation(spark):
+    df = _docs(spark, [(1, "abc")])
+    with pytest.raises(ValueError, match="min_span"):
+        duplicate_spans(df, "doc_id", "text", min_span=1)
+    with pytest.raises(ValueError, match="gram_len"):
+        gram_position_index(df, "doc_id", "text", 0)
