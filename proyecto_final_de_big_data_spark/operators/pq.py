@@ -235,6 +235,93 @@ def pq_cosine_topk(
     return top.select("query_id", "neighbor_id", "rank", "cosine_sim_pq")
 
 
+def refine_exact_topk(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact-float re-rank of an ANN candidate list — the FAISS
+    ``RefineFlat`` posture: ``candidates`` is any ``(query_id,
+    neighbor_id, ...)`` frame (typically an ANN top-R with R ≫ k);
+    each candidate's TRUE cosine is recomputed from the float vectors
+    and the exact top-``k`` per query is returned as ``(query_id,
+    neighbor_id, rank, cosine_sim)``.
+
+    Scale shape: the candidate frame is answer-scale (queries × R), so
+    it BROADCASTS onto the corpus scan — the corpus's float vectors
+    are read map-only for candidate rows and never shuffled; query
+    vectors join broadcast too. Exactly two broadcast hash joins + the
+    per-query k-bounded top-k; quantization error vanishes for every
+    true neighbor the candidate stage surfaced, so end-to-end recall
+    equals the candidate stage's recall@R — the standard fix for
+    composed-index recall at bounded extra cost (R float reads per
+    query instead of 0, still never a corpus scan)."""
+    cand = candidates.select("query_id", "neighbor_id")
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("__cv"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("__qv"),
+    )
+    from .similarity import cosine
+
+    scored = (
+        cv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    top = argmax_per_group(
+        scored,
+        ["query_id"],
+        [F.desc_nulls_last("cosine_sim"), F.asc("neighbor_id")],
+        n=k,
+    )
+    return top.select("query_id", "neighbor_id", "rank", "cosine_sim")
+
+
+def ivf_pq_refine_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 32,
+    n_centroids: int = 64,
+    refine: int = 50,
+) -> DataFrame:
+    """Two-stage ANN: IVF,PQ candidate generation (ADC scores pick the
+    top-``refine`` per query) followed by :func:`refine_exact_topk` —
+    the FAISS ``IVF,PQ + RefineFlat`` composition. The PQ stage's job
+    shifts from ranking to RECALL (surface the true neighbors
+    somewhere in the top-R); the float re-rank then restores exact
+    order, lifting end-to-end recall@k to recall@R of the candidate
+    stage at the cost of R float-vector reads per query."""
+    if refine < k:
+        raise ValueError(
+            f"ivf_pq_refine_cosine_topk needs refine >= k; got {refine} < {k}"
+        )
+    cands = ivf_pq_cosine_topk(
+        corpus,
+        queries,
+        id_col,
+        vec_col,
+        k=refine,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        m=m,
+        n_centroids=n_centroids,
+    )
+    return refine_exact_topk(cands, corpus, queries, id_col, vec_col, k=k)
+
+
 def ivf_pq_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

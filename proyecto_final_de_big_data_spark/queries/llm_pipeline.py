@@ -628,8 +628,10 @@ def _pair_recall(exact: DataFrame, approx: DataFrame, keys: list[str], threshold
     approximate operator, flagged against ``threshold``. Vacuously ok when
     there are no exact pairs. Stays distributed: one left join + one agg.
     """
+    # Both sides are answer-scale top-k/pair frames (tens of rows) —
+    # broadcast the probe side so the compare never sorts/shuffles.
     hits = approx.select(*keys).withColumn("__hit", F.lit(1))
-    joined = exact.select(*keys).join(hits, keys, "left")
+    joined = exact.select(*keys).join(F.broadcast(hits), keys, "left")
     return joined.agg(
         F.count(F.lit(1)).alias("n_exact"),
         F.when(
@@ -2093,6 +2095,64 @@ def q_knn_ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, n_cells=16, n_probe=8, m=32, n_centroids=64
     )
     return _pair_recall(exact, approx, ["query_id", "neighbor_id"], threshold=0.4)
+
+
+@register(
+    "knn_ann_ivf_pq_refine_recall",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                 AS cosine_sim
+        FROM q, c
+        WHERE neighbor_id != query_id
+    ), exact AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        WHERE rank <= 5
+    )
+    SELECT count(*) AS n_exact, 1 AS recall_ok FROM exact
+    """,
+    description="Two-stage ANN with exact re-rank (operators/pq.py:"
+    "ivf_pq_refine_cosine_topk — the FAISS IVF,PQ + RefineFlat "
+    "posture, VERDICT r8 item 5): the composed IVF,PQ index surfaces "
+    "a top-50 candidate list per query (ADC lookups, recall's job), "
+    "then refine_exact_topk recomputes TRUE cosines from the float "
+    "vectors for those 50 candidates only and re-ranks — quantization "
+    "error vanishes for every surfaced neighbor, lifting recall@5 "
+    "from the unrefined 0.68-0.74 to a measured 0.92-0.94 across "
+    "sf0.001/0.01/0.1 at probe 12/16. The re-rank is two BROADCAST "
+    "joins (candidates and queries are answer-scale) over a map-only "
+    "corpus read — bounded float reads (50/query), never a corpus "
+    "scan. Flag threshold 0.85: below every measured refined recall, "
+    "above the 0.82 probe-8 cell ceiling — the gate fails if the "
+    "refine stage stops adding its lift. Candidate-superset dominance "
+    "and exact-cosine-not-ADC scores are pytest-pinned in "
+    "tests/test_pq.py.",
+)
+def q_knn_ann_ivf_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivf_pq_refine_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5, batch_cosine=True)
+    refined = ivf_pq_refine_cosine_topk(
+        emb, queries, k=5, n_cells=16, n_probe=12, m=32, n_centroids=64,
+        refine=50,
+    )
+    return _pair_recall(exact, refined, ["query_id", "neighbor_id"], threshold=0.85)
 
 
 @register(

@@ -857,3 +857,13 @@ def test_duplicate_span_removal_no_python_no_cartesian(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the gram/fingerprint explodes
+
+
+def test_refine_rerank_is_broadcast_only(spark, sf_dir):
+    # The exact re-rank stage must broadcast the answer-scale candidate
+    # and query frames onto the corpus scan — never a cartesian product
+    # and never a sort-merge shuffle of the float vectors.
+    plan = _plan(spark, sf_dir, "knn_ann_ivf_pq_refine_recall")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -115,3 +115,92 @@ def test_ivf_pq_composition_recall_and_bounds(spark, sf_dir):
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 5
+
+
+def test_refine_exact_topk_matches_brute_force_when_candidates_complete(spark):
+    # Hand-checkable identity: when the candidate list contains ALL
+    # pairs, the refine stage IS exact brute-force top-k — same pairs,
+    # same ranks, same cosines.
+    from proyecto_final_de_big_data_spark.operators.pq import refine_exact_topk
+    from proyecto_final_de_big_data_spark.operators.similarity import cosine_topk
+
+    rng = np.random.RandomState(11)
+    corpus = _corpus(spark, rng.rand(30, 8))
+    queries = corpus.filter(F.col("vec_id") < 3)
+    all_pairs = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
+        corpus.select(F.col("vec_id").alias("neighbor_id"))
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    refined = refine_exact_topk(all_pairs, corpus, queries, k=4)
+    exact = cosine_topk(corpus, queries, k=4)
+    got = sorted(map(tuple, refined.collect()))
+    want = sorted(map(tuple, exact.collect()))
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], abs=1e-12)
+
+
+def test_refine_scores_are_exact_cosines_not_adc(spark):
+    # The refined frame's scores must be TRUE cosines (float read),
+    # not the quantized ADC approximations — checked per pair against
+    # numpy on a hand-sized fixture.
+    from proyecto_final_de_big_data_spark.operators.pq import (
+        ivf_pq_refine_cosine_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = rng.rand(40, 8)
+    corpus = _corpus(spark, vecs)
+    queries = corpus.filter(F.col("vec_id") < 2)
+    out = ivf_pq_refine_cosine_topk(
+        corpus, queries, k=3, n_cells=2, n_probe=2, m=4, n_centroids=8,
+        refine=10,
+    ).collect()
+    assert len(out) == 6
+    for r in out:
+        q, c = vecs[r["query_id"]], vecs[r["neighbor_id"]]
+        true = float(np.dot(q, c) / (np.linalg.norm(q) * np.linalg.norm(c)))
+        assert r["cosine_sim"] == pytest.approx(true, abs=1e-9)
+
+
+def test_refine_recall_dominates_unrefined(spark, sf_dir):
+    # The whole point: recall@k after the float re-rank is >= the
+    # unrefined IVF,PQ recall@k (candidates are a superset of the
+    # unrefined top-k, and exact scoring never demotes a true hit
+    # below a quantization artifact).
+    from proyecto_final_de_big_data_spark.operators.pq import (
+        ivf_pq_cosine_topk,
+        ivf_pq_refine_cosine_topk,
+    )
+    from proyecto_final_de_big_data_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5, batch_cosine=True).collect()
+    }
+    plain = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_cosine_topk(
+            emb, queries, k=5, n_cells=16, n_probe=12, m=32, n_centroids=64
+        ).collect()
+    }
+    refined = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_refine_cosine_topk(
+            emb, queries, k=5, n_cells=16, n_probe=12, m=32,
+            n_centroids=64, refine=50,
+        ).collect()
+    }
+    assert len(exact & refined) >= len(exact & plain)
+    assert len(exact & refined) / len(exact) >= 0.85
+
+
+def test_refine_validates_refine_ge_k(spark):
+    from proyecto_final_de_big_data_spark.operators.pq import (
+        ivf_pq_refine_cosine_topk,
+    )
+
+    corpus = _corpus(spark, np.eye(8))
+    with pytest.raises(ValueError, match="refine >= k"):
+        ivf_pq_refine_cosine_topk(corpus, corpus, k=5, refine=3)
