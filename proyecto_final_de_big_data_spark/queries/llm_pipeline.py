@@ -2630,3 +2630,62 @@ def q_duplicate_span_removal_contract(
             F.md5("clean_text").alias("clean_md5"),
         )
     )
+
+
+@register(
+    "cosine_allpairs_contract",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 500
+    ), n AS (
+        SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM d
+    ), tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  w -> len(w) > 0)) AS term
+        FROM d
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tok GROUP BY 1, 2
+    ), dfq AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+    ), w AS (
+        SELECT doc_id, term, tf * ln(n_docs / df) AS w
+        FROM tf JOIN dfq USING (term), n
+        WHERE tf * ln(n_docs / df) > 0
+    ), nrm AS (
+        SELECT doc_id, sum(w * w) AS w2 FROM w GROUP BY 1
+    ), dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(dot / (sqrt(na.w2) * sqrt(nb.w2)), 6) AS cosine
+    FROM dots
+    JOIN nrm na ON na.doc_id = id_a
+    JOIN nrm nb ON nb.doc_id = id_b
+    WHERE round(dot / (sqrt(na.w2) * sqrt(nb.w2)), 6) >= 0.9
+    """,
+    description="All-pairs weighted-cosine similarity join "
+    "(operators/apss.py:cosine_similarity_pairs — Bayardo et al. WWW'07 "
+    "APSS): EXACT tf-idf cosine pairs >= 0.9 on the bounded doc_id<500 "
+    "subset (the simhash-gate sizing precedent: the synthetic corpus's "
+    "~30-word shared vocabulary is APSS's dense worst case — on Zipf "
+    "natural text the L2 prefix filter prunes by weight mass AND "
+    "df-ascending order, the setsim discipline). Candidates come from "
+    "the lossless L2 prefix filter (a pair escaping both prefixes is "
+    "provably below threshold: the globally-first shared term bounds "
+    "cos by the suffix norms), verification joins term lists for "
+    "candidate pairs only. The oracle restates the UNPRUNED brute-force "
+    "index join — a structurally different computation of the same "
+    "pairs; both sides round to 6 decimals before the threshold "
+    "compare so membership is ULP-stable. Prefix-filter losslessness "
+    "is additionally pytest-pinned against a pure-Python twin at a low "
+    "threshold (tests/test_apss.py).",
+)
+def q_cosine_allpairs_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.apss import cosine_similarity_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return cosine_similarity_pairs(docs, "doc_id", "text", threshold=0.9)

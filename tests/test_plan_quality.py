@@ -867,3 +867,13 @@ def test_refine_rerank_is_broadcast_only(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_apss_candidates_from_prefix_join_no_cartesian(spark, sf_dir):
+    # Candidate generation must be the prefix-term equi-join (hash
+    # join on the term), never a cartesian product over documents, and
+    # nothing in the pipeline drops to Python.
+    plan = _plan(spark, sf_dir, "cosine_allpairs_contract")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
