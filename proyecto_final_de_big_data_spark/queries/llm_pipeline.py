@@ -2689,3 +2689,83 @@ def q_cosine_allpairs_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return cosine_similarity_pairs(docs, "doc_id", "text", threshold=0.9)
+
+
+@register(
+    "dsir_selection_contract",
+    oracle=r"""
+    WITH ws AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           w -> len(w) > 0) AS ws
+        FROM documents
+    ), allg AS (
+        SELECT CASE WHEN lang = 'en' THEN 'T' ELSE 'R' END AS side,
+               doc_id,
+               unnest(CASE WHEN len(ws) >= 2
+                   THEN list_transform(generate_series(1, len(ws) - 1),
+                        i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+                   ELSE [] END) AS g
+        FROM ws
+    ), bkt AS (
+        SELECT side, doc_id,
+               ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS bucket
+        FROM allg
+    ), rawdoc AS (
+        SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS cnt
+        FROM bkt WHERE side = 'R' GROUP BY 1, 2
+    ), tcnt AS (
+        SELECT bucket, CAST(count(*) AS DOUBLE) AS cnt
+        FROM bkt WHERE side = 'T' GROUP BY 1
+    ), qcnt AS (
+        SELECT bucket, sum(cnt) AS cnt FROM rawdoc GROUP BY 1
+    ), tt AS (
+        SELECT coalesce(sum(cnt), 0) + 1024.0 AS dn FROM tcnt
+    ), qt AS (
+        SELECT coalesce(sum(cnt), 0) + 1024.0 AS dn FROM qcnt
+    ), scored AS (
+        SELECT r.doc_id,
+               CAST(sum(r.cnt) AS BIGINT) AS n_ngrams,
+               round(sum(r.cnt * (ln((coalesce(t.cnt, 0) + 1) / tt.dn)
+                                  - ln((q.cnt + 1) / qt.dn))), 6) AS score
+        FROM rawdoc r
+        LEFT JOIN tcnt t USING (bucket)
+        JOIN qcnt q USING (bucket), tt, qt
+        GROUP BY 1
+    )
+    SELECT s.doc_id, d.lang, s.n_ngrams, s.score,
+           row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rank
+    FROM scored s JOIN documents d USING (doc_id)
+    QUALIFY rank <= 20
+    """,
+    description="DSIR-style importance selection (operators/dsir.py, "
+    "Xie et al. NeurIPS'23): every non-English document scored by the "
+    "bag-of-hashed-bigrams log-likelihood ratio of the English (target) "
+    "distribution vs the raw distribution — Laplace-smoothed over 1024 "
+    "md5-fold buckets — and the top-20 most target-like selected "
+    "deterministically (score desc, id tiebreak). Feature hashing is a "
+    "map-only HOF projection; both distributions are one bucket-"
+    "cardinality agg (KB-scale, broadcast back); scores are one "
+    "per-doc reduce; top-k compiles to TakeOrderedAndProject. Scores "
+    "round to 6 decimals BEFORE ranking so selection is ULP-stable "
+    "across engines. The oracle restates the full pipeline bigram-for-"
+    "bigram; the hand-worked Laplace fixture and a bucket-collision-"
+    "checked hashlib twin live in tests/test_dsir.py.",
+)
+def q_dsir_selection_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_select_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.col("lang") != "en")
+    top = dsir_select_topk(raw, target, "doc_id", "text", k=20, n=2, buckets=1024)
+    return (
+        top.join(docs.select(F.col("doc_id"), "lang"), top["id"] == F.col("doc_id"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            "score",
+            "rank",
+        )
+    )

@@ -877,3 +877,15 @@ def test_apss_candidates_from_prefix_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_dsir_distributions_broadcast_back_no_python(spark, sf_dir):
+    # Feature hashing is a HOF projection (no Python), the log-ratio
+    # table (<= 1024 rows) broadcasts onto the per-doc feature frame,
+    # and the final selection is a TakeOrderedAndProject-style top-k —
+    # never a cartesian product.
+    plan = _plan(spark, sf_dir, "dsir_selection_contract")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
