@@ -953,3 +953,97 @@ def q_conformal_interval_contract(
         (F.col("l_orderkey") % 5 == 0).alias("cal"),
     )
     return split_conformal_profile(base, "pred", "y", F.col("cal"), alpha=0.1)
+
+
+@register(
+    "learning_curve_contract",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey % 5 AS slc,
+               l_quantity AS x1, l_discount AS x2, l_extendedprice AS y
+        FROM lineitem
+    ),
+    per_slice AS (
+        SELECT slc, CAST(count(*) AS DOUBLE) AS n,
+               sum(x1) AS sx1, sum(x2) AS sx2,
+               sum(x1*x1) AS sx11, sum(x1*x2) AS sx12, sum(x2*x2) AS sx22,
+               sum(y) AS sy, sum(x1*y) AS sx1y, sum(x2*y) AS sx2y
+        FROM base GROUP BY 1
+    ),
+    train AS (
+        SELECT slc,
+               sum(n)    OVER w AS n,    sum(sx1)  OVER w AS sx1,
+               sum(sx2)  OVER w AS sx2,  sum(sx11) OVER w AS sx11,
+               sum(sx12) OVER w AS sx12, sum(sx22) OVER w AS sx22,
+               sum(sy)   OVER w AS sy,   sum(sx1y) OVER w AS sx1y,
+               sum(sx2y) OVER w AS sx2y
+        FROM per_slice WHERE slc < 4
+        WINDOW w AS (ORDER BY slc ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    solved AS (
+        SELECT round((slc + 1) / 4.0, 6) AS fraction,
+               CAST(n AS BIGINT) AS n_train,
+               CASE WHEN det != 0 THEN det_a / det END AS intercept,
+               CASE WHEN det != 0 THEN det_b1 / det END AS b1,
+               CASE WHEN det != 0 THEN det_b2 / det END AS b2
+        FROM (
+            SELECT slc, n,
+                   (n*(sx11*sx22 - sx12*sx12) - sx1*(sx1*sx22 - sx12*sx2)
+                      + sx2*(sx1*sx12 - sx11*sx2)) AS det,
+                   (sy*(sx11*sx22 - sx12*sx12) - sx1*(sx1y*sx22 - sx12*sx2y)
+                      + sx2*(sx1y*sx12 - sx11*sx2y)) AS det_a,
+                   (n*(sx1y*sx22 - sx2y*sx12) - sy*(sx1*sx22 - sx12*sx2)
+                      + sx2*(sx1*sx2y - sx1y*sx2)) AS det_b1,
+                   (n*(sx11*sx2y - sx12*sx1y) - sx1*(sx1*sx2y - sx1y*sx2)
+                      + sy*(sx1*sx12 - sx11*sx2)) AS det_b2
+            FROM train
+        )
+    ),
+    scored AS (
+        SELECT s.fraction, s.n_train, s.intercept, s.b1, s.b2,
+               b.y - (s.intercept + s.b1*b.x1 + s.b2*b.x2) AS resid
+        FROM base b CROSS JOIN solved s
+        WHERE b.slc = 4
+    )
+    SELECT fraction,
+           any_value(n_train) AS n_train,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(any_value(intercept), 2) AS intercept,
+           round(any_value(b1), 2) AS b1,
+           round(any_value(b2), 2) AS b2,
+           round(sqrt(avg(resid*resid)), 2) AS rmse,
+           round(avg(abs(resid)), 2) AS mae
+    FROM scored GROUP BY 1
+    """,
+    description="Learning curve from one statistics pass (operators/"
+    "crossval.py:learning_curve_linear; generalizes reference "
+    "scripts/04_train_sparkml.py:114-151's single train/eval fit to a "
+    "sample-efficiency readout): deterministic modulo slices on "
+    "l_orderkey (slices 0-3 = nested 25/50/75/100% training sets, "
+    "slice 4 = the FIXED held-out test set every point scores on). "
+    "The kfold sufficient-statistics trick runs in the other "
+    "direction — nested training stats are a CUMULATIVE window over "
+    "the answer-scale per-slice frame (sums are additive), all four "
+    "models solve closed-form (Cramer 3x3, term-for-term the "
+    "ml_cv/ml_train_linear arithmetic), one scoring pass broadcasts "
+    "the 4 model rows onto the test slice. Two shuffles total "
+    "regardless of curve resolution; slice-domain drift hard-fails "
+    "in-plan through the consumed n column (Catalyst prunes dangling "
+    "check columns — pytest-pinned). Metrics at 2 decimals (the "
+    "determinant-cancellation rounding precedent); numpy-lstsq "
+    "refit twin + exact-recovery hand fixture in tests/test_crossval.py.",
+)
+def q_learning_curve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.crossval import learning_curve_linear
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return learning_curve_linear(
+        li,
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+        F.pmod(F.col("l_orderkey"), F.lit(5)),
+        n_slices=4,
+        decimals=2,
+    )

@@ -126,3 +126,101 @@ def test_fold_expression_reconciled_with_k(spark):
     assert kfold_linear_cv(
         df, "x1", "x2", "y", F.pmod("id", F.lit(4)), k=4
     ).count() == 4
+
+
+# ---- learning curve (operators/crossval.py:learning_curve_linear) ----
+
+
+def test_learning_curve_perfect_fit_hand_checked(spark):
+    # Hand fixture: y = 2 + 3*x1 + 0.5*x2 EXACTLY on every row; every
+    # nested training subset solves the same (unique) system, so all
+    # curve points recover (2, 3, 0.5) with rmse = mae = 0.
+    from proyecto_final_de_big_data_spark.operators.crossval import (
+        learning_curve_linear,
+    )
+
+    # x2 uses a modulus COPRIME to the slice modulus 5 (gcd(10,9)=1) so
+    # no slice sees a constant column (which would be singular).
+    rows = [
+        (
+            i,
+            float(i % 7),
+            float((i * 2 + 1) % 9),
+            2.0 + 3.0 * (i % 7) + 0.5 * ((i * 2 + 1) % 9),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["k", "x1", "x2", "y"])
+    out = learning_curve_linear(
+        df, "x1", "x2", "y", F.pmod(F.col("k"), F.lit(5)), n_slices=4
+    ).collect()
+    assert len(out) == 4
+    fr = sorted(r["fraction"] for r in out)
+    assert fr == [0.25, 0.5, 0.75, 1.0]
+    for r in out:
+        assert r["intercept"] == pytest.approx(2.0, abs=1e-6)
+        assert r["b1"] == pytest.approx(3.0, abs=1e-6)
+        assert r["b2"] == pytest.approx(0.5, abs=1e-6)
+        assert r["rmse"] == 0.0 and r["mae"] == 0.0
+    # nested design: n_train strictly increases with the fraction
+    ns = [r["n_train"] for r in sorted(out, key=lambda r: r["fraction"])]
+    assert ns == sorted(ns) and len(set(ns)) == 4
+    # every point scores the SAME fixed test set
+    assert len({r["n_test"] for r in out}) == 1
+
+
+def test_learning_curve_matches_manual_refit(spark):
+    # Noisy label: each curve point must equal an independently-fit
+    # closed-form OLS on exactly slices 0..j (numpy lstsq twin).
+    import numpy as np
+    from proyecto_final_de_big_data_spark.operators.crossval import (
+        learning_curve_linear,
+    )
+
+    rng = np.random.RandomState(9)
+    ks = np.arange(300)
+    x1 = rng.rand(300) * 10
+    x2 = rng.rand(300) * 4
+    yv = 1.5 + 0.8 * x1 - 2.0 * x2 + rng.randn(300) * 0.3
+    df = spark.createDataFrame(
+        [(int(k), float(a), float(b), float(c)) for k, a, b, c in zip(ks, x1, x2, yv)],
+        ["k", "x1", "x2", "y"],
+    )
+    out = {
+        r["fraction"]: r
+        for r in learning_curve_linear(
+            df, "x1", "x2", "y", F.pmod(F.col("k"), F.lit(4)), n_slices=3,
+            decimals=6,
+        ).collect()
+    }
+    test_mask = ks % 4 == 3
+    for j in range(3):
+        train_mask = (ks % 4) <= j
+        train_mask &= ~test_mask
+        A = np.c_[np.ones(train_mask.sum()), x1[train_mask], x2[train_mask]]
+        coef, *_ = np.linalg.lstsq(A, yv[train_mask], rcond=None)
+        frac = round((j + 1) / 3, 6)
+        r = out[frac]
+        assert r["intercept"] == pytest.approx(coef[0], abs=1e-4)
+        assert r["b1"] == pytest.approx(coef[1], abs=1e-4)
+        assert r["b2"] == pytest.approx(coef[2], abs=1e-4)
+        pred = coef[0] + coef[1] * x1[test_mask] + coef[2] * x2[test_mask]
+        resid = yv[test_mask] - pred
+        assert r["rmse"] == pytest.approx(float(np.sqrt((resid ** 2).mean())), abs=1e-4)
+        assert r["mae"] == pytest.approx(float(np.abs(resid).mean()), abs=1e-4)
+
+
+def test_learning_curve_bad_slice_domain_raises(spark):
+    from proyecto_final_de_big_data_spark.operators.crossval import (
+        learning_curve_linear,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1.0, 2.0, 3.0) for i in range(50)], ["k", "x1", "x2", "y"]
+    )
+    with pytest.raises(Exception, match="slice expression"):
+        learning_curve_linear(
+            df, "x1", "x2", "y", F.pmod(F.col("k"), F.lit(3)), n_slices=4
+        ).collect()
+    with pytest.raises(ValueError, match="n_slices"):
+        learning_curve_linear(df, "x1", "x2", "y", F.col("k"), n_slices=0)

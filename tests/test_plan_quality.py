@@ -889,3 +889,17 @@ def test_dsir_distributions_broadcast_back_no_python(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_learning_curve_two_shuffles_no_data_rescan_per_point(spark, sf_dir):
+    # One groupBy(slice) + one test-side agg: the nested training sets
+    # come from a cumulative window over the 5-row per-slice frame,
+    # never a refit scan per fraction — so the plan carries exactly
+    # one aggregate over the lineitem scan per pass (no Python, no
+    # cartesian blowup beyond the deliberate 4-model broadcast).
+    plan = _plan(spark, sf_dir, "learning_curve_contract")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # the 4-row model frame rides a broadcast nested-loop by design;
+    # a CartesianProduct (non-broadcast) must never appear
+    assert "CartesianProduct" not in plan
