@@ -157,6 +157,18 @@ from . import quality  # noqa: E402,F401
 # (PAV's pool-merge loop is not SQL-restatable without re-implementing
 # the algorithm in a recursive CTE — an oracle that shares the bug).
 # ----------------------------------------------------------------------
+# ROUND-9 ROTATION (VERDICT r8 item 1, executed per the pre-planned
+# pool above): five r9-new gates take same-round slots; every swap is
+# a FAMILY UPGRADE — the incoming gate exercises the outgoing entry's
+# machinery plus a new surface, or the family keeps a same-machinery
+# sibling in-window. Code changed this round stays gated:
+# bloomjoin.py (type-coercion fix) via bloom_pruned_join_contract,
+# hyptest.py (distinct-grid guard) via rank_test_contract +
+# anova_oneway_contract, the _pair_recall broadcast via
+# knn_ann_pq_recall + both new recall gates, crossval.py's new
+# function via learning_curve_contract. The five swaps are written at
+# their window positions below.
+# ----------------------------------------------------------------------
 _VERIFICATION_WINDOW = [
     # ------------------------------------------------------------------
     # ROUND-6 ROTATION (VERDICT r5 item 3): the entire 14-query queue of
@@ -175,7 +187,16 @@ _VERIFICATION_WINDOW = [
     # pairs (operators/setsim.py:containment_pairs), new this round
     # (same-round-slot rule); the quotation/subset case the Jaccard
     # gates structurally miss.
-    "containment_pairs_contract",
+    # r9: containment_pairs_contract (r8 first-round hash-green;
+    # setsim.py's containment path unchanged this round — the module
+    # diff is docstring-only) hands its slot to
+    # cosine_allpairs_contract — the APSS weighted-cosine join
+    # (operators/apss.py, Bayardo et al. WWW'07), new this round
+    # (same-round-slot rule). The set-similarity family keeps
+    # setsim_prefix_join_contract in-window (the SAME global-order
+    # prefix-filter machinery, exact Jaccard flavor); containment
+    # stays full-catalog attested + pytest DuckDB-parity gated.
+    "cosine_allpairs_contract",
     # r8: scd2_user_state_history (r6+r7 green, operators/scd.py
     # untouched this round; named swap currency in the VERDICT r7
     # rotation pool — the ordered per-key window state machinery stays
@@ -201,7 +222,18 @@ _VERIFICATION_WINDOW = [
     # proportion z-test.
     "cuped_ab_contract",
     "data_quality_contract",
-    "token_budget_selection_profile",
+    # r9: token_budget_selection_profile (r6+r7+r8 green, the named
+    # longest-green swap currency in the r8 pool; selection.py/
+    # mixing.py unchanged this round) hands its slot to
+    # dsir_selection_contract — DSIR importance selection over hashed
+    # n-gram log-likelihood ratios (operators/dsir.py, Xie et al.
+    # NeurIPS'23), new this round (same-round-slot rule). The
+    # data-selection family keeps an in-window rep (importance-based
+    # next to the budget-based selection that rotates to full-catalog
+    # attestation + pytest parity), and the quality/mixing selection
+    # surfaces stay repped by k_anonymity_contract's suppression and
+    # negative_sampling_contract's md5-draw machinery.
+    "dsir_selection_contract",
     # session_stats_by_dow (r6 green, sessionize.py unchanged; the
     # sessionize family stays in-window via session_path_profile's
     # identical gap-split machinery) hands its slot to
@@ -291,7 +323,18 @@ _VERIFICATION_WINDOW = [
     # winnowing local-fingerprint primitive they both lack — guaranteed
     # shared-substring detection); the blocked ER join stays
     # full-catalog attested + pair-identity pytest-pinned.
-    "winnowing_fingerprint_contract",
+    # r9: winnowing_fingerprint_contract (r8 first-round hash-green;
+    # winnow.py unchanged this round) hands its slot to
+    # duplicate_span_removal_contract — exact duplicate-SPAN
+    # extraction + removal (operators/spandedup.py, the Lee et al.
+    # 2022 ExactSubstr posture; closes VERDICT r8 "What's missing" #2),
+    # new this round (same-round-slot rule). Upgrade-swap: the new
+    # gate's Spark path RUNS the winnowing fingerprints + pair join as
+    # its candidate prefilter and hash-matches an UNPRUNED brute-force
+    # oracle — a prefilter recall loss would hash-fail, so winnow.py
+    # keeps end-to-end in-window evidence (plus the fingerprint gate
+    # stays full-catalog attested + hashlib-twin pytest-pinned).
+    "duplicate_span_removal_contract",
     # cluster_safe_split_profile (r5 green, unchanged) hands the
     # sampling/split slot to weighted_sample_profile — integer-exact
     # weight-proportional systematic sampling, new this round; the
@@ -569,7 +612,19 @@ _VERIFICATION_WINDOW = [
     # hands its slot to ml_cv_contract — k-fold cross-validated OLS in
     # two passes via sufficient-statistics subtraction
     # (operators/crossval.py), new this round (same-round-slot rule).
-    "ml_cv_contract",
+    # r9: ml_cv_contract (r7+r8 green; kfold_linear_cv itself is
+    # untouched this round — the crossval.py diff is the NEW
+    # learning-curve function) hands its slot to
+    # learning_curve_contract — nested-training-fraction sample-
+    # efficiency readout (operators/crossval.py:learning_curve_linear),
+    # new this round (same-round-slot rule) and gating exactly the
+    # r9-changed code. Twin-pair swap (the anova/rank-test precedent):
+    # the new gate restates the identical sufficient-statistics +
+    # Cramer 3x3 algebra over the same lineitem features — cumulative
+    # instead of subtractive — so the closed-form OLS family keeps
+    # exact in-window evidence while the kfold path (r7+r8 green on
+    # unchanged code) rotates to full-catalog attestation.
+    "learning_curve_contract",
     # ML loop. Round-6 upgrade (VERDICT r5 item 4): the two rows-only
     # window entries are REPLACED by exact-hash gates —
     # ml_train_linear_contract (closed-form LR via build_pipeline/
@@ -626,7 +681,18 @@ _VERIFICATION_WINDOW = [
     # the per-subspace Lloyd codebook fit inside both PQ gates; MLlib
     # KMeans itself stays pytest-gated (blob recovery) + full-catalog
     # attested.
-    "knn_ann_ivf_pq_recall",
+    # r9: knn_ann_ivf_pq_recall (r8 first-round green) hands its slot
+    # to knn_ann_ivf_pq_refine_recall — the two-stage IVF,PQ + exact
+    # float re-rank (operators/pq.py:ivf_pq_refine_cosine_topk, the
+    # FAISS RefineFlat posture; closes VERDICT r8 item 5 with measured
+    # recall 0.92-0.94 vs the unrefined 0.68-0.74), new this round
+    # (same-round-slot rule). Strict upgrade-swap: the new gate runs
+    # ivf_pq_cosine_topk itself as its candidate stage (k=refine) plus
+    # the new broadcast re-rank, so every code path the outgoing gate
+    # exercised stays in-window; the unrefined gate stays full-catalog
+    # attested. knn_ann_pq_recall keeps the plain ADC scan in-window
+    # and gates the r9 _pair_recall broadcast change.
+    "knn_ann_ivf_pq_refine_recall",
     # contracts / IO
     # export_round_trip_orc (r5 green, export code unchanged) hands
     # the IO-contract slot to schema_evolution_contract — mergeSchema

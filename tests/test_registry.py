@@ -48,7 +48,11 @@ def test_window_covers_every_family():
                                      # rotated out r8 after multi-round
                                      # green; rfm/basket profiles also
                                      # rep)
-        "containment_pairs_contract",  # asymmetric containment (NEW r8)
+        "cosine_allpairs_contract",  # weighted-cosine APSS join (NEW
+                                     # r9; the containment twin rotated
+                                     # out after r8 green — the prefix-
+                                     # filter family keeps the exact-
+                                     # Jaccard gate below in-window)
         "zorder_cells_contract",     # layout maintenance (z-order)
         "session_path_profile",      # sessionization (the stats-by-dow
                                      # twin rotated out r7 after r6
@@ -75,10 +79,11 @@ def test_window_covers_every_family():
                                      # the same broadcast machinery)
         "cuped_ab_contract",         # CUPED variance-reduced A/B
                                      # readout (NEW r8)
-        "token_budget_selection_profile",  # sort-free budget selection
-                                     # (also the mixing family rep: the
-                                     # source-cap twin rotated out r7
-                                     # after r5/r6 green)
+        "dsir_selection_contract",   # data selection (NEW r9: DSIR
+                                     # importance scores; the token-
+                                     # budget twin rotated out after
+                                     # r6+r7+r8 green on unchanged
+                                     # selection/mixing code)
         "heavy_hitter_keys",         # two-phase heavy hitters
         "theta_cohort_overlap_contract",   # mergeable sketches (the
                                      # HLL/KLL twins rotated out r7
@@ -113,11 +118,12 @@ def test_window_covers_every_family():
                                      # out r7 after r5/r6 green; caps
                                      # stay repped by the token-budget
                                      # selection gate)
-        "knn_ann_ivf_pq_recall",     # quantized ANN (the composed SQ8
-                                     # gate rotated out late-r8 after
-                                     # r7 green on unchanged
-                                     # quantize.py/similarity_ivf.py;
-                                     # the IVF,PQ gate keeps the cell
+        "knn_ann_ivf_pq_refine_recall",  # quantized ANN (NEW r9: the
+                                     # exact-re-rank upgrade RUNS the
+                                     # rotated IVF,PQ gate as its
+                                     # candidate stage; the SQ8 gate
+                                     # rotated out late-r8; the IVF,PQ
+                                     # gate keeps the cell
                                      # probe + coded scoring in-window)
         "windowed_funnel_contract",  # strict funnel + conversion window
         "windowed_funnel_contract",  # funnel/retention family (the
@@ -157,19 +163,20 @@ def test_window_covers_every_family():
                                      # out r7 after r5/r6 green —
                                      # cluster-then-prune stays repped
                                      # by kmeans + the SQ/IVF recalls)
-        "winnowing_fingerprint_contract",  # MOSS winnowing local
-                                     # fingerprints (NEW r8; the
-                                     # blocked ER join rotated out
-                                     # r8 after r7 green on
-                                     # unchanged fuzzyjoin.py)
+        "duplicate_span_removal_contract",  # exact duplicate-span
+                                     # strip (NEW r9; RUNS the rotated
+                                     # winnowing fingerprints + pair
+                                     # join as its prefilter against
+                                     # an unpruned oracle; the blocked
+                                     # ER join rotated out r8)
         "incremental_agg_contract",  # incremental mart maintenance
                                      # (stream_cdc rotated out r7 after
                                      # r5/r6 green; real-stream mode
                                      # stays via tws_histogram_parity)
-        "knn_ann_ivf_pq_recall",     # similarity search (IVF,PQ composed;
-                                     # the SQ8 twin rotated out late-r8;
-                                     # float-IVF twin rotated out r7 after
-                                     # r4/r5/r6 green)
+        "knn_ann_ivf_pq_refine_recall",  # similarity search (IVF,PQ +
+                                     # refine, NEW r9; unrefined twin
+                                     # rotated out after r8 green;
+                                     # float-IVF twin rotated out r7)
         "tws_histogram_parity",      # streaming stateful windows (the
                                      # session-parity twin rotated out
                                      # r7 after r2/r4/r5/r6-family green
@@ -185,10 +192,11 @@ def test_window_covers_every_family():
                                      # dedup/cdc/pii twins rotated out
                                      # r7 after r5/r6 green)
         "tws_histogram_parity",      # transformWithState (+ fallback)
-        "ml_cv_contract",            # ML train loop (the closed-form
-                                     # LR hash twin rotated out r7
-                                     # after r6 green; same 3x3 solve
-                                     # algebra x4 folds)
+        "learning_curve_contract",   # ML train loop (NEW r9: nested-
+                                     # fraction curve, same Cramer 3x3
+                                     # sufficient-stats algebra; the
+                                     # kfold twin rotated out after
+                                     # r7+r8 green on unchanged code)
         "ml_tree_ensemble_contract", # GBT/RF structural gate (M4/M5)
         "triangle_count_contract",   # graph analytics (pagerank rotated
                                      # out late-r8 after r7 green on
@@ -231,8 +239,9 @@ def test_window_covers_every_family():
                                      # keep cdc_merge + pydatasource +
                                      # media_binary in-window)
         "cdc_merge_contract",        # partition-pruned CDC merge
-        "ml_cv_contract",            # k-fold CV in two passes (took the
-                                     # rotated session-parity slot)
+        "learning_curve_contract",   # closed-form OLS family rep (the
+                                     # kfold twin rotated out r9 after
+                                     # r7+r8 green)
         "attribution_contract",      # multi-touch conversion credit
         "media_binary_ingest",       # raw-file multimodal ingestion
         "ewma_anomaly_contract",     # series monitoring (the PSI drift
@@ -242,12 +251,13 @@ def test_window_covers_every_family():
         "rank_test_contract",        # rank tests KW + MWU (NEW late-r8)
         "anova_oneway_contract",     # one-way ANOVA (NEW late-r8)
         "bloom_pruned_join_contract",  # Bloom join pruning (NEW late-r8)
-        "knn_ann_ivf_pq_recall",     # composed IVF,PQ ANN (NEW r8; the
-                                     # kmeans gate rotated out after
-                                     # r5+r6+r7 green — centroid
-                                     # assign/Lloyd machinery stays via
-                                     # the IVF quantizer + PQ codebook
-                                     # fits in the in-window ANN gates)
+        "knn_ann_ivf_pq_refine_recall",  # composed IVF,PQ + refine ANN
+                                     # (NEW r9; the unrefined r8 gate
+                                     # rotated out — its candidate
+                                     # stage runs verbatim inside this
+                                     # gate; centroid/Lloyd machinery
+                                     # stays via the IVF quantizer +
+                                     # PQ codebooks in-window)
         "hybrid_search_rrf",         # text scoring + fusion (contains
                                      # the full BM25 leg; the
                                      # standalone bm25 gate rotated out

@@ -91,6 +91,11 @@ HEADLINERS = {
     "anova_oneway_contract": "one-way ANOVA — per-group sufficient stats partial/final, group-cardinality reduce, no window no join",
     "rank_test_contract": "rank tests — contingency agg, cumulative window ONLY over the 50-value distinct grid, broadcast join back",
     "jw_name_match_profile": "Jaro-Winkler ER join — blocked equi-join candidates; the deterministic pandas-UDF scorer + threshold pushed below the pair-distinct",
+    "duplicate_span_removal_contract": "duplicate-span strip — winnowing prefilter bounds the gram index; keeper resolution at gram cardinality; islands/strip windows partitioned per document",
+    "knn_ann_ivf_pq_refine_recall": "IVF,PQ + refine — ADC candidates, then TWO broadcast joins re-rank with true cosines; float reads bounded at refine/query",
+    "cosine_allpairs_contract": "APSS weighted cosine — L2 prefix filter cuts the inverted index by weight mass; verification joins term lists for candidates only",
+    "dsir_selection_contract": "DSIR selection — HOF bigram hashing, two bucket-cardinality distribution aggs, broadcast log-ratio join, TakeOrderedAndProject top-k",
+    "learning_curve_contract": "learning curve — one groupBy(slice) stats pass, cumulative window over the 5-row slice frame, 4-model broadcast scoring join",
 }
 
 

@@ -37,6 +37,9 @@ PROBES = [
     "winnowing_fingerprint_contract",  # map-only HOF fingerprint projection
     "bloom_pruned_join_contract",      # bitmap build + map-only k-probe prune
     "rank_test_contract",              # distinct-value-grid rank statistics
+    "duplicate_span_removal_contract", # gram index bounded by winnow prefilter
+    "dsir_selection_contract",         # bucket-cardinality distribution aggs
+    "cosine_allpairs_contract",        # L2 prefix-filtered inverted index
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
