@@ -399,3 +399,146 @@ def experiment_power(
         "var_reduction_pct double, mde_abs_cuped double, "
         "n_per_arm_target_cuped long",
     )
+
+
+def difference_in_differences(
+    units: DataFrame,
+    group_col: str,
+    period_col: str,
+    metric_col: str,
+    control: str,
+    treatment: str,
+    pre: str,
+    post: str,
+    z_crit: float = 1.959963984540054,  # 95% two-sided normal quantile
+) -> DataFrame:
+    """One-row difference-in-differences readout over a repeated
+    cross-section (Card & Krueger 1994's two-group/two-period design —
+    public literature): the treatment arm's pre→post change minus the
+    control arm's, which nets out any shared time shock under the
+    parallel-trends assumption.
+
+    ``(n_control_pre, n_control_post, n_treatment_pre,
+    n_treatment_post, mean_control_pre, mean_control_post,
+    mean_treatment_pre, mean_treatment_post, diff_control,
+    diff_treatment, did, se, z_stat, ci_low, ci_high, significant)``
+
+    - ``did = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)``;
+    - ``se`` is the four-cell Welch form for independent samples
+      (repeated cross-section, NOT a panel):
+      ``sqrt(Σ_cell s²_cell / n_cell)`` with sample variances;
+    - ``z_stat = did / se`` (0 when se is 0), CI at ``z_crit``,
+      ``significant`` flags |z| > z_crit.
+
+    One conditional-aggregation pass reduces the unit frame to the
+    four cells' sufficient sums (n, Σy, Σy²); everything else is
+    closed-form on the single answer row — the :func:`cuped_mean_ztest`
+    scale shape. NULL/NaN metrics are excluded up front. Raises if the
+    four (group, period) labels don't identify four cells with >=2
+    usable units each (sample variance undefined otherwise — a caller
+    bug, not a zero), or if the label pairs collide
+    (control == treatment / pre == post).
+
+    Extension surface — the reference has no experimentation stage;
+    extension per SURVEY §8, the quasi-experimental sibling of the
+    CUPED/power readouts above.
+    """
+    if control == treatment:
+        raise ValueError("difference_in_differences: control == treatment")
+    if pre == post:
+        raise ValueError("difference_in_differences: pre == post")
+    g, p = F.col(group_col), F.col(period_col)
+    y = F.col(metric_col).cast("double")
+    clean = units.filter(y.isNotNull() & ~F.isnan(y))
+
+    cells = (
+        ("cp", control, pre),
+        ("co", control, post),
+        ("tp", treatment, pre),
+        ("to", treatment, post),
+    )
+    aggs = []
+    for tag, gv, pv in cells:
+        cell = (g == gv) & (p == pv)
+        aggs.append(
+            F.coalesce(F.sum(F.when(cell, 1).otherwise(0)), F.lit(0)).alias(
+                f"n_{tag}"
+            )
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(cell, y).otherwise(F.lit(0.0))), F.lit(0.0)
+            ).alias(f"sy_{tag}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(cell, y * y).otherwise(F.lit(0.0))), F.lit(0.0)
+            ).alias(f"syy_{tag}")
+        )
+    agg = clean.agg(*aggs)
+
+    def _cell(tag: str):
+        # NULL-when-degenerate (the cuped_mean_ztest posture): a 0/1-unit
+        # cell would raise DIVIDE_BY_ZERO inside the plan under ANSI mode
+        # before the friendly validation below ran; NULL propagates.
+        n = F.when(F.col(f"n_{tag}") >= 2, F.col(f"n_{tag}").cast("double"))
+        mean = F.col(f"sy_{tag}") / n
+        var = F.greatest(
+            F.lit(0.0),
+            (F.col(f"syy_{tag}") - F.col(f"sy_{tag}") * F.col(f"sy_{tag}") / n)
+            / (n - 1.0),
+        )
+        return n, mean, var
+
+    n_cp, m_cp, v_cp = _cell("cp")
+    n_co, m_co, v_co = _cell("co")
+    n_tp, m_tp, v_tp = _cell("tp")
+    n_to, m_to, v_to = _cell("to")
+    diff_c = m_co - m_cp
+    diff_t = m_to - m_tp
+    did = diff_t - diff_c
+    se = F.sqrt(v_to / n_to + v_tp / n_tp + v_co / n_co + v_cp / n_cp)
+    z = F.when(se > 0, did / se).otherwise(F.lit(0.0))
+    out = agg.select(
+        F.col("n_cp").alias("n_control_pre"),
+        F.col("n_co").alias("n_control_post"),
+        F.col("n_tp").alias("n_treatment_pre"),
+        F.col("n_to").alias("n_treatment_post"),
+        F.round(m_cp, 6).alias("mean_control_pre"),
+        F.round(m_co, 6).alias("mean_control_post"),
+        F.round(m_tp, 6).alias("mean_treatment_pre"),
+        F.round(m_to, 6).alias("mean_treatment_post"),
+        F.round(diff_c, 6).alias("diff_control"),
+        F.round(diff_t, 6).alias("diff_treatment"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(did - F.lit(z_crit) * se, 6).alias("ci_low"),
+        F.round(did + F.lit(z_crit) * se, 6).alias("ci_high"),
+        (F.abs(z) > F.lit(z_crit)).cast("int").alias("significant"),
+    )
+    # One pass: evaluate, validate the four cells, rehydrate the answer
+    # row (the module's standard one-row readout discipline).
+    row = out.collect()[0]
+    for col, gv, pv in (
+        ("n_control_pre", control, pre),
+        ("n_control_post", control, post),
+        ("n_treatment_pre", treatment, pre),
+        ("n_treatment_post", treatment, post),
+    ):
+        if int(row[col]) < 2:
+            raise ValueError(
+                "difference_in_differences needs >=2 usable units per "
+                f"cell; cell (group={gv!r}, period={pv!r}) has "
+                f"{int(row[col])}"
+            )
+    spark = units.sparkSession
+    return spark.createDataFrame(
+        [tuple(row[c] for c in out.columns)],
+        "n_control_pre long, n_control_post long, n_treatment_pre long, "
+        "n_treatment_post long, mean_control_pre double, "
+        "mean_control_post double, mean_treatment_pre double, "
+        "mean_treatment_post double, diff_control double, "
+        "diff_treatment double, did double, se double, z_stat double, "
+        "ci_low double, ci_high double, significant int",
+    )

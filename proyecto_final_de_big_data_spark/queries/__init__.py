@@ -208,7 +208,17 @@ _VERIFICATION_WINDOW = [
     # the resampling-free uncertainty readout next to the jackknife's
     # delete-one-stratum estimator (full-catalog attested behind the
     # window).
-    "bootstrap_ci_contract",
+    # r9 (late): bootstrap_ci_contract (r8 first-round hash-green;
+    # bootstrap.py unchanged this round) hands its slot to
+    # holt_forecast_contract — Holt linear-trend smoothing + one-step
+    # forecast anomalies (operators/holt.py), new this round
+    # (same-round-slot rule). The uncertainty family keeps
+    # conformal_interval_contract + weighted_percentile_contract
+    # in-window; the series-monitoring family gains the level+trend
+    # forecaster next to ewma_anomaly_contract — the SAME collect-fold-
+    # explode machinery (series.py collector) over the SAME per-type
+    # daily grid, plus the two-state recursion EWMA lacks.
+    "holt_forecast_contract",
     # r8: blocklist_filter_profile (r6+r7 green, content_filter.py and
     # its query untouched this round; named swap currency in the
     # VERDICT r7 rotation pool — the broadcast small-list filter
@@ -447,7 +457,19 @@ _VERIFICATION_WINDOW = [
     # sufficient-sums machinery; this gate carries the planning side),
     # and the proportion z-test stays full-catalog attested + pytest
     # fixture-pinned.
-    "experiment_power_contract",
+    # r9 (late): experiment_power_contract (r8 first-round hash-green;
+    # the experiment_power function is untouched this round — the
+    # abtest.py diff is exactly the NEW difference_in_differences
+    # function) hands its slot to did_contract — difference-in-
+    # differences over per-(user, period) units (operators/abtest.py:
+    # difference_in_differences, Card & Krueger 1994), new this round
+    # (same-round-slot rule) and gating exactly the r9-changed module.
+    # The experimentation family keeps cuped_ab_contract in-window
+    # (same conditional-aggregation sufficient-sums machinery, same
+    # Welch z + CI algebra); the planning readout stays full-catalog
+    # attested + pytest fixture-pinned (tests/test_power.py's n=449
+    # worked example).
+    "did_contract",
     # Late-r8: knn_ann_ivf_sq_recall (r7 first-round green;
     # similarity_ivf.py and quantize.py unchanged this round) hands its
     # slot to jw_name_match_profile — the blocked Jaro-Winkler ER join

@@ -1650,6 +1650,111 @@ def q_ewma_anomaly_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "holt_forecast_contract",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type,
+               list(day ORDER BY day) AS ds,
+               list(cnt ORDER BY day) AS vs
+        FROM daily GROUP BY 1
+    ),
+    -- [l, b] LIST accumulator, not a struct: DuckDB v1.0 evaluates
+    -- struct_pack fields sequentially inside list_reduce lambdas (the
+    -- first field is already rebound when the second field's
+    -- expression reads the accumulator), silently corrupting any
+    -- two-state fold. List construction is one expression.
+    st AS (
+        SELECT event_type, ds, vs,
+               list_transform(
+                   generate_series(1, len(vs)),
+                   i -> list_reduce(
+                        list_transform(vs[1:i], x -> [x, 0.0::DOUBLE]),
+                        (s, e) -> [
+                            0.3::DOUBLE * e[1] + 0.7::DOUBLE * (s[1] + s[2]),
+                            0.1::DOUBLE * ((0.3::DOUBLE * e[1]
+                                            + 0.7::DOUBLE * (s[1] + s[2]))
+                                           - s[1])
+                            + 0.9::DOUBLE * s[2]
+                        ])
+               ) AS sts
+        FROM arr
+    ),
+    pts AS (
+        SELECT event_type,
+               ds[i] AS day, vs[i] AS cnt,
+               sts[i][1] AS lvl_raw, sts[i][2] AS trd_raw,
+               CASE WHEN i > 1
+                    THEN sts[i - 1][1] + sts[i - 1][2] END AS fc_raw,
+               CASE WHEN i > 1
+                    THEN vs[i] - (sts[i - 1][1] + sts[i - 1][2])
+               END AS resid_raw
+        FROM st, unnest(generate_series(1, len(vs))) AS t(i)
+    ),
+    scale AS (
+        SELECT event_type,
+               CAST(count(resid_raw) AS DOUBLE) AS nr,
+               sum(resid_raw) AS sr,
+               sum(resid_raw * resid_raw) AS srr
+        FROM pts GROUP BY 1
+    ),
+    sig AS (
+        SELECT event_type,
+               CASE WHEN nr >= 2
+                    THEN sqrt(GREATEST((nr * srr - sr * sr) / (nr * nr),
+                                       0.0)) END AS sigma
+        FROM scale
+    )
+    SELECT p.event_type, day, cnt,
+           round(lvl_raw, 6) AS level,
+           round(trd_raw, 6) AS trend,
+           round(fc_raw, 6) AS forecast,
+           round(resid_raw, 6) AS resid,
+           CASE WHEN resid_raw IS NOT NULL AND sigma > 0
+                THEN abs(resid_raw) > CAST(3.0 AS DOUBLE) * sigma
+           END AS is_anomaly
+    FROM pts p JOIN sig USING (event_type)
+    """,
+    description="Holt linear-trend smoothing + one-step-ahead forecast "
+    "anomalies (operators/holt.py:holt_forecast_anomaly) over per-type "
+    "daily event counts — the level+trend upgrade of the EWMA gate on "
+    "the identical series: l_t = 0.3*x_t + 0.7*(l+b)_prev, b_t = "
+    "0.1*(l_t - l_prev) + 0.9*b_prev seeded (x_1, 0), forecast = "
+    "(l+b)_prev, flag |resid| > 3*sigma. The inherently sequential "
+    "two-state recursion runs as ONE in-memory array fold per key "
+    "(the series-collector discipline, max_points-guarded), "
+    "embarrassingly parallel across keys; the oracle replays the "
+    "IDENTICAL left fold with DuckDB list_reduce over [l, b] LIST "
+    "states — same IEEE operation order, so every level/trend/"
+    "forecast/flag agrees bit-for-bit before the 6-decimal rounding "
+    "(struct states are deliberately avoided: DuckDB v1.0 rebinds "
+    "struct fields sequentially inside reduce lambdas — pinned in "
+    "tests/test_holt.py alongside the hand-worked alpha=beta=0.5 "
+    "fixture).",
+)
+def q_holt_forecast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.holt import holt_forecast_anomaly
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    return holt_forecast_anomaly(
+        daily, ["event_type"], "day", "cnt", alpha=0.3, beta=0.1, k=3.0
+    )
+
+
+@register(
     "autocorrelation_contract",
     oracle="""
     WITH daily AS (
@@ -2516,6 +2621,125 @@ def q_cuped_ab_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_mean_ztest(
         units, "variant", "post", "pre", control="control",
         treatment="treatment",
+    )
+
+
+@register(
+    "did_contract",
+    oracle="""
+    WITH units AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS variant,
+               CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN 'pre' ELSE 'post' END AS period,
+               sum(value) AS y
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+        GROUP BY user_id, 2
+    ), s AS (
+        SELECT
+          CAST(sum(CASE WHEN variant = 'control' AND period = 'pre'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+          sum(CASE WHEN variant = 'control' AND period = 'pre'
+                   THEN y ELSE 0 END) AS sy_cp,
+          sum(CASE WHEN variant = 'control' AND period = 'pre'
+                   THEN y * y ELSE 0 END) AS syy_cp,
+          CAST(sum(CASE WHEN variant = 'control' AND period = 'post'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_co,
+          sum(CASE WHEN variant = 'control' AND period = 'post'
+                   THEN y ELSE 0 END) AS sy_co,
+          sum(CASE WHEN variant = 'control' AND period = 'post'
+                   THEN y * y ELSE 0 END) AS syy_co,
+          CAST(sum(CASE WHEN variant = 'treatment' AND period = 'pre'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+          sum(CASE WHEN variant = 'treatment' AND period = 'pre'
+                   THEN y ELSE 0 END) AS sy_tp,
+          sum(CASE WHEN variant = 'treatment' AND period = 'pre'
+                   THEN y * y ELSE 0 END) AS syy_tp,
+          CAST(sum(CASE WHEN variant = 'treatment' AND period = 'post'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_to,
+          sum(CASE WHEN variant = 'treatment' AND period = 'post'
+                   THEN y ELSE 0 END) AS sy_to,
+          sum(CASE WHEN variant = 'treatment' AND period = 'post'
+                   THEN y * y ELSE 0 END) AS syy_to
+        FROM units
+    ), m AS (
+        SELECT *,
+          sy_cp / n_cp AS m_cp, sy_co / n_co AS m_co,
+          sy_tp / n_tp AS m_tp, sy_to / n_to AS m_to,
+          greatest(0.0, (syy_cp - sy_cp * sy_cp / n_cp) / (n_cp - 1.0))
+              AS v_cp,
+          greatest(0.0, (syy_co - sy_co * sy_co / n_co) / (n_co - 1.0))
+              AS v_co,
+          greatest(0.0, (syy_tp - sy_tp * sy_tp / n_tp) / (n_tp - 1.0))
+              AS v_tp,
+          greatest(0.0, (syy_to - sy_to * sy_to / n_to) / (n_to - 1.0))
+              AS v_to
+        FROM s
+    ), f AS (
+        SELECT *,
+          (m_to - m_tp) - (m_co - m_cp) AS did_raw,
+          sqrt(v_to / n_to + v_tp / n_tp + v_co / n_co + v_cp / n_cp)
+              AS se_raw
+        FROM m
+    )
+    SELECT n_cp AS n_control_pre, n_co AS n_control_post,
+           n_tp AS n_treatment_pre, n_to AS n_treatment_post,
+           round(m_cp, 6) AS mean_control_pre,
+           round(m_co, 6) AS mean_control_post,
+           round(m_tp, 6) AS mean_treatment_pre,
+           round(m_to, 6) AS mean_treatment_post,
+           round(m_co - m_cp, 6) AS diff_control,
+           round(m_to - m_tp, 6) AS diff_treatment,
+           round(did_raw, 6) AS did,
+           round(se_raw, 6) AS se,
+           round(CASE WHEN se_raw > 0 THEN did_raw / se_raw
+                      ELSE 0.0 END, 6) AS z_stat,
+           round(did_raw - 1.959963984540054 * se_raw, 6) AS ci_low,
+           round(did_raw + 1.959963984540054 * se_raw, 6) AS ci_high,
+           CASE WHEN abs(CASE WHEN se_raw > 0 THEN did_raw / se_raw
+                              ELSE 0.0 END) > 1.959963984540054
+                THEN 1 ELSE 0 END AS significant
+    FROM f
+    """,
+    description="Difference-in-differences readout (operators/abtest.py:"
+    "difference_in_differences, the Card & Krueger 1994 two-group/"
+    "two-period design): per-(user, period) spend units with variant = "
+    "user_id parity and period split at Jan 16 — the treatment arm's "
+    "pre->post change minus the control arm's, netting out the shared "
+    "time shock under parallel trends. ONE conditional-aggregation "
+    "pass reduces the unit frame to the four cells' sufficient sums "
+    "(n, Sy, Syy); means, sample variances, the four-cell Welch SE, "
+    "z and the 95% CI are closed-form on the single answer row (the "
+    "CUPED scale shape — no per-cell rescans). The oracle restates the "
+    "identical four-cell expansion; the hand-worked exact fixture "
+    "(did=10, se=sqrt(15)) lives in tests/test_did.py.",
+)
+def q_did_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.abtest import difference_in_differences
+
+    boundary = F.lit("2024-01-16").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    units = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy(
+            "user_id",
+            F.when(F.col("ts") < boundary, F.lit("pre"))
+            .otherwise(F.lit("post"))
+            .alias("period"),
+        )
+        .agg(F.sum("value").alias("y"))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+            .otherwise(F.lit("treatment"))
+            .alias("variant"),
+            "period",
+            "y",
+        )
+    )
+    return difference_in_differences(
+        units, "variant", "period", "y",
+        control="control", treatment="treatment", pre="pre", post="post",
     )
 
 

@@ -69,7 +69,15 @@ def test_window_covers_every_family():
                                      # green on unchanged scd.py;
                                      # reverse-cumulative + session
                                      # windows keep the family)
-        "bootstrap_ci_contract",     # Poisson-bootstrap CIs (NEW r8)
+        "conformal_interval_contract",  # uncertainty readouts (the
+                                     # Poisson-bootstrap twin rotated
+                                     # out r9 after r8 green on
+                                     # unchanged bootstrap.py; conformal
+                                     # + weighted-percentile keep the
+                                     # family in-window)
+        "holt_forecast_contract",    # Holt level+trend forecaster
+                                     # (NEW r9; same series-collector
+                                     # fold machinery as EWMA)
         "data_quality_contract",     # expectations validator
         "k_anonymity_contract",      # broadcast small-list filtering
                                      # (the blocklist twin rotated
@@ -215,8 +223,12 @@ def test_window_covers_every_family():
                                      # green on untouched algebra;
                                      # CUPED analysis + the power
                                      # planning gate keep it)
-        "experiment_power_contract", # MDE/sample-size planning
-                                     # readout (NEW r8)
+        "did_contract",              # difference-in-differences (NEW
+                                     # r9; gates the round's abtest.py
+                                     # change — the power-planning twin
+                                     # rotated out after r8 green on
+                                     # its untouched function, cuped
+                                     # keeps the analysis algebra)
         "ml_tree_ensemble_contract", # batch scoring machinery (the
                                      # save/load score twin rotated
                                      # out r8 after r6+r7 green on
