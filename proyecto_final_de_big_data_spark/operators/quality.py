@@ -95,3 +95,136 @@ def with_repetition_stats(
             ),
         )
     )
+
+
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_words: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document Gopher quality-rule signals + pass flags (Rae et
+    al. 2021, "Scaling Language Models: ... Gopher", Appendix A —
+    public literature): the document-level filters MassiveWeb applied
+    before training, each as a measured signal column plus an ``_ok``
+    boolean at the paper's default threshold, and ``gopher_pass`` =
+    AND of all eight.
+
+    Signals: ``n_words`` (whitespace tokens), ``mean_word_len``,
+    ``symbol_ratio`` (# and ``...`` occurrences per word),
+    ``bullet_line_frac`` / ``ellipsis_line_frac`` (fraction of
+    non-blank lines starting with a bullet / ending with an ellipsis),
+    ``alpha_word_frac`` (fraction of words containing at least one
+    ASCII letter), ``n_stop_words`` (how many of the paper's 8 stop
+    words appear). Ratios are NULL on an empty document and every
+    ``_ok`` coalesces NULL to False, so ``gopher_pass`` is total.
+
+    Everything is a higher-order-function projection over the token /
+    line arrays — NO shuffle, no Python, no explode→groupBy: at 100 TB
+    each document is scored inside the scan stage (this module's
+    standing scale posture). Counts are integers and each ratio is one
+    division, so a SQL oracle restating the same arithmetic matches
+    bit-for-bit.
+
+    Extension surface — the reference has no text-quality stage;
+    extension per SURVEY §8 alongside this module's repetition rules.
+    """
+    text = F.col(text_col)
+    ws = words(text)
+    n_words = F.size(ws)
+    sum_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = F.when(n_words > 0, sum_len.cast("double") / n_words)
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = F.floor(
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit(""))))
+        / F.lit(3)
+    )
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
+    )
+    lines = F.filter(
+        F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(F.trim(l), 1, 1).isin("-", "*", "•"),
+            )
+        ).cast("double")
+        / n_lines,
+    )
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).endswith("...")
+                | F.trim(l).endswith("…"),
+            )
+        ).cast("double")
+        / n_lines,
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_words,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(ws, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+        )
+    )
+
+    def _ok(cond) -> Column:
+        return F.coalesce(cond, F.lit(False))
+
+    out = df.select(
+        "*",
+        n_words.alias("n_words"),
+        F.round(mean_len, decimals).alias("mean_word_len"),
+        F.round(symbol_ratio, decimals).alias("symbol_ratio"),
+        F.round(bullet_frac, decimals).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, decimals).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, decimals).alias("alpha_word_frac"),
+        n_stop.alias("n_stop_words"),
+        _ok(
+            (n_words >= min_words) & (n_words <= max_words)
+        ).alias("word_count_ok"),
+        _ok(
+            (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+        ).alias("mean_word_len_ok"),
+        _ok(symbol_ratio <= max_symbol_ratio).alias("symbol_ratio_ok"),
+        _ok(bullet_frac <= max_bullet_frac).alias("bullet_ok"),
+        _ok(ellipsis_frac <= max_ellipsis_frac).alias("ellipsis_ok"),
+        _ok(alpha_frac >= min_alpha_frac).alias("alpha_ok"),
+        (n_stop >= min_stop_words).alias("stop_words_ok"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.col("word_count_ok")
+        & F.col("mean_word_len_ok")
+        & F.col("symbol_ratio_ok")
+        & F.col("bullet_ok")
+        & F.col("ellipsis_ok")
+        & F.col("alpha_ok")
+        & F.col("stop_words_ok"),
+    )

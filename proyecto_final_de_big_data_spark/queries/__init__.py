@@ -274,7 +274,19 @@ _VERIFICATION_WINDOW = [
     # rolling_active_users — DAU/WAU/stickiness via the
     # dedup-then-expand sliding-distinct shape (operators/activity.py),
     # new this round (same-round-slot rule).
-    "rolling_active_users",
+    # r9 (late): rolling_active_users (r8 first-round hash-green;
+    # activity.py unchanged this round — its range-join oracle is also
+    # one of the standing different-algebra exemplars) hands its slot
+    # to gopher_rules_contract — the Gopher/MassiveWeb document-quality
+    # rule set rolled up per language (operators/quality.py:
+    # gopher_quality_flags, Rae et al. 2021), new this round
+    # (same-round-slot rule) and gating exactly the r9-changed module
+    # (quality.py gains the new function; the repetition-rule paths are
+    # untouched). The behavioral-activity family keeps
+    # session_path_profile + windowed_funnel_contract +
+    # rfm_segment_profile in-window; DAU/WAU stays full-catalog
+    # attested + pytest DuckDB-parity gated.
+    "gopher_rules_contract",
     "target_encoding_contract",
     "theta_cohort_overlap_contract",
     "variant_props_stats",
@@ -542,7 +554,18 @@ _VERIFICATION_WINDOW = [
     # robust_scaler_contract — median/IQR feature scaling verified at
     # row cardinality (operators/robust.py:robust_scale), new this
     # round (same-round-slot rule).
-    "robust_scaler_contract",
+    # r9 (late): robust_scaler_contract (r8 first-round hash-green;
+    # robust.py unchanged this round) hands its slot to
+    # l_diversity_contract — l-diversity risk profiling
+    # (operators/anonymity.py:l_diversity_profile, Machanavajjhala et
+    # al. ICDE'06), new this round (same-round-slot rule) and gating
+    # exactly the r9-changed module (anonymity.py gains the new
+    # function; k_anonymity_profile itself is untouched). The robust
+    # median/IQR machinery stays in-window via robust_outlier_profile
+    # (SAME robust.py module, same exact-median path); the privacy
+    # family gains its second rep next to k_anonymity_contract —
+    # class-size bound AND within-class diversity bound both gated.
+    "l_diversity_contract",
     # mixing
     # source_cap_profile (r5+r6 green, mixing.py unchanged; the mixing
     # family keeps token_budget_selection_profile in-window) hands its

@@ -2769,3 +2769,131 @@ def q_dsir_selection_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "gopher_rules_contract",
+    oracle=r"""
+    WITH sig AS (
+        SELECT lang,
+               list_filter(string_split_regex(text, '\s+'),
+                           w -> len(w) > 0) AS ws,
+               list_filter(string_split(text, chr(10)),
+                           l -> len(trim(l)) > 0) AS ls,
+               len(text) - len(replace(text, '#', '')) AS n_hash,
+               (len(text) - len(replace(text, '...', ''))) // 3
+                   AS n_ellipsis
+        FROM documents
+    ), per_doc AS (
+        SELECT lang,
+               len(ws) AS n_words,
+               CASE WHEN len(ws) > 0
+                    THEN list_sum(list_transform(ws, w -> len(w)))::DOUBLE
+                         / len(ws) END AS mean_len,
+               CASE WHEN len(ws) > 0
+                    THEN (n_hash + n_ellipsis)::DOUBLE / len(ws)
+               END AS symbol_ratio,
+               CASE WHEN len(ls) > 0
+                    THEN len(list_filter(ls,
+                             l -> substr(trim(l), 1, 1) IN ('-', '*', '•')
+                         ))::DOUBLE / len(ls) END AS bullet_frac,
+               CASE WHEN len(ls) > 0
+                    THEN len(list_filter(ls,
+                             l -> ends_with(trim(l), '...')
+                                  OR ends_with(trim(l), '…')
+                         ))::DOUBLE / len(ls) END AS ellipsis_frac,
+               CASE WHEN len(ws) > 0
+                    THEN len(list_filter(ws,
+                             w -> regexp_matches(w, '[A-Za-z]')
+                         ))::DOUBLE / len(ws) END AS alpha_frac,
+               len(list_intersect(
+                   list_distinct(list_transform(ws, w -> lower(w))),
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']
+               )) AS n_stop
+        FROM sig
+    ), flags AS (
+        SELECT lang,
+               coalesce(n_words >= 50 AND n_words <= 100000, FALSE)
+                   AS word_count_ok,
+               coalesce(mean_len >= 3.0 AND mean_len <= 10.0, FALSE)
+                   AS mean_len_ok,
+               coalesce(symbol_ratio <= 0.1, FALSE) AS symbol_ok,
+               coalesce(bullet_frac <= 0.9, FALSE) AS bullet_ok,
+               coalesce(ellipsis_frac <= 0.3, FALSE) AS ellipsis_ok,
+               coalesce(alpha_frac >= 0.8, FALSE) AS alpha_ok,
+               n_stop >= 2 AS stop_ok
+        FROM per_doc
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN NOT word_count_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_word_count,
+           CAST(sum(CASE WHEN NOT mean_len_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_mean_word_len,
+           CAST(sum(CASE WHEN NOT symbol_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_symbol_ratio,
+           CAST(sum(CASE WHEN NOT bullet_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_bullet,
+           CAST(sum(CASE WHEN NOT ellipsis_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_ellipsis,
+           CAST(sum(CASE WHEN NOT alpha_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_alpha,
+           CAST(sum(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS fail_stop_words,
+           CAST(sum(CASE WHEN word_count_ok AND mean_len_ok AND symbol_ok
+                          AND bullet_ok AND ellipsis_ok AND alpha_ok
+                          AND stop_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass,
+           round(sum(CASE WHEN word_count_ok AND mean_len_ok AND symbol_ok
+                           AND bullet_ok AND ellipsis_ok AND alpha_ok
+                           AND stop_ok THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS pass_rate
+    FROM flags GROUP BY 1
+    """,
+    description="Gopher document-quality rules rollup (operators/"
+    "quality.py:gopher_quality_flags, Rae et al. 2021 Appendix A): "
+    "every document scored against the eight MassiveWeb filters at the "
+    "paper's default thresholds — word count [50, 100k], mean word "
+    "length [3, 10], #/ellipsis symbol ratio <= 0.1, bullet-start "
+    "lines <= 90%, ellipsis-end lines <= 30%, alphabetic-word fraction "
+    ">= 0.8, >= 2 of the 8 stop words — then rolled up per language to "
+    "per-rule fail counts + the overall pass rate. Every signal is a "
+    "higher-order-function projection over the token/line arrays (NO "
+    "shuffle, no Python, no explode->groupBy: documents are scored "
+    "inside the scan stage; the rollup is the only aggregation). "
+    "Counts are integers and ratios single divisions, so the oracle's "
+    "restatement matches bit-for-bit; the per-rule hand-crafted "
+    "fixture docs (one failing doc per rule, signal values hand-"
+    "checked) live in tests/test_gopher.py.",
+)
+def q_gopher_rules_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    flagged = gopher_quality_flags(docs, "text")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(~F.col("word_count_ok"), 1).otherwise(0)).alias(
+            "fail_word_count"
+        ),
+        F.sum(F.when(~F.col("mean_word_len_ok"), 1).otherwise(0)).alias(
+            "fail_mean_word_len"
+        ),
+        F.sum(F.when(~F.col("symbol_ratio_ok"), 1).otherwise(0)).alias(
+            "fail_symbol_ratio"
+        ),
+        F.sum(F.when(~F.col("bullet_ok"), 1).otherwise(0)).alias("fail_bullet"),
+        F.sum(F.when(~F.col("ellipsis_ok"), 1).otherwise(0)).alias(
+            "fail_ellipsis"
+        ),
+        F.sum(F.when(~F.col("alpha_ok"), 1).otherwise(0)).alias("fail_alpha"),
+        F.sum(F.when(~F.col("stop_words_ok"), 1).otherwise(0)).alias(
+            "fail_stop_words"
+        ),
+        F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)).alias("n_pass"),
+        F.round(
+            F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pass_rate"),
+    )

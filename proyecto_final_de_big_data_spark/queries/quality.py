@@ -620,3 +620,67 @@ def q_k_anonymity_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(F.lit("raw").alias("stage"), "*").unionByName(
         sup.select(F.lit("suppressed").alias("stage"), "*")
     )
+
+
+@register(
+    "l_diversity_contract",
+    oracle="""
+    WITH cells AS (
+        SELECT source, n_chars // 500 AS size_band, lang,
+               CAST(count(*) AS BIGINT) AS c
+        FROM documents
+        WHERE lang IS NOT NULL
+        GROUP BY 1, 2, 3
+    ), cls AS (
+        SELECT source, size_band,
+               sum(c) AS n,
+               CAST(count(*) AS BIGINT) AS d,
+               ln(sum(c)::DOUBLE)
+                 - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)::DOUBLE AS h
+        FROM cells GROUP BY 1, 2
+    )
+    SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           min(d) AS min_distinct_sensitive,
+           2 AS l,
+           CAST(coalesce(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_classes_below,
+           CAST(coalesce(sum(CASE WHEN d < 2 THEN n ELSE 0 END), 0)
+                AS BIGINT) AS n_rows_at_risk,
+           round(sum(CASE WHEN d < 2 THEN n ELSE 0 END)::DOUBLE
+                 / sum(n), 6) AS at_risk_frac,
+           coalesce(min(d) >= 2, TRUE) AS is_l_diverse,
+           round(min(h), 6) AS min_entropy,
+           round(exp(min(h)), 6) AS entropy_l
+    FROM cls
+    """,
+    description="l-diversity risk profile (operators/anonymity.py:"
+    "l_diversity_profile, Machanavajjhala et al. ICDE'06): the "
+    "documents release profiled with quasi-identifiers (source, "
+    "500-char size band) and language as the sensitive attribute — "
+    "k-anonymity's blind spot is a big-but-pure class, so the gate "
+    "reports the min DISTINCT sensitive count per class (distinct-l), "
+    "the violating class/row counts, AND the entropy variant "
+    "(min −Σ p·ln p over classes, entropy_l = exp of it) that a "
+    "49/1-skewed class fails even with 2 distinct values. Entropy "
+    "folds from cell counts as ln(n) − Σ c·ln c / n — no p "
+    "materialized. ONE groupBy at (class × sensitive) cell "
+    "cardinality, one rollup to classes, one to the answer row; no "
+    "joins, no windows over raw rows. NULL sensitive rows are "
+    "excluded (they disclose nothing); quasi NULLs group as their own "
+    "level (the k-anonymity posture). The oracle restates the "
+    "identical two-level rollup; the hand-worked 3-class fixture "
+    "(min_entropy 0, entropy_l 1 on a pure class) lives in "
+    "tests/test_ldiversity.py.",
+)
+def q_l_diversity_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.anonymity import l_diversity_profile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / F.lit(500)).alias("size_band"),
+    )
+    return l_diversity_profile(
+        docs, ["source", "size_band"], "lang", l=2
+    )

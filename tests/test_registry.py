@@ -100,7 +100,13 @@ def test_window_covers_every_family():
                                      # WOE/IV twin rotated out r8 after
                                      # r7 green; encode.py changed this
                                      # round so its gate stays)
-        "rolling_active_users",      # DAU/WAU sliding distinct (NEW r8)
+        "gopher_rules_contract",     # Gopher quality rules (NEW r9;
+                                     # gates the round's quality.py
+                                     # change — the DAU/WAU twin
+                                     # rotated out after r8 green on
+                                     # unchanged activity.py; session/
+                                     # funnel/rfm keep the behavioral
+                                     # family in-window)
         "target_encoding_contract",  # leakage-safe LOO mean encoding
         "theta_cohort_overlap_contract",   # Theta set algebra
         "lorenz_gini_contract",      # Lorenz/Gini concentration (the
@@ -158,7 +164,16 @@ def test_window_covers_every_family():
                                      # (three equal_frequency_bins fits
                                      # inside; the standalone decile
                                      # gate rotated out r8 after r6+r7)
-        "robust_scaler_contract",    # median/IQR scaling (NEW r8)
+        "robust_outlier_profile",    # median/IQR machinery (the
+                                     # robust-scaler twin rotated out
+                                     # r9 after r8 green on unchanged
+                                     # robust.py; the outlier fence is
+                                     # the same module's exact-median
+                                     # path)
+        "l_diversity_contract",      # privacy: within-class diversity
+                                     # (NEW r9; gates the round's
+                                     # anonymity.py change, second rep
+                                     # next to k_anonymity_contract)
         "weighted_ksample_contract", # weighted sampling family (the
                                      # stride twin rotated out r8 after
                                      # r7 green; exact-k A-ES now the
