@@ -296,7 +296,19 @@ _VERIFICATION_WINDOW = [
     # in-window and the unpivot inverse stays pytest-gated) hands its
     # slot to benford_profile_contract — Benford first-digit screening
     # (operators/benford.py), new this round (same-round-slot rule).
-    "benford_profile_contract",
+    # r9 (late): benford_profile_contract (r8 first-round hash-green;
+    # benford.py unchanged this round) hands its slot to
+    # ccnet_bucket_contract — CCNet head/middle/tail perplexity
+    # partitioning (operators/ccnet.py, Wenzek et al. LREC'20), new
+    # this round (same-round-slot rule). The data-screening family
+    # keeps data_quality_contract + heavy_hitter_keys + the NEW
+    # gopher_rules_contract in-window; Benford stays full-catalog
+    # attested + pytest DuckDB-parity gated. The new gate additionally
+    # re-exercises the full lm_score.py scoring pipeline (vocab fit,
+    # OOV bucket, per-doc NLL) inside its oracle — the lm family's
+    # in-window evidence upgrades from rotated lm_quality_by_lang's
+    # per-lang rollup to per-doc-rounded bucketing.
+    "ccnet_bucket_contract",
     # Fourteen r5-green entries rotate OUT to make room, each leaving
     # its operator family represented in-window and its code unchanged
     # this round (pytest DuckDB parity still runs the full catalog):

@@ -684,3 +684,86 @@ def q_l_diversity_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_profile(
         docs, ["source", "size_band"], "lang", l=2
     )
+
+
+@register(
+    "ccnet_bucket_contract",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\s+'),
+                           w -> len(w) > 0) AS w
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, lang, unnest(w) AS word FROM toks
+    ), counts AS (
+        SELECT word, count(*) AS c FROM tok GROUP BY 1
+    ), vocab AS (
+        SELECT word, c FROM counts ORDER BY c DESC, word ASC LIMIT 20
+    ), consts AS (
+        SELECT sum(c) AS n_in, count(*) AS v FROM vocab
+    ), scored AS (
+        SELECT t.doc_id, t.lang,
+               ln((coalesce(vb.c, 0) + 1)::DOUBLE / (k.n_in + k.v + 1)) AS lp,
+               (vb.c IS NULL)::INT AS oov
+        FROM tok t LEFT JOIN vocab vb ON t.word = vb.word
+        CROSS JOIN consts k
+    ), doc AS (
+        SELECT doc_id, lang,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               round(-avg(lp), 6) AS nll
+        FROM scored GROUP BY 1, 2
+    ), bounds AS (
+        SELECT lang,
+               quantile_cont(nll, 1.0/3.0) AS b1,
+               quantile_cont(nll, 2.0/3.0) AS b2
+        FROM doc GROUP BY 1
+    ), bucketed AS (
+        SELECT d.*,
+               CASE WHEN d.nll <= b.b1 THEN 'head'
+                    WHEN d.nll <= b.b2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM doc d JOIN bounds b USING (lang)
+    )
+    SELECT lang, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(nll), 6) AS min_nll,
+           round(max(nll), 6) AS max_nll,
+           round(avg(nll), 4) AS avg_nll,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_oov) AS BIGINT) AS total_oov
+    FROM bucketed GROUP BY 1, 2
+    """,
+    description="CCNet-style head/middle/tail perplexity partition "
+    "(operators/ccnet.py:perplexity_partition, Wenzek et al. LREC'20): "
+    "every document scored with the corpus-fit add-one unigram NLL "
+    "(top-20 vocab so the OOV bucket actually fires on this fixture — "
+    "the lm_quality_by_lang constants), then EACH LANGUAGE split at "
+    "its own NLL terciles into the head (most fluent) / middle / tail "
+    "buckets downstream pipelines keep, downsample, or drop; readout "
+    "is the per-(lang, bucket) census. NLLs round to 6 decimals BEFORE "
+    "the quantile fit and the bucket compare so membership is "
+    "ULP-stable across engines; exact percentile matches DuckDB "
+    "quantile_cont by definition (the binning precedent). Scale shape: "
+    "scoring is the lm_score broadcast-vocab join (no corpus shuffle), "
+    "bounds are ONE percentile agg at language cardinality broadcast "
+    "back, bucketing is a map-only when-chain, the census one "
+    "aggregation. The hand-worked 6-doc fixture (p(aa)=13/26, forced "
+    "2/2/2 terciles) lives in tests/test_ccnet.py.",
+)
+def q_ccnet_bucket_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ccnet import perplexity_partition
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    parts = perplexity_partition(docs, vocab_size=20)
+    return parts.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("nll"), 6).alias("min_nll"),
+        F.round(F.max("nll"), 6).alias("max_nll"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_oov").alias("total_oov"),
+    )

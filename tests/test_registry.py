@@ -115,10 +115,13 @@ def test_window_covers_every_family():
                                      # mergeable-sketch family)
         "variant_props_stats",       # VARIANT semi-structured payloads
         "priority_pivot_by_year",    # pivot (CUBE/ROLLUP twins rotated out)
-        "benford_profile_contract",  # Benford first-digit screening
-                                     # (the unpivot inverse rotated out
-                                     # r7 after r6 green; pivot family
-                                     # keeps priority_pivot_by_year)
+        "ccnet_bucket_contract",     # CCNet perplexity partition (NEW
+                                     # r9; re-exercises the lm_score
+                                     # pipeline per-doc — the Benford
+                                     # screening twin rotated out after
+                                     # r8 green on unchanged benford.py;
+                                     # data_quality + heavy_hitter +
+                                     # gopher keep screening in-window)
         "python_datasource_contract",      # Python Data Source API
         "weighted_percentile_contract",  # weighted exact percentiles
                                      # (jackknife rotated out r8 after
