@@ -653,7 +653,18 @@ _VERIFICATION_WINDOW = [
     # r6-hash-green on code untouched since) hands its slot to
     # lorenz_gini_contract — bucketed Lorenz/Gini concentration
     # profile (operators/concentration.py), new this round.
-    "lorenz_gini_contract",
+    # r9 (late): lorenz_gini_contract (r7+r8 hash-green on unchanged
+    # concentration.py) hands its slot to frequent_itemsets_contract —
+    # MLlib parallel FP-Growth frequent-itemset mining over order-
+    # baskets of part brands (operators/itemsets.py), new this round
+    # (same-round-slot rule). The distribution-profiling surface keeps
+    # weighted_percentile_contract + rfm_segment_profile's quintiles
+    # in-window; Lorenz/Gini stays full-catalog attested + pytest
+    # parity-gated. The new gate's oracle is a brute-force sizes-1..3
+    # self-join enumeration — a structurally DIFFERENT algebra from
+    # the FP-tree mining (the triangle-counting precedent, satisfying
+    # the round's different-algebra-oracle discipline).
+    "frequent_itemsets_contract",
     # stream_pii_curation_round_trip (r5+r6 green, streaming curation
     # code unchanged; real-stream mode keeps stream_cdc_apply_round_trip
     # + tws_histogram_parity in-window, and the PII/curation operators
@@ -699,7 +710,18 @@ _VERIFICATION_WINDOW = [
     # ml_score_contract) hands its slot to
     # ml_classification_report_contract — one-pass thresholded
     # confusion/PRF report (ml/evaluation.py), new this round.
-    "basket_size_profile",  # r8: swaps in for ml_classification_report
+    # r9 (late): basket_size_profile (r8 first-round hash-green;
+    # basket.py unchanged this round) hands its slot to
+    # assoc_rules_contract — single-antecedent association rules from
+    # the same FP-Growth fit (operators/itemsets.py:
+    # association_rules_1to1), new this round (same-round-slot rule).
+    # Family upgrade: the market-basket family now holds TWO in-window
+    # reps (itemset mining + rule scoring) exercising the identical
+    # dedup-cap-group basket machinery the size profile measured, with
+    # the cap guard's effect observable in the mining output; the
+    # cap-pressure report stays full-catalog attested + pytest-gated
+    # next to item_affinity_contract.
+    "assoc_rules_contract",
     # r8: ml_score_contract (r6+r7 green, ml/pipeline.py untouched this
     # round; named swap currency in the VERDICT r7 rotation pool — the
     # batch-scoring machinery stays in-window inside

@@ -1442,6 +1442,131 @@ def q_item_affinity_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "frequent_itemsets_contract",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), sizes AS (
+        SELECT b, count(*) AS s FROM items GROUP BY 1
+    ), kept AS (
+        SELECT items.b, i FROM items JOIN sizes USING (b) WHERE s <= 64
+    ), nb AS (
+        SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM kept
+    ), mc AS (
+        SELECT CAST(ceil(0.02 * n) AS BIGINT) AS m, n::DOUBLE AS nd FROM nb
+    ), s1 AS (
+        SELECT i AS itemset, 1 AS size, CAST(count(*) AS BIGINT) AS freq
+        FROM kept GROUP BY 1
+    ), s2 AS (
+        SELECT l.i || ', ' || r.i AS itemset, 2 AS size,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM kept l JOIN kept r ON l.b = r.b AND l.i < r.i
+        GROUP BY 1
+    ), s3 AS (
+        SELECT x.i || ', ' || y.i || ', ' || z.i AS itemset, 3 AS size,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM kept x
+        JOIN kept y ON x.b = y.b AND x.i < y.i
+        JOIN kept z ON y.b = z.b AND y.i < z.i
+        GROUP BY 1
+    ), allsets AS (
+        SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+    )
+    SELECT itemset, size, freq, round(freq / nd, 6) AS support
+    FROM allsets, mc WHERE freq >= m
+    """,
+    description="Frequent-itemset mining (operators/itemsets.py:"
+    "frequent_itemsets, MLlib parallel FP-Growth — Han et al. "
+    "SIGMOD'00 / PFP, Li et al. RecSys'08): order-baskets of distinct "
+    "part BRANDS at min_support 0.02, itemsets reported up to size 3 "
+    "(the oracle enumerates sizes 1-3 by brute-force self-joins — a "
+    "STRUCTURALLY different computation from the FP-tree mining, the "
+    "triangle-counting different-algebra precedent). PFP shards "
+    "conditional databases by suffix group across executors (no "
+    "global FP-tree); baskets dedup + cap at 64 first (the basket.py "
+    "quadratic-hazard guard, here bounding conditional-DB fan-out); "
+    "minCount = ceil(min_support * n_baskets) restated identically. "
+    "Exact counts — the hand-worked 5-basket fixture and a full "
+    "brute-force Python twin live in tests/test_itemsets.py.",
+)
+def q_frequent_itemsets_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.itemsets import frequent_itemsets
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(F.col("l_orderkey").alias("b"), F.col("p_brand").alias("i"))
+    return frequent_itemsets(
+        baskets, "b", "i", min_support=0.02, max_basket=64, max_len=3
+    )
+
+
+@register(
+    "assoc_rules_contract",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), sizes AS (
+        SELECT b, count(*) AS s FROM items GROUP BY 1
+    ), kept AS (
+        SELECT items.b, i FROM items JOIN sizes USING (b) WHERE s <= 64
+    ), nb AS (
+        SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM kept
+    ), mc AS (
+        SELECT CAST(ceil(0.02 * n) AS BIGINT) AS m, n::DOUBLE AS nd FROM nb
+    ), singles AS (
+        SELECT i, CAST(count(*) AS BIGINT) AS c FROM kept GROUP BY 1
+    ), pairs AS (
+        SELECT l.i AS a, r.i AS b2, CAST(count(*) AS BIGINT) AS c
+        FROM kept l JOIN kept r ON l.b = r.b AND l.i < r.i
+        GROUP BY 1, 2
+    ), fpairs AS (
+        SELECT * FROM pairs, mc WHERE c >= m
+    ), directed AS (
+        SELECT a AS antecedent, b2 AS consequent, c, nd FROM fpairs
+        UNION ALL
+        SELECT b2 AS antecedent, a AS consequent, c, nd FROM fpairs
+    )
+    SELECT d.antecedent, d.consequent,
+           d.c AS freq_pair,
+           sa.c AS freq_ante,
+           round(d.c / sa.c::DOUBLE, 6) AS confidence,
+           round((d.c / sa.c::DOUBLE) / (sb.c / d.nd), 6) AS lift,
+           round(d.c / d.nd, 6) AS support
+    FROM directed d
+    JOIN singles sa ON d.antecedent = sa.i
+    JOIN singles sb ON d.consequent = sb.i
+    """,
+    description="Single-antecedent association rules (operators/"
+    "itemsets.py:association_rules_1to1) from the same FP-Growth fit "
+    "as frequent_itemsets_contract: every frequent brand pair emits "
+    "both rule directions with confidence = freq(a,b)/freq(a) and "
+    "lift = confidence / P(consequent), integer frequencies rehydrated "
+    "from the freqItemsets frame so the ratio arithmetic is restated "
+    "in ONE shared operation order. The oracle derives the identical "
+    "rules from its own brute-force pair enumeration (different "
+    "algebra: no FP-tree, no rule generation pass — frequent pairs "
+    "ARE the 1->1 rules when min_confidence is 0, since a frequent "
+    "pair implies both frequent singles). Hand-worked 6-rule fixture "
+    "in tests/test_itemsets.py.",
+)
+def q_assoc_rules_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.itemsets import association_rules_1to1
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(F.col("l_orderkey").alias("b"), F.col("p_brand").alias("i"))
+    return association_rules_1to1(
+        baskets, "b", "i", min_support=0.02, min_confidence=0.0, max_basket=64
+    )
+
+
+@register(
     "robust_outlier_profile",
     oracle="""
     WITH med AS (

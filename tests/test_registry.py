@@ -109,10 +109,13 @@ def test_window_covers_every_family():
                                      # family in-window)
         "target_encoding_contract",  # leakage-safe LOO mean encoding
         "theta_cohort_overlap_contract",   # Theta set algebra
-        "lorenz_gini_contract",      # Lorenz/Gini concentration (the
-                                     # count-min twin rotated out r7
-                                     # after r6 green; theta keeps the
-                                     # mergeable-sketch family)
+        "frequent_itemsets_contract",  # FP-Growth itemset mining (NEW
+                                     # r9, different-algebra oracle;
+                                     # the Lorenz/Gini twin rotated out
+                                     # after r7+r8 green on unchanged
+                                     # concentration.py — weighted
+                                     # percentiles + RFM quintiles keep
+                                     # distribution profiling in-window)
         "variant_props_stats",       # VARIANT semi-structured payloads
         "priority_pivot_by_year",    # pivot (CUBE/ROLLUP twins rotated out)
         "ccnet_bucket_contract",     # CCNet perplexity partition (NEW
@@ -263,11 +266,14 @@ def test_window_covers_every_family():
                                      # green; same bucket algebra, and
                                      # this gate covers the r8-changed
                                      # evaluation.py function)
-        "basket_size_profile",       # basket cap-pressure report (the
-                                     # PRF-report twin rotated out r8
-                                     # after r7 green; IO contracts
-                                     # keep cdc_merge + pydatasource +
-                                     # media_binary in-window)
+        "assoc_rules_contract",      # market-basket rules (NEW r9;
+                                     # the cap-pressure report twin
+                                     # rotated out after r8 green on
+                                     # unchanged basket.py — both
+                                     # itemset gates run the identical
+                                     # dedup-cap-group machinery; IO
+                                     # contracts keep cdc_merge +
+                                     # pydatasource + media_binary)
         "cdc_merge_contract",        # partition-pruned CDC merge
         "learning_curve_contract",   # closed-form OLS family rep (the
                                      # kfold twin rotated out r9 after
@@ -303,10 +309,11 @@ def test_window_covers_every_family():
                                      # fuzzy ER twin rotated out r8)
         "correlation_matrix_contract",  # pairwise sufficient-stats corr
         "survival_km_contract",      # Kaplan-Meier censored retention
-        "basket_size_profile",       # market-basket machinery (the
-                                     # pair-affinity twin rotated out
-                                     # r8 after r7 green; same
-                                     # distinct+groupBy basket frame)
+        "frequent_itemsets_contract",  # market-basket machinery (the
+                                     # pair-affinity + size-profile
+                                     # twins rotated out; the same
+                                     # distinct+groupBy+cap basket
+                                     # frame feeds the FP-Growth fit)
         "knn_ann_pq_recall",         # PQ-ADC ANN recall (NEW r8)
         "robust_outlier_profile",    # median/MAD outlier fence
         "correlation_matrix_contract",  # stats family (the chi2/MI twin
@@ -321,6 +328,9 @@ def test_window_covers_every_family():
         "k_anonymity_contract",      # privacy: k-anonymity + suppression
         "brier_ece_contract",        # probability calibration metrics
         "weighted_percentile_contract",  # weighted exact percentiles
-        "basket_size_profile",       # max_basket cap sizing report
+        "assoc_rules_contract",      # max_basket cap machinery (the
+                                     # sizing report rotated out r9;
+                                     # the cap's effect is observable
+                                     # in both itemset gates' output)
     ]:
         assert probe in window, f"family representative {probe} fell out of the window"
