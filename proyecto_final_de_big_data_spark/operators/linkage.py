@@ -1,0 +1,126 @@
+"""Fellegi–Sunter probabilistic record linkage — scoring blocked
+candidate pairs with field-agreement log-likelihood weights (Fellegi &
+Sunter, JASA 1969; the frequency-based u estimate follows Winkler's
+survey practice — public literature). The decision-theoretic upgrade
+of :mod:`.fuzzyjoin`'s distance joins: instead of one string distance,
+every compared field contributes evidence —
+
+    agree on field i     ->  w_i  = log2(m_i / u_i)
+    disagree on field i  ->  w'_i = log2((1 − m_i) / (1 − u_i))
+    missing either side  ->  0      (no comparison, no evidence)
+
+where ``m_i`` = P(agree | true match) (domain knowledge or EM; supplied
+here) and ``u_i`` = P(agree | non-match), estimated from value
+frequencies: two random records agree on a field with probability
+``Σ_v f_v² / N²``. The pair's score is the sum; thresholds split
+match / possible (clerical review) / non-match.
+
+Scale shape (100 TB): this module never forms pairs — it SCORES a
+candidate frame the caller produced with bounded blocking
+(:func:`.fuzzyjoin.multipass_candidates`, :mod:`.setsim`, …), so cost
+is Σ|block|², not N². The u estimate is one groupBy per field at
+value cardinality reduced to ONE row (answer-scale), broadcast onto
+the candidates; scoring is a pure projection (a when-chain per field,
+one addition chain) — no shuffle beyond the caller's blocking join.
+
+Extension surface — the reference has no entity-resolution stage;
+extension per SURVEY §8, the probabilistic sibling of the
+edit-distance and Jaro-Winkler ER joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def estimate_u_probabilities(
+    df: DataFrame, field_cols: list[str]
+) -> DataFrame:
+    """ONE-row frame ``(u_0, …, u_{k-1})`` with the frequency-based
+    non-match agreement probability per field: ``u = Σ_v f_v² / N²``
+    over the field's non-NULL values. Integer sums — the division is
+    the only float op, so a SQL restatement matches bit-for-bit."""
+    if not field_cols:
+        raise ValueError("estimate_u_probabilities needs field columns")
+    parts = []
+    for i, c in enumerate(field_cols):
+        freq = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("__f"))
+        )
+        parts.append(
+            freq.agg(
+                (
+                    F.sum(F.col("__f") * F.col("__f")).cast("double")
+                    / (F.sum("__f") * F.sum("__f")).cast("double")
+                ).alias(f"u_{i}")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(F.broadcast(p))
+    return out
+
+
+def fellegi_sunter_scores(
+    pairs: DataFrame,
+    comparisons: list[tuple[str, str]],
+    m: list[float],
+    u: DataFrame,
+    upper: float,
+    lower: float,
+    decimals: int = 6,
+) -> DataFrame:
+    """Score every candidate pair: input ``pairs`` plus per-field
+    ``gamma_i`` (1 agree / 0 disagree / NULL missing), ``score`` (the
+    summed log2 weights, rounded to ``decimals``) and ``match_class``
+    ('match' when score >= ``upper``, 'non_match' when <= ``lower``,
+    else 'possible').
+
+    ``comparisons`` pairs the left/right column names; ``m`` supplies
+    P(agree | match) per field; ``u`` is the one-row frame from
+    :func:`estimate_u_probabilities` (broadcast in — the plan stays
+    lazy, nothing collects). Weight arithmetic is a fixed-order
+    addition chain so an SQL oracle restates it bit-for-bit."""
+    if len(comparisons) != len(m):
+        raise ValueError(
+            f"{len(comparisons)} comparisons but {len(m)} m-probabilities"
+        )
+    if not comparisons:
+        raise ValueError("fellegi_sunter_scores needs at least one comparison")
+    for mi in m:
+        if not (0.0 < mi < 1.0):
+            raise ValueError(f"m probabilities must be in (0, 1); got {mi}")
+    if upper < lower:
+        raise ValueError(f"upper ({upper}) must be >= lower ({lower})")
+
+    scored = pairs.crossJoin(F.broadcast(u))
+    score: Column | None = None
+    gammas = []
+    for i, ((lc, rc), mi) in enumerate(zip(comparisons, m)):
+        li, ri = F.col(lc), F.col(rc)
+        ui = F.col(f"u_{i}")
+        w_agree = F.log2(F.lit(float(mi)) / ui)
+        w_dis = F.log2(F.lit(1.0 - float(mi)) / (F.lit(1.0) - ui))
+        gamma = F.when(li.isNull() | ri.isNull(), F.lit(None).cast("int")) \
+            .when(li == ri, F.lit(1)).otherwise(F.lit(0))
+        gammas.append(gamma.alias(f"gamma_{i}"))
+        term = (
+            F.when(li.isNull() | ri.isNull(), F.lit(0.0))
+            .when(li == ri, w_agree)
+            .otherwise(w_dis)
+        )
+        score = term if score is None else score + term
+    out = scored.select(
+        *pairs.columns,
+        *gammas,
+        F.round(score, decimals).alias("score"),
+    )
+    return out.withColumn(
+        "match_class",
+        F.when(F.col("score") >= F.lit(float(upper)), F.lit("match"))
+        .when(F.col("score") <= F.lit(float(lower)), F.lit("non_match"))
+        .otherwise(F.lit("possible")),
+    )

@@ -503,7 +503,19 @@ _VERIFICATION_WINDOW = [
     # knn_ann_ivf_pq_recall (both registered this round; the composed
     # IVF,PQ gate exercises the same cell-probe machinery the SQ gate
     # did, plus the codebook scoring).
-    "jw_name_match_profile",
+    # r9 (late): jw_name_match_profile (late-r8 first-round hash-green;
+    # fuzzyjoin.py unchanged this round) hands its slot to
+    # fs_linkage_contract — Fellegi-Sunter probabilistic record
+    # linkage over blocked customer pairs (operators/linkage.py,
+    # Fellegi & Sunter JASA 1969), new this round (same-round-slot
+    # rule). Family upgrade: the ER family's in-window rep moves from
+    # one similarity score to the decision-theoretic multi-field
+    # evidence model (the new gate runs the same Sum-of-block-squared
+    # blocked self-join shape); the Jaro-Winkler scorer stays
+    # full-catalog attested + its 3000-pair DuckDB-parity pytest, and
+    # setsim_prefix_join_contract keeps the similarity-join machinery
+    # in-window.
+    "fs_linkage_contract",
     "ml_tree_ensemble_contract",
     # incremental_dedup_profile (r5 green, unchanged; exact-dedup
     # family keeps cluster_keep_best + semantic_dedup + the curation

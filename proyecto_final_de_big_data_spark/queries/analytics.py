@@ -3501,3 +3501,112 @@ def q_jw_name_match_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.substring("right_value", 10, 9).cast("long")
         ).alias("sum_ids"),
     )
+
+
+@register(
+    "fs_linkage_contract",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey AS k, c_nationkey AS nat, c_custkey // 100 AS blk,
+               c_mktsegment AS seg,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+               c_custkey % 10 AS dig
+        FROM customer
+    ), u0 AS (
+        SELECT sum(f * f)::DOUBLE / (sum(f)::DOUBLE * sum(f)::DOUBLE) AS u_0
+        FROM (SELECT count(*) AS f FROM cust GROUP BY seg)
+    ), u1 AS (
+        SELECT sum(f * f)::DOUBLE / (sum(f)::DOUBLE * sum(f)::DOUBLE) AS u_1
+        FROM (SELECT count(*) AS f FROM cust GROUP BY band)
+    ), u2 AS (
+        SELECT sum(f * f)::DOUBLE / (sum(f)::DOUBLE * sum(f)::DOUBLE) AS u_2
+        FROM (SELECT count(*) AS f FROM cust GROUP BY dig)
+    ), pairs AS (
+        SELECT l.seg AS ls, r.seg AS rs, l.band AS lb, r.band AS rb,
+               l.dig AS ld, r.dig AS rd
+        FROM cust l JOIN cust r
+          ON l.nat = r.nat AND l.blk = r.blk AND l.k < r.k
+    ), scored AS (
+        SELECT round(
+            (CASE WHEN ls = rs THEN log2(0.95 / u_0)
+                  ELSE log2(0.05 / (1.0 - u_0)) END)
+            + (CASE WHEN lb = rb THEN log2(0.9 / u_1)
+                    ELSE log2(0.1 / (1.0 - u_1)) END)
+            + (CASE WHEN ld = rd THEN log2(0.85 / u_2)
+                    ELSE log2(0.15 / (1.0 - u_2)) END), 6) AS score
+        FROM pairs, u0, u1, u2
+    ), classed AS (
+        SELECT score,
+               CASE WHEN score >= 6.0 THEN 'match'
+                    WHEN score <= -6.0 THEN 'non_match'
+                    ELSE 'possible' END AS match_class
+        FROM scored
+    )
+    SELECT match_class,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(min(score), 6) AS min_score,
+           round(max(score), 6) AS max_score,
+           round(avg(score), 4) AS avg_score
+    FROM classed GROUP BY 1
+    """,
+    description="Fellegi-Sunter probabilistic record linkage "
+    "(operators/linkage.py, Fellegi & Sunter JASA 1969): customer "
+    "candidate pairs blocked on (nation, key-century) — Sum-of-"
+    "block-squared candidates, never N^2 — scored on three field "
+    "agreements (market segment, account-balance band, key digit) "
+    "with log2(m/u) evidence weights; u = P(agree | non-match) is the "
+    "frequency estimate Sum f^2 / N^2 fit from the full table in one "
+    "answer-scale pass per field and broadcast onto the candidates "
+    "(estimate_u_probabilities — nothing collects); scoring is a pure "
+    "when-chain projection in a FIXED addition order; classes split "
+    "at scores >= 6 (match) / <= -6 (non-match) / clerical-review "
+    "middle, readout is the per-class census. The oracle restates "
+    "blocking, u fits, weights and thresholds term for term; the "
+    "hand-worked log2(9)/log2(19) weight fixture lives in "
+    "tests/test_linkage.py.",
+)
+def q_fs_linkage_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import (
+        estimate_u_probabilities,
+        fellegi_sunter_scores,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr("c_custkey div 100").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+        (F.col("c_custkey") % 10).alias("dig"),
+    )
+    u = estimate_u_probabilities(cust, ["seg", "band", "dig"])
+    left = cust.select(
+        F.col("k").alias("lk"), F.col("nat").alias("lnat"),
+        F.col("blk").alias("lblk"), F.col("seg").alias("ls"),
+        F.col("band").alias("lb"), F.col("dig").alias("ld"),
+    )
+    right = cust.select(
+        F.col("k").alias("rk"), F.col("nat").alias("rnat"),
+        F.col("blk").alias("rblk"), F.col("seg").alias("rs"),
+        F.col("band").alias("rb"), F.col("dig").alias("rd"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("lnat") == F.col("rnat"))
+        & (F.col("lblk") == F.col("rblk"))
+        & (F.col("lk") < F.col("rk")),
+    )
+    scored = fellegi_sunter_scores(
+        pairs,
+        [("ls", "rs"), ("lb", "rb"), ("ld", "rd")],
+        m=[0.95, 0.9, 0.85],
+        u=u,
+        upper=6.0,
+        lower=-6.0,
+    )
+    return scored.groupBy("match_class").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+    )

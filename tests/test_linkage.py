@@ -1,0 +1,115 @@
+"""Fellegi-Sunter scoring (operators/linkage.py).
+
+Hand-worked weights (the mandatory hand-fixture discipline) with
+m = (0.9, 0.95) and u pinned to (0.1, 0.05) via an explicit one-row
+frame:
+
+    name  agree  w  = log2(0.9/0.1)   = log2(9)  =  3.169925
+    name  differ w' = log2(0.1/0.9)   = -log2(9) = -3.169925
+    dob   agree  w  = log2(0.95/0.05) = log2(19) =  4.247928
+    dob   differ w' = log2(0.05/0.95) = -log2(19)= -4.247928
+
+    both agree:            3.169925 + 4.247928 =  7.417853 -> match
+    name only (dob diff):  3.169925 - 4.247928 = -1.078003 -> possible
+    dob missing:           3.169925 + 0        =  3.169925 -> possible
+    both differ:                               = -7.417853 -> non_match
+
+(thresholds upper=6, lower=-6)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from proyecto_final_de_big_data_spark.operators.linkage import (
+    estimate_u_probabilities,
+    fellegi_sunter_scores,
+)
+
+
+def _u(spark, vals):
+    return spark.createDataFrame(
+        [tuple(vals)], ", ".join(f"u_{i} double" for i in range(len(vals)))
+    )
+
+
+def _pairs(spark):
+    rows = [
+        ("p1", "ann", "ann", "1990", "1990"),
+        ("p2", "ann", "ann", "1990", "1991"),
+        ("p3", "ann", "ann", None, "1990"),
+        ("p4", "ann", "bob", "1990", "1991"),
+    ]
+    return spark.createDataFrame(
+        rows, "pid string, l_name string, r_name string, l_dob string, r_dob string"
+    )
+
+
+def test_hand_worked_weights_and_classes(spark):
+    out = fellegi_sunter_scores(
+        _pairs(spark),
+        [("l_name", "r_name"), ("l_dob", "r_dob")],
+        m=[0.9, 0.95],
+        u=_u(spark, [0.1, 0.05]),
+        upper=6.0,
+        lower=-6.0,
+    )
+    got = {r["pid"]: r for r in out.collect()}
+    w1, w2 = math.log2(9), math.log2(19)
+    assert got["p1"]["score"] == round(w1 + w2, 6)
+    assert got["p1"]["match_class"] == "match"
+    assert got["p2"]["score"] == round(w1 - w2, 6)
+    assert got["p2"]["match_class"] == "possible"
+    assert got["p3"]["score"] == round(w1, 6)
+    assert got["p3"]["gamma_1"] is None
+    assert got["p3"]["match_class"] == "possible"
+    assert got["p4"]["score"] == round(-w1 - w2, 6)
+    assert got["p4"]["match_class"] == "non_match"
+    assert (got["p1"]["gamma_0"], got["p2"]["gamma_1"]) == (1, 0)
+
+
+def test_u_estimate_is_sum_squared_frequencies(spark):
+    # field values: a,a,a,b (N=4): u = (9+1)/16 = 0.625.
+    # second field has a NULL: values x,x,y (N=3): u = (4+1)/9.
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", None)],
+        "f1 string, f2 string",
+    )
+    row = estimate_u_probabilities(df, ["f1", "f2"]).collect()[0]
+    assert row["u_0"] == 0.625
+    assert row["u_1"] == 5 / 9
+
+
+def test_validation(spark):
+    pairs = _pairs(spark)
+    u = _u(spark, [0.1, 0.05])
+    with pytest.raises(ValueError, match="m-probabilities"):
+        fellegi_sunter_scores(pairs, [("l_name", "r_name")], [0.9, 0.95], u, 6, -6)
+    with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        fellegi_sunter_scores(
+            pairs, [("l_name", "r_name"), ("l_dob", "r_dob")], [0.9, 1.0], u, 6, -6
+        )
+    with pytest.raises(ValueError, match="upper"):
+        fellegi_sunter_scores(
+            pairs, [("l_name", "r_name"), ("l_dob", "r_dob")], [0.9, 0.95], u, -6, 6
+        )
+    with pytest.raises(ValueError, match="at least one comparison"):
+        fellegi_sunter_scores(pairs, [], [], u, 6, -6)
+    with pytest.raises(ValueError, match="field columns"):
+        estimate_u_probabilities(pairs, [])
+
+
+def test_score_is_monotone_in_agreements(spark):
+    # More agreeing fields can only raise the score (fixed m > u).
+    out = fellegi_sunter_scores(
+        _pairs(spark),
+        [("l_name", "r_name"), ("l_dob", "r_dob")],
+        m=[0.9, 0.95],
+        u=_u(spark, [0.1, 0.05]),
+        upper=6.0,
+        lower=-6.0,
+    )
+    got = {r["pid"]: r["score"] for r in out.collect()}
+    assert got["p1"] > got["p3"] > got["p2"] > got["p4"]

@@ -307,6 +307,13 @@ def test_window_covers_every_family():
         "python_datasource_contract",
         "setsim_prefix_join_contract",  # join-family probe (the
                                      # fuzzy ER twin rotated out r8)
+        "fs_linkage_contract",       # Fellegi-Sunter ER scoring (NEW
+                                     # r9; the Jaro-Winkler twin
+                                     # rotated out after late-r8 green
+                                     # on unchanged fuzzyjoin.py — the
+                                     # new gate runs the same blocked
+                                     # self-join shape with the
+                                     # multi-field evidence model)
         "correlation_matrix_contract",  # pairwise sufficient-stats corr
         "survival_km_contract",      # Kaplan-Meier censored retention
         "frequent_itemsets_contract",  # market-basket machinery (the
