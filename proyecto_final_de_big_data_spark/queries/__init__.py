@@ -550,7 +550,18 @@ _VERIFICATION_WINDOW = [
     # hands its slot to negative_sampling_contract — deterministic
     # md5-draw negative sampling for contrastive training data
     # (operators/negatives.py), new this round (same-round-slot rule).
-    "negative_sampling_contract",
+    # r9 (late): negative_sampling_contract (r8 first-round hash-green;
+    # negatives.py unchanged this round) hands its slot to
+    # jl_projection_contract — Johnson-Lindenstrauss ±1 random
+    # projection with a sample-bounded distance audit
+    # (operators/projection.py, Achlioptas JCSS'03), new this round
+    # (same-round-slot rule). The md5-draw determinism machinery stays
+    # in-window via weighted_ksample_contract (A-ES md5 keys) and
+    # dsir_selection_contract (md5-fold features); negatives stay
+    # full-catalog attested + pytest parity-gated. The embedding
+    # family gains the dimension-reduction rep next to the byte-
+    # reduction quantizer gates (PQ/IVF,PQ).
+    "jl_projection_contract",
     # repetition_profile (r5 green, quality.py unchanged; the text
     # family keeps lm_quality + the chunk gate + stream_pii_curation)
     # hands its slot to drift_psi_contract — PSI snapshot-drift

@@ -2897,3 +2897,68 @@ def q_gopher_rules_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pass_rate"),
     )
+
+
+@register(
+    "jl_projection_contract",
+    oracle="""
+    WITH sample AS (
+        SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 30
+    ), proj AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE) AS v,
+               list_transform(
+                   generate_series(0, 15),
+                   j -> list_reduce(
+                        list_transform(
+                            generate_series(1, 64),
+                            i -> embedding[i]::DOUBLE *
+                                 (CASE WHEN ('0x' || substr(md5(
+                                        'jl:' || j::VARCHAR || ':'
+                                        || (i - 1)::VARCHAR), 1, 15)
+                                      )::BIGINT % 2 = 0
+                                      THEN 1.0::DOUBLE
+                                      ELSE -1.0::DOUBLE END)),
+                        (a, b) -> a + b) * 0.25::DOUBLE
+               ) AS p
+        FROM sample
+    ), pairs AS (
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               list_reduce(
+                   list_transform(generate_series(1, 64),
+                                  i -> (l.v[i] - r.v[i]) * (l.v[i] - r.v[i])),
+                   (a, b) -> a + b) AS d2o,
+               list_reduce(
+                   list_transform(generate_series(1, 16),
+                                  i -> (l.p[i] - r.p[i]) * (l.p[i] - r.p[i])),
+                   (a, b) -> a + b) AS d2p
+        FROM proj l JOIN proj r ON l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b,
+           round(d2o, 6) AS d2_orig,
+           round(d2p, 6) AS d2_proj,
+           round(CASE WHEN d2o > 0 THEN d2p / d2o END, 6) AS ratio
+    FROM pairs
+    """,
+    description="Johnson-Lindenstrauss random projection + distance "
+    "audit (operators/projection.py, Achlioptas ±1 projection): 64-d "
+    "embeddings projected to k=16 signed md5-derived directions "
+    "(sign(j,i) from the repo's portable md5 fold — the matrix regrows "
+    "identically in any engine and on any re-run; 1/sqrt(16) = 0.25 is "
+    "exact binary), then every pair among the 30 smallest vec_ids "
+    "audited for squared-distance preservation (ratio = d2_proj / "
+    "d2_orig, the JL distortion). The projection is a map-only HOF "
+    "fold inside the scan stage (no shuffle/Python/UDF; k x dim "
+    "literals in the plan, no driver state); the audit is the only "
+    "quadratic piece and is explicitly sample-bounded (max_ids). The "
+    "oracle regrows the sign matrix from the same md5 and replays the "
+    "identical left folds; the NumPy matrix-multiply twin and the "
+    "hand-checkable k=1 case live in tests/test_projection.py.",
+)
+def q_jl_projection_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.projection import jl_distance_audit
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return jl_distance_audit(
+        emb, "vec_id", "embedding", dim=64, k=16, max_ids=30
+    )

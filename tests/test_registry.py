@@ -325,7 +325,13 @@ def test_window_covers_every_family():
         "robust_outlier_profile",    # median/MAD outlier fence
         "correlation_matrix_contract",  # stats family (the chi2/MI twin
                                      # rotated out r8 after r7 green)
-        "negative_sampling_contract",  # md5-draw negatives (NEW r8)
+        "jl_projection_contract",    # JL random projection (NEW r9;
+                                     # the md5-draw negatives twin
+                                     # rotated out after r8 green on
+                                     # unchanged negatives.py —
+                                     # weighted_ksample + dsir keep the
+                                     # md5-determinism machinery
+                                     # in-window)
         "ewma_anomaly_contract",     # EWMA + one-step anomaly flags
         "correlation_matrix_contract",  # stats.py sufficient-stats rep
                                      # (the ACF twin rotated out r8
