@@ -258,7 +258,20 @@ _VERIFICATION_WINDOW = [
     # graph family gains the join-based sibling next to pagerank's
     # Pregel iteration.
     "triangle_count_contract",
-    "heavy_hitter_keys",
+    # r9 (late): heavy_hitter_keys (r6+r7+r8 hash-green — the
+    # longest-green entry remaining in the window; heavy_hitters.py
+    # unchanged since r6) hands its slot to seq_patterns_contract —
+    # PrefixSpan sequential-pattern mining over per-user event
+    # prefixes (operators/seqmine.py, Pei et al. ICDE'01), new this
+    # round (same-round-slot rule). The screening family keeps
+    # data_quality_contract + the NEW gopher_rules_contract in-window
+    # and the sampled/sketched-summary family keeps
+    # theta_cohort_overlap_contract; heavy hitters stay full-catalog
+    # attested + pytest parity-gated. The new gate's oracle is a
+    # brute-force subsequence enumeration — different algebra from
+    # the projection-database mining (the round's different-algebra
+    # discipline, with FP-Growth's brute-force twin).
+    "seq_patterns_contract",
     # hll_mergeable_rollup_contract + kll_quantile_rollup_contract
     # (r6 green, sketches.py unchanged; the mergeable-sketch family
     # keeps theta_cohort_overlap + cm_frequency_rollup in-window, and

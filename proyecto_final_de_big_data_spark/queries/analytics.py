@@ -3610,3 +3610,69 @@ def q_fs_linkage_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("score"), 6).alias("max_score"),
         F.round(F.avg("score"), 4).alias("avg_score"),
     )
+
+
+@register(
+    "seq_patterns_contract",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), seq AS (
+        SELECT user_id, event_type, rn FROM ranked WHERE rn <= 5
+    ), ns AS (
+        SELECT count(DISTINCT user_id)::DOUBLE AS nd,
+               CAST(ceil(0.2 * count(DISTINCT user_id)) AS BIGINT) AS m
+        FROM seq
+    ), s1 AS (
+        SELECT event_type AS pattern, 1 AS size,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS freq
+        FROM seq GROUP BY 1
+    ), s2 AS (
+        SELECT a.event_type || ' -> ' || b.event_type AS pattern,
+               2 AS size,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS freq
+        FROM seq a JOIN seq b
+          ON a.user_id = b.user_id AND a.rn < b.rn
+        GROUP BY 1
+    ), allp AS (
+        SELECT * FROM s1 UNION ALL SELECT * FROM s2
+    )
+    SELECT pattern, size, freq, round(freq / nd, 6) AS support
+    FROM allp, ns WHERE freq >= m
+    """,
+    description="PrefixSpan sequential-pattern mining (operators/"
+    "seqmine.py:sequential_patterns, Pei et al. ICDE'01 via MLlib): "
+    "each user's FIRST 5 events (ordered by ts with event_id "
+    "tie-break — the truncation is the operator's documented "
+    "max_seq_len contract, restated as row_number <= 5) mined for all "
+    "patterns up to length 2 at min_support 0.2; a pattern a -> b is "
+    "supported when a precedes b anywhere in the subsequence, and "
+    "freq counts SEQUENCES, not occurrences. The order-aware sibling "
+    "of the FP-Growth itemset gates (co-occurrence ignores order; "
+    "b -> a and a -> b differ here). PrefixSpan distributes by "
+    "prefix-projected databases; minCount = ceil(min_support * "
+    "n_sequences) restated identically. The oracle enumerates "
+    "subsequence containment by brute force (distinct users with "
+    "rn_a < rn_b per ordered type pair) — a structurally DIFFERENT "
+    "algebra from the projection-database mining; the hand-worked "
+    "4-sequence fixture and a full brute-force Python twin live in "
+    "tests/test_seqmine.py.",
+)
+def q_seq_patterns_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.seqmine import sequential_patterns
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return sequential_patterns(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        "event_type",
+        min_support=0.2,
+        max_pattern_length=2,
+        max_seq_len=5,
+    )

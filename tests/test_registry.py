@@ -92,7 +92,13 @@ def test_window_covers_every_family():
                                      # budget twin rotated out after
                                      # r6+r7+r8 green on unchanged
                                      # selection/mixing code)
-        "heavy_hitter_keys",         # two-phase heavy hitters
+        "seq_patterns_contract",     # PrefixSpan sequence mining (NEW
+                                     # r9, different-algebra oracle;
+                                     # the two-phase heavy-hitter twin
+                                     # rotated out after r6+r7+r8 green
+                                     # on unchanged heavy_hitters.py —
+                                     # data_quality + gopher keep
+                                     # screening, theta keeps sketches)
         "theta_cohort_overlap_contract",   # mergeable sketches (the
                                      # HLL/KLL twins rotated out r7
                                      # after r6 green; theta + cm stay)
