@@ -785,7 +785,18 @@ _VERIFICATION_WINDOW = [
     # this round (same-round-slot rule); the ML-evaluation family
     # gains the distribution-free uncertainty readout next to
     # AUC/Brier.
-    "conformal_interval_contract",
+    # r9 (late): conformal_interval_contract (r8 first-round
+    # hash-green; ml/conformal.py unchanged this round) hands its slot
+    # to msprt_contract — mSPRT always-valid sequential A/B monitoring
+    # (operators/abtest.py:msprt_monitor, Johari et al.), new this
+    # round (same-round-slot rule) and a THIRD gate on the r9-changed
+    # abtest.py module (with did_contract + cuped_ab_contract). The
+    # uncertainty family keeps weighted_percentile_contract (exact
+    # quantile machinery — conformal's split-quantile core) and the
+    # ML-eval family keeps brier_ece + learning_curve + tree_ensemble
+    # in-window; conformal stays full-catalog attested + its
+    # row_number different-algebra oracle in pytest parity.
+    "msprt_contract",
     # r8: embedding_kmeans_contract (r5+r6+r7 green — the named
     # longest-green entry in the VERDICT r7 swap pool; ml/clustering.py
     # unchanged) hands its slot to knn_ann_ivf_pq_recall — the

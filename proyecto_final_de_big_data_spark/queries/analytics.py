@@ -3676,3 +3676,109 @@ def q_seq_patterns_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_pattern_length=2,
         max_seq_len=5,
     )
+
+
+@register(
+    "msprt_contract",
+    oracle="""
+    WITH units AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS variant,
+               value AS y
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+    ), daily AS (
+        SELECT day,
+               CAST(sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dn_c,
+               sum(CASE WHEN variant = 'control' THEN y ELSE 0 END) AS dsy_c,
+               sum(CASE WHEN variant = 'control' THEN y * y ELSE 0 END)
+                   AS dsyy_c,
+               CAST(sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dn_t,
+               sum(CASE WHEN variant = 'treatment' THEN y ELSE 0 END) AS dsy_t,
+               sum(CASE WHEN variant = 'treatment' THEN y * y ELSE 0 END)
+                   AS dsyy_t
+        FROM units GROUP BY 1
+    ), cum AS (
+        SELECT day,
+               sum(dn_c) OVER w AS n_c,
+               sum(dsy_c) OVER w AS sy_c,
+               sum(dsyy_c) OVER w AS syy_c,
+               sum(dn_t) OVER w AS n_t,
+               sum(dsy_t) OVER w AS sy_t,
+               sum(dsyy_t) OVER w AS syy_t
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ), stats AS (
+        SELECT day, n_c, n_t,
+               sy_c / nc AS mean_c, sy_t / nt AS mean_t,
+               sy_t / nt - sy_c / nc AS delta,
+               greatest(0.0, (syy_t - sy_t * sy_t / nt) / (nt - 1.0)) / nt
+               + greatest(0.0, (syy_c - sy_c * sy_c / nc) / (nc - 1.0)) / nc
+                   AS v
+        FROM (SELECT *,
+                     CASE WHEN n_c >= 2 THEN n_c::DOUBLE END AS nc,
+                     CASE WHEN n_t >= 2 THEN n_t::DOUBLE END AS nt
+              FROM cum)
+    ), lamb AS (
+        SELECT *,
+               CASE WHEN v > 0 THEN
+                   sqrt(v / (v + 4.0))
+                   * exp(delta * delta * 4.0 / (2.0 * v * (v + 4.0)))
+               END AS lam
+        FROM stats
+    ), runm AS (
+        SELECT *,
+               max(lam) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS rmax
+        FROM lamb
+    )
+    SELECT day,
+           CAST(n_c AS BIGINT) AS n_control,
+           CAST(n_t AS BIGINT) AS n_treatment,
+           round(mean_c, 6) AS mean_control,
+           round(mean_t, 6) AS mean_treatment,
+           round(delta, 6) AS delta,
+           round(v, 6) AS variance,
+           round(lam, 6) AS lambda,
+           round(CASE WHEN rmax IS NOT NULL
+                      THEN least(1.0, 1.0 / rmax) END, 6)
+               AS p_always_valid,
+           CASE WHEN rmax IS NOT NULL THEN
+               CASE WHEN least(1.0, 1.0 / rmax) <= 0.05
+                    THEN 1 ELSE 0 END
+           END AS significant
+    FROM runm
+    """,
+    description="mSPRT always-valid sequential A/B monitoring "
+    "(operators/abtest.py:msprt_monitor, Johari et al. 'Always Valid "
+    "Inference'): the per-day experiment state a dashboard can refresh "
+    "daily WITHOUT inflating false positives — cumulative Welch "
+    "delta/variance from per-day sufficient sums, the mixture "
+    "likelihood ratio Lambda = sqrt(V/(V+tau^2)) * exp(delta^2 tau^2 / "
+    "(2V(V+tau^2))) at tau=2, and the monotone always-valid p = "
+    "min(1, 1/running-max Lambda); warm-up days (either arm under 2 "
+    "cumulative units) carry NULL honestly. ONE conditional "
+    "aggregation reduces raw events to day-cardinality sufficient "
+    "sums; cumulative sums and the running max are windows over that "
+    "answer-scale frame, never over raw units. The oracle replays the "
+    "identical windows and closed form; the hand-worked V=1/delta=3 "
+    "Lambda fixture lives in tests/test_msprt.py.",
+)
+def q_msprt_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.abtest import msprt_monitor
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("variant"),
+        F.col("value").alias("y"),
+    )
+    return msprt_monitor(
+        ev, "day", "variant", "y", "control", "treatment", tau=2.0,
+        alpha=0.05,
+    )

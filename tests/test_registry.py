@@ -69,12 +69,16 @@ def test_window_covers_every_family():
                                      # green on unchanged scd.py;
                                      # reverse-cumulative + session
                                      # windows keep the family)
-        "conformal_interval_contract",  # uncertainty readouts (the
-                                     # Poisson-bootstrap twin rotated
-                                     # out r9 after r8 green on
-                                     # unchanged bootstrap.py; conformal
-                                     # + weighted-percentile keep the
-                                     # family in-window)
+        "weighted_percentile_contract",  # uncertainty readouts (the
+                                     # Poisson-bootstrap and conformal
+                                     # twins rotated out r9 after r8
+                                     # green on unchanged modules; the
+                                     # exact weighted-quantile gate —
+                                     # conformal's split-quantile core
+                                     # — keeps the family in-window)
+        "msprt_contract",            # always-valid sequential A/B
+                                     # monitoring (NEW r9; third gate
+                                     # on the r9-changed abtest.py)
         "holt_forecast_contract",    # Holt level+trend forecaster
                                      # (NEW r9; same series-collector
                                      # fold machinery as EWMA)
@@ -343,7 +347,10 @@ def test_window_covers_every_family():
                                      # (the ACF twin rotated out r8
                                      # after r7 green on unchanged
                                      # stats.py)
-        "conformal_interval_contract",  # split-conformal intervals (NEW r8)
+        "weighted_percentile_contract",  # split-conformal's quantile
+                                     # core (the conformal gate rotated
+                                     # out r9 after r8 green on
+                                     # unchanged ml/conformal.py)
         "k_anonymity_contract",      # privacy: k-anonymity + suppression
         "brier_ece_contract",        # probability calibration metrics
         "weighted_percentile_contract",  # weighted exact percentiles
