@@ -903,3 +903,60 @@ def test_learning_curve_two_shuffles_no_data_rescan_per_point(spark, sf_dir):
     # the 4-row model frame rides a broadcast nested-loop by design;
     # a CartesianProduct (non-broadcast) must never appear
     assert "CartesianProduct" not in plan
+
+
+# ---- round-9 late additions -----------------------------------------
+
+
+def test_gopher_scoring_is_scan_stage_projection(spark, sf_dir):
+    # Every Gopher signal is a HOF projection: the only exchange in the
+    # plan is the final per-lang rollup's — nothing shuffles documents
+    # to score them.
+    plan = _plan(spark, sf_dir, "gopher_rules_contract")
+    # formatted mode names tree nodes "Exchange (n)" — count those,
+    # not the word (it reappears in the per-node detail section).
+    assert plan.count("Exchange (") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_jl_projection_has_no_pre_audit_shuffle(spark, sf_dir):
+    # Projection is map-only; the audit's pair join is over the bounded
+    # 30-row sample, so no SortMergeJoin may appear (broadcast NL over
+    # the id_a < id_b condition on a 30-row frame is the correct shape).
+    plan = _plan(spark, sf_dir, "jl_projection_contract")
+    assert "SortMergeJoin" not in plan
+
+
+def test_holt_fold_shuffles_only_for_grouping(spark, sf_dir):
+    # One exchange for the daily grid agg, one for the per-key collect,
+    # one for the sigma join-back — and nothing at raw-event scale
+    # after the first.
+    plan = _plan(spark, sf_dir, "holt_forecast_contract")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_msprt_windows_are_single_partition_answer_scale(spark, sf_dir):
+    # The cumulative/running-max windows sort DAY-cardinality rows
+    # (30 at any SF) — a single-partition window over the daily frame
+    # is the intended answer-scale shape, and the raw units must reach
+    # it through a partial-aggregated groupBy, not a raw sort.
+    plan = _plan(spark, sf_dir, "msprt_contract")
+    assert plan.count("HashAggregate") >= 2  # map-side combine on units
+    assert "CartesianProduct" not in plan
+
+
+def test_fs_linkage_u_fits_broadcast_onto_candidates(spark, sf_dir):
+    # The three u fits are 1-row frames: they must reach the candidate
+    # pairs as broadcasts, never as a shuffled join side.
+    plan = _plan(spark, sf_dir, "fs_linkage_contract")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ccnet_vocab_and_bounds_broadcast(spark, sf_dir):
+    # Scoring joins the 20-row vocab and the per-lang bounds by
+    # broadcast; the corpus token stream must not sort-merge anywhere.
+    plan = _plan(spark, sf_dir, "ccnet_bucket_contract")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
