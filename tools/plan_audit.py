@@ -96,6 +96,17 @@ HEADLINERS = {
     "cosine_allpairs_contract": "APSS weighted cosine — L2 prefix filter cuts the inverted index by weight mass; verification joins term lists for candidates only",
     "dsir_selection_contract": "DSIR selection — HOF bigram hashing, two bucket-cardinality distribution aggs, broadcast log-ratio join, TakeOrderedAndProject top-k",
     "learning_curve_contract": "learning curve — one groupBy(slice) stats pass, cumulative window over the 5-row slice frame, 4-model broadcast scoring join",
+    "holt_forecast_contract": "Holt forecasting — daily-grid agg, per-key collect + two-state in-memory fold, sigma join-back; no raw-event windows",
+    "did_contract": "difference-in-differences — ONE conditional agg to four cells' sufficient sums, closed-form answer row",
+    "msprt_contract": "mSPRT monitor — partial-aggregated groupBy to day cardinality; cumulative/running-max windows over the answer-scale daily frame only",
+    "l_diversity_contract": "l-diversity — (class x sensitive) cell agg, class rollup, answer row; entropy folds from cell counts, zero joins",
+    "gopher_rules_contract": "Gopher rules — all eight signals HOF projections in the scan stage; the per-lang rollup owns the plan's single Exchange",
+    "ccnet_bucket_contract": "CCNet buckets — broadcast-vocab NLL scoring, language-cardinality percentile bounds broadcast back, map-only bucket chain",
+    "frequent_itemsets_contract": "FP-Growth — dedup-cap-group baskets; PFP suffix-group conditional DBs; freqItemsets crossJoin a 1-row basket total",
+    "assoc_rules_contract": "association rules — 1->1 rules joined to broadcast single/pair frequency frames; ratio algebra one shared op order",
+    "seq_patterns_contract": "PrefixSpan — per-user prefix sequences via one groupBy; prefix-projected pattern mining; answer-scale pattern frame out",
+    "fs_linkage_contract": "Fellegi-Sunter — blocked self-join candidates; three 1-row u fits broadcast in; when-chain scoring projection",
+    "jl_projection_contract": "JL projection — sign matrix as plan literals, map-only HOF fold; the audit's pair join bounded to the 30-row sample",
 }
 
 
