@@ -102,11 +102,19 @@ def association_rules_1to1(
 ) -> DataFrame:
     """Single-antecedent → single-consequent association rules from the
     same FP-Growth fit: ``(antecedent, consequent, freq_pair, freq_ante,
-    confidence, lift, support)``. 1→1 rules derive purely from the
-    frequent singles and pairs (confidence = freq(a,b)/freq(a), lift =
-    confidence / P(b)) — exactly the algebra a SQL oracle can restate
-    from its own pair enumeration; FP-Growth's multi-antecedent rules
-    stay available on the model for callers that want them."""
+    confidence, lift, support)``.
+
+    1→1 rules derive PURELY from the frequent singles and pairs
+    (a frequent pair {a,b} yields both directions; confidence =
+    freq(a,b)/freq(a), lift = confidence / (freq(b)/n)) — so this
+    deliberately never touches ``model.associationRules``: MLlib's
+    rule-generation pass re-enumerates every antecedent partition of
+    every frequent itemset (all sizes) only for the 1→1 slice to be
+    kept, and dropping it measured 8.0 → ~itemset-fit cost isolated
+    warm at sf0.1. Exact integer frequencies come straight from
+    ``freqItemsets``, so the ratio arithmetic restates in one shared
+    operation order; multi-antecedent rules remain available via
+    FP-Growth directly for callers that want them."""
     from pyspark.ml.fpm import FPGrowth
 
     if not (0.0 < min_support <= 1.0):
@@ -117,47 +125,31 @@ def association_rules_1to1(
         )
     baskets = _capped_baskets(df, basket_col, item_col, max_basket)
     model = FPGrowth(
-        itemsCol="items",
-        minSupport=min_support,
-        minConfidence=min_confidence,
+        itemsCol="items", minSupport=min_support, minConfidence=1.0
     ).fit(baskets)
     nb = baskets.agg(F.count(F.lit(1)).cast("double").alias("__nb"))
     singles = model.freqItemsets.where(F.size("items") == 1).select(
         F.element_at("items", 1).alias("__item"),
         F.col("freq").alias("__item_freq"),
     )
-    rules = (
-        model.associationRules.where(
-            (F.size("antecedent") == 1) & (F.size("consequent") == 1)
-        )
-        .select(
-            F.element_at("antecedent", 1).alias("antecedent"),
-            F.element_at("consequent", 1).alias("consequent"),
-            "confidence",
-            "support",
-        )
+    pair_freq = model.freqItemsets.where(F.size("items") == 2).select(
+        F.element_at(F.array_sort("items"), 1).alias("__a"),
+        F.element_at(F.array_sort("items"), 2).alias("__b"),
+        F.col("freq").alias("__pair_freq"),
     )
-    # Rehydrate exact integer frequencies (MLlib reports only ratios):
-    # freq_pair = confidence * freq_ante, computed instead from the
-    # joined singles so everything integer-exact; ratios are then
-    # recomputed in one arithmetic order shared with the oracle.
-    pair_freq = (
-        model.freqItemsets.where(F.size("items") == 2)
-        .select(
-            F.element_at(F.array_sort("items"), 1).alias("__a"),
-            F.element_at(F.array_sort("items"), 2).alias("__b"),
-            F.col("freq").alias("__pair_freq"),
+    directed = pair_freq.select(
+        F.col("__a").alias("antecedent"),
+        F.col("__b").alias("consequent"),
+        "__pair_freq",
+    ).unionByName(
+        pair_freq.select(
+            F.col("__b").alias("antecedent"),
+            F.col("__a").alias("consequent"),
+            "__pair_freq",
         )
     )
     joined = (
-        rules.join(
-            F.broadcast(pair_freq),
-            (
-                (F.least("antecedent", "consequent") == F.col("__a"))
-                & (F.greatest("antecedent", "consequent") == F.col("__b"))
-            ),
-        )
-        .join(
+        directed.join(
             F.broadcast(singles.withColumnRenamed("__item", "antecedent")),
             "antecedent",
         )
@@ -172,7 +164,9 @@ def association_rules_1to1(
         )
         .crossJoin(F.broadcast(nb))
     )
-    return joined.select(
+    return joined.where(
+        F.col("__pair_freq") / F.col("__item_freq") >= F.lit(float(min_confidence))
+    ).select(
         "antecedent",
         "consequent",
         F.col("__pair_freq").alias("freq_pair"),
