@@ -66,12 +66,20 @@ def perplexity_partition(
         df, vocab, id_col=id_col, text_col=text_col, carry_cols=[lang_col]
     ).withColumn("nll", F.round(F.col("doc_nll"), decimals))
     third = 1.0 / 3.0
-    bounds = scored.groupBy(lang_col).agg(
+    # NULL-language documents group as their OWN level (the anonymity
+    # module's posture): groupBy keeps the NULL key, and the join back
+    # is null-safe — a plain equi-join would silently drop every
+    # NULL-lang document from the output, violating the every-scored-
+    # doc-gets-a-row contract.
+    bounds = scored.groupBy(F.col(lang_col).alias("__blang")).agg(
         F.percentile(F.col("nll"), F.lit(third)).alias("__b1"),
         F.percentile(F.col("nll"), F.lit(2.0 * third)).alias("__b2"),
     )
     return (
-        scored.join(F.broadcast(bounds), lang_col)
+        scored.join(
+            F.broadcast(bounds),
+            F.col(lang_col).eqNullSafe(F.col("__blang")),
+        )
         .select(
             id_col,
             lang_col,

@@ -53,8 +53,11 @@ def estimate_u_probabilities(
         parts.append(
             freq.agg(
                 (
-                    F.sum(F.col("__f") * F.col("__f")).cast("double")
-                    / (F.sum("__f") * F.sum("__f")).cast("double")
+                    F.sum(F.col("__f").cast("double") * F.col("__f"))
+                    / (
+                        F.sum("__f").cast("double")
+                        * F.sum("__f").cast("double")
+                    )
                 ).alias(f"u_{i}")
             )
         )

@@ -79,7 +79,23 @@ def jl_project(
             * F.lit(inv)
         )
 
-    return df.withColumn(out_col, F.array(*[_row(j) for j in range(k)]))
+    # Hard-fail on a dimension mismatch: zip_with pads the shorter
+    # array with NULLs, so a ragged or mis-declared vec_col would
+    # otherwise project to all-NULL silently (the series.py
+    # raise_error posture).
+    proj = F.array(*[_row(j) for j in range(k)])
+    return df.withColumn(
+        out_col,
+        F.when(F.size(F.col(vec_col)) == dim, proj).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "jl_project: vector length %s != declared dim %d",
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(dim),
+                )
+            )
+        ),
+    )
 
 
 def _sq_dist(a: Column, b: Column) -> Column:

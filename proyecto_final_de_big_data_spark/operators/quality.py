@@ -150,10 +150,13 @@ def gopher_quality_flags(
     )
     mean_len = F.when(n_words > 0, sum_len.cast("double") / n_words)
     n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    # Both ellipsis forms count as symbols — the Unicode '…' too, so
+    # the symbol-ratio rule and the ellipsis-line rule (which already
+    # matched both) use ONE definition of 'ellipsis'.
     n_ellipsis = F.floor(
         (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit(""))))
         / F.lit(3)
-    )
+    ) + (F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit(""))))
     symbol_ratio = F.when(
         n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
     )
@@ -216,7 +219,10 @@ def gopher_quality_flags(
         _ok(bullet_frac <= max_bullet_frac).alias("bullet_ok"),
         _ok(ellipsis_frac <= max_ellipsis_frac).alias("ellipsis_ok"),
         _ok(alpha_frac >= min_alpha_frac).alias("alpha_ok"),
-        (n_stop >= min_stop_words).alias("stop_words_ok"),
+        # _ok here too: size(NULL array) is NULL under ANSI, so a
+        # NULL-text row would otherwise carry stop_words_ok = NULL and
+        # silently escape a ~stop_words_ok failure count.
+        _ok(n_stop >= min_stop_words).alias("stop_words_ok"),
     )
     return out.withColumn(
         "gopher_pass",

@@ -46,8 +46,14 @@ def sequence_frames(
     tie-breaker column for non-unique timestamps)."""
     if not order_cols:
         raise ValueError("sequence_frames needs at least one order column")
+    # NULL items are excluded up front: array_join would render a NULL
+    # element as the empty string inside a pattern key ('a -> ' and
+    # '' colliding with genuine patterns), and no subsequence-
+    # containment oracle can restate that. A NULL event carries no
+    # sequence information.
     ordered = (
-        df.groupBy(F.col(key_col).alias("key"))
+        df.filter(F.col(item_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
         .agg(
             F.array_sort(
                 F.collect_list(

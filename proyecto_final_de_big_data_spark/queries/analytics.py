@@ -2755,11 +2755,12 @@ def q_cuped_ab_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH units AS (
         SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
                     ELSE 'treatment' END AS variant,
-               CASE WHEN ts < TIMESTAMP '2024-01-16'
+               CASE WHEN (user_id // 2) % 2 = 0
                     THEN 'pre' ELSE 'post' END AS period,
                sum(value) AS y
         FROM events
         WHERE value IS NOT NULL AND NOT isnan(value)
+          AND ((user_id // 2) % 2 = 0) = (ts < TIMESTAMP '2024-01-16')
         GROUP BY user_id, 2
     ), s AS (
         SELECT
@@ -2829,9 +2830,15 @@ def q_cuped_ab_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Difference-in-differences readout (operators/abtest.py:"
     "difference_in_differences, the Card & Krueger 1994 two-group/"
-    "two-period design): per-(user, period) spend units with variant = "
-    "user_id parity and period split at Jan 16 — the treatment arm's "
-    "pre->post change minus the control arm's, netting out the shared "
+    "two-period design): a genuine REPEATED CROSS-SECTION — each user "
+    "is sampled in exactly ONE period ((user_id div 2) parity assigns "
+    "pre/post; user_id parity assigns variant, independent of it) and "
+    "contributes one spend unit from that period's window (pre < Jan "
+    "16 <= post), so the four cells are independent samples and the "
+    "operator's four-cell Welch SE is the statistically correct form "
+    "(per its own docstring: NOT a panel — a same-user pre+post "
+    "construction would need a paired SE). The treatment arm's "
+    "pre->post change minus the control arm's nets out the shared "
     "time shock under parallel trends. ONE conditional-aggregation "
     "pass reduces the unit frame to the four cells' sufficient sums "
     "(n, Sy, Syy); means, sample variances, the four-cell Welch SE, "
@@ -2845,11 +2852,16 @@ def q_did_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     boundary = F.lit("2024-01-16").cast("timestamp")
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # Repeated cross-section: each user belongs to ONE period (div-2
+    # parity, independent of the variant's mod-2 parity) and only that
+    # period's events form their unit — no user appears in two cells.
+    assigned_pre = (F.expr("user_id div 2") % 2) == 0
     units = (
         ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .filter(assigned_pre == (F.col("ts") < boundary))
         .groupBy(
             "user_id",
-            F.when(F.col("ts") < boundary, F.lit("pre"))
+            F.when(assigned_pre, F.lit("pre"))
             .otherwise(F.lit("post"))
             .alias("period"),
         )

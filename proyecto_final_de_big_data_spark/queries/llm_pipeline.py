@@ -2782,6 +2782,7 @@ def q_dsir_selection_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                            l -> len(trim(l)) > 0) AS ls,
                len(text) - len(replace(text, '#', '')) AS n_hash,
                (len(text) - len(replace(text, '...', ''))) // 3
+               + (len(text) - len(replace(text, '…', '')))
                    AS n_ellipsis
         FROM documents
     ), per_doc AS (

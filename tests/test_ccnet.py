@@ -90,3 +90,18 @@ def test_zero_token_docs_produce_no_row(spark):
     got = _run(spark, rows)
     assert "empty" not in got
     assert len(got) == 6
+
+
+def test_null_lang_buckets_as_own_level(spark):
+    # NULL language groups as its own level (the anonymity posture) —
+    # a plain equi-join back to the bounds frame would silently drop
+    # every NULL-lang document (review finding).
+    rows = DOCS + [
+        ("n1", None, "aa aa"),
+        ("n2", None, "zz zz"),
+        ("n3", None, "aa zz"),
+    ]
+    got = _run(spark, rows)
+    assert {"n1", "n2", "n3"} <= set(got)
+    assert len(got) == 9
+    assert got["n1"]["bucket"] == "head"  # lowest NLL within the NULL group

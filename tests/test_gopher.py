@@ -95,3 +95,21 @@ def test_stop_word_count_is_distinct_containment(spark):
     r = _flags(spark, [("onlythe", " ".join(["the"] * 30 + ["word"] * 30))])
     assert r["onlythe"]["n_stop_words"] == 1
     assert r["onlythe"]["stop_words_ok"] is False
+
+
+def test_null_text_fails_every_rule_including_stop_words(spark):
+    # size(NULL array) is NULL under ANSI; stop_words_ok must coalesce
+    # to False like every other flag (review finding).
+    r = _flags(spark, [("nulldoc", None)])["nulldoc"]
+    assert r["stop_words_ok"] is False
+    assert r["gopher_pass"] is False
+
+
+def test_unicode_ellipsis_counts_in_symbol_ratio(spark):
+    # '…' and '...' are ONE definition of ellipsis across both rules
+    # (review finding): 10 '…' over 60 words (each '…' is also a
+    # whitespace token) trips the 0.1 ratio.
+    text = " ".join(["the", "and"] + ["word"] * 48) + " " + "… " * 10
+    r = _flags(spark, [("uni", text)])["uni"]
+    assert r["symbol_ratio_ok"] is False
+    assert r["symbol_ratio"] == round(10 / 60, 6)

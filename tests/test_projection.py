@@ -85,3 +85,14 @@ def test_identical_vectors_null_ratio_and_validation(spark):
         jl_distance_audit(df, "id", "vec", 2, 1, max_ids=1)
     with pytest.raises(ValueError, match="k >= 1"):
         jl_sign_matrix(0, 2)
+
+
+def test_dimension_mismatch_raises_not_nulls(spark):
+    # zip_with pads with NULLs; a ragged vector must hard-fail, not
+    # project to all-NULL (review finding).
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "id long, vec array<double>"
+    )
+    out = jl_project(df, "vec", dim=4, k=2)
+    with pytest.raises(Exception, match="jl_project: vector length"):
+        out.collect()

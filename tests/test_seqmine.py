@@ -122,3 +122,17 @@ def test_validation(spark):
         sequence_frames(df, "k", ["t"], "i", max_seq_len=0)
     with pytest.raises(ValueError, match="max_pattern_length"):
         sequential_patterns(df, "k", ["t"], "i", 0.5, max_pattern_length=0)
+
+
+def test_null_items_are_excluded(spark):
+    # A NULL event carries no sequence information; array_join would
+    # otherwise render it as '' inside pattern keys (review finding).
+    rows = [("u1", 1, "a"), ("u1", 2, None), ("u1", 3, "b"),
+            ("u2", 1, "a"), ("u2", 2, "b")]
+    out = sequential_patterns(
+        _df(spark, rows), "k", ["t"], "i", min_support=0.5,
+        max_pattern_length=2,
+    )
+    got = {r["pattern"]: r["freq"] for r in out.collect()}
+    assert got == {"a": 2, "b": 2, "a -> b": 2}
+    assert not any(p == "" or " ->  " in p or p.endswith("-> ") for p in got)
