@@ -263,3 +263,75 @@ def mann_whitney_u(
         F.round(u_b, decimals).alias("u_b"),
         F.round(z, decimals).alias("z"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    key_cols: list[str],
+    alpha: float = 0.05,
+    decimals: int = 6,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR correction (Benjamini & Hochberg,
+    JRSS-B 1995 — public literature) over a frame of test results: the
+    multiple-comparisons control every metrics platform needs once a
+    dashboard runs one test per segment.
+
+    Output: the input keys and p-value plus ``rank`` (ascending p,
+    deterministic ``key_cols`` tie-break), ``m`` (number of tests),
+    ``q_value`` (the BH-adjusted p: reverse running minimum of
+    p·m/rank, clipped at 1) and ``reject`` (q <= ``alpha`` — exactly
+    the classic step-up decision: reject all p up to the largest i
+    with p_(i) <= i·alpha/m).
+
+    Scale shape: the input is a TEST frame — one row per hypothesis,
+    answer-scale by construction (segments × metrics, not raw events) —
+    so the two single-partition windows here sort tests, never data;
+    the raw-data reduction to p-values happens upstream in the
+    anova/rank-test/z-test operators. NULL/NaN or out-of-[0,1]
+    p-values hard-fail (a silently dropped test changes m and thus
+    every q).
+
+    Extension surface — the reference has no statistics stage;
+    extension per SURVEY §8, completing the testing family (ANOVA /
+    rank tests / z-tests produce the p-values this corrects).
+    """
+    if not key_cols:
+        raise ValueError("bh_fdr needs key columns for a deterministic order")
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    p = F.col(p_col).cast("double")
+    checked = df.withColumn(
+        "__p",
+        F.when(
+            p.isNull() | F.isnan(p) | (p < 0.0) | (p > 1.0),
+            F.raise_error(
+                F.format_string(
+                    "bh_fdr: %s must be a p-value in [0, 1]; got %s",
+                    F.lit(p_col),
+                    p.cast("string"),
+                )
+            ),
+        ).otherwise(p),
+    )
+    w_rank = Window.orderBy(F.col("__p").asc(), *[F.col(c) for c in key_cols])
+    w_rev = (
+        Window.orderBy(F.col("__p").desc(), *[F.col(c).desc() for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        checked.withColumn("__rank", F.row_number().over(w_rank))
+        .withColumn("__m", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "__raw", F.col("__p") * F.col("__m") / F.col("__rank")
+        )
+    )
+    q = F.least(F.lit(1.0), F.min("__raw").over(w_rev))
+    return ranked.select(
+        *key_cols,
+        F.round(F.col("__p"), decimals).alias(p_col),
+        F.col("__rank").alias("rank"),
+        F.col("__m").cast("long").alias("m"),
+        F.round(q, decimals).alias("q_value"),
+        (q <= F.lit(float(alpha))).alias("reject"),
+    )

@@ -647,7 +647,19 @@ _VERIFICATION_WINDOW = [
     # deadline, and pytest pins the windowed counts strictly under the
     # plain funnel's on the fixture.
     "windowed_funnel_contract",
-    "k_anonymity_contract",  # r8: swaps in for weekly_retention_cohorts
+    # r9 (late): k_anonymity_contract (r8 first-round hash-green, in
+    # for weekly_retention_cohorts; anonymity.py's k-anonymity paths
+    # unchanged this round — the module diff is exactly the NEW
+    # l_diversity_profile, gated in-window by l_diversity_contract)
+    # hands its slot to bh_fdr_contract — Benjamini-Hochberg FDR
+    # correction (operators/hyptest.py:bh_fdr), new this round
+    # (same-round-slot rule) and a THIRD gate on the r9-changed
+    # hyptest.py (with anova/rank-test). The privacy family keeps the
+    # NEW l_diversity_contract in-window (same class-groupBy
+    # machinery); the suppression broadcast semi-join stays
+    # full-catalog attested + pytest-gated, and the broadcast-filter
+    # shape stays in-window via bloom_pruned_join_contract.
+    "bh_fdr_contract",
     # streaming (real-stream parity + stateful + sinks).
     # tumbling_stream_parity (r2/r4/r5 green, window code unchanged)
     # rotates out for tws_histogram_parity — the custom stateful

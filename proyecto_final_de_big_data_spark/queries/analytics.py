@@ -3794,3 +3794,82 @@ def q_msprt_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "day", "variant", "y", "control", "treatment", tau=2.0,
         alpha=0.05,
     )
+
+
+@register(
+    "bh_fdr_contract",
+    oracle="""
+    WITH segs AS (
+        SELECT DISTINCT event_type,
+               CAST(dayofweek(ts) + 1 AS BIGINT) AS dow
+        FROM events
+    ), tests AS (
+        SELECT event_type, dow,
+               (('0x' || substr(md5(event_type || ':' ||
+                    dow::VARCHAR), 1, 15))::BIGINT
+                % 1000000) / 1000000.0 AS p
+        FROM segs
+    ), ranked AS (
+        SELECT event_type, dow, p,
+               row_number() OVER (ORDER BY p, event_type, dow) AS rank,
+               count(*) OVER () AS m
+        FROM tests
+    ), raw AS (
+        SELECT *, p * m / rank AS raw_q FROM ranked
+    ), adj AS (
+        SELECT *,
+               least(1.0, min(raw_q) OVER (
+                   ORDER BY p DESC, event_type DESC, dow DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )) AS q
+        FROM raw
+    )
+    SELECT event_type, dow,
+           round(p, 6) AS p,
+           rank,
+           CAST(m AS BIGINT) AS m,
+           round(q, 6) AS q_value,
+           q <= 0.1 AS reject
+    FROM adj
+    """,
+    description="Benjamini-Hochberg FDR correction (operators/"
+    "hyptest.py:bh_fdr, Benjamini & Hochberg 1995): one hypothesis per "
+    "(event_type, dow) segment — 35 tests — corrected by the step-up "
+    "rule at alpha 0.1: rank by p, q = reverse-running-min of p*m/rank "
+    "clipped at 1, reject q <= alpha. The synthetic corpus carries no "
+    "natural p-value column, so each test's p is the deterministic "
+    "md5-fold fraction of its segment key, injected by the SAME "
+    "expression in both engines (the pii_redaction_profile fixture-"
+    "injection precedent) — the gate verifies the CORRECTION algebra, "
+    "which is the operator. Scale shape: the input is a TEST frame "
+    "(answer-scale by construction — segments x metrics, never raw "
+    "events; the p-values come from the anova/rank-test/z-test "
+    "reducers upstream), so the two single-partition windows sort "
+    "tests, not data. Invalid p-values hard-fail in-plan (a silently "
+    "dropped test changes m and every q). Hand-worked 4-test fixture "
+    "+ monotone/clip/tie properties in tests/test_bhfdr.py.",
+)
+def q_bh_fdr_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hyptest import bh_fdr
+    from ..operators.mixing import _md5_fold
+
+    tests = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.dayofweek("ts").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            (
+                F.pmod(
+                    _md5_fold(
+                        F.concat_ws(":", F.col("event_type"), F.col("dow"))
+                    ),
+                    F.lit(1000000),
+                )
+                / F.lit(1000000.0)
+            ).alias("p"),
+        )
+    )
+    return bh_fdr(tests, "p", ["event_type", "dow"], alpha=0.1)

@@ -83,12 +83,16 @@ def test_window_covers_every_family():
                                      # (NEW r9; same series-collector
                                      # fold machinery as EWMA)
         "data_quality_contract",     # expectations validator
-        "k_anonymity_contract",      # broadcast small-list filtering
-                                     # (the blocklist twin rotated
-                                     # out r8 after r6+r7 green on
-                                     # unchanged content_filter.py;
-                                     # the suppression semi-join is
-                                     # the same broadcast machinery)
+        "bloom_pruned_join_contract",  # broadcast small-set filtering
+                                     # (the blocklist twin rotated out
+                                     # r8, the k-anonymity suppression
+                                     # semi-join r9 — both after green
+                                     # rounds on unchanged code; the
+                                     # Bloom probe is the same
+                                     # broadcast-filter machinery)
+        "bh_fdr_contract",           # Benjamini-Hochberg FDR (NEW r9;
+                                     # third gate on the r9-changed
+                                     # hyptest.py)
         "cuped_ab_contract",         # CUPED variance-reduced A/B
                                      # readout (NEW r8)
         "dsir_selection_contract",   # data selection (NEW r9: DSIR
@@ -188,8 +192,11 @@ def test_window_covers_every_family():
                                      # path)
         "l_diversity_contract",      # privacy: within-class diversity
                                      # (NEW r9; gates the round's
-                                     # anonymity.py change, second rep
-                                     # next to k_anonymity_contract)
+                                     # anonymity.py change — the
+                                     # k-anonymity gate rotated out
+                                     # late-r9 after r8 green on its
+                                     # untouched paths, same
+                                     # class-groupBy machinery)
         "weighted_ksample_contract", # weighted sampling family (the
                                      # stride twin rotated out r8 after
                                      # r7 green; exact-k A-ES now the
@@ -351,7 +358,11 @@ def test_window_covers_every_family():
                                      # core (the conformal gate rotated
                                      # out r9 after r8 green on
                                      # unchanged ml/conformal.py)
-        "k_anonymity_contract",      # privacy: k-anonymity + suppression
+        "l_diversity_contract",      # privacy family rep (k-anonymity
+                                     # + suppression rotated out
+                                     # late-r9; class-groupBy machinery
+                                     # shared, suppression semi-join
+                                     # full-catalog attested)
         "brier_ece_contract",        # probability calibration metrics
         "weighted_percentile_contract",  # weighted exact percentiles
         "assoc_rules_contract",      # max_basket cap machinery (the
