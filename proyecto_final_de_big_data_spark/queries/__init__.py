@@ -169,6 +169,33 @@ from . import quality  # noqa: E402,F401
 # function via learning_curve_contract. The five swaps are written at
 # their window positions below.
 # ----------------------------------------------------------------------
+# ----------------------------------------------------------------------
+# Rotation plan for r10 (write the swaps at their window positions when
+# executing): once the r9 window lands green, the TWELVE r9-new
+# in-window entries become first-round-green swap currency
+# (cosine_allpairs, dsir_selection, duplicate_span_removal,
+# learning_curve, knn_ann_ivf_pq_refine, holt_forecast, did, msprt,
+# l_diversity, gopher_rules, ccnet_bucket, frequent_itemsets,
+# assoc_rules, seq_patterns, fs_linkage, jl_projection, bh_fdr — 17
+# with the late batch). Twin pairs inside the window that can
+# consolidate to one rep if slots run short: frequent_itemsets /
+# assoc_rules (itemsets.py, same fit), anova / rank_test / bh_fdr
+# (hyptest.py — keep whichever gates any r10 change), did / cuped /
+# msprt (abtest.py), holt / ewma (series fold machinery). Multi-green
+# carryovers that are their family's ONLY rep and should stay unless a
+# same-family upgrade lands: data_quality, theta, variant,
+# priority_pivot, zorder, media_binary, python_datasource, cdc_merge,
+# tws (x4 probes), survival_km, correlation_matrix, incremental_agg,
+# target_encoding, triangle_count, session_path, windowed_funnel,
+# rater_agreement, ml_tree_ensemble, weighted_ksample,
+# weighted_percentile, brier_ece, cuped, setsim_prefix_join,
+# robust_outlier. Rotated-out r8/r9 greens with standing off-window
+# evidence (full-catalog attested every round): bootstrap_ci,
+# experiment_power, robust_scaler, rolling_active_users, benford,
+# jw_name_match, negative_sampling, conformal_interval, lorenz_gini,
+# basket_size, heavy_hitter, k_anonymity, containment_pairs,
+# winnowing_fingerprint, seasonal_decomposition, ml_cv.
+# ----------------------------------------------------------------------
 _VERIFICATION_WINDOW = [
     # ------------------------------------------------------------------
     # ROUND-6 ROTATION (VERDICT r5 item 3): the entire 14-query queue of
