@@ -34,6 +34,44 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # Start-loadavg gate (BASELINE.md protocol, mechanical since r10):
+    # the r9 committed artifact started at loadavg 5.2 (residual from a
+    # prior attestation run) and read 1.25x vs r8 when the same code
+    # idle read 0.93x. A bench that starts loaded is noise, so refuse
+    # to start until the 1-minute load drains below the gate — waiting
+    # up to SPARK_GRAFT_LOAD_WAIT_SEC, then aborting loudly rather
+    # than committing a polluted number. SPARK_GRAFT_IGNORE_LOAD=1
+    # overrides deliberately (recorded in BENCH_DETAIL.json).
+    max_load = float(os.environ.get("SPARK_GRAFT_MAX_START_LOAD", "1.5"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "600"))
+    ignore_load = os.environ.get("SPARK_GRAFT_IGNORE_LOAD") == "1"
+    waited = 0.0
+    while os.getloadavg()[0] >= max_load and not ignore_load:
+        if waited >= wait_budget:
+            print(
+                json.dumps(
+                    {
+                        "metric": "suite_total_sec",
+                        "value": None,
+                        "error": "start_load_gate",
+                        "load": round(os.getloadavg()[0], 2),
+                        "max_start_load": max_load,
+                        "hint": "host still loaded after "
+                        f"{int(wait_budget)}s; drain it or set "
+                        "SPARK_GRAFT_IGNORE_LOAD=1",
+                    }
+                )
+            )
+            sys.exit(1)
+        print(
+            f"# start-load gate: loadavg {os.getloadavg()[0]:.2f} >= "
+            f"{max_load}, waiting ({int(waited)}/{int(wait_budget)}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+    start_load = round(os.getloadavg()[0], 2)
+
     # Vanilla session (same load path as the external correctness
     # harness) so bench can never be green on a query correctness
     # cannot even load. Only sizing knobs are set, no semantics confs.
@@ -135,6 +173,11 @@ def main() -> None:
                 "sf": sf,
                 "loadavg_per_pass": pass_loads,
                 "loadavg_end": round(os.getloadavg()[0], 2),
+                "start_load_gate": {
+                    "start_load": start_load,
+                    "max_start_load": max_load,
+                    "ignored": ignore_load,
+                },
                 "protocol": "median of interleaved round-robin passes",
                 "isolated_warm_top3": isolated_warm,
             },

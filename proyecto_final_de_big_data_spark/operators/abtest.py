@@ -577,8 +577,11 @@ def msprt_monitor(
       nonincreasing, valid at EVERY stopping time;
     - ``significant`` flags p <= ``alpha``; days where either arm has
       fewer than 2 cumulative units carry NULL Λ/p (variance
-      undefined yet — a monitoring series reports the warm-up
-      honestly instead of raising).
+      undefined yet), and so do days whose pooled estimator variance
+      V is exactly 0 (all metric values identical so far — Λ's V in
+      the denominator is undefined; the ``v > 0`` guard below). A
+      monitoring series reports both degenerate states honestly as
+      NULL instead of raising.
 
     Scale shape (100 TB of raw events): ONE conditional aggregation
     reduces units to per-day sufficient sums (days × 6 doubles —

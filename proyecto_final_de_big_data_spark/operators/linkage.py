@@ -98,6 +98,27 @@ def fellegi_sunter_scores(
             raise ValueError(f"m probabilities must be in (0, 1); got {mi}")
     if upper < lower:
         raise ValueError(f"upper ({upper}) must be >= lower ({lower})")
+    # Degenerate-input guard (the abtest.cuped_mean_ztest constant-
+    # covariate posture): a constant comparison field estimates u_i = 1
+    # and the disagreement weight log2((1-m)/(1-u)) divides by zero —
+    # raise the friendly error here instead of a raw ANSI
+    # DIVIDE_BY_ZERO mid-job. The u frame is one row (answer scale),
+    # so the readout collect is bounded by construction.
+    u_rows = u.collect()
+    if len(u_rows) != 1:
+        raise ValueError(
+            f"fellegi_sunter_scores: u frame must have exactly 1 row, "
+            f"got {len(u_rows)}"
+        )
+    for i, (lc, rc) in enumerate(comparisons):
+        ui_val = u_rows[0][f"u_{i}"]
+        if ui_val is None or not (0.0 < ui_val < 1.0):
+            raise ValueError(
+                f"fellegi_sunter_scores: u_{i} ({lc}~{rc}) = {ui_val} is "
+                f"outside (0, 1); a constant (or all-NULL) comparison "
+                f"field carries no linkage signal — drop it from "
+                f"`comparisons`"
+            )
 
     scored = pairs.crossJoin(F.broadcast(u))
     score: Column | None = None

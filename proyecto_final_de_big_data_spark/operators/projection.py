@@ -43,10 +43,26 @@ def jl_sign(j: int, i: int, salt: str = "jl") -> float:
     return 1.0 if int(h[:15], 16) % 2 == 0 else -1.0
 
 
-def jl_sign_matrix(k: int, dim: int, salt: str = "jl") -> list[list[float]]:
-    """The deterministic k×dim ±1 matrix (row j = output dimension)."""
+def jl_sign_matrix(
+    k: int, dim: int, salt: str = "jl", max_literals: int = 100_000
+) -> list[list[float]]:
+    """The deterministic k×dim ±1 matrix (row j = output dimension).
+
+    ``max_literals`` bounds ``k*dim`` — the matrix is embedded in the
+    plan as literals, and an unguarded dim=4096 × k=256 call would
+    compile a million-literal plan (driver/codegen hazard; the same
+    class the hyptest distinct-grid guard bounds). Raise the bound
+    explicitly if you accept the plan-size cost."""
     if k < 1 or dim < 1:
         raise ValueError(f"need k >= 1 and dim >= 1, got k={k} dim={dim}")
+    if k * dim > max_literals:
+        raise ValueError(
+            f"jl_sign_matrix: k*dim = {k}*{dim} = {k * dim} exceeds "
+            f"max_literals={max_literals}; the sign matrix is embedded "
+            f"in the plan as literals and a matrix this large risks "
+            f"driver/codegen blow-up — reduce k, pre-shrink dim, or "
+            f"pass a larger max_literals deliberately"
+        )
     return [[jl_sign(j, i, salt) for i in range(dim)] for j in range(k)]
 
 
@@ -57,14 +73,16 @@ def jl_project(
     k: int,
     out_col: str = "proj",
     salt: str = "jl",
+    max_literals: int = 100_000,
 ) -> DataFrame:
     """Append ``out_col``: the k-d projection ``(Σ_i sign(j,i)·v_i) /
     sqrt(k)`` of the ``dim``-d ``vec_col``. Elements cast to double
     (float→double is exact); the per-dimension sum is a LEFT fold in
     index order, so a SQL oracle replaying the same fold matches
     bit-for-bit. Prefer powers of four for ``k`` (1/sqrt(k) is then
-    exact binary; k=16 → 0.25)."""
-    mat = jl_sign_matrix(k, dim, salt)
+    exact binary; k=16 → 0.25). ``max_literals`` bounds the embedded
+    k×dim sign matrix (see :func:`jl_sign_matrix`)."""
+    mat = jl_sign_matrix(k, dim, salt, max_literals=max_literals)
     inv = 1.0 / (k ** 0.5)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 

@@ -119,7 +119,10 @@ def gopher_quality_flags(
     public literature): the document-level filters MassiveWeb applied
     before training, each as a measured signal column plus an ``_ok``
     boolean at the paper's default threshold, and ``gopher_pass`` =
-    AND of all eight.
+    AND of the seven document-shape rules below. (The eighth
+    MassiveWeb family — repetition ratios — is covered separately by
+    :func:`~.text.with_repetition_stats`; compose both for the full
+    Appendix-A filter.)
 
     Signals: ``n_words`` (whitespace tokens), ``mean_word_len``,
     ``symbol_ratio`` (# and ``...`` occurrences per word),

@@ -2822,7 +2822,7 @@ def q_dsir_selection_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(bullet_frac <= 0.9, FALSE) AS bullet_ok,
                coalesce(ellipsis_frac <= 0.3, FALSE) AS ellipsis_ok,
                coalesce(alpha_frac >= 0.8, FALSE) AS alpha_ok,
-               n_stop >= 2 AS stop_ok
+               coalesce(n_stop >= 2, FALSE) AS stop_ok
         FROM per_doc
     )
     SELECT lang,
@@ -2853,8 +2853,8 @@ def q_dsir_selection_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Gopher document-quality rules rollup (operators/"
     "quality.py:gopher_quality_flags, Rae et al. 2021 Appendix A): "
-    "every document scored against the eight MassiveWeb filters at the "
-    "paper's default thresholds — word count [50, 100k], mean word "
+    "every document scored against the seven document-shape MassiveWeb "
+    "filters at the paper's default thresholds — word count [50, 100k], mean word "
     "length [3, 10], #/ellipsis symbol ratio <= 0.1, bullet-start "
     "lines <= 90%, ellipsis-end lines <= 30%, alphabetic-word fraction "
     ">= 0.8, >= 2 of the 8 stop words — then rolled up per language to "

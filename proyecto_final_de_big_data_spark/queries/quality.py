@@ -724,7 +724,7 @@ def q_l_diversity_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN d.nll <= b.b1 THEN 'head'
                     WHEN d.nll <= b.b2 THEN 'middle'
                     ELSE 'tail' END AS bucket
-        FROM doc d JOIN bounds b USING (lang)
+        FROM doc d JOIN bounds b ON d.lang IS NOT DISTINCT FROM b.lang
     )
     SELECT lang, bucket,
            CAST(count(*) AS BIGINT) AS n_docs,

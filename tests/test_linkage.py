@@ -101,6 +101,33 @@ def test_validation(spark):
         estimate_u_probabilities(pairs, [])
 
 
+def test_degenerate_u_raises_friendly_error(spark):
+    # A constant comparison field estimates u = 1, which makes the
+    # disagreement weight log2((1-m)/(1-u)) divide by zero — the
+    # operator must raise the friendly guard, not a raw ANSI
+    # DIVIDE_BY_ZERO mid-job (ADVICE r9; the cuped constant-covariate
+    # posture).
+    pairs = _pairs(spark)
+    comps = [("l_name", "r_name"), ("l_dob", "r_dob")]
+    with pytest.raises(ValueError, match="u_1 .* outside \\(0, 1\\)"):
+        fellegi_sunter_scores(
+            pairs, comps, [0.9, 0.95], _u(spark, [0.1, 1.0]), 6, -6
+        )
+    with pytest.raises(ValueError, match="u_0 .* outside \\(0, 1\\)"):
+        fellegi_sunter_scores(
+            pairs, comps, [0.9, 0.95], _u(spark, [0.0, 0.05]), 6, -6
+        )
+    with pytest.raises(ValueError, match="exactly 1 row"):
+        fellegi_sunter_scores(
+            pairs,
+            comps,
+            [0.9, 0.95],
+            _u(spark, [0.1, 0.05]).union(_u(spark, [0.1, 0.05])),
+            6,
+            -6,
+        )
+
+
 def test_score_is_monotone_in_agreements(spark):
     # More agreeing fields can only raise the score (fixed m > u).
     out = fellegi_sunter_scores(

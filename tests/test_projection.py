@@ -87,6 +87,20 @@ def test_identical_vectors_null_ratio_and_validation(spark):
         jl_sign_matrix(0, 2)
 
 
+def test_plan_literal_bound_guard(spark):
+    # The k×dim sign matrix is embedded in the plan as literals; an
+    # unguarded dim=4096 × k=256 call would compile a million-literal
+    # plan. The bound must raise BEFORE the matrix is built, and be
+    # deliberately overridable.
+    with pytest.raises(ValueError, match="max_literals"):
+        jl_sign_matrix(256, 4096)
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "id long, vec array<double>")
+    with pytest.raises(ValueError, match="max_literals"):
+        jl_project(df, "vec", dim=2, k=2, max_literals=3)
+    # Raising the bound explicitly works (2*2 <= 4).
+    assert jl_project(df, "vec", dim=2, k=2, max_literals=4).count() == 1
+
+
 def test_dimension_mismatch_raises_not_nulls(spark):
     # zip_with pads with NULLs; a ragged vector must hard-fail, not
     # project to all-NULL (review finding).
