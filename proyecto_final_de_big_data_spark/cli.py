@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-quality", type=float, default=None)
     p.add_argument("--blocklist-terms", default=None, help="comma list of literal terms; matching docs are dropped")
     p.add_argument("--drop-repetitive", action="store_true")
+    p.add_argument("--strip-spans", action="store_true", help="strip cross-document duplicated spans (ExactSubstr) before whole-doc dedup")
+    p.add_argument("--span-min-len", type=int, default=50, help="minimum duplicated-span length in characters")
+    p.add_argument("--no-span-prefilter", action="store_true", help="disable the winnowing candidate prefilter (adversarial corpora)")
     p.add_argument("--dedup", default="exact", choices=["exact", "incremental", "minhash", "none"])
     p.add_argument("--historical", default=None, help="ingested-corpus parquet (incremental dedup)")
     p.add_argument("--minhash-threshold", type=float, default=0.7, help="Jaccard cutoff for near-dup pairs (minhash dedup / cluster-safe split)")
@@ -267,6 +270,9 @@ def _curation_config(args):
         min_quality=args.min_quality,
         blocklist_terms=_comma_list(args.blocklist_terms),
         drop_repetitive=args.drop_repetitive,
+        strip_spans=args.strip_spans,
+        span_min_len=args.span_min_len,
+        span_prefilter=not args.no_span_prefilter,
         dedup=args.dedup,
         minhash_threshold=args.minhash_threshold,
         dedup_score_col=args.dedup_score_col,

@@ -1,7 +1,9 @@
 """Document-curation pipeline: the training-data analogue of the
 trips ETL (``pipelines/etl.py``) — compose the curation operators into
 one configured pass: PII redaction → blocklist content filtering →
-quality/repetition filtering →
+quality/repetition filtering → duplicate-SPAN stripping (optional,
+ExactSubstr posture — repeated substrings survive only in their
+smallest-id document, so downstream dedup sees the cleaned text) →
 dedup (exact, incremental vs an ingested corpus, or MinHash near-dup
 with min-id/keep-best survivors) → per-group contribution cap →
 token-budget selection (best-quality bins per stratum until a token
@@ -34,9 +36,11 @@ Every stage is individually oracle-gated by its own registry query
 incremental_dedup_profile, minhash_recall + cluster_keep_best_profile,
 source_cap_profile, token_budget_selection_profile,
 temperature_mix_profile, epoch_upsample_profile,
-doc_hash_split_profile, cluster_safe_split_profile); the composition
-itself is gated end-to-end by curate_documents_contract (which runs
-with the cap stage enabled).
+doc_hash_split_profile, cluster_safe_split_profile, and the span
+stage by duplicate_span_removal_contract); the composition itself is
+gated end-to-end by curate_documents_contract (which runs with the
+cap stage enabled) and curate_span_strip_contract (span-strip →
+exact dedup → split, pinning that quote-only variants collapse).
 """
 
 from __future__ import annotations
@@ -66,6 +70,19 @@ class CurationConfig:
     text_col: str = "text"
     redact_pii: bool = True
     min_quality: float | None = None  # drop docs scoring below (0..1)
+    # strip cross-document duplicated SPANS (operators/spandedup.py —
+    # the Lee et al. 2022 ExactSubstr posture): every repeated raw
+    # substring of length >= span_min_len survives in exactly its
+    # smallest-id document. Runs AFTER the projection-only filters
+    # (the gram index sees the shrunk corpus) and BEFORE whole-doc
+    # dedup, so documents that become byte-identical once their quoted
+    # spans are stripped collapse in the dedup stage. Requires
+    # orderable ids (the keeper rule sorts on them).
+    strip_spans: bool = False
+    span_min_len: int = 50
+    # winnowing prefilter for the span stage (lossless for natural
+    # text; pass False for adversarial corpora — see spandedup.py)
+    span_prefilter: bool = True
     # drop docs matching any blocklist term (C4-style "bad words" stage;
     # one alternation regex, a pure scan filter)
     blocklist_terms: list[str] | None = None
@@ -142,6 +159,10 @@ def build_curation(
         raise ValueError(f"unknown split mode {cfg.split_mode!r}; use {_SPLIT_MODES}")
     if cfg.split_mode == "cluster_safe" and not cfg.split_fractions:
         raise ValueError("split_mode='cluster_safe' requires split_fractions")
+    if cfg.strip_spans and cfg.span_min_len < 2:
+        raise ValueError(
+            f"strip_spans requires span_min_len >= 2, got {cfg.span_min_len}"
+        )
     cap_active = bool(cfg.cap_group_cols)
     if cap_active and cfg.cap_max_rows < 1:
         raise ValueError("cap_group_cols requires cap_max_rows >= 1")
@@ -194,6 +215,28 @@ def build_curation(
     if cfg.drop_repetitive:
         out = with_repetition_stats(out, cfg.text_col).filter(~F.col("repetitive"))
         out = out.drop("distinct_word_ratio", "distinct_bigram_ratio", "repetitive")
+    if cfg.strip_spans:
+        from ..operators.spandedup import strip_duplicate_spans
+
+        # The span stage reads its input three ways (winnowing
+        # candidate pass, gram-position index, and the strip join back
+        # onto the full frame) — pin the filtered corpus so the
+        # projection stages above don't re-run per reference. The
+        # stripped text REPLACES text_col so downstream dedup/selection
+        # see the cleaned corpus (quote-only differences collapse in
+        # the dedup stage that follows).
+        out = _pin(out)
+        out = strip_duplicate_spans(
+            out,
+            cfg.id_col,
+            cfg.text_col,
+            min_span=cfg.span_min_len,
+            prefilter=cfg.span_prefilter,
+            out_col="__span_clean",
+        )
+        out = out.withColumn(cfg.text_col, F.col("__span_clean")).drop(
+            "__span_clean"
+        )
     if cfg.dedup != "none" or cap_active or cfg.mix_stratum_col is not None:
         out = _pin(out)  # the first multi-reference stage reads this 2-3×
     if cfg.dedup == "exact":

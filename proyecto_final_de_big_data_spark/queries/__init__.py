@@ -408,7 +408,20 @@ _VERIFICATION_WINDOW = [
     # oracle — a prefilter recall loss would hash-fail, so winnow.py
     # keeps end-to-end in-window evidence (plus the fingerprint gate
     # stays full-catalog attested + hashlib-twin pytest-pinned).
-    "duplicate_span_removal_contract",
+    # r10: duplicate_span_removal_contract (r9 first-round hash-green
+    # against the UNPRUNED brute-force oracle; operators/spandedup.py
+    # unchanged this round) hands its slot to
+    # curate_span_strip_contract — the SAME planted-quote corpus and
+    # the SAME brute-force span algebra restated in the oracle, now
+    # flowed through the COMPOSED curation recipe (pipelines/
+    # curation.py strip_spans stage -> exact dedup -> hash split; the
+    # new `cli.py curate --strip-spans` path, VERDICT r9 item 3). A
+    # family UPGRADE: the incoming gate re-runs duplicate_spans +
+    # strip_spans end-to-end (winnowing prefilter included) AND gates
+    # the pipeline module changed this round; the outgoing per-doc
+    # clean_md5 readout stays full-catalog attested + pytest
+    # DuckDB-parity gated.
+    "curate_span_strip_contract",
     # cluster_safe_split_profile (r5 green, unchanged) hands the
     # sampling/split slot to weighted_sample_profile — integer-exact
     # weight-proportional systematic sampling, new this round; the

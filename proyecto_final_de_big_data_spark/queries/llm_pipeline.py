@@ -2632,6 +2632,154 @@ def q_duplicate_span_removal_contract(
     )
 
 
+def _curate_split_case_sub(sql: str) -> str:
+    """Inject the shared hash-split CASE (operators/split.py) into an
+    oracle template — the split arithmetic stays single-sourced."""
+    from ..operators.split import split_case_sql
+
+    return sql.replace(
+        "{split_case}",
+        split_case_sql("doc_id", {"train": 0.9, "eval": 0.1}),
+    )
+
+
+@register(
+    "curate_span_strip_contract",
+    oracle=_curate_split_case_sub("""
+    WITH sub AS (
+        SELECT doc_id, text FROM documents
+        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':span'),
+                    1, 15))::BIGINT) / 1152921504606846976.0 < 0.10
+    ), rn AS (
+        SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rn
+        FROM sub
+    ), corpus AS (
+        SELECT a.doc_id,
+               CASE WHEN a.rn % 4 = 0 AND b.doc_id IS NOT NULL
+                    THEN a.text || ' ' || substr(b.text, 5, 150)
+                    ELSE a.text END AS text
+        FROM rn a LEFT JOIN rn b ON b.rn = a.rn - 3 AND a.rn % 4 = 0
+    ), g AS (
+        SELECT doc_id, p AS pos,
+               ('0x' || substr(md5(substr(text, p, 100)), 1, 15))::BIGINT AS h
+        FROM corpus,
+             LATERAL (SELECT unnest(range(1, length(text) - 100 + 2)) AS p) u
+        WHERE length(text) >= 100
+    ), k AS (
+        SELECT h, min(doc_id) AS keeper, count(DISTINCT doc_id) AS ndocs
+        FROM g GROUP BY h
+    ), dup AS (
+        SELECT g.doc_id, g.pos FROM g JOIN k USING (h)
+        WHERE k.ndocs >= 2 AND g.doc_id > k.keeper
+    ), isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN max(pos + 99) OVER w IS NULL
+                      OR pos > max(pos + 99) OVER w + 1 THEN 1 ELSE 0 END AS ni
+        FROM dup
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sp AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + 99 AS e
+        FROM (SELECT doc_id, pos,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM isl) t
+        GROUP BY doc_id, island
+    ), gaps AS (
+        SELECT doc_id,
+               coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+                   AS gs,
+               s - 1 AS ge
+        FROM sp
+        UNION ALL
+        SELECT doc_id, max(e) + 1 AS gs, NULL AS ge FROM sp GROUP BY doc_id
+    ), clean AS (
+        SELECT c.doc_id,
+               string_agg(substr(c.text, gp.gs,
+                                 coalesce(gp.ge, length(c.text)) - gp.gs + 1),
+                          '' ORDER BY gp.gs) AS clean_text
+        FROM corpus c JOIN gaps gp USING (doc_id)
+        GROUP BY c.doc_id
+    ), stripped AS (
+        SELECT c.doc_id, coalesce(cl.clean_text, c.text) AS t
+        FROM corpus c LEFT JOIN clean cl USING (doc_id)
+    ), dd AS (
+        SELECT doc_id, t FROM stripped
+        WHERE doc_id IN (SELECT min(doc_id) FROM stripped GROUP BY md5(t))
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(t)) AS BIGINT) AS total_chars,
+           CAST(sum(('0x' || substr(md5(t), 1, 15))::BIGINT % 1000003)
+                AS BIGINT) AS text_checksum
+    FROM (SELECT t, doc_id, {split_case} FROM dd)
+    GROUP BY split
+    """),
+    description="End-to-end contract for the curation pipeline's new "
+    "duplicate-SPAN stage (pipelines/curation.py strip_spans=True -> "
+    "exact dedup -> deterministic 90/10 split): the same planted-quote "
+    "10% corpus as duplicate_span_removal_contract flows through the "
+    "COMPOSED recipe a real training-data user runs (cli.py curate "
+    "--strip-spans), and the per-split profile pins doc counts, "
+    "char volume, and a mod-1000003 md5-fold checksum of every "
+    "surviving text — so a single mis-stripped character anywhere in "
+    "the corpus breaks the hash. Stage order is the semantic point: "
+    "the strip runs BEFORE whole-doc dedup, so documents differing "
+    "only by a quoted span collapse to one survivor (pinned by hand "
+    "fixture in tests/test_curation_pipeline.py, which also pins "
+    "prefilter==brute-force equality through the pipeline). The Spark "
+    "side runs the winnowing-pruned scale path; the oracle restates "
+    "the UNPRUNED brute-force span algebra + md5-group dedup + the "
+    "split case — a structurally different computation of the same "
+    "answer.",
+)
+def q_curate_span_strip_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.mixing import _md5_fold
+    from ..pipelines.curation import CurationConfig, curate_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    u = _md5_fold(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":span"))
+    ) / F.lit(float(1 << 60))
+    sub = docs.filter(u < 0.10).withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    a = sub.alias("a")
+    b = sub.alias("b")
+    corpus = a.join(
+        b,
+        (F.col("b.rn") == F.col("a.rn") - 3) & (F.col("a.rn") % 4 == 0),
+        "left",
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.when(
+            (F.col("a.rn") % 4 == 0) & F.col("b.doc_id").isNotNull(),
+            F.concat(
+                F.col("a.text"),
+                F.lit(" "),
+                F.col("b.text").substr(F.lit(5), F.lit(150)),
+            ),
+        )
+        .otherwise(F.col("a.text"))
+        .alias("text"),
+    )
+    cfg = CurationConfig(
+        redact_pii=False,
+        strip_spans=True,
+        span_min_len=100,
+        dedup="exact",
+        split_fractions={"train": 0.9, "eval": 0.1},
+    )
+    curated = curate_documents(corpus, cfg)
+    return curated.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(_md5_fold(F.col("text")) % F.lit(1000003)).alias(
+            "text_checksum"
+        ),
+    )
+
+
 @register(
     "cosine_allpairs_contract",
     oracle=r"""

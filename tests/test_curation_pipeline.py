@@ -418,3 +418,81 @@ def test_cli_curate_with_selection(spark, tmp_path):
     # budget plus one boundary bin (crudely: well under the full corpus)
     full = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert back.count() < full
+
+
+def test_curate_strip_spans_hand_fixture(spark):
+    # Hand-worked span-strip stage (min_span=10, prefilter on — the
+    # scale path): d1 is the gram keeper; d2 = "XYZ " + d1[:12] has dup
+    # window starts {5,6,7} (each 10-gram sits in d1) -> merged span
+    # [5,16] -> stripped to "XYZ "; d3 is byte-identical to d2 so its
+    # prefix grams {1..4} are duplicated against d2 (smaller id) and
+    # its quote grams against d1 -> span [1,16] -> stripped to "";
+    # d4 = "XYZ " is shorter than min_span -> no grams, kept verbatim.
+    # Exact dedup AFTER the strip then collapses d2/d4 (both "XYZ ",
+    # min id 2 wins) — the quote-only-variants-collapse property the
+    # stage ordering exists for.
+    rows = [
+        (1, "abcdefghijklmnopqrst"),
+        (2, "XYZ abcdefghijkl"),
+        (3, "XYZ abcdefghijkl"),
+        (4, "XYZ "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CurationConfig(
+        redact_pii=False,
+        strip_spans=True,
+        span_min_len=10,
+        dedup="exact",
+        split_fractions=None,
+    )
+    out = {r["doc_id"]: r["text"] for r in curate_documents(df, cfg).collect()}
+    assert out == {1: "abcdefghijklmnopqrst", 2: "XYZ ", 3: ""}
+    # Same answer on the brute-force path (prefilter off).
+    cfg2 = CurationConfig(
+        redact_pii=False,
+        strip_spans=True,
+        span_min_len=10,
+        span_prefilter=False,
+        dedup="exact",
+        split_fractions=None,
+    )
+    out2 = {r["doc_id"]: r["text"] for r in curate_documents(df, cfg2).collect()}
+    assert out2 == out
+
+
+def test_curate_strip_spans_validation(spark):
+    with pytest.raises(ValueError, match="span_min_len"):
+        curate_documents(
+            _docs(spark),
+            CurationConfig(strip_spans=True, span_min_len=1),
+        )
+
+
+def test_cli_curate_strip_spans(spark, tmp_path):
+    from proyecto_final_de_big_data_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    dst = str(tmp_path / "curated")
+    spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnopqrst", "en"),
+            (2, "XYZ abcdefghijkl", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    ).write.parquet(src)
+    rc = main(
+        [
+            "curate",
+            "--input", src,
+            "--output", dst,
+            "--no-pii-redaction",
+            "--strip-spans",
+            "--span-min-len", "10",
+            "--dedup", "exact",
+            "--split", "none",
+            "--master", "local[2]",
+        ]
+    )
+    assert rc == 0
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(dst).collect()}
+    assert got == {1: "abcdefghijklmnopqrst", 2: "XYZ "}

@@ -209,12 +209,14 @@ def test_window_covers_every_family():
                                      # out r7 after r5/r6 green —
                                      # cluster-then-prune stays repped
                                      # by kmeans + the SQ/IVF recalls)
-        "duplicate_span_removal_contract",  # exact duplicate-span
-                                     # strip (NEW r9; RUNS the rotated
-                                     # winnowing fingerprints + pair
-                                     # join as its prefilter against
-                                     # an unpruned oracle; the blocked
-                                     # ER join rotated out r8)
+        "curate_span_strip_contract",  # exact duplicate-span strip,
+                                     # now gated THROUGH the composed
+                                     # curation pipeline (NEW r10; the
+                                     # r9 per-doc readout rotated out
+                                     # first-round green — same span
+                                     # machinery + same unpruned
+                                     # oracle algebra, plus the
+                                     # strip->dedup->split composition)
         "incremental_agg_contract",  # incremental mart maintenance
                                      # (stream_cdc rotated out r7 after
                                      # r5/r6 green; real-stream mode
