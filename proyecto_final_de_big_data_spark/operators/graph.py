@@ -407,3 +407,83 @@ def triangle_stats(
             ).alias("clustering"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over an
+    UNDIRECTED edge list (Raghavan, Albert & Kumara, Phys. Rev. E 76,
+    2007 — public literature), made fully DETERMINISTIC: fixed
+    iteration count, every node starts labeled with its own id, and
+    each round EVERY node simultaneously adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label
+    (classic LPA breaks ties randomly and updates asynchronously —
+    both unacceptable for a hash-verifiable operator; Raghavan's own
+    stability analysis covers the synchronous variant). Returns
+    ``(node, label)`` — nodes sharing a label after the final round
+    are one community.
+
+    The community readout complements the rest of this module: after
+    near-dup PAIRS become CLUSTERS (:func:`connected_components`), LPA
+    exposes the soft sub-structure INSIDE a component — a giant dedup
+    component with several dense cores usually means the similarity
+    threshold merged distinct document families, and the per-community
+    census is the inspection surface for that call. Synchronous LPA
+    can oscillate 2-cycles on bipartite-ish structures; the fixed
+    iteration count keeps even that case deterministic and
+    restatable (the :func:`pagerank` posture — determinism over
+    adaptive stopping).
+
+    Scale shape (100 TB posture): the working set is the edge list.
+    Per iteration: ONE join (labels onto the symmetrized edges, both
+    sides keyed on node id) + ONE (node, label) count aggregation
+    (map-side combined) + ONE per-node struct-min argmax — the same
+    Pregel message pattern as :func:`pagerank`, with lineage truncated
+    every ``checkpoint_every`` rounds (lazy localCheckpoint; swap for
+    ``checkpoint`` on a real cluster). The argmax is
+    ``min(struct(-count, label))`` so no per-node sort or window
+    touches the data and ties resolve to the smallest label by
+    construction. Driver state is zero.
+
+    Extension surface — the reference has no graph stage
+    (`/root/reference` computes only descriptive marts); extension per
+    SURVEY §8 next to connected components / PageRank / triangles.
+    """
+    if iterations < 1:
+        raise ValueError(f"label_propagation needs iterations >= 1; got {iterations}")
+    e = _canonical_edges(edges, src, dst)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for it in range(iterations):
+        counts = (
+            sym.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("__b")
+            )
+            .select("node", F.col("__b.l").alias("label"))
+        )
+        if (it + 1) % max(1, checkpoint_every) == 0 or it == iterations - 1:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

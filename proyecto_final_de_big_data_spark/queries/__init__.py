@@ -809,7 +809,19 @@ _VERIFICATION_WINDOW = [
     # the cap guard's effect observable in the mining output; the
     # cap-pressure report stays full-catalog attested + pytest-gated
     # next to item_affinity_contract.
-    "assoc_rules_contract",
+    # r10: assoc_rules_contract (r9 first-round hash-green against the
+    # brute-force rule-enumeration oracle; operators/itemsets.py
+    # unchanged this round) hands its slot to
+    # label_propagation_contract — deterministic synchronous LPA
+    # community detection (operators/graph.py:label_propagation,
+    # VERDICT r9 item 5), new this round (same-round-slot rule). The
+    # market-basket family consolidates to ONE in-window rep
+    # (frequent_itemsets_contract — the SAME FP-Growth fit the rules
+    # derive from; the rules derivation stays full-catalog attested +
+    # pytest DuckDB-parity gated), and the graph family gains its
+    # community operator next to triangle_count_contract's
+    # density readout (both over the part co-purchase graph).
+    "label_propagation_contract",
     # r8: ml_score_contract (r6+r7 green, ml/pipeline.py untouched this
     # round; named swap currency in the VERDICT r7 rotation pool — the
     # batch-scoring machinery stays in-window inside

@@ -2442,6 +2442,104 @@ def q_triangle_count_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+def _lpa_oracle(iterations: int = 4) -> str:
+    """Unrolled-CTE LPA replay: one (count, argmax) CTE pair per
+    iteration — a bounded unrolling instead of the operator's loop, so
+    the oracle shares no iteration machinery with the Spark path."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""c{i} AS (
+        SELECT e.s AS node, l.label, count(*) AS c
+        FROM sym e JOIN l{i - 1} l ON l.node = e.d
+        GROUP BY 1, 2
+    ), l{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM c{i}) WHERE rn = 1
+    )"""
+        )
+    chain = ", ".join(steps)
+    return f"""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey < 500 AND b.l_partkey < 500
+    ), sym AS (
+        SELECT u AS s, v AS d FROM e0
+        UNION ALL
+        SELECT v AS s, u AS d FROM e0
+    ), l0 AS (
+        SELECT DISTINCT s AS node, s AS label FROM sym
+    ), {chain}
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node,
+           CAST(sum(node % 1000003) AS BIGINT) AS member_checksum
+    FROM l{iterations} GROUP BY 1
+    """
+
+
+@register(
+    "label_propagation_contract",
+    oracle=_lpa_oracle(4),
+    description="Deterministic synchronous label-propagation "
+    "community detection (operators/graph.py:label_propagation, "
+    "Raghavan et al. 2007) over the bounded part co-purchase graph "
+    "(parts < 500 sharing an order — the triangle_count_contract "
+    "graph family): 4 fixed iterations, every node adopts its "
+    "neighbors' most frequent label with ties to the SMALLEST label, "
+    "then the per-community census (size, min/max member, mod-1000003 "
+    "member checksum) pins the exact final assignment of every node — "
+    "one node in the wrong community breaks the hash. The community "
+    "readout is what a dedup-pair graph user asks after connected "
+    "components: does a giant component hide several dense cores "
+    "(threshold set too low)? Spark side is the Pregel message "
+    "pattern (per iteration: one label join + one map-side-combined "
+    "(node,label) count + one struct-min argmax, no windows over "
+    "data, lineage truncated every 2 rounds); the oracle deliberately "
+    "UNROLLS the recursion as chained CTEs with a row_number argmax — "
+    "different iteration and different argmax machinery. Hand-worked "
+    "two-triangles-plus-bridge fixture (3 iterations traced by hand) "
+    "+ pure-Python synchronous twin on a random graph in "
+    "tests/test_graph.py.",
+)
+def q_label_propagation_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") < 500)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    labels = label_propagation(edges, iterations=4)
+    return labels.groupBy(
+        F.col("label").cast("long").alias("community")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+        F.sum(F.col("node") % 1000003).cast("long").alias("member_checksum"),
+    )
+
+
 @register(
     "rfm_segment_profile",
     oracle="""

@@ -255,3 +255,89 @@ def test_triangle_matches_bruteforce_on_random_graph(spark):
             d = len(adj[i])
             want_c = round(2 * expect_t[i] / (d * (d - 1)), 6) if d >= 2 else 0.0
             assert got[i][2] == want_c
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (deterministic synchronous LPA)
+# ---------------------------------------------------------------------------
+
+
+def _lpa(spark, edges, iterations):
+    from proyecto_final_de_big_data_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = label_propagation(df, iterations=iterations)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def _lpa_python(edges, iterations):
+    """Pure-Python synchronous LPA twin: most frequent neighbor label,
+    ties to the smallest label (different implementation, same rule)."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(iterations):
+        nxt = {}
+        for n, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            nxt[n] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    return labels
+
+
+def test_lpa_two_triangles_bridge_hand_worked(spark):
+    # Hand-worked (the mandatory fixture discipline): triangles
+    # {1,2,3} and {4,5,6} joined by bridge 3-4. Iteration by hand:
+    #   init  {1:1, 2:2, 3:3, 4:4, 5:5, 6:6}
+    #   it1   1<-min(2,3)=2; 2<-min(1,3)=1; 3<-min(1,2,4)=1;
+    #         4<-min(3,5,6)=3; 5<-min(4,6)=4; 6<-min(4,5)=4
+    #   it2   1<-{1,1}=1; 2<-{2,1}tie=1; 3<-{2,1,3}tie=1;
+    #         4<-{1,4,4}=4; 5<-{3,4}tie=3; 6<-{3,4}tie=3
+    #   it3   1<-1; 2<-1; 3<-{1,1,4}=1; 4<-{1,3,3}=3; 5<-{4,3}tie=3;
+    #         6<-{4,3}tie=3
+    # -> communities {1,2,3}=1 and {4,5,6}=3, stable from iteration 3.
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    assert _lpa(spark, edges, 1) == {1: 2, 2: 1, 3: 1, 4: 3, 5: 4, 6: 4}
+    assert _lpa(spark, edges, 2) == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
+    got3 = _lpa(spark, edges, 3)
+    assert got3 == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    assert _lpa(spark, edges, 5) == got3  # stable
+
+
+def test_lpa_matches_python_twin_on_random_graph(spark):
+    rng = random.Random(23)
+    n = 40
+    edges = sorted(
+        {
+            (a, b)
+            for _ in range(120)
+            for a, b in [sorted(rng.sample(range(n), 2))]
+        }
+    )
+    for iters in (1, 3, 6):
+        assert _lpa(spark, edges, iters) == _lpa_python(edges, iters)
+
+
+def test_lpa_dedup_direction_loops_and_validation(spark):
+    from proyecto_final_de_big_data_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # Duplicate / reversed / self edges collapse to one undirected
+    # edge. A lone pair is the canonical 2-cycle: each round the two
+    # nodes swap labels (synchronous LPA's documented oscillation —
+    # deterministic under the fixed iteration count).
+    edges = [(2, 1), (1, 2), (1, 1), (2, 1)]
+    assert _lpa(spark, edges, 1) == {1: 2, 2: 1}
+    assert _lpa(spark, edges, 2) == {1: 1, 2: 2}
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        label_propagation(df, iterations=0)

@@ -285,14 +285,15 @@ def test_window_covers_every_family():
                                      # green; same bucket algebra, and
                                      # this gate covers the r8-changed
                                      # evaluation.py function)
-        "assoc_rules_contract",      # market-basket rules (NEW r9;
-                                     # the cap-pressure report twin
-                                     # rotated out after r8 green on
-                                     # unchanged basket.py — both
-                                     # itemset gates run the identical
-                                     # dedup-cap-group machinery; IO
-                                     # contracts keep cdc_merge +
-                                     # pydatasource + media_binary)
+        "label_propagation_contract",  # graph community detection
+                                     # (NEW r10; the assoc-rules twin
+                                     # rotated out first-round green on
+                                     # unchanged itemsets.py — the
+                                     # FP-Growth fit keeps
+                                     # frequent_itemsets_contract
+                                     # in-window; IO contracts keep
+                                     # cdc_merge + pydatasource +
+                                     # media_binary)
         "cdc_merge_contract",        # partition-pruned CDC merge
         "learning_curve_contract",   # closed-form OLS family rep (the
                                      # kfold twin rotated out r9 after
@@ -367,9 +368,10 @@ def test_window_covers_every_family():
                                      # full-catalog attested)
         "brier_ece_contract",        # probability calibration metrics
         "weighted_percentile_contract",  # weighted exact percentiles
-        "assoc_rules_contract",      # max_basket cap machinery (the
-                                     # sizing report rotated out r9;
-                                     # the cap's effect is observable
-                                     # in both itemset gates' output)
+        "frequent_itemsets_contract",  # max_basket cap machinery (the
+                                     # sizing report rotated out r9,
+                                     # the rules twin r10; the cap's
+                                     # effect is observable in the
+                                     # mining output)
     ]:
         assert probe in window, f"family representative {probe} fell out of the window"
