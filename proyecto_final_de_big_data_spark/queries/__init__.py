@@ -660,7 +660,18 @@ _VERIFICATION_WINDOW = [
     # slot to ewma_anomaly_contract — EWMA smoothing + one-step-ahead
     # anomaly flags (operators/anomaly.py), new this round; the oracle
     # replays the identical left fold via DuckDB list_reduce.
-    "ewma_anomaly_contract",
+    # r10: ewma_anomaly_contract (r7/r8/r9 green on unchanged
+    # anomaly.py) hands its slot to holt_winters_contract — additive
+    # seasonal (triple) smoothing over the IDENTICAL per-type daily
+    # grid (operators/holt.py:holt_winters_forecast_anomaly, VERDICT
+    # r9 item 6), new this round (same-round-slot rule). Family
+    # upgrade: the series-monitoring family keeps TWO in-window
+    # smoothing reps (holt_forecast_contract's level+trend — holt.py
+    # changed this round so its gate must stay — plus the new
+    # level+trend+season), both running the SAME series.py collector
+    # and residual-sigma machinery EWMA uses; the one-state EWMA gate
+    # stays full-catalog attested + pytest DuckDB-parity gated.
+    "holt_winters_contract",
     # temporal / behavioral analytics. interpolated_user_series (r5
     # green, timegrid.py unchanged) hands the temporal slot to
     # time_weighted_avg_profile — the trapezoidal TWA for irregular

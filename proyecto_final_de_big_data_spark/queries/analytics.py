@@ -1880,6 +1880,143 @@ def q_holt_forecast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "holt_winters_contract",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT event_type,
+               list(day ORDER BY day) AS ds,
+               list(cnt ORDER BY day) AS vs
+        FROM daily GROUP BY 1
+    ),
+    sd AS (
+        SELECT event_type, ds, vs, len(vs) AS n,
+               list_reduce(vs[1:7], (s, x) -> s + x) / 7::DOUBLE AS mu
+        FROM arr
+    ),
+    -- Fixed-size RING state [l, b, s_t, s_{t-1}, ..., s_{t-6}] (9
+    -- doubles; the operator grows an O(n) state array instead — the
+    -- structurally-different-state-management discipline). LIST
+    -- accumulator, never a struct (DuckDB v1.0 rebinds struct fields
+    -- sequentially inside reduce lambdas). sts[j] = ring after time
+    -- j+6; the reduced list's FIRST element is the seed ring itself
+    -- (list_reduce has no init parameter), later elements are [x].
+    st AS (
+        SELECT event_type, ds, vs, n, mu,
+               CASE WHEN n >= 7 THEN
+               list_transform(
+                   generate_series(7, n),
+                   i -> list_reduce(
+                        [[mu, 0.0::DOUBLE,
+                          vs[7] - mu, vs[6] - mu, vs[5] - mu, vs[4] - mu,
+                          vs[3] - mu, vs[2] - mu, vs[1] - mu]]
+                        || list_transform(vs[8:i], x -> [x]),
+                        (s, e) -> [
+                            0.3::DOUBLE * (e[1] - s[9])
+                              + 0.7::DOUBLE * (s[1] + s[2]),
+                            0.1::DOUBLE * ((0.3::DOUBLE * (e[1] - s[9])
+                                            + 0.7::DOUBLE * (s[1] + s[2]))
+                                           - s[1])
+                              + 0.9::DOUBLE * s[2],
+                            0.2::DOUBLE * (e[1] - s[1] - s[2])
+                              + 0.8::DOUBLE * s[9]
+                        ] || s[3:8])
+               ) END AS sts
+        FROM sd
+    ),
+    pts AS (
+        SELECT event_type,
+               ds[i] AS day, vs[i] AS cnt,
+               CASE WHEN n >= 7 AND i <= 7 THEN mu
+                    WHEN n >= 7 THEN sts[i - 6][1] END AS lvl_raw,
+               CASE WHEN n >= 7 AND i <= 7 THEN 0.0::DOUBLE
+                    WHEN n >= 7 THEN sts[i - 6][2] END AS trd_raw,
+               CASE WHEN n >= 7 AND i <= 7 THEN vs[i] - mu
+                    WHEN n >= 7 THEN sts[i - 6][3] END AS sea_raw,
+               CASE WHEN n >= 7 AND i > 7
+                    THEN sts[i - 7][1] + sts[i - 7][2] + sts[i - 7][9]
+               END AS fc_raw
+        FROM st, unnest(generate_series(1, len(vs))) AS t(i)
+    ),
+    pr AS (
+        SELECT *, cnt - fc_raw AS resid_raw FROM pts
+    ),
+    scale AS (
+        SELECT event_type,
+               CAST(count(resid_raw) AS DOUBLE) AS nr,
+               sum(resid_raw) AS sr,
+               sum(resid_raw * resid_raw) AS srr
+        FROM pr GROUP BY 1
+    ),
+    sig AS (
+        SELECT event_type,
+               CASE WHEN nr >= 2
+                    THEN sqrt(GREATEST((nr * srr - sr * sr) / (nr * nr),
+                                       0.0)) END AS sigma
+        FROM scale
+    )
+    SELECT p.event_type, day, cnt,
+           round(lvl_raw, 6) AS level,
+           round(trd_raw, 6) AS trend,
+           round(sea_raw, 6) AS seasonal,
+           round(fc_raw, 6) AS forecast,
+           round(resid_raw, 6) AS resid,
+           CASE WHEN resid_raw IS NOT NULL AND sigma > 0
+                THEN abs(resid_raw) > CAST(3.0 AS DOUBLE) * sigma
+           END AS is_anomaly
+    FROM pr p JOIN sig USING (event_type)
+    """,
+    description="Holt-Winters ADDITIVE seasonal smoothing + one-step "
+    "forecast anomalies (operators/holt.py:"
+    "holt_winters_forecast_anomaly, Winters 1960 / FPP3 §8.3) over "
+    "per-type daily event counts with a weekly season (m=7): "
+    "first-season seed (l=mean, b=0, s_i=x_i-mean), then l_t = "
+    "0.3*(x_t - s_{t-7}) + 0.7*(l+b)_prev, b_t = 0.1*dl + 0.9*b_prev, "
+    "s_t = 0.2*(x_t - (l+b)_prev... detrended) + 0.8*s_{t-7}, "
+    "forecast = (l+b)_prev + s_{t-7}, flag |resid| > 3*sigma — the "
+    "seasonal completion of the Holt-linear gate on the identical "
+    "series. The sequential three-state recursion runs as ONE "
+    "in-memory fold per key whose state array holds every (l,b,s) "
+    "triple (the s_{t-m} lookup is an index from the end), "
+    "embarrassingly parallel across keys; the oracle replays the same "
+    "IEEE operation order with a structurally DIFFERENT state: a "
+    "fixed-size 9-double [l, b, s-ring] LIST shifted each step via "
+    "list concat/slice, seeded as the reduced list's first element. "
+    "Keys shorter than one season carry NULL readouts (honest "
+    "warm-up). Hand-worked m=2 alpha=beta=gamma=0.5 fixture + "
+    "pure-Python seasonal-dict twin in tests/test_holt.py.",
+)
+def q_holt_winters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.holt import holt_winters_forecast_anomaly
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    return holt_winters_forecast_anomaly(
+        daily,
+        ["event_type"],
+        "day",
+        "cnt",
+        season=7,
+        alpha=0.3,
+        beta=0.1,
+        gamma=0.2,
+        k=3.0,
+    )
+
+
+@register(
     "autocorrelation_contract",
     oracle="""
     WITH daily AS (

@@ -162,3 +162,140 @@ def test_duckdb_fold_parity(spark):
         assert row["level"] == lvl
         assert row["trend"] == trd
         assert row["forecast"] == fc
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal (triple) smoothing
+# ---------------------------------------------------------------------------
+#
+# Hand-computed fixture (mandatory discipline): xs = [10, 14, 11, 15, 12],
+# season m = 2, alpha = beta = gamma = 0.5 — every intermediate is an
+# exact binary fraction, worked by hand:
+#
+#   seed (t1,t2): mean = 12 -> l=12, b=0; s1 = -2, s2 = 2
+#   t3 (x=11, s_old=s1=-2): f = 12+0-2            = 10
+#       l = .5*(11+2)+.5*12                       = 12.5
+#       b = .5*(12.5-12)+.5*0                     = 0.25
+#       s3 = .5*(11-12-0)+.5*(-2)                 = -1.5
+#       resid = 1
+#   t4 (x=15, s_old=s2=2): f = 12.5+0.25+2        = 14.75
+#       l = .5*(15-2)+.5*12.75                    = 12.875
+#       b = .5*(12.875-12.5)+.5*0.25              = 0.3125
+#       s4 = .5*(15-12.5-0.25)+.5*2               = 2.125
+#       resid = 0.25
+#   t5 (x=12, s_old=s3=-1.5): f = 12.875+0.3125-1.5 = 11.6875
+#       l = .5*(12+1.5)+.5*13.1875                = 13.34375
+#       b = .5*(13.34375-12.875)+.5*0.3125        = 0.390625
+#       s5 = .5*(12-12.875-0.3125)+.5*(-1.5)      = -1.34375
+#       resid = 0.3125
+#   sigma (population, residuals {1, 0.25, 0.3125}) ~= 0.33978;
+#   k=1 -> only t3 flags (1 > 0.33978).
+
+
+def _hw_reference(xs, m, alpha, beta, gamma):
+    """Pure-Python twin (different implementation: explicit seasonal
+    dict keyed by time, not an array fold)."""
+    mean = sum(xs[:m]) / m
+    lvl = {m: mean}
+    trd = {m: 0.0}
+    sea = {i + 1: xs[i] - mean for i in range(m)}
+    fc = {}
+    for t in range(m + 1, len(xs) + 1):
+        x = xs[t - 1]
+        so = sea[t - m]
+        fc[t] = lvl[t - 1] + trd[t - 1] + so
+        l_new = alpha * (x - so) + (1 - alpha) * (lvl[t - 1] + trd[t - 1])
+        trd[t] = beta * (l_new - lvl[t - 1]) + (1 - beta) * trd[t - 1]
+        sea[t] = gamma * (x - lvl[t - 1] - trd[t - 1]) + (1 - gamma) * so
+        lvl[t] = l_new
+    return lvl, trd, sea, fc
+
+
+def test_hw_hand_worked_fixture_exact(spark):
+    from proyecto_final_de_big_data_spark.operators.holt import (
+        holt_winters_forecast_anomaly,
+    )
+
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate([10.0, 14.0, 11.0, 15.0, 12.0])],
+        "k string, t long, x double",
+    )
+    out = {
+        r["t"]: r
+        for r in holt_winters_forecast_anomaly(
+            df, ["k"], "t", "x", season=2, alpha=0.5, beta=0.5, gamma=0.5, k=1.0
+        ).collect()
+    }
+    assert (out[0]["level"], out[0]["trend"], out[0]["seasonal"]) == (12.0, 0.0, -2.0)
+    assert out[0]["forecast"] is None and out[0]["resid"] is None
+    assert out[0]["is_anomaly"] is None
+    assert (out[1]["level"], out[1]["trend"], out[1]["seasonal"]) == (12.0, 0.0, 2.0)
+    assert (out[2]["level"], out[2]["trend"], out[2]["seasonal"]) == (12.5, 0.25, -1.5)
+    assert (out[2]["forecast"], out[2]["resid"]) == (10.0, 1.0)
+    assert out[2]["is_anomaly"] is True
+    assert (out[3]["level"], out[3]["trend"], out[3]["seasonal"]) == (
+        12.875, 0.3125, 2.125,
+    )
+    assert (out[3]["forecast"], out[3]["resid"]) == (14.75, 0.25)
+    assert out[3]["is_anomaly"] is False
+    assert (out[4]["level"], out[4]["trend"], out[4]["seasonal"]) == (
+        13.34375, 0.390625, -1.34375,
+    )
+    assert (out[4]["forecast"], out[4]["resid"]) == (11.6875, 0.3125)
+    assert out[4]["is_anomaly"] is False
+
+
+def test_hw_matches_python_twin(spark):
+    import random
+
+    from proyecto_final_de_big_data_spark.operators.holt import (
+        holt_winters_forecast_anomaly,
+    )
+
+    rng = random.Random(31)
+    m = 4
+    xs = [
+        50.0 + 3.0 * t + [5.0, -2.0, 1.0, -4.0][t % m] + rng.random()
+        for t in range(25)
+    ]
+    df = spark.createDataFrame(
+        [("k", t, x) for t, x in enumerate(xs)], "k string, t long, x double"
+    )
+    got = {
+        r["t"]: r
+        for r in holt_winters_forecast_anomaly(
+            df, ["k"], "t", "x", season=m, alpha=0.3, beta=0.1, gamma=0.2
+        ).collect()
+    }
+    lvl, trd, sea, fc = _hw_reference(xs, m, 0.3, 0.1, 0.2)
+    for t in range(m, len(xs)):  # 0-based row t == 1-based index t+1
+        i = t + 1
+        assert got[t]["level"] == pytest.approx(round(lvl[i], 6), abs=1e-9)
+        assert got[t]["trend"] == pytest.approx(round(trd[i], 6), abs=1e-9)
+        assert got[t]["seasonal"] == pytest.approx(round(sea[i], 6), abs=1e-9)
+        assert got[t]["forecast"] == pytest.approx(round(fc[i], 6), abs=1e-9)
+
+
+def test_hw_short_series_and_validation(spark):
+    from proyecto_final_de_big_data_spark.operators.holt import (
+        holt_winters_forecast_anomaly,
+    )
+
+    # Fewer points than one season: no defined seed -> NULL readouts,
+    # reported honestly (not raised).
+    df = spark.createDataFrame(
+        [("k", 0, 5.0), ("k", 1, 6.0)], "k string, t long, x double"
+    )
+    rows = holt_winters_forecast_anomaly(
+        df, ["k"], "t", "x", season=3
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["level"] is None and r["seasonal"] is None
+        assert r["forecast"] is None and r["is_anomaly"] is None
+    with pytest.raises(ValueError, match="season"):
+        holt_winters_forecast_anomaly(df, ["k"], "t", "x", season=1)
+    with pytest.raises(ValueError, match="alpha"):
+        holt_winters_forecast_anomaly(df, ["k"], "t", "x", season=2, alpha=0.0)
+    with pytest.raises(ValueError, match="gamma"):
+        holt_winters_forecast_anomaly(df, ["k"], "t", "x", season=2, gamma=1.5)

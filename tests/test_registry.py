@@ -57,10 +57,11 @@ def test_window_covers_every_family():
         "session_path_profile",      # sessionization (the stats-by-dow
                                      # twin rotated out r7 after r6
                                      # green; same gap-split machinery)
-        "ewma_anomaly_contract",     # series monitoring (the CUSUM
-                                     # twin rotated out r8 after r7
-                                     # green; EWMA + trend keep the
-                                     # family in-window)
+        "holt_winters_contract",     # series monitoring (the CUSUM
+                                     # twin rotated out r8, the EWMA
+                                     # twin r10 after r7-r9 green;
+                                     # trend + seasonal smoothing keep
+                                     # the family in-window)
         "triangle_count_contract",   # degree-oriented triangles /
                                      # local clustering (NEW r8)
         "attribution_contract",      # ordered per-key window state
@@ -147,9 +148,9 @@ def test_window_covers_every_family():
                                      # corr + acf + chi2 in-window, and
                                      # this NEW gate re-verifies
                                      # clean.py's r8 guard change)
-        "ewma_anomaly_contract",     # series monitoring (took the slot
-                                     # of source_cap_profile, rotated
-                                     # out r7 after r5/r6 green; caps
+        "holt_winters_contract",     # series monitoring (took EWMA's
+                                     # slot r10; EWMA had taken
+                                     # source_cap_profile's r7 — caps
                                      # stay repped by the token-budget
                                      # selection gate)
         "knn_ann_ivf_pq_refine_recall",  # quantized ANN (NEW r9: the
@@ -300,10 +301,10 @@ def test_window_covers_every_family():
                                      # r7+r8 green)
         "attribution_contract",      # multi-touch conversion credit
         "media_binary_ingest",       # raw-file multimodal ingestion
-        "ewma_anomaly_contract",     # series monitoring (the PSI drift
-                                     # twin rotated out late-r8 after
-                                     # r6+r7 green on unchanged
-                                     # drift.py)
+        "holt_winters_contract",     # series monitoring (the PSI
+                                     # drift twin rotated out late-r8
+                                     # after r6+r7 green on unchanged
+                                     # drift.py; EWMA rotated out r10)
         "rank_test_contract",        # rank tests KW + MWU (NEW late-r8)
         "anova_oneway_contract",     # one-way ANOVA (NEW late-r8)
         "bloom_pruned_join_contract",  # Bloom join pruning (NEW late-r8)
@@ -352,7 +353,10 @@ def test_window_covers_every_family():
                                      # weighted_ksample + dsir keep the
                                      # md5-determinism machinery
                                      # in-window)
-        "ewma_anomaly_contract",     # EWMA + one-step anomaly flags
+        "holt_winters_contract",     # seasonal smoothing + one-step
+                                     # anomaly flags (EWMA twin rotated
+                                     # out r10 — same collector +
+                                     # sigma machinery)
         "correlation_matrix_contract",  # stats.py sufficient-stats rep
                                      # (the ACF twin rotated out r8
                                      # after r7 green on unchanged
