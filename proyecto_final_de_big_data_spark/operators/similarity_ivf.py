@@ -87,6 +87,52 @@ def ivf_assign(
     )
 
 
+def ivf_index_increment(
+    index: DataFrame,
+    batch: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Absorb a new corpus batch into an EXISTING IVF index without
+    refitting the coarse quantizer — the :func:`.incremental.
+    incremental_dedup` posture applied to the ANN index: ids already
+    indexed are skipped by an anti-join on the (id-only) index
+    projection, and ONLY the genuinely new rows pay the cell
+    assignment, so each increment is O(batch), never O(corpus).
+
+    ``index`` is an assigned frame as produced by :func:`ivf_assign`
+    (``(id, __v, cell)``); ``centroids`` is the quantizer fitted when
+    the index was built (:func:`ivf_centroids` — keep it with the
+    index, it IS the index's model). Returns the extended index frame
+    with the same schema, suitable for the probe joins unchanged.
+
+    Assignment parity is exact by construction: a vector's cell
+    depends only on the frozen centroid list, so the incremental index
+    is row-for-row identical to a full re-assignment of the union —
+    the property the ``knn_ann_ivf_increment_contract`` gate pins.
+    When drift eventually makes the frozen centroids a bad partition
+    (cells skew), refit and re-encode — that's a rebuild, not an
+    increment, and the skew is observable from the per-cell census.
+
+    Scale shape (100 TB): the anti-join probes only the id column of
+    the index (a partition-prunable parquet read on a real layout);
+    the assignment is the usual map-only vectorized projection over
+    the batch; the union is a metadata concat. Nothing shuffles the
+    existing corpus.
+
+    Extension surface — the reference has no ANN index (`/root/
+    reference` computes only descriptive marts); extension per SURVEY
+    §8, the maintenance sibling of the IVF/SQ8/PQ family above.
+    """
+    new_rows = batch.join(
+        index.select(F.col(id_col)), id_col, "left_anti"
+    )
+    return index.unionByName(
+        ivf_assign(new_rows, centroids, id_col, vec_col)
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

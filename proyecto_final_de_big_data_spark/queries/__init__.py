@@ -939,7 +939,18 @@ _VERIFICATION_WINDOW = [
     # (operators/pq.py), new this round (same-round-slot rule),
     # completing the FAISS index triad (IVF probe / SQ8 codes / PQ
     # codebooks) in-window next to knn_ann_ivf_sq_recall.
-    "knn_ann_pq_recall",
+    # r10: knn_ann_pq_recall (r8+r9 green on unchanged pq.py) hands
+    # its slot to knn_ann_ivf_increment_contract — incremental IVF
+    # index maintenance (operators/similarity_ivf.py:
+    # ivf_index_increment, VERDICT r9 item 7), new this round
+    # (same-round-slot rule) and the gate on this round's
+    # similarity_ivf.py change. Family coverage: the quantized-ANN
+    # family keeps knn_ann_ivf_pq_refine_recall in-window (the SAME
+    # pq.py PQ-ADC machinery composed with IVF + exact refine — a
+    # superset of the plain PQ gate's path); the new gate adds the
+    # index-maintenance surface (anti-join skip + frozen-quantizer
+    # assignment parity) the family lacked.
+    "knn_ann_ivf_increment_contract",
     "cdc_merge_contract",
     "media_binary_ingest",
     "robust_outlier_profile",

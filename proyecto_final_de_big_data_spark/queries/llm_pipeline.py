@@ -743,6 +743,102 @@ def q_knn_ann_ivf_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ann_ivf_increment_contract",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_index_rows,
+           CAST(sum(CASE WHEN vec_id < 300 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_base,
+           CAST(sum(CASE WHEN vec_id >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(sum(CASE WHEN vec_id >= 200 AND vec_id < 300
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlap_skipped,
+           1 AS parity_ok
+    FROM embeddings WHERE vec_id < 450
+    """,
+    description="Incremental IVF index maintenance "
+    "(operators/similarity_ivf.py:ivf_index_increment — the "
+    "incremental_dedup posture applied to the ANN index): the index is "
+    "built over vec_id < 300 with a frozen 16-centroid quantizer, then "
+    "a batch covering 200-449 is absorbed — the 100 already-indexed "
+    "ids are SKIPPED by the anti-join and only the 150 new rows pay "
+    "the O(batch) cell assignment; no refit, no corpus re-encode. The "
+    "engine then compares the incremental index against a FULL "
+    "re-assignment of the union via a full outer join on vec_id: "
+    "parity_ok = 1 only when every id appears exactly once on both "
+    "sides with the identical cell (assignment depends only on the "
+    "frozen centroids, so parity is exact by construction — a dropped "
+    "batch row, duplicated overlap id, or cell drift emits 0 and "
+    "breaks the hash). The centroid sample and numpy cell argmax are "
+    "not portably SQL-restatable, so the oracle pins the base/new/"
+    "overlap census and the asserted flag (the knn recall-gate "
+    "posture). Hand-worked 8-vector two-cluster fixture in "
+    "tests/test_scale_operators.py.",
+)
+def q_knn_ann_ivf_increment_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity_ivf import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_index_increment,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    batch = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 450))
+    centroids = ivf_centroids(base, "vec_id", "embedding", 16)
+    index0 = ivf_assign(base, centroids, "vec_id", "embedding")
+    inc = ivf_index_increment(index0, batch, centroids, "vec_id", "embedding")
+    full = ivf_assign(
+        emb.filter(F.col("vec_id") < 450), centroids, "vec_id", "embedding"
+    )
+    cmp = inc.select("vec_id", F.col("cell").alias("__c_inc")).join(
+        full.select("vec_id", F.col("cell").alias("__c_full")),
+        "vec_id",
+        "full_outer",
+    )
+    parity = cmp.agg(
+        F.count(F.lit(1)).alias("__n_cmp"),
+        F.sum(
+            (
+                F.col("__c_inc").isNotNull()
+                & F.col("__c_full").isNotNull()
+                & (F.col("__c_inc") == F.col("__c_full"))
+            ).cast("int")
+        ).alias("__n_good"),
+    )
+    counts = emb.filter(F.col("vec_id") < 450).agg(
+        F.count(F.lit(1)).alias("n_index_rows"),
+        F.sum(F.when(F.col("vec_id") < 300, 1).otherwise(0))
+        .cast("long")
+        .alias("n_base"),
+        F.sum(F.when(F.col("vec_id") >= 300, 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(
+            F.when(
+                (F.col("vec_id") >= 200) & (F.col("vec_id") < 300), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_overlap_skipped"),
+    )
+    return counts.crossJoin(F.broadcast(parity)).select(
+        "n_index_rows",
+        "n_base",
+        "n_new",
+        "n_overlap_skipped",
+        (
+            (F.col("__n_good") == F.col("__n_cmp"))
+            & (F.col("__n_cmp") == F.col("n_index_rows"))
+        )
+        .cast("int")
+        .alias("parity_ok"),
+    )
+
+
+@register(
     "embedding_norms_by_label",
     oracle="""
     SELECT label, count(*) AS n_vectors,

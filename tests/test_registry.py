@@ -342,7 +342,11 @@ def test_window_covers_every_family():
                                      # twins rotated out; the same
                                      # distinct+groupBy+cap basket
                                      # frame feeds the FP-Growth fit)
-        "knn_ann_pq_recall",         # PQ-ADC ANN recall (NEW r8)
+        "knn_ann_ivf_increment_contract",  # quantized-ANN maintenance
+                                     # (NEW r10; the plain PQ-ADC twin
+                                     # rotated out after r8+r9 green on
+                                     # unchanged pq.py — the refine
+                                     # gate keeps PQ-ADC in-window)
         "robust_outlier_profile",    # median/MAD outlier fence
         "correlation_matrix_contract",  # stats family (the chi2/MI twin
                                      # rotated out r8 after r7 green)

@@ -213,3 +213,40 @@ def test_spread_conf_off_is_identity(spark):
             spark.conf.unset("spark.graft.spreadSmallInputs")
         else:
             spark.conf.set("spark.graft.spreadSmallInputs", old)
+
+
+def test_ivf_index_increment_parity_and_skip(spark):
+    """Hand fixture: 8 clustered 3-d vectors around two axes; base
+    holds ids 0-4, the batch re-offers 3-4 (must be SKIPPED — the
+    anti-join) plus new ids 5-7. The incremental index must equal the
+    full re-assignment of the union row-for-row (assignment depends
+    only on the frozen centroids)."""
+    from proyecto_final_de_big_data_spark.operators.similarity_ivf import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_index_increment,
+    )
+
+    def vec(axis, eps):
+        v = [eps, eps, eps]
+        v[axis] = 1.0
+        return v
+
+    rows = [(i, vec(i % 2, 0.01 * i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.filter(F.col("vec_id") < 5)
+    batch = df.filter(F.col("vec_id") >= 3)  # 3,4 overlap; 5,6,7 new
+    cents = ivf_centroids(base, "vec_id", "embedding", 2)
+    index0 = ivf_assign(base, cents, "vec_id", "embedding")
+    inc = ivf_index_increment(index0, batch, cents, "vec_id", "embedding")
+    got = {r["vec_id"]: r["cell"] for r in inc.collect()}
+    assert sorted(got) == list(range(8))  # 3,4 not duplicated
+    full = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(df, cents, "vec_id", "embedding").collect()
+    }
+    assert got == full
+    # The two clusters land in different cells (the fixture's point).
+    assert got[0] == got[2] == got[4] == got[6]
+    assert got[1] == got[3] == got[5] == got[7]
+    assert got[0] != got[1]
