@@ -257,7 +257,19 @@ _VERIFICATION_WINDOW = [
     # this round (same-round-slot rule); the experimentation family
     # gains the continuous-metric readout next to ab_test_contract's
     # proportion z-test.
-    "cuped_ab_contract",
+    # r10: cuped_ab_contract (r8+r9 first-round-then-repeat green;
+    # abtest.py's only change this round is a docstring clarification
+    # on msprt's zero-variance NULL case — non-material, and the
+    # experimentation family keeps TWO in-window abtest.py reps:
+    # did_contract + msprt_contract, the latter gating the function
+    # whose docstring changed) hands its slot to modularity_contract —
+    # Newman modularity of the LPA partition (operators/graph.py:
+    # modularity), new this round (same-round-slot rule). The graph
+    # family completes its community story in-window: assignment
+    # (label_propagation_contract) + quality score (this gate, whose
+    # oracle re-derives the labels through the shared unrolled-CTE
+    # replay — a second independent check on the LPA machinery).
+    "modularity_contract",
     "data_quality_contract",
     # r9: token_budget_selection_profile (r6+r7+r8 green, the named
     # longest-green swap currency in the r8 pool; selection.py/

@@ -2579,10 +2579,12 @@ def q_triangle_count_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
-def _lpa_oracle(iterations: int = 4) -> str:
-    """Unrolled-CTE LPA replay: one (count, argmax) CTE pair per
+def _lpa_cte_chain(iterations: int = 4) -> str:
+    """Shared unrolled-CTE LPA replay over the bounded part
+    co-purchase graph: e0/sym/l0 plus one (count, argmax) CTE pair per
     iteration — a bounded unrolling instead of the operator's loop, so
-    the oracle shares no iteration machinery with the Spark path."""
+    the oracles share no iteration machinery with the Spark path. The
+    final label frame is ``l{iterations}``."""
     steps = []
     for i in range(1, iterations + 1):
         steps.append(
@@ -2599,8 +2601,7 @@ def _lpa_oracle(iterations: int = 4) -> str:
     )"""
         )
     chain = ", ".join(steps)
-    return f"""
-    WITH e0 AS (
+    return f"""e0 AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -2611,7 +2612,12 @@ def _lpa_oracle(iterations: int = 4) -> str:
         SELECT v AS s, u AS d FROM e0
     ), l0 AS (
         SELECT DISTINCT s AS node, s AS label FROM sym
-    ), {chain}
+    ), {chain}"""
+
+
+def _lpa_oracle(iterations: int = 4) -> str:
+    return f"""
+    WITH {_lpa_cte_chain(iterations)}
     SELECT CAST(label AS BIGINT) AS community,
            CAST(count(*) AS BIGINT) AS n_nodes,
            CAST(min(node) AS BIGINT) AS min_node,
@@ -2675,6 +2681,79 @@ def q_label_propagation_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("node").cast("long").alias("max_node"),
         F.sum(F.col("node") % 1000003).cast("long").alias("member_checksum"),
     )
+
+
+@register(
+    "modularity_contract",
+    oracle=f"""
+    WITH {_lpa_cte_chain(4)},
+    deg AS (
+        SELECT s AS node, count(*) AS degree FROM sym GROUP BY 1
+    ),
+    dc AS (
+        SELECT l.label, sum(d.degree) AS d_c
+        FROM deg d JOIN l4 l USING (node) GROUP BY 1
+    ),
+    ec AS (
+        SELECT la.label, count(*) AS e_c
+        FROM e0
+        JOIN l4 la ON la.node = e0.u
+        JOIN l4 lb ON lb.node = e0.v
+        WHERE la.label = lb.label
+        GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS m FROM e0)
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(max(t.m) AS BIGINT) AS n_edges,
+           round(CAST(sum(coalesce(ec.e_c, 0)) AS DOUBLE) / max(t.m)
+                 - CAST(sum(dc.d_c * dc.d_c) AS DOUBLE)
+                   / (4.0::DOUBLE * max(t.m) * max(t.m)), 6) AS modularity
+    FROM dc LEFT JOIN ec USING (label) CROSS JOIN tot t
+    """,
+    description="Newman modularity Q of the 4-iteration LPA partition "
+    "(operators/graph.py:modularity, Newman & Girvan 2004) over the "
+    "same bounded part co-purchase graph — the score that turns "
+    "label_propagation_contract's assignment into a judgement (Q near "
+    "0 = random wiring, 0.3+ = real structure; the readout a dedup "
+    "user compares across similarity thresholds). Determinism by "
+    "construction: within-community edge count and sum of squared "
+    "community degrees are INTEGER sums (no float reassociation "
+    "across partitions), so Q = sum(e_c)/m - sum(d_c^2)/(4m^2) is two "
+    "exact longs divided once and the oracle's restatement matches "
+    "bit-for-bit. The oracle re-derives the labels through the shared "
+    "unrolled-CTE LPA replay (row_number argmax — different iteration "
+    "machinery from the Spark loop), so this gate double-checks the "
+    "LPA assignment AND the modularity algebra. Plan: one degree agg, "
+    "two node-keyed label joins, answer-scale community aggs, one "
+    "1-row scalar crossJoin. Hand-worked two-triangles-plus-bridge "
+    "fixture (Q = 6/7 - 98/196) + textbook two-clique Q=0.5 / "
+    "one-community Q=0 / singleton Q=-1/6 checks in "
+    "tests/test_graph.py.",
+)
+def q_modularity_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation, modularity
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") < 500)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = label_propagation(edges, iterations=4)
+    return modularity(edges, labels)
 
 
 @register(

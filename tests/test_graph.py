@@ -341,3 +341,51 @@ def test_lpa_dedup_direction_loops_and_validation(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="iterations"):
         label_propagation(df, iterations=0)
+
+
+def test_modularity_hand_worked_two_triangles_bridge(spark):
+    # Hand-worked: triangles {1,2,3} / {4,5,6} + bridge 3-4, labels =
+    # the converged LPA communities. m=7; within edges = 6 (the bridge
+    # crosses); degrees (2,2,3,3,2,2) -> d_c = 7 per community,
+    # sum d_c^2 = 98. Q = 6/7 - 98/196 = 0.357143 (rounded).
+    from proyecto_final_de_big_data_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 3), (5, 3), (6, 3)],
+        "node long, label long",
+    )
+    row = modularity(edges, labels).collect()[0]
+    assert (row["n_communities"], row["n_edges"]) == (2, 7)
+    assert row["modularity"] == round(6 / 7 - 98 / 196, 6)
+
+
+def test_modularity_known_values(spark):
+    from proyecto_final_de_big_data_spark.operators.graph import modularity
+
+    # Two disjoint triangles, perfect partition: the textbook Q = 0.5.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(i, 1 if i <= 3 else 2) for i in range(1, 7)], "node long, label long"
+    )
+    row = modularity(edges, labels).collect()[0]
+    assert row["modularity"] == 0.5
+    # Everything in ONE community: Q = m/m - (2m/2m)^2 = 0 exactly.
+    one = spark.createDataFrame(
+        [(i, 9) for i in range(1, 7)], "node long, label long"
+    )
+    assert modularity(edges, one).collect()[0]["modularity"] == 0.0
+    # Singleton communities (every node its own): Q = 0 - sum(d^2)/4m^2
+    # = -(6*4)/144 = -1/6.
+    solo = spark.createDataFrame(
+        [(i, i) for i in range(1, 7)], "node long, label long"
+    )
+    assert modularity(edges, solo).collect()[0]["modularity"] == round(
+        -24 / 144, 6
+    )

@@ -94,8 +94,10 @@ def test_window_covers_every_family():
         "bh_fdr_contract",           # Benjamini-Hochberg FDR (NEW r9;
                                      # third gate on the r9-changed
                                      # hyptest.py)
-        "cuped_ab_contract",         # CUPED variance-reduced A/B
-                                     # readout (NEW r8)
+        "modularity_contract",       # community quality score (NEW
+                                     # r10; the CUPED twin rotated out
+                                     # after r8+r9 green — did + msprt
+                                     # keep abtest.py in-window)
         "dsir_selection_contract",   # data selection (NEW r9: DSIR
                                      # importance scores; the token-
                                      # budget twin rotated out after
@@ -258,12 +260,12 @@ def test_window_covers_every_family():
                                      # window machinery)
         "rfm_segment_profile",       # RFM quintile segmentation (NEW r8)
         "session_path_profile",      # sessionized path analysis
-        "cuped_ab_contract",         # experimentation family (the
-                                     # proportion z-test twin
-                                     # rotated out r8 after r7
-                                     # green on untouched algebra;
-                                     # CUPED analysis + the power
-                                     # planning gate keep it)
+        "did_contract",              # experimentation family (the
+                                     # proportion z-test twin rotated
+                                     # out r8, CUPED r10 — both after
+                                     # multi-round green on untouched
+                                     # algebra; DiD + msprt keep the
+                                     # family in-window)
         "did_contract",              # difference-in-differences (NEW
                                      # r9; gates the round's abtest.py
                                      # change — the power-planning twin
