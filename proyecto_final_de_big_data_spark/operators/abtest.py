@@ -677,3 +677,110 @@ def msprt_monitor(
             "significant"
         ),
     )
+
+
+def chi2_critical_approx(df_: int, z: float = 3.090232306167813) -> float:
+    """Wilson–Hilferty chi-square upper-tail critical value
+    approximation (Wilson & Hilferty, PNAS 1931 — public literature):
+    χ²_{df, 1−α} ≈ df·(1 − 2/(9·df) + z_{1−α}·sqrt(2/(9·df)))³. The
+    default z is the normal 0.999 quantile (α = 0.001, the standard
+    SRM alert level). Within a few percent of the exact value (df=1:
+    11.16 vs exact 10.83) — pass an exact table value to
+    :func:`srm_check` when the boundary matters."""
+    if df_ < 1:
+        raise ValueError(f"df must be >= 1, got {df_}")
+    h = 2.0 / (9.0 * df_)
+    return df_ * (1.0 - h + z * (h ** 0.5)) ** 3
+
+
+def srm_check(
+    units: DataFrame,
+    group_col: str,
+    expected: dict[str, float],
+    chi2_crit: float | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Sample-ratio-mismatch check (Fabijan et al., "Diagnosing Sample
+    Ratio Mismatch in Online Controlled Experiments", KDD 2019 —
+    public literature): the chi-square goodness-of-fit of the observed
+    per-arm unit counts against the DESIGNED allocation — the hygiene
+    gate every experiment readout should run first, because a skewed
+    assignment invalidates the downstream z-tests no matter how
+    significant they look.
+
+    One row: ``(n_arms, n_total, n_unexpected_units, chi2, chi2_crit,
+    srm_suspected)`` with ``chi2 = Σ_arms (O_i − E_i)²/E_i``,
+    ``E_i = f_i·N`` over the arms named in ``expected`` (group values
+    compared as strings). Arms expected but absent from the data
+    contribute their full E_i (a vanished arm IS a mismatch); units in
+    arms NOT named in ``expected`` are excluded from the statistic and
+    counted in ``n_unexpected_units`` (nonzero usually means logging
+    pollution — investigate before trusting the experiment at all).
+    ``srm_suspected`` compares the unrounded χ² against ``chi2_crit``
+    (default: the Wilson–Hilferty α=0.001 approximation for
+    df = arms−1, the conventional SRM alert level).
+
+    Scale shape (100 TB of raw events): ONE group-cardinality count
+    aggregation (map-side combined); the expected-allocation frame is
+    an |arms|-row literal joined broadcast; N is a 1-row scalar
+    crossJoin (house pattern). Exactly restatable in SQL — O_i are
+    integers and each component is one subtract/square/divide.
+
+    Extension surface — the reference has no experimentation stage;
+    extension per SURVEY §8, the assignment-integrity sibling of the
+    z-test/CUPED/DiD/mSPRT readouts above.
+    """
+    if len(expected) < 2:
+        raise ValueError("srm_check needs at least 2 expected arms")
+    for arm, f_i in expected.items():
+        if not (0.0 < float(f_i) <= 1.0):
+            raise ValueError(
+                f"expected fraction for arm {arm!r} must be in (0, 1], got {f_i}"
+            )
+    tot_f = sum(float(f_i) for f_i in expected.values())
+    if abs(tot_f - 1.0) > 1e-6:
+        raise ValueError(f"expected fractions must sum to 1, got {tot_f}")
+    df_ = len(expected) - 1
+    crit = float(chi2_crit) if chi2_crit is not None else chi2_critical_approx(df_)
+
+    spark = units.sparkSession
+    exp_df = spark.createDataFrame(
+        [(str(arm), float(f_i)) for arm, f_i in sorted(expected.items())],
+        "group string, expected_frac double",
+    )
+    obs = units.groupBy(
+        F.col(group_col).cast("string").alias("group")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    joined = exp_df.join(obs, "group", "left").select(
+        "group",
+        "expected_frac",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+    )
+    unexpected = (
+        obs.join(F.broadcast(exp_df.select("group")), "group", "left_anti")
+        .agg(F.coalesce(F.sum("n_obs"), F.lit(0)).alias("__n_unex"))
+    )
+    n_frame = joined.agg(F.sum("n_obs").alias("__N"))
+    comp = joined.crossJoin(F.broadcast(n_frame)).select(
+        "group",
+        "n_obs",
+        "__N",
+        (
+            (F.col("n_obs").cast("double") - F.col("expected_frac") * F.col("__N"))
+            * (F.col("n_obs").cast("double") - F.col("expected_frac") * F.col("__N"))
+            / (F.col("expected_frac") * F.col("__N"))
+        ).alias("__comp"),
+    )
+    agg = comp.agg(
+        F.count(F.lit(1)).alias("n_arms"),
+        F.max("__N").alias("n_total"),
+        F.sum("__comp").alias("__chi2"),
+    )
+    return agg.crossJoin(F.broadcast(unexpected)).select(
+        "n_arms",
+        "n_total",
+        F.col("__n_unex").cast("long").alias("n_unexpected_units"),
+        F.round("__chi2", decimals).alias("chi2"),
+        F.lit(round(crit, decimals)).alias("chi2_crit"),
+        (F.col("__chi2") > F.lit(crit)).alias("srm_suspected"),
+    )

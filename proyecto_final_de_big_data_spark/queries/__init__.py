@@ -638,7 +638,17 @@ _VERIFICATION_WINDOW = [
     # The monitoring family keeps ewma_anomaly_contract in-window (and
     # cusum rotated per the r8 plan above); hand fixtures + the k=2
     # KW = z² cross-operator identity in tests/test_hyptest.py.
-    "rank_test_contract",
+    # r10: rank_test_contract (late-r8 + r9 green; hyptest.py
+    # unchanged this round) hands its slot to srm_contract —
+    # sample-ratio-mismatch chi-square check (operators/abtest.py:
+    # srm_check, Fabijan et al. KDD'19), new this round (same-round-
+    # slot rule) and a THIRD abtest.py gate next to did + msprt. The
+    # hypothesis-test family consolidates per the pre-planned r10 twin
+    # pool (anova/rank_test/bh_fdr): anova_oneway_contract keeps the
+    # same _clean/guard machinery in-window and bh_fdr_contract keeps
+    # the multiple-testing surface; the rank gates stay full-catalog
+    # attested + pytest DuckDB-parity gated.
+    "srm_contract",
     # chunk_overlap_profile (r6 green, chunking.py unchanged; the LLM
     # family keeps token_budget_selection + blocklist + lm_quality
     # in-window) hands its slot to ml_lift_table_contract — the

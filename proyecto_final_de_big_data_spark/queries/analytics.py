@@ -1072,6 +1072,70 @@ def q_session_path_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srm_oracle() -> str:
+    from ..operators.abtest import chi2_critical_approx
+
+    crit = chi2_critical_approx(1)
+    return f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    obs AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS grp,
+               count(*) AS n
+        FROM u GROUP BY 1
+    ),
+    exp AS (
+        SELECT * FROM (VALUES ('control', 0.5::DOUBLE),
+                              ('treatment', 0.5::DOUBLE)) t(grp, f)
+    ),
+    j AS (
+        SELECT e.grp, e.f, coalesce(o.n, 0) AS n
+        FROM exp e LEFT JOIN obs o ON e.grp = o.grp
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM j)
+    SELECT CAST(count(*) AS BIGINT) AS n_arms,
+           max(t.n_all) AS n_total,
+           CAST(0 AS BIGINT) AS n_unexpected_units,
+           round(sum((j.n::DOUBLE - f * t.n_all) * (j.n::DOUBLE - f * t.n_all)
+                     / (f * t.n_all)), 6) AS chi2,
+           {round(crit, 6)!r}::DOUBLE AS chi2_crit,
+           sum((j.n::DOUBLE - f * t.n_all) * (j.n::DOUBLE - f * t.n_all)
+               / (f * t.n_all)) > {crit!r}::DOUBLE AS srm_suspected
+    FROM j CROSS JOIN tot t
+    """
+
+
+@register(
+    "srm_contract",
+    oracle=_srm_oracle(),
+    description="Sample-ratio-mismatch check (operators/abtest.py:"
+    "srm_check, Fabijan et al. KDD'19) over the parity-assigned "
+    "experiment population the ab_test/CUPED gates analyze: distinct "
+    "users split control/treatment by user_id parity, observed arm "
+    "counts tested chi-square against the designed 50/50 allocation "
+    "at the conventional alpha=0.001 alert level (Wilson-Hilferty "
+    "critical value, embedded as the same literal on both sides). The "
+    "hygiene gate that must run BEFORE any experiment readout is "
+    "trusted — a skewed assignment invalidates downstream z-tests "
+    "regardless of their p-values. ONE group-cardinality count agg + "
+    "a broadcast |arms|-row literal join + a 1-row scalar crossJoin; "
+    "O_i are integers so the statistic is exactly restatable. "
+    "Hand-worked 40/60-vs-50/50 (chi2=4), 40/60-vs-80/20 (chi2=100), "
+    "missing-arm (chi2=76) and unexpected-arm fixtures in "
+    "tests/test_srm.py.",
+)
+def q_srm_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.abtest import srm_check
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    units = users.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("variant")
+    )
+    return srm_check(units, "variant", {"control": 0.5, "treatment": 0.5})
+
+
 @register(
     "ab_test_contract",
     oracle="""

@@ -307,7 +307,12 @@ def test_window_covers_every_family():
                                      # drift twin rotated out late-r8
                                      # after r6+r7 green on unchanged
                                      # drift.py; EWMA rotated out r10)
-        "rank_test_contract",        # rank tests KW + MWU (NEW late-r8)
+        "srm_contract",              # SRM assignment-integrity check
+                                     # (NEW r10; the KW+MWU rank twin
+                                     # rotated out after late-r8+r9
+                                     # green on unchanged hyptest.py —
+                                     # anova + bh_fdr keep that module
+                                     # in-window)
         "anova_oneway_contract",     # one-way ANOVA (NEW late-r8)
         "bloom_pruned_join_contract",  # Bloom join pruning (NEW late-r8)
         "knn_ann_ivf_pq_refine_recall",  # composed IVF,PQ + refine ANN
