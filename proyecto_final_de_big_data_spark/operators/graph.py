@@ -573,3 +573,73 @@ def modularity(
             decimals,
         ).alias("modularity"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """k-core subgraph extraction by iterative peeling (Seidman,
+    Social Networks 1983; the distributed fixed-round formulation
+    follows the Pregel-style peeling in Montresor et al., "Distributed
+    k-Core Decomposition", IEEE TPDS 2013 — public literature): each
+    round drops every node whose CURRENT degree is below ``k`` (and
+    its incident edges), until the survivors form the maximal subgraph
+    with minimum degree >= k — the dense backbone of a near-dup pair
+    graph (nodes with many mutual similarities) as opposed to
+    :func:`connected_components`' mere reachability.
+
+    Runs EXACTLY ``iterations`` peels — no convergence probe — so the
+    computation is deterministic and an external oracle can replay it
+    as a bounded unrolling (the :func:`pagerank` fixed-iteration
+    posture). Once the peel reaches its fixed point, further rounds
+    are no-ops, so any ``iterations`` >= the peel depth yields the
+    true k-core; peel depth is typically a handful of rounds (each
+    round removes every currently-under-k node at once), but an
+    adversarial chain can need O(n) — raise ``iterations`` if the
+    returned frame still contains degrees < ``k``.
+
+    Returns ``(node, core_degree)`` — the degree table of the edge
+    set remaining after the final peel (all >= k iff converged; the
+    caller-visible convergence check is exactly ``min(core_degree) >=
+    k``). Empty when the graph has no k-core.
+
+    Scale shape (100 TB posture): edge-list working set; per round ONE
+    degree aggregation + two semi-joins (both keyed on node id — the
+    same shuffle key, so AQE coalesces), lineage truncated every
+    ``checkpoint_every`` rounds (lazy localCheckpoint; swap for
+    ``checkpoint`` on a real cluster). No driver state, no collect.
+
+    Extension surface — the reference has no graph stage; extension
+    per SURVEY §8 (see :func:`label_propagation`).
+    """
+    if k < 1:
+        raise ValueError(f"k_core needs k >= 1; got {k}")
+    if iterations < 1:
+        raise ValueError(f"k_core needs iterations >= 1; got {iterations}")
+    e = _canonical_edges(edges, src, dst)
+    for it in range(iterations):
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = sym.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        if (it + 1) % max(1, checkpoint_every) == 0 or it == iterations - 1:
+            e = e.localCheckpoint(eager=False)
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )

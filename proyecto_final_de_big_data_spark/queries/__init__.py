@@ -463,7 +463,17 @@ _VERIFICATION_WINDOW = [
     # dow indices + Hyndman strength — the trend machinery keeps exact
     # in-window evidence while the decomposition surface gains its
     # first.
-    "seasonal_decomposition_contract",
+    # r10: seasonal_decomposition_contract (r8+r9 green on unchanged
+    # seasonal.py) hands its slot to k_core_contract — fixed-round
+    # k-core peeling (operators/graph.py:k_core), new this round
+    # (same-round-slot rule). The seasonal surface UPGRADED this
+    # round: holt_winters_contract (in-window, new) gates additive
+    # seasonal smoothing over the same per-type daily grid, so the
+    # series family keeps trend AND season evidence in-window while
+    # the decomposition twin stays full-catalog attested; the graph
+    # family gains the dense-backbone readout next to triangles /
+    # LPA / modularity.
+    "k_core_contract",
     # semantic_dedup_profile (r5+r6 green, semdedup.py unchanged; the
     # cluster-then-prune shape stays repped by embedding_kmeans_contract
     # + embedding_sq_recall + knn_ann_ivf_sq_recall) hands its slot to

@@ -2820,6 +2820,114 @@ def q_modularity_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(edges, labels)
 
 
+def _kcore_oracle(k: int = 3, iterations: int = 6) -> str:
+    """Unrolled-CTE k-core peel replay: one (degree, keep, filter) CTE
+    triple per round — a bounded unrolling with IN-subquery filtering
+    instead of the operator's semi-join loop. Both sides run EXACTLY
+    ``iterations`` peels, so parity holds whether or not the peel has
+    converged (the fixed-iteration posture makes convergence a
+    property to read off the result, not a source of divergence).
+
+    Every CTE is MATERIALIZED: DuckDB inlines multiply-referenced
+    CTEs, and each round references its predecessor ~4 times (degree
+    union + two IN filters), so an uninlined chain re-expands e0
+    4^rounds times — the unmaterialized form exhausted file handles
+    re-opening the parquet scan thousands of times."""
+    parts = []
+    for i in range(1, iterations + 1):
+        prev = f"e{i - 1}"
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT node, count(*) AS deg FROM (
+            SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+        ) GROUP BY 1
+    ), kp{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k}),
+    e{i} AS MATERIALIZED (
+        SELECT u, v FROM {prev}
+        WHERE u IN (SELECT node FROM kp{i})
+          AND v IN (SELECT node FROM kp{i})
+    )"""
+        )
+    chain = ",\n    ".join(parts)
+    last = f"e{iterations}"
+    return f"""
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey < 500 AND b.l_partkey < 500
+          AND a.l_orderkey % 7 = 0
+    ),
+    {chain},
+    fin AS (
+        SELECT node, count(*) AS core_degree FROM (
+            SELECT u AS node FROM {last} UNION ALL SELECT v FROM {last}
+        ) GROUP BY 1
+    )
+    SELECT CAST(core_degree AS BIGINT) AS core_degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(sum(node % 1000003) AS BIGINT) AS member_checksum
+    FROM fin GROUP BY 1
+    """
+
+
+@register(
+    "k_core_contract",
+    oracle=_kcore_oracle(3, 6),
+    description="k-core dense-subgraph extraction (operators/graph.py:"
+    "k_core, Seidman 1983 / Montresor et al. TPDS'13) over a 1-in-7 "
+    "order sample of the part co-purchase graph: 6 fixed peeling "
+    "rounds at k=3 — each round drops every node whose current degree "
+    "is under 3 with its incident edges — then the surviving degree "
+    "table profiled per core_degree (count, min member, mod-1000003 "
+    "member checksum pins the exact surviving node set AND every "
+    "node's in-core degree). The peel actually bites on this graph "
+    "(sf0.001: 200 -> 194 nodes; sf0.01: 500 -> 303) — the dense-"
+    "backbone readout that separates 'similar to many documents' "
+    "near-dup hubs from stringy chains connected components cannot "
+    "distinguish. Fixed iterations on BOTH sides (no convergence "
+    "probe), so the unrolled-CTE oracle — IN-subquery filtering vs "
+    "the engine's semi-join loop, different machinery — matches "
+    "bit-for-bit whether or not the fixed point was reached. Per "
+    "round: one degree agg + two node-keyed semi-joins, lineage "
+    "truncated every 2 rounds. Hand-worked K4-plus-tail fixture "
+    "(2/3/4-core by hand) + pure-Python peel twin on a random graph "
+    "in tests/test_graph.py.",
+)
+def q_k_core_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_core
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(
+            (F.col("l_partkey") < 500) & (F.col("l_orderkey") % 7 == 0)
+        )
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    core = k_core(edges, 3, iterations=6)
+    return core.groupBy(
+        F.col("core_degree").cast("long").alias("core_degree")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.sum(F.col("node") % 1000003).cast("long").alias("member_checksum"),
+    )
+
+
 @register(
     "rfm_segment_profile",
     oracle="""

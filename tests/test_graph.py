@@ -389,3 +389,65 @@ def test_modularity_known_values(spark):
     assert modularity(edges, solo).collect()[0]["modularity"] == round(
         -24 / 144, 6
     )
+
+
+def _kcore(spark, edges, k, iterations=10):
+    from proyecto_final_de_big_data_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["core_degree"]
+        for r in k_core(df, k, iterations=iterations).collect()
+    }
+
+
+def test_kcore_hand_worked_k4_with_tail(spark):
+    # Hand-worked: K4 {1,2,3,4} + path tail 4-5-6. k=2 peel:
+    #   round 1: deg(6)=1 -> drop 6 (edge 5-6 goes);
+    #   round 2: deg(5)=1 -> drop 5 (edge 4-5 goes);
+    #   round 3: all of K4 at degree 3 -> fixed point.
+    # 2-core = K4, every member at degree 3.
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(4, 5), (5, 6)]
+    assert _kcore(spark, edges, 2) == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 3-core is still K4; 4-core is empty (needs degree >= 4).
+    assert _kcore(spark, edges, 3) == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert _kcore(spark, edges, 4) == {}
+    # k=1 keeps everything (no isolated nodes in an edge list).
+    assert _kcore(spark, edges, 1) == {1: 3, 2: 3, 3: 3, 4: 4, 5: 2, 6: 1}
+
+
+def test_kcore_matches_python_peel_on_random_graph(spark):
+    def py_kcore(edges, k):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        while True:
+            deg: dict[int, int] = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            bad = {n for n, d in deg.items() if d < k}
+            if not bad:
+                return deg
+            es = {e for e in es if e[0] not in bad and e[1] not in bad}
+
+    rng = random.Random(41)
+    n = 30
+    edges = sorted(
+        {
+            (a, b)
+            for _ in range(90)
+            for a, b in [sorted(rng.sample(range(n), 2))]
+        }
+    )
+    for k in (2, 3, 4):
+        assert _kcore(spark, edges, k, iterations=15) == py_kcore(edges, k)
+
+
+def test_kcore_validation(spark):
+    from proyecto_final_de_big_data_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="k >= 1"):
+        k_core(df, 0)
+    with pytest.raises(ValueError, match="iterations"):
+        k_core(df, 2, iterations=0)

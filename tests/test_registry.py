@@ -169,13 +169,13 @@ def test_window_covers_every_family():
                                      # green; the new gate contains the
                                      # full strict-sequence machinery
                                      # plus the conversion window)
-        "seasonal_decomposition_contract",  # per-key OLS trend +
-                                     # dow decomposition (the
-                                     # standalone trend gate
-                                     # rotated out r8 after r7
-                                     # green; this superset gate
-                                     # restates the full OLS
-                                     # algebra in its oracle)
+        "holt_winters_contract",     # trend+season series machinery
+                                     # (the OLS decomposition twin
+                                     # rotated out r10 after r8+r9
+                                     # green on unchanged seasonal.py;
+                                     # the NEW additive-seasonal gate
+                                     # keeps season evidence in-window
+                                     # over the same daily grid)
         "brier_ece_contract",        # classifier calibration metrics
                                      # (the lift-table + PRF-report
                                      # twins rotated out r8 after r7
