@@ -148,3 +148,88 @@ def fellegi_sunter_scores(
         .when(F.col("score") <= F.lit(float(lower)), F.lit("non_match"))
         .otherwise(F.lit("possible")),
     )
+
+
+def blocking_profile(
+    df: DataFrame,
+    block_cols: list[str],
+    max_block: int = 1000,
+    decimals: int = 6,
+) -> DataFrame:
+    """Blocking-quality sizing report for an ER/linkage candidate join
+    (Christen, "Data Matching", 2012, ch. 4 — public literature): the
+    readout you run BEFORE :func:`fellegi_sunter_scores` or any
+    blocked fuzzy join, because the candidate cost is Σ C(|b|, 2) and
+    one runaway block turns a bounded-quadratic plan into an O(N²)
+    one.
+
+    One row: ``(n_records, n_null_key, n_blocks, max_block_size,
+    p99_block_size, candidate_pairs, reduction_ratio, n_over_cap)``.
+
+    - records with NULL in any block column are EXCLUDED and counted
+      (an equi-join drops NULL keys silently — surfacing the excluded
+      volume is the point);
+    - ``candidate_pairs`` = Σ_b |b|·(|b|−1)/2 (exact long);
+    - ``reduction_ratio`` = 1 − candidate_pairs / C(n_records, 2) —
+      the standard blocking-efficiency metric (≈1: blocking prunes
+      nearly everything; ≈0: you are about to run all-pairs). The
+      ratio divides in double (C(N,2) overflows long around N≈4.3e9 —
+      exactly the corpus sizes this report exists for);
+    - ``n_over_cap`` counts blocks larger than ``max_block`` — the
+      blocks to split with a second blocking key (the
+      basket_size_profile cap-pressure posture).
+
+    Scale shape: ONE block-cardinality count aggregation (map-side
+    combined) + ONE answer-scale reduce; p99 rides percentile_approx
+    at accuracy 10000 (exact over the integer block-size domain, the
+    basket profile precedent).
+
+    Extension surface — the reference has no linkage stage; extension
+    per SURVEY §8, the sizing sibling of the FS scorer above.
+    """
+    if not block_cols:
+        raise ValueError("blocking_profile needs at least one block column")
+    if max_block < 1:
+        raise ValueError(f"max_block must be >= 1, got {max_block}")
+    any_null = None
+    for c in block_cols:
+        cond = F.col(c).isNull()
+        any_null = cond if any_null is None else (any_null | cond)
+    null_frame = df.agg(
+        F.count(F.lit(1)).alias("__n_all"),
+        F.sum(any_null.cast("long")).alias("__n_null"),
+    )
+    sizes = (
+        df.filter(~any_null)
+        .groupBy(*block_cols)
+        .agg(F.count(F.lit(1)).alias("__b"))
+    )
+    prof = sizes.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max("__b").alias("max_block_size"),
+        F.percentile_approx("__b", 0.99, 10000).alias("p99_block_size"),
+        F.sum(F.col("__b") * (F.col("__b") - 1) / 2)
+        .cast("long")
+        .alias("candidate_pairs"),
+        F.sum((F.col("__b") > max_block).cast("long")).alias("n_over_cap"),
+    )
+    n_kept = F.col("__n_all") - F.coalesce("__n_null", F.lit(0))
+    all_pairs = n_kept.cast("double") * (n_kept - 1).cast("double") / F.lit(2.0)
+    return prof.crossJoin(F.broadcast(null_frame)).select(
+        n_kept.alias("n_records"),
+        F.coalesce("__n_null", F.lit(0)).alias("n_null_key"),
+        F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+        "max_block_size",
+        "p99_block_size",
+        F.coalesce("candidate_pairs", F.lit(0)).alias("candidate_pairs"),
+        F.round(
+            F.when(
+                n_kept >= 2,
+                F.lit(1.0)
+                - F.coalesce("candidate_pairs", F.lit(0)).cast("double")
+                / all_pairs,
+            ),
+            decimals,
+        ).alias("reduction_ratio"),
+        F.coalesce("n_over_cap", F.lit(0)).alias("n_over_cap"),
+    )

@@ -342,3 +342,114 @@ def weighted_sample_k(
         F.col("__rn_wsk") <= k
     )
     return top.select(*df.columns)
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_cols: list[str],
+    value_col: str,
+    total_n: int,
+    decimals: int = 6,
+) -> DataFrame:
+    """Optimal (Neyman) stratified-sample allocation under a total
+    budget (Neyman, JRSS 1934 / Cochran, "Sampling Techniques" §5.5 —
+    public literature): how many units to sample from each stratum so
+    a stratified mean estimator has minimum variance — ``n_h ∝
+    N_h·S_h`` — the design readout you run before sampling a 100 TB
+    corpus for eval or labeling (big AND volatile strata earn samples;
+    big-but-uniform strata don't).
+
+    One row per stratum: ``(*stratum_cols, n_records, stddev,
+    n_alloc)`` with ``Σ n_alloc == total_n`` exactly. Integer-exact
+    largest-remainder (Hamilton) apportionment: per-stratum weights
+    ``w_h = N_h · round(S_h, 6)`` are scaled to integers ``wi =
+    round(1000·w_h)``, each stratum gets ``floor(total_n·wi/W)``, and
+    the leftover seats go to the largest remainders ``(total_n·wi)
+    mod W`` (ties to the first stratum in column order) — every
+    comparison is BIGINT arithmetic, so the allocation is reproducible
+    across engines/partitionings bit-for-bit (the mixing.py
+    integer-limb posture). ``S_h`` is the population stddev from
+    moment sums (clamped at 0); NULL/NaN values are excluded. When
+    every weight is 0 (all strata constant) the allocation is
+    undefined and ``n_alloc`` is NULL (reported honestly). Note the
+    allocation may exceed a small stratum's population — classic
+    Neyman behavior; cap and re-normalize downstream if sampling
+    without replacement from tiny strata.
+
+    Scale shape: ONE stratum-cardinality moment aggregation (map-side
+    combined), a 1-row scalar crossJoin for W, and one answer-scale
+    window over the STRATUM frame for the remainder ranking — never
+    over rows.
+
+    Extension surface — the reference has no sampling-design stage;
+    extension per SURVEY §8, the design sibling of the deterministic
+    samplers above.
+    """
+    if not stratum_cols:
+        raise ValueError("neyman_allocation needs at least one stratum column")
+    if total_n < 1:
+        raise ValueError(f"total_n must be >= 1, got {total_n}")
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    clean = df.filter(v.isNotNull() & ~F.isnan(v))
+    mom = clean.groupBy(*stratum_cols).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(v).alias("__sx"),
+        F.sum(v * v).alias("__sxx"),
+    )
+    nf = F.col("n_records").cast("double")
+    sd = F.round(
+        F.sqrt(
+            F.greatest(
+                (nf * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+                / (nf * nf),
+                F.lit(0.0),
+            )
+        ),
+        decimals,
+    )
+    weighted = mom.select(
+        *stratum_cols,
+        "n_records",
+        sd.alias("stddev"),
+        F.round(F.col("n_records") * sd * F.lit(1000.0), 0)
+        .cast("long")
+        .alias("__wi"),
+    )
+    w_frame = weighted.agg(F.sum("__wi").alias("__W"))
+    quota = weighted.crossJoin(F.broadcast(w_frame)).select(
+        *stratum_cols,
+        "n_records",
+        "stddev",
+        F.when(
+            F.col("__W") > 0,
+            F.expr(f"({total_n} * __wi) div __W"),
+        ).alias("__base"),
+        F.when(
+            F.col("__W") > 0,
+            (F.lit(total_n) * F.col("__wi")) % F.col("__W"),
+        ).alias("__rem"),
+        F.col("__W"),
+    )
+    seat_rank = Window.orderBy(
+        F.desc("__rem"), *[F.asc(c) for c in stratum_cols]
+    )
+    leftover = F.lit(total_n) - F.sum("__base").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ranked = quota.withColumn("__seat", F.row_number().over(seat_rank)).withColumn(
+        "__left", leftover
+    )
+    return ranked.select(
+        *stratum_cols,
+        "n_records",
+        "stddev",
+        F.when(
+            F.col("__W") > 0,
+            F.col("__base")
+            + F.when(F.col("__seat") <= F.col("__left"), 1).otherwise(0),
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    )

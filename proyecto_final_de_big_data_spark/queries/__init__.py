@@ -542,7 +542,17 @@ _VERIFICATION_WINDOW = [
     # segmentation (operators/rfm.py), new this round (same-round-slot
     # rule); the behavioral-analytics family gains the WHO-profile
     # sibling of the funnel/paths WHAT-flow gates.
-    "rfm_segment_profile",
+    # r10: rfm_segment_profile (r8+r9 green; rfm.py unchanged this
+    # round) hands its slot to neyman_allocation_contract — optimal
+    # stratified-sample allocation with integer-exact largest-
+    # remainder apportionment (operators/split.py:neyman_allocation),
+    # new this round (same-round-slot rule) and a SECOND gate on
+    # split.py, which changed this round — weighted_ksample stays
+    # in-window beside it. The quintile-segmentation machinery keeps
+    # decile/percentile evidence in-window via
+    # weighted_percentile_contract + the robust profile; rfm stays
+    # full-catalog attested + pytest DuckDB-parity gated.
+    "neyman_allocation_contract",
     "session_path_profile",
     # r8: ab_test_contract (r7 first-round green; its
     # two_proportion_ztest algebra is untouched this round — the
@@ -764,7 +774,18 @@ _VERIFICATION_WINDOW = [
     # family keeps brier_ece_contract in-window (same bucket-algebra
     # machinery over the same scored frame, registered this round and
     # gating exactly the r8-changed evaluation.py function).
-    "anova_oneway_contract",
+    # r10: anova_oneway_contract (late-r8 + r9 green; hyptest.py
+    # unchanged this round) hands its slot to
+    # blocking_profile_contract — ER blocking-quality sizing report
+    # (operators/linkage.py:blocking_profile), new this round
+    # (same-round-slot rule) and a SECOND gate on linkage.py, which
+    # changed this round (the u-probability guard) — fs_linkage stays
+    # in-window beside it. The hypothesis-test family consolidates to
+    # bh_fdr_contract per the pre-planned r10 twin pool
+    # (anova/rank_test/bh_fdr — hyptest.py unchanged, so one rep
+    # suffices); anova + rank gates stay full-catalog attested +
+    # pytest DuckDB-parity gated.
+    "blocking_profile_contract",
     "tws_histogram_parity",
     # stream_dedup_counts (r5+r6 green, streaming dedup code unchanged;
     # the streaming family keeps cdc_apply, tws, pii_curation and

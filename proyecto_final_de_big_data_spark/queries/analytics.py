@@ -4002,6 +4002,132 @@ def q_jw_name_match_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "blocking_profile_contract",
+    oracle="""
+    WITH s AS (
+        SELECT c_mktsegment AS b1, c_nationkey AS b2 FROM customer
+    ), nn AS (
+        SELECT count(*) AS n_all,
+               sum(CASE WHEN b1 IS NULL OR b2 IS NULL THEN 1 ELSE 0 END)
+                   AS n_null
+        FROM s
+    ), b AS (
+        SELECT b1, b2, count(*) AS bs FROM s
+        WHERE b1 IS NOT NULL AND b2 IS NOT NULL GROUP BY 1, 2
+    ), p AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(max(bs) AS BIGINT) AS max_block_size,
+               CAST(quantile_disc(bs, 0.99) AS BIGINT) AS p99_block_size,
+               CAST(sum(bs * (bs - 1) / 2) AS BIGINT) AS candidate_pairs,
+               CAST(sum(CASE WHEN bs > 20 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_over_cap
+        FROM b
+    )
+    SELECT CAST(nn.n_all - nn.n_null AS BIGINT) AS n_records,
+           CAST(nn.n_null AS BIGINT) AS n_null_key,
+           p.n_blocks, p.max_block_size, p.p99_block_size,
+           p.candidate_pairs,
+           round(CASE WHEN nn.n_all - nn.n_null >= 2 THEN
+               1.0::DOUBLE - p.candidate_pairs::DOUBLE
+               / ((nn.n_all - nn.n_null)::DOUBLE
+                  * (nn.n_all - nn.n_null - 1)::DOUBLE / 2.0::DOUBLE)
+           END, 6) AS reduction_ratio,
+           p.n_over_cap
+    FROM p CROSS JOIN nn
+    """,
+    description="ER blocking-quality sizing report (operators/"
+    "linkage.py:blocking_profile, Christen 2012 ch.4) for a "
+    "(segment, nation) blocking of customers: block sizes, the exact candidate-"
+    "pair volume Sigma C(|b|,2), the standard reduction ratio vs "
+    "all-pairs C(N,2), NULL-key exclusions, and the over-cap block "
+    "count at max_block=50 — the report you run BEFORE "
+    "fellegi_sunter_scores or any blocked fuzzy join, because one "
+    "runaway block turns the bounded-quadratic plan into O(N^2) (the "
+    "basket_size_profile cap-pressure posture applied to ER; cap 20). ONE "
+    "block-cardinality count agg + one answer-scale reduce; p99 rides "
+    "percentile_approx at accuracy 10000 (exact over the integer "
+    "block-size domain, restated by quantile_disc). Hand-worked "
+    "4/3/1-block fixture with NULL keys in tests/test_linkage.py.",
+)
+def q_blocking_profile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import blocking_profile
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    )
+    return blocking_profile(
+        cust, ["c_mktsegment", "c_nationkey"], max_block=20
+    )
+
+
+@register(
+    "neyman_allocation_contract",
+    oracle="""
+    WITH mom AS (
+        SELECT c_nationkey, count(*) AS n_records,
+               sum(c_acctbal::DOUBLE) AS sx,
+               sum(c_acctbal::DOUBLE * c_acctbal::DOUBLE) AS sxx
+        FROM customer
+        WHERE c_acctbal IS NOT NULL AND NOT isnan(c_acctbal::DOUBLE)
+        GROUP BY 1
+    ), w AS (
+        SELECT c_nationkey, n_records,
+               round(sqrt(GREATEST(
+                   (n_records::DOUBLE * sxx - sx * sx)
+                   / (n_records::DOUBLE * n_records::DOUBLE),
+                   0.0::DOUBLE)), 6) AS stddev
+        FROM mom
+    ), wi AS (
+        SELECT *, CAST(round(n_records * stddev * 1000.0::DOUBLE, 0)
+                       AS BIGINT) AS wiv
+        FROM w
+    ), tot AS (SELECT CAST(sum(wiv) AS BIGINT) AS w_all FROM wi),
+    q AS (
+        SELECT wi.*, (1000 * wiv) // t.w_all AS base,
+               (1000 * wiv) % t.w_all AS rem
+        FROM wi CROSS JOIN tot t
+    ), r AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, c_nationkey ASC)
+                      AS seat,
+               sum(base) OVER () AS base_sum
+        FROM q
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(n_records AS BIGINT) AS n_records, stddev,
+           CAST(base + CASE WHEN seat <= 1000 - base_sum
+                            THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+    FROM r
+    """,
+    description="Neyman optimal stratified-sample allocation "
+    "(operators/split.py:neyman_allocation, Neyman 1934 / Cochran "
+    "§5.5): a 1000-unit labeling budget apportioned across the 25 "
+    "customer nations by n_h ~ N_h*S_h over account balance — big AND "
+    "volatile strata earn samples. The integer apportionment is "
+    "largest-remainder (Hamilton) over BIGINT-scaled weights (wi = "
+    "round(1000*N_h*round(S_h,6)), base = floor(total*wi/W), leftover "
+    "seats to the largest total*wi mod W, ties to the smallest "
+    "stratum), so the allocation sums to exactly 1000 and every "
+    "comparison is integer arithmetic — reproducible across engines "
+    "bit-for-bit (the mixing.py integer-limb posture; the oracle "
+    "restates floor-div and mod verbatim). ONE stratum-cardinality "
+    "moment agg + a scalar crossJoin + one answer-scale remainder "
+    "window over the 25-row stratum frame. Hand-worked 3-stratum "
+    "fixture (allocation 3/7/0 incl. a zero-variance stratum) + "
+    "exact-sum property tests in tests/test_neyman.py.",
+)
+def q_neyman_allocation_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.split import neyman_allocation
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_acctbal",
+    )
+    return neyman_allocation(cust, ["c_nationkey"], "c_acctbal", 1000)
+
+
+@register(
     "fs_linkage_contract",
     oracle="""
     WITH cust AS (

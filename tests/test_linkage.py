@@ -140,3 +140,47 @@ def test_score_is_monotone_in_agreements(spark):
     )
     got = {r["pid"]: r["score"] for r in out.collect()}
     assert got["p1"] > got["p3"] > got["p2"] > got["p4"]
+
+
+def test_blocking_profile_hand_worked(spark):
+    # Hand-worked: blocks A=4, B=3, C=1 records, plus two NULL-key rows
+    # (excluded and counted). candidate_pairs = C(4,2)+C(3,2)+C(1,2)
+    # = 6+3+0 = 9; N=8 kept, all-pairs C(8,2)=28 -> reduction_ratio
+    # = 1 - 9/28 = 0.678571; cap=3 -> only block A is over.
+    from proyecto_final_de_big_data_spark.operators.linkage import (
+        blocking_profile,
+    )
+
+    rows = (
+        [("A", i) for i in range(4)]
+        + [("B", i) for i in range(3)]
+        + [("C", 0)]
+        + [(None, 0), (None, 1)]
+    )
+    df = spark.createDataFrame(rows, "blk string, payload long")
+    r = blocking_profile(df, ["blk"], max_block=3).collect()[0]
+    assert (r["n_records"], r["n_null_key"], r["n_blocks"]) == (8, 2, 3)
+    assert (r["max_block_size"], r["p99_block_size"]) == (4, 4)
+    assert r["candidate_pairs"] == 9
+    assert r["reduction_ratio"] == round(1 - 9 / 28, 6)
+    assert r["n_over_cap"] == 1
+
+
+def test_blocking_profile_degenerate_and_validation(spark):
+    from proyecto_final_de_big_data_spark.operators.linkage import (
+        blocking_profile,
+    )
+
+    import pytest as _pytest
+
+    # One kept record: all-pairs undefined -> NULL ratio, zero pairs.
+    df = spark.createDataFrame(
+        [("A", 1), (None, 2)], "blk string, payload long"
+    )
+    r = blocking_profile(df, ["blk"]).collect()[0]
+    assert (r["n_records"], r["candidate_pairs"]) == (1, 0)
+    assert r["reduction_ratio"] is None
+    with _pytest.raises(ValueError, match="block column"):
+        blocking_profile(df, [])
+    with _pytest.raises(ValueError, match="max_block"):
+        blocking_profile(df, ["blk"], max_block=0)

@@ -183,10 +183,12 @@ def test_window_covers_every_family():
                                      # ml_auc + this NEW gate — the
                                      # exact function evaluation.py
                                      # changed this round)
-        "rfm_segment_profile",       # equal-frequency binning machinery
-                                     # (three equal_frequency_bins fits
-                                     # inside; the standalone decile
-                                     # gate rotated out r8 after r6+r7)
+        "brier_ece_contract",        # equal-frequency binning machinery
+                                     # (equal_frequency_bins inside the
+                                     # ECE buckets; the RFM triple-fit
+                                     # twin rotated out r10 after r8+r9
+                                     # green — zorder + ccnet gates also
+                                     # run the binning fit in-window)
         "robust_outlier_profile",    # median/IQR machinery (the
                                      # robust-scaler twin rotated out
                                      # r9 after r8 green on unchanged
@@ -258,7 +260,12 @@ def test_window_covers_every_family():
                                      # transition twin rotated out r8
                                      # after r7 green; same user-keyed
                                      # window machinery)
-        "rfm_segment_profile",       # RFM quintile segmentation (NEW r8)
+        "neyman_allocation_contract",  # stratified sampling design
+                                     # (NEW r10; the RFM quintile twin
+                                     # rotated out after r8+r9 green on
+                                     # unchanged rfm.py — weighted
+                                     # percentiles + robust profile
+                                     # keep quantile segmentation)
         "session_path_profile",      # sessionized path analysis
         "did_contract",              # experimentation family (the
                                      # proportion z-test twin rotated
@@ -313,7 +320,11 @@ def test_window_covers_every_family():
                                      # green on unchanged hyptest.py —
                                      # anova + bh_fdr keep that module
                                      # in-window)
-        "anova_oneway_contract",     # one-way ANOVA (NEW late-r8)
+        "blocking_profile_contract", # ER blocking sizing (NEW r10;
+                                     # the ANOVA twin rotated out
+                                     # after late-r8+r9 green on
+                                     # unchanged hyptest.py — bh_fdr
+                                     # keeps that module in-window)
         "bloom_pruned_join_contract",  # Bloom join pruning (NEW late-r8)
         "knn_ann_ivf_pq_refine_recall",  # composed IVF,PQ + refine ANN
                                      # (NEW r9; the unrefined r8 gate
