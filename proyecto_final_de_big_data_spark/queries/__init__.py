@@ -196,6 +196,34 @@ from . import quality  # noqa: E402,F401
 # basket_size, heavy_hitter, k_anonymity, containment_pairs,
 # winnowing_fingerprint, seasonal_decomposition, ml_cv.
 # ----------------------------------------------------------------------
+# ----------------------------------------------------------------------
+# Rotation plan for r11 (write the swaps at their window positions when
+# executing): once the r10 window lands green, the NINE r10-new
+# in-window entries become first-round-green swap currency
+# (curate_span_strip, label_propagation, modularity, k_core,
+# holt_winters, knn_ann_ivf_increment, srm, blocking_profile,
+# neyman_allocation). Twin pairs inside the window that can consolidate
+# if slots run short: label_propagation / modularity (graph.py — the
+# modularity oracle re-derives the LPA labels, so it can carry both) ,
+# triangle / k_core (graph.py degree machinery), holt / holt_winters
+# (holt.py — HW is the superset recursion), did / msprt / srm
+# (abtest.py), fs_linkage / blocking_profile (linkage.py),
+# weighted_ksample / neyman (split.py). Multi-green carryovers that are
+# their family's ONLY rep and should stay unless a same-family upgrade
+# lands: data_quality, theta, variant, priority_pivot, zorder,
+# media_binary, python_datasource, cdc_merge, tws, survival_km,
+# correlation_matrix, incremental_agg, target_encoding, session_path,
+# windowed_funnel, rater_agreement, ml_tree_ensemble, brier_ece,
+# weighted_percentile, setsim_prefix_join, robust_outlier,
+# hybrid_search_rrf, bloom_pruned_join, attribution, dsir, seq_patterns,
+# learning_curve, l_diversity, bh_fdr, gopher, ccnet. Rotated-out
+# r8/r9/r10 greens with standing off-window evidence (full-catalog
+# attested every round): duplicate_span_removal, assoc_rules, cuped,
+# ewma_anomaly, knn_ann_pq, rank_test, anova_oneway,
+# seasonal_decomposition, rfm_segment, bootstrap_ci, experiment_power,
+# containment_pairs, winnowing_fingerprint, ml_cv, basket_size,
+# heavy_hitter, k_anonymity.
+# ----------------------------------------------------------------------
 _VERIFICATION_WINDOW = [
     # ------------------------------------------------------------------
     # ROUND-6 ROTATION (VERDICT r5 item 3): the entire 14-query queue of
