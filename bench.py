@@ -43,7 +43,7 @@ def main() -> None:
     # than committing a polluted number. SPARK_GRAFT_IGNORE_LOAD=1
     # overrides deliberately (recorded in BENCH_DETAIL.json).
     max_load = float(os.environ.get("SPARK_GRAFT_MAX_START_LOAD", "1.5"))
-    wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "600"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "900"))
     ignore_load = os.environ.get("SPARK_GRAFT_IGNORE_LOAD") == "1"
     waited = 0.0
     while os.getloadavg()[0] >= max_load and not ignore_load:

@@ -100,13 +100,22 @@ HEADLINERS = {
     "did_contract": "difference-in-differences — ONE conditional agg to four cells' sufficient sums, closed-form answer row",
     "msprt_contract": "mSPRT monitor — partial-aggregated groupBy to day cardinality; cumulative/running-max windows over the answer-scale daily frame only",
     "l_diversity_contract": "l-diversity — (class x sensitive) cell agg, class rollup, answer row; entropy folds from cell counts, zero joins",
-    "gopher_rules_contract": "Gopher rules — all eight signals HOF projections in the scan stage; the per-lang rollup owns the plan's single Exchange",
+    "gopher_rules_contract": "Gopher rules — all seven document-shape signals HOF projections in the scan stage; the per-lang rollup owns the plan's single Exchange",
     "ccnet_bucket_contract": "CCNet buckets — broadcast-vocab NLL scoring, language-cardinality percentile bounds broadcast back, map-only bucket chain",
     "frequent_itemsets_contract": "FP-Growth — dedup-cap-group baskets; PFP suffix-group conditional DBs; freqItemsets crossJoin a 1-row basket total",
     "assoc_rules_contract": "association rules — 1->1 rules joined to broadcast single/pair frequency frames; ratio algebra one shared op order",
     "seq_patterns_contract": "PrefixSpan — per-user prefix sequences via one groupBy; prefix-projected pattern mining; answer-scale pattern frame out",
     "fs_linkage_contract": "Fellegi-Sunter — blocked self-join candidates; three 1-row u fits broadcast in; when-chain scoring projection",
     "jl_projection_contract": "JL projection — sign matrix as plan literals, map-only HOF fold; the audit's pair join bounded to the 30-row sample",
+    "curate_span_strip_contract": "curate --strip-spans — projection filters feed the pinned span stage (winnow prefilter + gram index + strip join), dedup digest groupBy sees cleaned bytes, split is a projection",
+    "label_propagation_contract": "label propagation — per round ONE node-keyed label join + (node,label) count + struct-min argmax; LogicalRDD truncation every 2 rounds; no window over data",
+    "modularity_contract": "modularity — degree agg + two node-keyed label joins; INTEGER within-edge/degree-square sums; 1-row m frame crossJoin",
+    "k_core_contract": "k-core — per round one degree agg + two same-key semi-joins; fixed rounds, no convergence collect",
+    "holt_winters_contract": "Holt-Winters — daily-grid agg, per-key collect + three-state in-memory fold (state array indexes s_{t-m}), sigma join-back; no raw-event windows",
+    "knn_ann_ivf_increment_contract": "incremental IVF — anti-join on the index's id projection, batch-only vectorized assignment, metadata union; the parity check is one full-outer join at id cardinality",
+    "srm_contract": "SRM check — one group-cardinality count agg, broadcast 2-row expected frame, 1-row scalar crossJoin; chi-square is a per-arm projection",
+    "blocking_profile_contract": "blocking profile — ONE block-cardinality count agg + answer-scale reduce; candidate pairs as exact integer sums",
+    "neyman_allocation_contract": "Neyman allocation — stratum moment agg, scalar W crossJoin, remainder window over the 25-row stratum frame; BIGINT div/mod seats",
 }
 
 
