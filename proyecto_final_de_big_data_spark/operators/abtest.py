@@ -784,3 +784,108 @@ def srm_check(
         F.lit(round(crit, decimals)).alias("chi2_crit"),
         (F.col("__chi2") > F.lit(crit)).alias("srm_suspected"),
     )
+
+
+def cmh_test(
+    units: DataFrame,
+    stratum_col: str,
+    group_col: str,
+    success_col: str,
+    control: str,
+    treatment: str,
+    chi2_crit: float = 3.841458820694124,  # 95% chi-square(1) quantile
+    decimals: int = 6,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified 2×2 test + pooled odds ratio
+    (Mantel & Haenszel, JNCI 1959; Cochran, Biometrics 1954 — public
+    literature): the Simpson's-paradox-safe experiment readout — a
+    conversion effect tested WITHIN each stratum (country, platform,
+    cohort) and pooled across them, so a confounded allocation cannot
+    manufacture or mask a marginal effect the strata don't support.
+
+    One row: ``(n_strata, n_units, or_cmh, chi2_cmh, chi2_crit,
+    significant)`` from the per-stratum 2×2 cells (a = treatment
+    successes, b = treatment failures, c = control successes,
+    d = control failures, n = a+b+c+d):
+
+    - ``or_cmh = Σ(a·d/n) / Σ(b·c/n)`` — the MH common odds ratio
+      (NULL when the denominator is 0: no discordant b·c mass);
+    - ``chi2_cmh = (Σ(a − E))² / ΣVar`` with ``E = (a+b)(a+c)/n`` and
+      ``Var = (a+b)(c+d)(a+c)(b+d) / (n²(n−1))`` (no continuity
+      correction — the large-sample form; NULL when ΣVar = 0, e.g.
+      every stratum has a degenerate margin);
+    - ``significant`` compares the unrounded χ² against ``chi2_crit``
+      (default: the exact 0.95 χ²₁ quantile; α=0.001 via
+      :func:`chi2_critical_approx` if you prefer the SRM alert level).
+
+    Zero-margin strata contribute 0 to every sum (a−E and Var both
+    vanish) and single-unit strata contribute nothing to Var (the
+    n−1 guard below) — both the textbook conventions, handled without
+    dropping rows. Success is any truthy/1 value of ``success_col``;
+    units outside the two named arms are ignored.
+
+    Scale shape (100 TB of raw units): ONE stratum-cardinality
+    conditional aggregation to the four cells (map-side combined),
+    then a stratum-cardinality projection + ONE answer-scale reduce.
+    All cell arithmetic is integer; the divisions are per-stratum
+    doubles summed at stratum cardinality.
+
+    Extension surface — the reference has no experimentation stage;
+    extension per SURVEY §8, the stratified sibling of the z-test /
+    CUPED / DiD / mSPRT / SRM readouts above.
+    """
+    if control == treatment:
+        raise ValueError("cmh_test: control == treatment")
+    g = F.col(group_col)
+    s = (F.col(success_col).cast("int") == 1).cast("long")
+    cells = (
+        units.filter(g.isin(control, treatment))
+        .groupBy(stratum_col)
+        .agg(
+            F.sum(F.when(g == treatment, s).otherwise(0)).alias("__a"),
+            F.sum(F.when(g == treatment, 1 - s).otherwise(0)).alias("__b"),
+            F.sum(F.when(g == control, s).otherwise(0)).alias("__c"),
+            F.sum(F.when(g == control, 1 - s).otherwise(0)).alias("__d"),
+        )
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in ("__a", "__b", "__c", "__d"))
+    n = a + b + c + d
+    per = cells.select(
+        (F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")).alias(
+            "__n_units"
+        ),
+        F.when(n > 0, a * d / n).otherwise(F.lit(0.0)).alias("__ad"),
+        F.when(n > 0, b * c / n).otherwise(F.lit(0.0)).alias("__bc"),
+        F.when(n > 0, a - (a + b) * (a + c) / n)
+        .otherwise(F.lit(0.0))
+        .alias("__dev"),
+        F.when(
+            n > 1,
+            (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__var"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("__n_units").alias("n_units"),
+        F.sum("__ad").alias("__sad"),
+        F.sum("__bc").alias("__sbc"),
+        F.sum("__dev").alias("__sdev"),
+        F.sum("__var").alias("__svar"),
+    )
+    chi2 = F.when(
+        F.col("__svar") > 0,
+        F.col("__sdev") * F.col("__sdev") / F.col("__svar"),
+    )
+    return agg.select(
+        "n_strata",
+        "n_units",
+        F.round(
+            F.when(F.col("__sbc") > 0, F.col("__sad") / F.col("__sbc")),
+            decimals,
+        ).alias("or_cmh"),
+        F.round(chi2, decimals).alias("chi2_cmh"),
+        F.lit(round(float(chi2_crit), decimals)).alias("chi2_crit"),
+        (chi2 > F.lit(float(chi2_crit))).alias("significant"),
+    )

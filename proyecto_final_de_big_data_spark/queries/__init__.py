@@ -606,7 +606,17 @@ _VERIFICATION_WINDOW = [
     # Welch z + CI algebra); the planning readout stays full-catalog
     # attested + pytest fixture-pinned (tests/test_power.py's n=449
     # worked example).
-    "did_contract",
+    # r10 (late): did_contract (r9 first-round hash-green; abtest.py's
+    # DiD function unchanged this round) hands its slot to
+    # cmh_contract — Cochran-Mantel-Haenszel stratified 2x2 test +
+    # MH common odds ratio (operators/abtest.py:cmh_test), new this
+    # round (same-round-slot rule). The experimentation family keeps
+    # THREE abtest.py reps in-window (msprt_contract + srm_contract —
+    # srm gates this round's module change — + this stratified
+    # readout, the Simpson's-paradox-safe sibling of the rotated
+    # fixed-horizon gates); DiD stays full-catalog attested + pytest
+    # hand-fixture gated.
+    "cmh_contract",
     # Late-r8: knn_ann_ivf_sq_recall (r7 first-round green;
     # similarity_ivf.py and quantize.py unchanged this round) hands its
     # slot to jw_name_match_profile — the blocked Jaro-Winkler ER join

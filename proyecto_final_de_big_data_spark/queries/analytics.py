@@ -1137,6 +1137,96 @@ def q_srm_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cmh_contract",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY 1
+    ), t AS (
+        SELECT user_id % 3 AS cohort,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_t,
+               conv
+        FROM u
+    ), cells AS (
+        SELECT cohort,
+               count(*) AS n_int,
+               sum(CASE WHEN is_t = 1 THEN conv ELSE 0 END)::DOUBLE AS a,
+               sum(CASE WHEN is_t = 1 THEN 1 - conv ELSE 0 END)::DOUBLE AS b,
+               sum(CASE WHEN is_t = 0 THEN conv ELSE 0 END)::DOUBLE AS c,
+               sum(CASE WHEN is_t = 0 THEN 1 - conv ELSE 0 END)::DOUBLE AS d
+        FROM t GROUP BY 1
+    ), per AS (
+        SELECT n_int,
+               CASE WHEN a + b + c + d > 0
+                    THEN a * d / (a + b + c + d)
+                    ELSE 0.0::DOUBLE END AS ad,
+               CASE WHEN a + b + c + d > 0
+                    THEN b * c / (a + b + c + d)
+                    ELSE 0.0::DOUBLE END AS bc,
+               CASE WHEN a + b + c + d > 0
+                    THEN a - (a + b) * (a + c) / (a + b + c + d)
+                    ELSE 0.0::DOUBLE END AS dev,
+               CASE WHEN a + b + c + d > 1
+                    THEN (a + b) * (c + d) * (a + c) * (b + d)
+                         / ((a + b + c + d) * (a + b + c + d)
+                            * (a + b + c + d - 1.0::DOUBLE))
+                    ELSE 0.0::DOUBLE END AS var
+        FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(sum(n_int) AS BIGINT) AS n_units,
+           round(CASE WHEN sum(bc) > 0 THEN sum(ad) / sum(bc) END, 6)
+               AS or_cmh,
+           round(CASE WHEN sum(var) > 0
+                      THEN sum(dev) * sum(dev) / sum(var) END, 6)
+               AS chi2_cmh,
+           3.841459::DOUBLE AS chi2_crit,
+           CASE WHEN sum(var) > 0
+                THEN sum(dev) * sum(dev) / sum(var)
+                     > 3.841458820694124::DOUBLE END AS significant
+    FROM per
+    """,
+    description="Cochran-Mantel-Haenszel stratified experiment readout "
+    "(operators/abtest.py:cmh_test, Mantel & Haenszel 1959): the "
+    "parity-assigned conversion experiment tested WITHIN user-cohort "
+    "strata (user_id mod 3) and pooled — the Simpson's-paradox-safe "
+    "sibling of ab_test_contract's marginal z-test (a confounded "
+    "allocation cannot manufacture a pooled effect the strata don't "
+    "support; pinned by a hand-built paradox fixture in pytest where "
+    "the marginal table flips sign). MH common odds ratio "
+    "sum(ad/n)/sum(bc/n) and chi2 = (sum(a-E))^2 / sum(Var) with the "
+    "textbook zero-margin and n-1 conventions, significance at the "
+    "exact 0.95 chi-square(1) quantile embedded as the same literal "
+    "on both sides. ONE stratum-cardinality conditional agg to the "
+    "four cells + a stratum-cardinality projection + one answer-scale "
+    "reduce. Hand-worked crossed-null (chi2=0, OR=1) and effect "
+    "(chi2=16/(18000/7600)) fixtures in tests/test_cmh.py.",
+)
+def q_cmh_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.abtest import cmh_test
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            (F.col("user_id") % 3).alias("cohort"),
+            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+            .otherwise(F.lit("treatment"))
+            .alias("variant"),
+            "conv",
+        )
+    )
+    return cmh_test(units, "cohort", "variant", "conv", "control", "treatment")
+
+
+@register(
     "ab_test_contract",
     oracle="""
     WITH units AS (

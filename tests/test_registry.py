@@ -267,18 +267,19 @@ def test_window_covers_every_family():
                                      # percentiles + robust profile
                                      # keep quantile segmentation)
         "session_path_profile",      # sessionized path analysis
-        "did_contract",              # experimentation family (the
+        "cmh_contract",              # experimentation family (the
                                      # proportion z-test twin rotated
-                                     # out r8, CUPED r10 — both after
-                                     # multi-round green on untouched
-                                     # algebra; DiD + msprt keep the
-                                     # family in-window)
-        "did_contract",              # difference-in-differences (NEW
-                                     # r9; gates the round's abtest.py
-                                     # change — the power-planning twin
-                                     # rotated out after r8 green on
-                                     # its untouched function, cuped
-                                     # keeps the analysis algebra)
+                                     # out r8, CUPED + DiD r10 — all
+                                     # after green rounds on untouched
+                                     # algebra; the stratified CMH +
+                                     # msprt + srm keep the family
+                                     # in-window)
+        "srm_contract",              # assignment-integrity check (NEW
+                                     # r10; gates this round's
+                                     # abtest.py change — the
+                                     # power-planning twin rotated out
+                                     # r8, DiD r10, both full-catalog
+                                     # attested)
         "ml_tree_ensemble_contract", # batch scoring machinery (the
                                      # save/load score twin rotated
                                      # out r8 after r6+r7 green on
