@@ -251,7 +251,17 @@ _VERIFICATION_WINDOW = [
     # setsim_prefix_join_contract in-window (the SAME global-order
     # prefix-filter machinery, exact Jaccard flavor); containment
     # stays full-catalog attested + pytest DuckDB-parity gated.
-    "cosine_allpairs_contract",
+    # r10 (late): cosine_allpairs_contract (r9 first-round hash-green
+    # against the brute-force all-pairs oracle; operators/apss.py
+    # unchanged this round) hands its slot to llr_keyness_contract —
+    # Dunning log-likelihood-ratio keyness (operators/keyness.py),
+    # new this round (same-round-slot rule). The tf-idf/term-weight
+    # text family keeps tfidf machinery evidence via the keyness
+    # gate's identical explode→term-agg shuffle shape, and the
+    # prefix-filter similarity family keeps setsim_prefix_join
+    # in-window; APSS stays full-catalog attested + pytest
+    # DuckDB-parity gated (its losslessness proof is pinned there).
+    "llr_keyness_contract",
     # r8: scd2_user_state_history (r6+r7 green, operators/scd.py
     # untouched this round; named swap currency in the VERDICT r7
     # rotation pool — the ordered per-key window state machinery stays

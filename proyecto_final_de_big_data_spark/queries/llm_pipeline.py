@@ -743,6 +743,72 @@ def q_knn_ann_ivf_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llr_keyness_contract",
+    oracle=r"""
+    WITH tok AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_f,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  w -> len(w) > 0)) AS term
+        FROM documents
+    ), c AS (
+        SELECT term,
+               CAST(sum(is_f) AS BIGINT) AS n_focus,
+               CAST(sum(1 - is_f) AS BIGINT) AS n_rest
+        FROM tok GROUP BY 1
+        HAVING count(*) >= 5
+    ), t AS (
+        SELECT CAST(sum(n_focus) AS DOUBLE) AS ca,
+               CAST(sum(n_rest) AS DOUBLE) AS cb
+        FROM c
+    ), s AS (
+        SELECT term, n_focus, n_rest,
+               2.0::DOUBLE * (
+                 CASE WHEN n_focus > 0
+                      THEN n_focus * ln(n_focus
+                           / (t.ca * (n_focus + n_rest) / (t.ca + t.cb)))
+                      ELSE 0.0::DOUBLE END
+               + CASE WHEN n_rest > 0
+                      THEN n_rest * ln(n_rest
+                           / (t.cb * (n_focus + n_rest) / (t.ca + t.cb)))
+                      ELSE 0.0::DOUBLE END
+               ) AS llr_raw
+        FROM c CROSS JOIN t
+        WHERE n_focus / t.ca > n_rest / t.cb
+    )
+    SELECT term, n_focus, n_rest,
+           round(llr_raw, 6) AS llr,
+           CAST(row_number() OVER (ORDER BY llr_raw DESC, term ASC)
+                AS INTEGER) AS rank
+    FROM s
+    ORDER BY llr_raw DESC, term ASC
+    LIMIT 20
+    """,
+    description="Dunning log-likelihood-ratio keyness "
+    "(operators/keyness.py:llr_keyness, Dunning CL 1993): the top-20 "
+    "terms most characteristic of the English slice of the documents "
+    "corpus vs the rest (min_count 5 noise floor) — the calibrated "
+    "'what does this slice actually contribute' inspection a curation "
+    "pipeline runs per source/language/cluster before reweighting it "
+    "(raw frequency over-ranks rare flukes; G2 does not). Only "
+    "OVER-used terms rank (a/A > b/B strictly), ties break on the "
+    "term. One lowercase-split explode into ONE term-keyed "
+    "conditional agg (the tf-idf shuffle shape, map-side combined), "
+    "totals as a 1-row scalar crossJoin, and the top-k compiles to "
+    "TakeOrderedAndProject — rank is assigned AFTER the 20-row limit, "
+    "never via a vocabulary-wide window. Counts are integers and the "
+    "two ln terms share one operation order with the oracle. "
+    "Hand-worked apple/banana/cherry/date fixture (G2 = 6*ln(2.2)) + "
+    "full pure-Python twin over both directions in "
+    "tests/test_keyness.py.",
+)
+def q_llr_keyness_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.keyness import llr_keyness
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return llr_keyness(docs, "lang", "text", "en", k=20, min_count=5)
+
+
+@register(
     "knn_ann_ivf_increment_contract",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_index_rows,

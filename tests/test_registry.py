@@ -48,9 +48,10 @@ def test_window_covers_every_family():
                                      # rotated out r8 after multi-round
                                      # green; rfm/basket profiles also
                                      # rep)
-        "cosine_allpairs_contract",  # weighted-cosine APSS join (NEW
-                                     # r9; the containment twin rotated
-                                     # out after r8 green — the prefix-
+        "llr_keyness_contract",      # term-statistics text analysis
+                                     # (NEW r10; the APSS cosine twin
+                                     # rotated out first-round green on
+                                     # unchanged apss.py — the prefix-
                                      # filter family keeps the exact-
                                      # Jaccard gate below in-window)
         "zorder_cells_contract",     # layout maintenance (z-order)
