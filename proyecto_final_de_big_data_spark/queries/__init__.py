@@ -198,11 +198,11 @@ from . import quality  # noqa: E402,F401
 # ----------------------------------------------------------------------
 # ----------------------------------------------------------------------
 # Rotation plan for r11 (write the swaps at their window positions when
-# executing): once the r10 window lands green, the NINE r10-new
+# executing): once the r10 window lands green, the ELEVEN r10-new
 # in-window entries become first-round-green swap currency
 # (curate_span_strip, label_propagation, modularity, k_core,
 # holt_winters, knn_ann_ivf_increment, srm, blocking_profile,
-# neyman_allocation). Twin pairs inside the window that can consolidate
+# neyman_allocation, cmh, llr_keyness). Twin pairs inside the window that can consolidate
 # if slots run short: label_propagation / modularity (graph.py — the
 # modularity oracle re-derives the LPA labels, so it can carry both) ,
 # triangle / k_core (graph.py degree machinery), holt / holt_winters
@@ -220,9 +220,10 @@ from . import quality  # noqa: E402,F401
 # r8/r9/r10 greens with standing off-window evidence (full-catalog
 # attested every round): duplicate_span_removal, assoc_rules, cuped,
 # ewma_anomaly, knn_ann_pq, rank_test, anova_oneway,
-# seasonal_decomposition, rfm_segment, bootstrap_ci, experiment_power,
-# containment_pairs, winnowing_fingerprint, ml_cv, basket_size,
-# heavy_hitter, k_anonymity.
+# seasonal_decomposition, rfm_segment, did, cosine_allpairs,
+# bootstrap_ci, experiment_power, containment_pairs,
+# winnowing_fingerprint, ml_cv, basket_size, heavy_hitter,
+# k_anonymity.
 # ----------------------------------------------------------------------
 _VERIFICATION_WINDOW = [
     # ------------------------------------------------------------------

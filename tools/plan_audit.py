@@ -116,6 +116,8 @@ HEADLINERS = {
     "srm_contract": "SRM check — one group-cardinality count agg, broadcast 2-row expected frame, 1-row scalar crossJoin; chi-square is a per-arm projection",
     "blocking_profile_contract": "blocking profile — ONE block-cardinality count agg + answer-scale reduce; candidate pairs as exact integer sums",
     "neyman_allocation_contract": "Neyman allocation — stratum moment agg, scalar W crossJoin, remainder window over the 25-row stratum frame; BIGINT div/mod seats",
+    "cmh_contract": "CMH stratified test — one conditional agg to the per-stratum 2x2 cells, stratum-cardinality projection, answer-scale reduce",
+    "llr_keyness_contract": "LLR keyness — explode + term-keyed conditional agg, scalar totals crossJoin, TakeOrderedAndProject top-k; rank after the 20-row limit",
 }
 
 
