@@ -821,8 +821,11 @@ def cmh_test(
     Zero-margin strata contribute 0 to every sum (a−E and Var both
     vanish) and single-unit strata contribute nothing to Var (the
     n−1 guard below) — both the textbook conventions, handled without
-    dropping rows. Success is any truthy/1 value of ``success_col``;
-    units outside the two named arms are ignored.
+    dropping rows. Success is any NONZERO value of ``success_col``
+    after an int cast; rows whose flag casts to NULL (non-numeric
+    strings, genuine NULLs) are EXCLUDED from the cells entirely —
+    surface that volume upstream if it matters. Units outside the two
+    named arms are ignored.
 
     Scale shape (100 TB of raw units): ONE stratum-cardinality
     conditional aggregation to the four cells (map-side combined),
@@ -837,9 +840,10 @@ def cmh_test(
     if control == treatment:
         raise ValueError("cmh_test: control == treatment")
     g = F.col(group_col)
-    s = (F.col(success_col).cast("int") == 1).cast("long")
+    si = F.col(success_col).cast("int")
+    s = (si != 0).cast("long")
     cells = (
-        units.filter(g.isin(control, treatment))
+        units.filter(g.isin(control, treatment) & si.isNotNull())
         .groupBy(stratum_col)
         .agg(
             F.sum(F.when(g == treatment, s).otherwise(0)).alias("__a"),

@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .normalize_text import ws_lower_tokens
+
 
 def tfidf_weights(
     df: DataFrame,
@@ -61,12 +63,7 @@ def tfidf_weights(
     tok = (
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.col(text_col)), r"\s+"),
-                    lambda t: F.length(t) > 0,
-                )
-            ).alias("term"),
+            F.explode(ws_lower_tokens(text_col)).alias("term"),
         )
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))

@@ -62,9 +62,9 @@ def hashed_ngram_counts(
         raise ValueError(f"hashed_ngram_counts needs n >= 1; got {n}")
     if buckets < 2:
         raise ValueError(f"hashed_ngram_counts needs buckets >= 2; got {buckets}")
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
-    )
+    from .normalize_text import ws_lower_tokens
+
+    words = ws_lower_tokens(text_col)
     # sequence(1, 0) DESCENDS in Spark (it never returns empty), so
     # the too-short-document case must be guarded explicitly.
     grams = F.when(

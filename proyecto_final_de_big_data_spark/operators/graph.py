@@ -516,11 +516,12 @@ def modularity(
     divided once — Q = Σe_c/m − Σd_c²/(4m²) — and a SQL oracle
     restating the same two divisions matches bit-for-bit. ``labels``
     must cover every node of ``edges`` (the :func:`label_propagation`
-    output does by construction); unlabeled nodes would silently drop
-    from both sums, so the operator counts label coverage and raises
-    on a mismatch via the joined row count check below being
-    impossible — callers composing foreign labelings should validate
-    coverage themselves.
+    output does by construction); a node with no label HARD-FAILS
+    in-plan (the degree path left-joins the labels and raises on a
+    NULL — the series.py raise_error posture), because silently
+    dropping it from Σd_c² while m still counts its edges would return
+    a plausible-but-wrong Q. Edge-endpoint coverage follows from the
+    degree-path check (every endpoint is a degree node).
 
     Scale shape (100 TB): edge-list working set; one degree
     aggregation, two label joins (node-keyed), two answer-scale
@@ -540,8 +541,22 @@ def modularity(
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
-    dc = deg.join(lab, "node").groupBy("label").agg(
-        F.sum("degree").alias("d_c")
+    checked_label = F.when(
+        F.col("label").isNotNull(), F.col("label")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "modularity: node %s has no label — labels must cover "
+                "every node of edges",
+                F.col("node").cast("string"),
+            )
+        )
+    )
+    dc = (
+        deg.join(lab, "node", "left")
+        .select(checked_label.alias("label"), "degree")
+        .groupBy("label")
+        .agg(F.sum("degree").alias("d_c"))
     )
     la = lab.select(F.col("node").alias("src"), F.col("label").alias("__la"))
     lb = lab.select(F.col("node").alias("dst"), F.col("label").alias("__lb"))

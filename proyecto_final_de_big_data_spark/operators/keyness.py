@@ -37,15 +37,10 @@ SURVEY §8 next to tf-idf / LM scoring / CCNet.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _tokens(text_col: str) -> Column:
-    """Lowercase whitespace tokens (the house text-op convention)."""
-    return F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
-    )
+from .normalize_text import ws_lower_tokens
 
 
 def llr_keyness(
@@ -76,7 +71,7 @@ def llr_keyness(
     is_f = (
         F.when(F.col(group_col) == F.lit(focus), 1).otherwise(0).alias("__is_f")
     )
-    tok = docs.select(is_f, F.explode(_tokens(text_col)).alias("term"))
+    tok = docs.select(is_f, F.explode(ws_lower_tokens(text_col)).alias("term"))
     counts = tok.groupBy("term").agg(
         F.sum("__is_f").alias("n_focus"),
         F.sum(1 - F.col("__is_f")).alias("n_rest"),

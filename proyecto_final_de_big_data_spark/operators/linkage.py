@@ -208,9 +208,12 @@ def blocking_profile(
         F.count(F.lit(1)).alias("n_blocks"),
         F.max("__b").alias("max_block_size"),
         F.percentile_approx("__b", 0.99, 10000).alias("p99_block_size"),
-        F.sum(F.col("__b") * (F.col("__b") - 1) / 2)
-        .cast("long")
-        .alias("candidate_pairs"),
+        # Integer division (b*(b-1) is even) — Spark's `/` is FLOAT
+        # division and a double accumulator loses exactness past 2^53,
+        # i.e. at exactly the runaway-block scales this report exists
+        # for. Per-block b*(b-1) itself overflows long only at
+        # b ≈ 3e9 records in ONE block (document-level impossibility).
+        F.sum(F.expr("(__b * (__b - 1)) div 2")).alias("candidate_pairs"),
         F.sum((F.col("__b") > max_block).cast("long")).alias("n_over_cap"),
     )
     n_kept = F.col("__n_all") - F.coalesce("__n_null", F.lit(0))

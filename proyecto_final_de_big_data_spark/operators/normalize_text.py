@@ -51,6 +51,17 @@ def collapse_whitespace(col: str | Column) -> Column:
     return F.trim(F.regexp_replace(c, "[ \t\n\r]+", " "))
 
 
+def ws_lower_tokens(col: str | Column) -> Column:
+    """Lowercase whitespace tokens — THE house tokenization (one
+    definition; dsir/apss/keyness all build their term frames from
+    this expression, and their DuckDB oracles restate it as
+    ``list_filter(string_split_regex(lower(text), '\\s+'),
+    w -> len(w) > 0)``). A pure higher-order-function projection —
+    no UDF, runs inside the scan stage."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: F.length(t) > 0)
+
+
 def _nfc_udf():
     # Defined lazily: pandas_udf parses its DDL return type against the
     # active session, so a module-level definition would fail at import

@@ -134,6 +134,7 @@ def jl_distance_audit(
     max_ids: int = 64,
     salt: str = "jl",
     decimals: int = 6,
+    max_literals: int = 100_000,
 ) -> DataFrame:
     """Pairwise distance-preservation readout over a BOUNDED id sample:
     ``(id_a, id_b, d2_orig, d2_proj, ratio)`` for every pair among the
@@ -144,7 +145,9 @@ def jl_distance_audit(
     if max_ids < 2:
         raise ValueError(f"max_ids must be >= 2, got {max_ids}")
     sample = df.orderBy(F.col(id_col).asc()).limit(max_ids)
-    proj = jl_project(sample, vec_col, dim, k, "__p", salt)
+    proj = jl_project(
+        sample, vec_col, dim, k, "__p", salt, max_literals=max_literals
+    )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     left = proj.select(
         F.col(id_col).alias("id_a"),

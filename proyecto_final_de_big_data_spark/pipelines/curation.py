@@ -163,6 +163,18 @@ def build_curation(
         raise ValueError(
             f"strip_spans requires span_min_len >= 2, got {cfg.span_min_len}"
         )
+    if cfg.strip_spans and cfg.span_prefilter and cfg.span_min_len < 8:
+        # The winnowing prefilter (k=5, w=4) is only LOSSLESS when a
+        # duplicated raw span normalizes to >= w+k-1 = 8 characters
+        # (spandedup.py's documented guarantee); accepting a smaller
+        # span_min_len with the prefilter on would silently miss spans
+        # the ExactSubstr contract promises to strip.
+        raise ValueError(
+            f"strip_spans with the winnowing prefilter requires "
+            f"span_min_len >= 8 (the w+k-1 losslessness threshold), got "
+            f"{cfg.span_min_len}; pass span_prefilter=False "
+            f"(--no-span-prefilter) to use brute-force indexing instead"
+        )
     cap_active = bool(cfg.cap_group_cols)
     if cap_active and cfg.cap_max_rows < 1:
         raise ValueError("cap_group_cols requires cap_max_rows >= 1")

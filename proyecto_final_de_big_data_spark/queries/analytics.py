@@ -4108,7 +4108,7 @@ def q_jw_name_match_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(count(*) AS BIGINT) AS n_blocks,
                CAST(max(bs) AS BIGINT) AS max_block_size,
                CAST(quantile_disc(bs, 0.99) AS BIGINT) AS p99_block_size,
-               CAST(sum(bs * (bs - 1) / 2) AS BIGINT) AS candidate_pairs,
+               CAST(sum((bs * (bs - 1)) // 2) AS BIGINT) AS candidate_pairs,
                CAST(sum(CASE WHEN bs > 20 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_over_cap
         FROM b
@@ -4130,7 +4130,7 @@ def q_jw_name_match_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(segment, nation) blocking of customers: block sizes, the exact candidate-"
     "pair volume Sigma C(|b|,2), the standard reduction ratio vs "
     "all-pairs C(N,2), NULL-key exclusions, and the over-cap block "
-    "count at max_block=50 — the report you run BEFORE "
+    "count at max_block=20 — the report you run BEFORE "
     "fellegi_sunter_scores or any blocked fuzzy join, because one "
     "runaway block turns the bounded-quadratic plan into O(N^2) (the "
     "basket_size_profile cap-pressure posture applied to ER; cap 20). ONE "

@@ -79,3 +79,17 @@ def test_cmh_degenerate_and_validation(spark):
     )
     r2 = cmh_test(extra, "stratum", "arm", "conv", "c", "t").collect()[0]
     assert r2["n_units"] == 10
+
+
+def test_cmh_nonzero_truthy_and_null_flag_exclusion(spark):
+    # Success is any NONZERO int (a conv count of 2 is a success, not
+    # a failure); NULL flags are excluded from the cells entirely.
+    rows = [
+        ("s1", "t", 2), ("s1", "t", 0), ("s1", "c", 1), ("s1", "c", 0),
+        ("s1", "t", None),
+    ]
+    u = spark.createDataFrame(rows, "stratum string, arm string, conv int")
+    r = cmh_test(u, "stratum", "arm", "conv", "c", "t").collect()[0]
+    assert r["n_units"] == 4  # the NULL-flag unit is excluded
+    # cells: a=1 b=1 c=1 d=1 -> dev = 1 - 2*2/4 = 0 -> chi2 = 0.
+    assert r["chi2_cmh"] == 0.0

@@ -496,3 +496,32 @@ def test_cli_curate_strip_spans(spark, tmp_path):
     assert rc == 0
     got = {r["doc_id"]: r["text"] for r in spark.read.parquet(dst).collect()}
     assert got == {1: "abcdefghijklmnopqrst", 2: "XYZ "}
+
+
+def test_curate_strip_spans_prefilter_threshold_guard(spark):
+    # span_min_len below the winnowing losslessness threshold (w+k-1=8)
+    # with the prefilter on must fail loudly, not silently miss spans.
+    with pytest.raises(ValueError, match="span_min_len >= 8"):
+        curate_documents(
+            _docs(spark),
+            CurationConfig(strip_spans=True, span_min_len=5),
+        )
+    # The brute-force path accepts small spans (prefilter off).
+    rows = [(1, "abcde fghij"), (2, "XX abcde YY")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_documents(
+        df,
+        CurationConfig(
+            redact_pii=False,
+            strip_spans=True,
+            span_min_len=5,
+            span_prefilter=False,
+            dedup="none",
+            split_fractions=None,
+        ),
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    # Dup 5-gram windows in doc 2 start at 4 ("abcde") AND 5 ("bcde "
+    # — doc 1's positions 2-6 include the trailing space), so the
+    # merged span [4, 9] swallows one of the two spaces: "XX YY".
+    assert got[2] == "XX YY"

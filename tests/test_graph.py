@@ -451,3 +451,12 @@ def test_kcore_validation(spark):
         k_core(df, 0)
     with pytest.raises(ValueError, match="iterations"):
         k_core(df, 2, iterations=0)
+
+
+def test_modularity_unlabeled_node_hard_fails(spark):
+    from proyecto_final_de_big_data_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    labels = spark.createDataFrame([(1, 1), (2, 1)], "node long, label long")
+    with pytest.raises(Exception, match="has no label"):
+        modularity(edges, labels).collect()

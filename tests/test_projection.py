@@ -110,3 +110,18 @@ def test_dimension_mismatch_raises_not_nulls(spark):
     out = jl_project(df, "vec", dim=4, k=2)
     with pytest.raises(Exception, match="jl_project: vector length"):
         out.collect()
+
+
+def test_distance_audit_forwards_max_literals(spark):
+    # The audit must expose the deliberate override path for large
+    # k*dim (review finding: the guard would otherwise hard-break the
+    # bounded audit with no escape hatch).
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [2.0, 1.0])], "id long, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="max_literals"):
+        jl_distance_audit(df, "id", "vec", dim=2, k=2, max_literals=3)
+    assert (
+        jl_distance_audit(df, "id", "vec", dim=2, k=2, max_literals=4).count()
+        == 1
+    )
