@@ -124,12 +124,26 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in QUERIES}
     pass_loads: list[float] = []
+    pass_durations: list[float] = []
     for _ in range(runs):
         pass_loads.append(round(os.getloadavg()[0], 2))
+        p0 = time.perf_counter()
         for name, q in QUERIES.items():
             t0 = time.perf_counter()
             q.spark_fn(spark, sf_dir).count()
             samples[name].append(time.perf_counter() - t0)
+        pass_durations.append(round(time.perf_counter() - p0, 2))
+    # Mid-bench contention gate (r10 verdict item 7): the start gate
+    # cannot see load that arrives mid-run (the r10 committed artifact
+    # carried a pass at loadavg 15.44), and the 1-minute loadavg
+    # sampled between passes is self-polluted by the bench's own
+    # 32-thread work — so the mechanical suspect marker compares the
+    # PASS WALL TIMES instead: identical code on an idle host runs
+    # near-identical passes, and a pass >= 1.5x the fastest one was
+    # contended. Flagged per pass in the artifact; the median damps
+    # the value, the flag attributes it.
+    min_pass = min(pass_durations)
+    pass_suspect = [d >= 1.5 * min_pass for d in pass_durations]
     # statistics.median averages the middle pair on even run counts;
     # the previous upper-middle pick biased 2-run timings high.
     timings = {
@@ -146,15 +160,28 @@ def main() -> None:
     # Back-to-back warm runs right after the suite give the number a
     # human would get re-running the query alone; both are recorded so
     # a mover can be attributed to load/floor without a manual session.
-    top3 = sorted(timings, key=timings.get, reverse=True)[:3]
-    isolated_warm: dict[str, dict[str, object]] = {}
-    for name in top3:
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+
+    # Previous-run per-query medians (the file this run overwrites):
+    # the baseline for the mover audit below. Missing/corrupt -> {}.
+    prev_timings: dict[str, float] = {}
+    try:
+        with open(detail_path, encoding="utf-8") as f:
+            prev_detail = json.load(f)
+        # Only a same-SF predecessor is a mover baseline — a smoke run
+        # at another scale factor would flag everything.
+        if prev_detail.get("sf") == sf:
+            prev_timings = prev_detail.get("queries", {}) or {}
+    except (OSError, ValueError):
+        prev_timings = {}
+
+    def _isolated_warm(name: str) -> dict[str, object]:
         vals = []
         for _ in range(runs + 1):
             t0 = time.perf_counter()
             QUERIES[name].spark_fn(spark, sf_dir).count()
             vals.append(time.perf_counter() - t0)
-        isolated_warm[name] = {
+        return {
             # drop the first back-to-back run: it still pays the
             # re-warm after whatever query ran last in the suite
             "median_warm": round(statistics.median(vals[1:]), 4),
@@ -162,7 +189,34 @@ def main() -> None:
             "in_suite_median": timings[name],
         }
 
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    top3 = sorted(timings, key=timings.get, reverse=True)[:3]
+    isolated_warm: dict[str, dict[str, object]] = {
+        name: _isolated_warm(name) for name in top3
+    }
+
+    # Mover audit (r10 verdict item 6): the top-3-costliest record
+    # missed this round's load-inflated lines (triangle/seq_patterns/
+    # ccnet/zorder read 1.5-2.5x slower driver-side but weren't top-3
+    # expensive), forcing manual adjudication. Mechanically isolate
+    # the top-5 REGRESSIONS vs the previous bench run (shared queries,
+    # delta > 0.3 s so sub-noise jitter doesn't spend re-runs) so the
+    # artifact itself says load-or-real for every mover.
+    movers = sorted(
+        (n for n in timings if n in prev_timings),
+        key=lambda n: timings[n] - prev_timings[n],
+        reverse=True,
+    )
+    movers = [n for n in movers if timings[n] - prev_timings[n] > 0.3][:5]
+    isolated_warm_movers: dict[str, dict[str, object]] = {}
+    for name in movers:
+        entry = (
+            dict(isolated_warm[name])
+            if name in isolated_warm
+            else _isolated_warm(name)
+        )
+        entry["prev_in_suite_median"] = prev_timings[name]
+        entry["delta_vs_prev"] = round(timings[name] - prev_timings[name], 4)
+        isolated_warm_movers[name] = entry
     with open(detail_path, "w", encoding="utf-8") as f:
         json.dump(
             {
@@ -172,6 +226,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "loadavg_per_pass": pass_loads,
+                "pass_durations_sec": pass_durations,
+                "pass_suspect": pass_suspect,
                 "loadavg_end": round(os.getloadavg()[0], 2),
                 "start_load_gate": {
                     "start_load": start_load,
@@ -180,6 +236,7 @@ def main() -> None:
                 },
                 "protocol": "median of interleaved round-robin passes",
                 "isolated_warm_top3": isolated_warm,
+                "isolated_warm_movers": isolated_warm_movers,
             },
             f,
             indent=2,

@@ -317,3 +317,170 @@ def brier_and_ece(
             decimals,
         ).alias("ece"),
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    truth: DataFrame,
+    query_cols: list[str],
+    item_cols: list[str],
+    ks: list[int],
+    rank_col: str = "rank",
+    rel_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Graded ranking-quality readout for the retrieval family —
+    NDCG@k / MRR@k / hit@k per query (Järvelin & Kekäläinen, TOIS
+    2002 for DCG; Voorhees, TREC-8 1999 for MRR — public literature):
+    the first question a search/RAG user asks of the BM25 / RRF / ANN
+    rankings this engine produces, one level up from the recall gates
+    the ANN family already carries.
+
+    ``ranked`` is a system top-N frame ``(*query_cols, *item_cols,
+    rank)`` with 1-based positive ranks (the :func:`~proyecto_final_de_
+    big_data_spark.operators.rrf.rrf_fuse` output shape; NULL or
+    non-positive ranks hard-fail in-plan — a scored-but-unranked frame
+    is a caller bug). ``truth`` holds the judged-relevant items
+    ``(*query_cols, *item_cols[, rel])``; with ``rel_col`` the gain is
+    graded ``2^rel − 1`` (rel must be >= 0; NULL rel hard-fails), else
+    binary (every judged item gains 1). Duplicate truth judgements
+    collapse to max(rel); duplicate ranked (query, item) rows
+    hard-fail upstream semantics, but are tolerated here by gain
+    riding a left join (each ranked row scores independently — pass
+    deduped rankings).
+
+    One row per ``(query, k)`` for every k in ``ks`` and every query
+    in the TRUTH universe (a query the system never answered scores
+    0s — missing, not NULL):
+
+    - ``n_rel``: judged-relevant count (rel > 0 under grading);
+    - ``n_ranked``: system rows at rank <= k;
+    - ``ndcg``: DCG@k / IDCG@k, where DCG@k = Σ_{rank<=k} gain /
+      log2(rank+1) over system rows and IDCG@k is the same sum over
+      the ideal ordering of the query's judgements (rel desc, items
+      asc — the deterministic tie-break; ties share identical gain so
+      the sum is order-stable). NULL when the query has no positive
+      judgement (0/0 is not a quality score — the msprt warm-up
+      posture);
+    - ``mrr``: 1/rank of the first relevant system row within k, 0.0
+      when none (NULL when n_rel = 0, as for ndcg);
+    - ``hit``: boolean, any relevant system row within k (NULL when
+      n_rel = 0).
+
+    Scale shape (100 TB): both inputs are answer-scale by construction
+    (top-N per query; human judgements) — the corpus appears nowhere.
+    One broadcast-sized k-frame explode, one (query,item) equi-join,
+    two (query,k)-keyed aggregations and one answer-scale window over
+    the TRUTH frame (rel desc ideal ordering, partitioned per query —
+    never data-scale). Everything stays JVM-side; gains/logs are
+    closed-form IEEE arithmetic a DuckDB oracle restates bit-for-bit
+    before the ``decimals`` rounding.
+
+    Extension surface — the reference has no retrieval stage;
+    extension per SURVEY §8, the ranking-quality sibling of
+    :func:`roc_auc` for the BM25/RRF/ANN rankings.
+    """
+    if not query_cols or not item_cols:
+        raise ValueError("ranking_metrics needs query_cols and item_cols")
+    if not ks or any(k < 1 for k in ks) or len(set(ks)) != len(ks):
+        raise ValueError(f"ks must be distinct positive ints; got {ks}")
+    ks = sorted(int(k) for k in ks)
+
+    rk = F.col(rank_col)
+    checked_rank = F.when(
+        rk.isNull() | (rk < 1),
+        F.raise_error(
+            F.lit(
+                "ranking_metrics: NULL or non-positive rank — pass a "
+                "1-based ranked frame (the rrf_fuse output shape)"
+            )
+        ).cast("long"),
+    ).otherwise(rk.cast("long"))
+
+    if rel_col is not None:
+        rr = F.col(rel_col).cast("double")
+        checked_rel = F.when(
+            rr.isNull() | (rr < 0),
+            F.raise_error(
+                F.lit(
+                    "ranking_metrics: NULL or negative relevance — "
+                    "grade judgements with rel >= 0"
+                )
+            ),
+        ).otherwise(rr)
+    else:
+        checked_rel = F.lit(1.0)
+
+    judged = truth.groupBy(*query_cols, *item_cols).agg(
+        F.max(checked_rel).alias("__rel")
+    )
+    kf = F.explode(F.array(*[F.lit(k) for k in ks])).alias("k")
+
+    # Ideal ordering per query (rel desc, items asc) -> IDCG@k + n_rel.
+    w_ideal = Window.partitionBy(*query_cols).orderBy(
+        F.desc("__rel"), *[F.asc(c) for c in item_cols]
+    )
+    ideal = judged.withColumn("__pos", F.row_number().over(w_ideal))
+    gain_ideal = F.pow(F.lit(2.0), F.col("__rel")) - F.lit(1.0)
+    idcg = (
+        ideal.select(*query_cols, "__pos", "__rel", kf)
+        .groupBy(*query_cols, "k")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("__pos") <= F.col("k")) & (F.col("__rel") > 0),
+                    gain_ideal / F.log2(F.col("__pos") + F.lit(1.0)),
+                )
+            ).alias("__idcg"),
+            F.sum((F.col("__rel") > 0).cast("long")).alias("n_rel"),
+        )
+    )
+
+    # System side: rank-gated DCG / first-relevant reciprocal rank.
+    sys = ranked.select(
+        *query_cols, *item_cols, checked_rank.alias("__rank")
+    ).join(judged, [*query_cols, *item_cols], "left")
+    sys_rel = F.coalesce(F.col("__rel"), F.lit(0.0))
+    gain_sys = F.pow(F.lit(2.0), sys_rel) - F.lit(1.0)
+    at_k = F.col("__rank") <= F.col("k")
+    sysk = (
+        sys.select(*query_cols, "__rank", sys_rel.alias("__rel"), kf)
+        .groupBy(*query_cols, "k")
+        .agg(
+            F.sum(
+                F.when(
+                    at_k & (F.col("__rel") > 0),
+                    gain_sys / F.log2(F.col("__rank") + F.lit(1.0)),
+                )
+            ).alias("__dcg"),
+            F.max(
+                F.when(
+                    at_k & (F.col("__rel") > 0),
+                    F.lit(1.0) / F.col("__rank"),
+                )
+            ).alias("__rr"),
+            F.sum(at_k.cast("long")).alias("n_ranked"),
+        )
+    )
+
+    out = idcg.join(sysk, [*query_cols, "k"], "left")
+    has_rel = F.col("n_rel") > 0
+    return out.select(
+        *query_cols,
+        F.col("k").cast("int").alias("k"),
+        "n_rel",
+        F.coalesce("n_ranked", F.lit(0)).alias("n_ranked"),
+        F.round(
+            F.when(
+                has_rel,
+                F.coalesce(F.col("__dcg") / F.col("__idcg"), F.lit(0.0)),
+            ),
+            decimals,
+        ).alias("ndcg"),
+        F.round(
+            F.when(has_rel, F.coalesce("__rr", F.lit(0.0))), decimals
+        ).alias("mrr"),
+        F.when(has_rel, F.coalesce(F.col("__rr") > 0, F.lit(False))).alias(
+            "hit"
+        ),
+    )

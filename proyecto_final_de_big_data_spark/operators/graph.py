@@ -658,3 +658,89 @@ def k_core(
     return sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 6,
+    directed: bool = False,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Hop distances from a SOURCE SET by fixed-round frontier
+    expansion — distributed unweighted single/multi-source BFS
+    (Cormen et al., "Introduction to Algorithms" §22.2; the
+    fixed-round Pregel formulation follows Malewicz et al., SIGMOD
+    2010 — public literature): the dedup-graph readout that completes
+    this family's reachability story — :func:`connected_components`
+    says WHICH cluster a document joined, ``bfs_distances`` says HOW
+    FAR it sits from the cluster representatives (a 1-hop near-dup of
+    a kept canonical is a different curation decision than a 5-hop
+    chain neighbor).
+
+    Runs EXACTLY ``max_hops`` expansion rounds — no convergence probe
+    — so the computation is deterministic and an external oracle can
+    replay it as a bounded unrolling (the :func:`k_core` /
+    :func:`pagerank` posture). Returns ``(node, dist)`` for every
+    node REACHED within ``max_hops`` hops (sources at dist 0, even
+    sources absent from the edge list — a lone document is trivially
+    at distance 0 from itself); unreached nodes are absent (left-join
+    the node universe and treat NULL as unreachable-within-budget).
+    Rounds past the true eccentricity are no-ops, so any ``max_hops``
+    >= the reachable radius yields exact distances. ``sources`` is a
+    DataFrame with column ``node`` (node-id typed like the edge
+    endpoints), deduplicated defensively.
+
+    ``directed=False`` (default) expands across both edge
+    orientations after canonicalizing (self-loops dropped, the house
+    edge discipline); ``directed=True`` follows ``src -> dst`` arcs
+    as given (self-loops dropped, duplicates collapsed).
+
+    Scale shape (100 TB posture): edge-list working set; per round
+    ONE frontier-to-edges equi-join + one distinct + one left-anti
+    join against the settled-distance frame (all keyed on node id —
+    the same shuffle key, so AQE coalesces), lineage truncated every
+    ``checkpoint_every`` rounds (lazy localCheckpoint; swap for
+    ``checkpoint`` on a real cluster). The settled frame only ever
+    GROWS by the new frontier (BFS settles each node once — no
+    re-relaxation), no driver state, no collect.
+
+    Extension surface — the reference has no graph stage; extension
+    per SURVEY §8 (see :func:`label_propagation`).
+    """
+    if max_hops < 1:
+        raise ValueError(f"bfs_distances needs max_hops >= 1; got {max_hops}")
+    if directed:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        sym = e.where(F.col("src") != F.col("dst")).distinct()
+    else:
+        e = _canonical_edges(edges, src, dst)
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    settled = (
+        sources.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    frontier = settled.select("node")
+    for hop in range(1, max_hops + 1):
+        nbrs = (
+            sym.join(
+                frontier.withColumnRenamed("node", "src"), "src", "left_semi"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nbrs.join(settled, "node", "left_anti").withColumn(
+            "dist", F.lit(hop)
+        )
+        settled = settled.unionByName(new)
+        frontier = new.select("node")
+        if hop % max(1, checkpoint_every) == 0 or hop == max_hops:
+            settled = settled.localCheckpoint(eager=False)
+            frontier = frontier.localCheckpoint(eager=False)
+    return settled

@@ -209,8 +209,11 @@ def holt_winters_forecast_anomaly(
     s_{t−m} lookup is an index from the end — O(n) state, no ring
     bookkeeping), embarrassingly parallel across keys, one keyed
     residual-scale aggregation. A SQL oracle replays the same
-    arithmetic with a FIXED-SIZE [l, b, s_t..s_{t−m+1}] ring list —
-    structurally different state management, identical IEEE order.
+    arithmetic as one flat grow-state ``list_reduce`` (a DOUBLE[]
+    appending (l, b, s) triples, flat ``len``-offset indexing) —
+    identical IEEE order; the earlier fixed-size ring-list
+    restatement proved DuckDB-build-fragile (r10 driver hash-fail)
+    and was retired, see ORACLE_PORTABILITY.md.
 
     Extension surface — the reference has no time-series stage;
     extension per SURVEY §8 (see module docstring).

@@ -59,10 +59,11 @@ def llr_keyness(
     floor); NULL-text documents contribute no tokens; documents whose
     group is NULL count as rest (they are not the focus).
 
-    Raises when the focus side or the rest side has zero tokens — a
-    one-sided corpus has no keyness, and E1/E2 would divide by zero.
-    The check rides the totals frame the statistic needs anyway (one
-    answer-scale readout, no extra scan).
+    Hard-fails IN-PLAN (the modularity/series raise_error posture —
+    the operator stays lazy, nothing collects at construction) when
+    the focus side or the rest side has zero tokens: a one-sided
+    corpus has no keyness, and E1/E2 would divide by zero. The check
+    rides the 1-row totals frame the statistic crossJoins anyway.
     """
     if k < 1:
         raise ValueError(f"llr_keyness needs k >= 1; got {k}")
@@ -86,17 +87,32 @@ def llr_keyness(
     # over the RETAINED terms, mirrored by the oracle's post-HAVING
     # totals CTE).
     counts = counts.localCheckpoint(eager=False)
-    totals = counts.agg(
-        F.sum("n_focus").cast("double").alias("__ca"),
-        F.sum("n_rest").cast("double").alias("__cb"),
-    )
-    t_row = totals.collect()[0]
-    if not t_row["__ca"] or not t_row["__cb"]:
-        raise ValueError(
-            f"llr_keyness: focus side has {t_row['__ca'] or 0:.0f} tokens "
-            f"and rest has {t_row['__cb'] or 0:.0f} — keyness needs both "
-            f"sides non-empty (is {focus!r} a value of {group_col!r}?)"
+    # Both-sides-non-empty guard IN-PLAN (raise_error riding the 1-row
+    # totals frame) so constructing the DataFrame stays lazy — no
+    # collect, no eager corpus explode (r10 ADVICE item). sum() over
+    # the retained counts is NULL only when counts is empty, hence the
+    # coalesce-to-0 before the > 0 check.
+    def _checked(col: str, side: str):
+        tot = F.coalesce(F.sum(col).cast("double"), F.lit(0.0))
+        return F.when(tot > 0, tot).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "llr_keyness: %s side has %.0f tokens — keyness "
+                    "needs both sides non-empty (is "
+                    + repr(focus).replace("%", "%%")
+                    + " a value of "
+                    + repr(group_col).replace("%", "%%")
+                    + "?)",
+                    F.lit(side),
+                    tot,
+                )
+            )
         )
+
+    totals = counts.agg(
+        _checked("n_focus", "focus").alias("__ca"),
+        _checked("n_rest", "rest").alias("__cb"),
+    )
     a, b = F.col("n_focus"), F.col("n_rest")
     ca, cb = F.col("__ca"), F.col("__cb")
     e1 = ca * (a + b) / (ca + cb)

@@ -84,9 +84,13 @@ def fellegi_sunter_scores(
 
     ``comparisons`` pairs the left/right column names; ``m`` supplies
     P(agree | match) per field; ``u`` is the one-row frame from
-    :func:`estimate_u_probabilities` (broadcast in — the plan stays
-    lazy, nothing collects). Weight arithmetic is a fixed-order
-    addition chain so an SQL oracle restates it bit-for-bit."""
+    :func:`estimate_u_probabilities`. Constructing the scorer reads
+    that frame ONCE via a bounded eager collect (1 row of K doubles —
+    answer scale by construction) both to validate u_i ∈ (0, 1) and to
+    inline the values as plan literals, so the scoring projection
+    itself carries no join and the u plan never executes twice.
+    Weight arithmetic is a fixed-order addition chain so an SQL
+    oracle restates it bit-for-bit."""
     if len(comparisons) != len(m):
         raise ValueError(
             f"{len(comparisons)} comparisons but {len(m)} m-probabilities"
@@ -103,7 +107,9 @@ def fellegi_sunter_scores(
     # and the disagreement weight log2((1-m)/(1-u)) divides by zero —
     # raise the friendly error here instead of a raw ANSI
     # DIVIDE_BY_ZERO mid-job. The u frame is one row (answer scale),
-    # so the readout collect is bounded by construction.
+    # so the readout collect is bounded by construction; the collected
+    # doubles are then inlined as literals below, so u's plan runs
+    # exactly once (no second evaluation via a crossJoin).
     u_rows = u.collect()
     if len(u_rows) != 1:
         raise ValueError(
@@ -120,12 +126,15 @@ def fellegi_sunter_scores(
                 f"`comparisons`"
             )
 
-    scored = pairs.crossJoin(F.broadcast(u))
+    scored = pairs
     score: Column | None = None
     gammas = []
     for i, ((lc, rc), mi) in enumerate(zip(comparisons, m)):
         li, ri = F.col(lc), F.col(rc)
-        ui = F.col(f"u_{i}")
+        # The validated double from the 1-row readout, as a plan
+        # literal — bit-identical to the broadcast-column form (same
+        # IEEE value feeding the same expression tree).
+        ui = F.lit(float(u_rows[0][f"u_{i}"]))
         w_agree = F.log2(F.lit(float(mi)) / ui)
         w_dis = F.log2(F.lit(1.0 - float(mi)) / (F.lit(1.0) - ui))
         gamma = F.when(li.isNull() | ri.isNull(), F.lit(None).cast("int")) \
@@ -181,8 +190,13 @@ def blocking_profile(
 
     Scale shape: ONE block-cardinality count aggregation (map-side
     combined) + ONE answer-scale reduce; p99 rides percentile_approx
-    at accuracy 10000 (exact over the integer block-size domain, the
-    basket profile precedent).
+    at accuracy 10000 — exact over the integer block-size domain
+    ONLY while ``n_blocks`` ≤ the 10k accuracy (the KLL bound);
+    corpora with more distinct blocks get the documented
+    approximate-rank guarantee instead and may diverge from an exact
+    quantile restatement (the contract's fixture stays well under
+    the bound; raise the accuracy or sort the answer-scale size
+    frame if you need exactness beyond it).
 
     Extension surface — the reference has no linkage stage; extension
     per SURVEY §8, the sizing sibling of the FS scorer above.

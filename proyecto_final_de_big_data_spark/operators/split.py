@@ -368,7 +368,15 @@ def neyman_allocation(
     mod W`` (ties to the first stratum in column order) — every
     comparison is BIGINT arithmetic, so the allocation is reproducible
     across engines/partitionings bit-for-bit (the mixing.py
-    integer-limb posture). ``S_h`` is the population stddev from
+    integer-limb posture). The bit-exactness claim holds while
+    ``total_n · max(wi)`` fits in a signed 64-bit long (wi ≈
+    1000·N_h·S_h, so e.g. N_h ≈ 1e12 with S_h ≈ 1e4 already exceeds
+    2⁶³ under a 1000-unit budget); the plan hard-fails with a friendly
+    in-plan error past that bound instead of wrapping silently —
+    rescale ``value_col`` (S_h is scale-covariant, the allocation is
+    scale-invariant) if you genuinely hold such strata. (Independently,
+    wi itself rides a double rounding and is integer-exact only below
+    2⁵³ — same rescaling remedy.) ``S_h`` is the population stddev from
     moment sums (clamped at 0); NULL/NaN values are excluded. When
     every weight is 0 (all strata constant) the allocation is
     undefined and ``n_alloc`` is NULL (reported honestly). Note the
@@ -409,13 +417,29 @@ def neyman_allocation(
         ),
         decimals,
     )
+    # Overflow guard IN-PLAN (raise_error, keeps construction lazy):
+    # the seat arithmetic below multiplies total_n * __wi in BIGINT,
+    # so any wi above (2^63-1) div total_n would wrap silently and
+    # break the bit-exactness contract — hard-fail with the rescaling
+    # remedy instead (docstring bound).
+    wi_raw = F.round(F.col("n_records") * sd * F.lit(1000.0), 0).cast("long")
+    wi_cap = (2**63 - 1) // int(total_n)
+    wi_checked = F.when(wi_raw <= F.lit(wi_cap), wi_raw).otherwise(
+        F.raise_error(
+            F.format_string(
+                "neyman_allocation: stratum weight %d exceeds "
+                f"(2^63-1) div total_n = {wi_cap} — total_n * wi "
+                "would overflow BIGINT; rescale value_col (the "
+                "allocation is scale-invariant) or shrink the budget",
+                wi_raw,
+            )
+        )
+    )
     weighted = mom.select(
         *stratum_cols,
         "n_records",
         sd.alias("stddev"),
-        F.round(F.col("n_records") * sd * F.lit(1000.0), 0)
-        .cast("long")
-        .alias("__wi"),
+        wi_checked.alias("__wi"),
     )
     w_frame = weighted.agg(F.sum("__wi").alias("__W"))
     quota = weighted.crossJoin(F.broadcast(w_frame)).select(

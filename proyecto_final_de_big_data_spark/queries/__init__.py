@@ -225,6 +225,23 @@ from . import quality  # noqa: E402,F401
 # winnowing_fingerprint, ml_cv, basket_size, heavy_hitter,
 # k_anonymity.
 # ----------------------------------------------------------------------
+# r11 EXECUTION of the plan above (amended per VERDICT r10): TWO swaps
+# only — srm_contract -> bfs_distances_contract (graph.py changed this
+# round, so the three graph gates + the new BFS gate all stay/land
+# in-window) and knn_ann_ivf_increment_contract ->
+# ranking_metrics_contract (similarity_ivf.py unchanged;
+# hybrid_search_rrf + the IVF+PQ refine gate keep retrieval
+# in-window). holt_winters_contract is NOT rotation currency (r10
+# driver-red on oracle portability; oracle restated r11 in the flat
+# grow-state style, gate held in-window until driver-green — VERDICT
+# r10 item 1). The keyness/linkage/split gates also stay in-window:
+# their modules changed this round (ADVICE fixes). Rotation plan for
+# r12: once the r11 window lands green, first-round-green currency =
+# bfs_distances, ranking_metrics (+ holt_winters if finally
+# driver-green, whose family sibling holt_forecast machinery stays
+# evidenced via the series family); the ten r10 greens listed above
+# remain currency where their modules are untouched in r12.
+# ----------------------------------------------------------------------
 _VERIFICATION_WINDOW = [
     # ------------------------------------------------------------------
     # ROUND-6 ROTATION (VERDICT r5 item 3): the entire 14-query queue of
@@ -717,7 +734,16 @@ _VERIFICATION_WINDOW = [
     # same _clean/guard machinery in-window and bh_fdr_contract keeps
     # the multiple-testing surface; the rank gates stay full-catalog
     # attested + pytest DuckDB-parity gated.
-    "srm_contract",
+    # r11: srm_contract (r10 first-round hash-green; abtest.py
+    # unchanged this round) hands its slot to bfs_distances_contract —
+    # multi-source BFS hop distances (operators/graph.py:
+    # bfs_distances, VERDICT r10 item 5), new this round (same-round-
+    # slot rule) and a gate on this round's graph.py change. The
+    # experimentation family keeps cmh_contract (the same stratified
+    # 2x2 sufficient-sum machinery, Simpson's-paradox-safe pooling)
+    # plus msprt_contract in-window; srm stays full-catalog attested
+    # + pytest DuckDB-parity gated.
+    "bfs_distances_contract",
     # chunk_overlap_profile (r6 green, chunking.py unchanged; the LLM
     # family keeps token_budget_selection + blocklist + lm_quality
     # in-window) hands its slot to ml_lift_table_contract — the
@@ -1052,7 +1078,16 @@ _VERIFICATION_WINDOW = [
     # superset of the plain PQ gate's path); the new gate adds the
     # index-maintenance surface (anti-join skip + frozen-quantizer
     # assignment parity) the family lacked.
-    "knn_ann_ivf_increment_contract",
+    # r11: knn_ann_ivf_increment_contract (r10 first-round hash-green;
+    # similarity_ivf.py unchanged this round) hands its slot to
+    # ranking_metrics_contract — NDCG@k / MRR@k / hit@k graded
+    # ranking-quality evaluation (ml/evaluation.py:ranking_metrics,
+    # VERDICT r10 item 4), new this round (same-round-slot rule).
+    # The retrieval family keeps hybrid_search_rrf in-window (the
+    # rank-frame producer the new gate grades) plus the IVF+PQ refine
+    # recall gate; incremental IVF stays full-catalog attested +
+    # pytest DuckDB-parity gated.
+    "ranking_metrics_contract",
     "cdc_merge_contract",
     "media_binary_ingest",
     "robust_outlier_profile",

@@ -2053,47 +2053,52 @@ def q_holt_forecast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_reduce(vs[1:7], (s, x) -> s + x) / 7::DOUBLE AS mu
         FROM arr
     ),
-    -- Fixed-size RING state [l, b, s_t, s_{t-1}, ..., s_{t-6}] (9
-    -- doubles; the operator grows an O(n) state array instead — the
-    -- structurally-different-state-management discipline). LIST
-    -- accumulator, never a struct (DuckDB v1.0 rebinds struct fields
-    -- sequentially inside reduce lambdas). sts[j] = ring after time
-    -- j+6; the reduced list's FIRST element is the seed ring itself
-    -- (list_reduce has no init parameter), later elements are [x].
+    -- ONE flat grow-state fold per key (the driver-proven
+    -- holt_forecast style): the accumulator is a FLAT DOUBLE[] that
+    -- appends one (l, b, s) triple per point — triple t lives at
+    -- positions 3t-2 / 3t-1 / 3t, so l/b_{t-1} sit at len(s)-2 /
+    -- len(s)-1 and s_{t-m} at len(s)-3m+3 = len(s)-18 for m=7. The
+    -- first 7 elements of the reduced list ARE the seed triples
+    -- (list_reduce has no init parameter; the warm-up branch of the
+    -- lambda concatenates them verbatim), later elements are [x].
+    -- Deliberately NO accumulator slicing, NO list-of-list seeding,
+    -- NO nested list indexing — those ring-state constructs proved
+    -- DuckDB-build-fragile (r10 driver hash-fail; see
+    -- ORACLE_PORTABILITY.md). LIST accumulator, never a struct
+    -- (DuckDB v1.0 rebinds struct fields sequentially inside reduce
+    -- lambdas).
     st AS (
         SELECT event_type, ds, vs, n, mu,
                CASE WHEN n >= 7 THEN
-               list_transform(
-                   generate_series(7, n),
-                   i -> list_reduce(
-                        [[mu, 0.0::DOUBLE,
-                          vs[7] - mu, vs[6] - mu, vs[5] - mu, vs[4] - mu,
-                          vs[3] - mu, vs[2] - mu, vs[1] - mu]]
-                        || list_transform(vs[8:i], x -> [x]),
-                        (s, e) -> [
-                            0.3::DOUBLE * (e[1] - s[9])
-                              + 0.7::DOUBLE * (s[1] + s[2]),
-                            0.1::DOUBLE * ((0.3::DOUBLE * (e[1] - s[9])
-                                            + 0.7::DOUBLE * (s[1] + s[2]))
-                                           - s[1])
-                              + 0.9::DOUBLE * s[2],
-                            0.2::DOUBLE * (e[1] - s[1] - s[2])
-                              + 0.8::DOUBLE * s[9]
-                        ] || s[3:8])
-               ) END AS sts
+               list_reduce(
+                   list_transform(
+                       generate_series(1, n),
+                       i -> CASE WHEN i <= 7
+                            THEN [mu, 0.0::DOUBLE, vs[i] - mu]
+                            ELSE [vs[i]] END),
+                   (s, e) -> CASE WHEN len(s) < 21 THEN s || e
+                     ELSE s || [
+                       0.3::DOUBLE * (e[1] - s[len(s) - 18])
+                         + 0.7::DOUBLE * (s[len(s) - 2] + s[len(s) - 1]),
+                       0.1::DOUBLE * ((0.3::DOUBLE * (e[1] - s[len(s) - 18])
+                                       + 0.7::DOUBLE * (s[len(s) - 2]
+                                                        + s[len(s) - 1]))
+                                      - s[len(s) - 2])
+                         + 0.9::DOUBLE * s[len(s) - 1],
+                       0.2::DOUBLE * (e[1] - s[len(s) - 2] - s[len(s) - 1])
+                         + 0.8::DOUBLE * s[len(s) - 18]
+                     ] END)
+               END AS sts
         FROM sd
     ),
     pts AS (
         SELECT event_type,
                ds[i] AS day, vs[i] AS cnt,
-               CASE WHEN n >= 7 AND i <= 7 THEN mu
-                    WHEN n >= 7 THEN sts[i - 6][1] END AS lvl_raw,
-               CASE WHEN n >= 7 AND i <= 7 THEN 0.0::DOUBLE
-                    WHEN n >= 7 THEN sts[i - 6][2] END AS trd_raw,
-               CASE WHEN n >= 7 AND i <= 7 THEN vs[i] - mu
-                    WHEN n >= 7 THEN sts[i - 6][3] END AS sea_raw,
+               CASE WHEN n >= 7 THEN sts[3*i - 2] END AS lvl_raw,
+               CASE WHEN n >= 7 THEN sts[3*i - 1] END AS trd_raw,
+               CASE WHEN n >= 7 THEN sts[3*i] END AS sea_raw,
                CASE WHEN n >= 7 AND i > 7
-                    THEN sts[i - 7][1] + sts[i - 7][2] + sts[i - 7][9]
+                    THEN sts[3*i - 5] + sts[3*i - 4] + sts[3*i - 21]
                END AS fc_raw
         FROM st, unnest(generate_series(1, len(vs))) AS t(i)
     ),
@@ -2138,12 +2143,14 @@ def q_holt_forecast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in-memory fold per key whose state array holds every (l,b,s) "
     "triple (the s_{t-m} lookup is an index from the end), "
     "embarrassingly parallel across keys; the oracle replays the same "
-    "IEEE operation order with a structurally DIFFERENT state: a "
-    "fixed-size 9-double [l, b, s-ring] LIST shifted each step via "
-    "list concat/slice, seeded as the reduced list's first element. "
-    "Keys shorter than one season carry NULL readouts (honest "
-    "warm-up). Hand-worked m=2 alpha=beta=gamma=0.5 fixture + "
-    "pure-Python seasonal-dict twin in tests/test_holt.py.",
+    "IEEE operation order as ONE flat grow-state list_reduce per key "
+    "(a DOUBLE[] appending (l,b,s) triples, flat len(s)-offset "
+    "indexing — the driver-proven holt_forecast fold style; the r10 "
+    "ring-state restatement proved DuckDB-build-fragile and was "
+    "retired, see ORACLE_PORTABILITY.md). Keys shorter than one "
+    "season carry NULL readouts (honest warm-up). Hand-worked m=2 "
+    "alpha=beta=gamma=0.5 fixture + pure-Python seasonal-dict twin "
+    "in tests/test_holt.py.",
 )
 def q_holt_winters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.holt import holt_winters_forecast_anomaly
@@ -3014,6 +3021,108 @@ def q_k_core_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").cast("long").alias("min_node"),
+        F.sum(F.col("node") % 1000003).cast("long").alias("member_checksum"),
+    )
+
+
+def _bfs_oracle(hops: int = 6) -> str:
+    """Unrolled min-dist relaxation over the bipartite customer-part
+    purchase graph — Bellman-Ford-style rounds (r_i = r_{i-1} ∪
+    neighbor relaxations, min per node) instead of the operator's
+    frontier expansion + anti-join: after h rounds both yield exactly
+    the nodes within h hops at their true distance, through different
+    machinery (the k-core different-algebra discipline). Every chain
+    CTE is referenced twice -> MATERIALIZED (DuckDB inlines
+    multiply-referenced CTEs; see ORACLE_PORTABILITY.md)."""
+    steps = []
+    for i in range(1, hops + 1):
+        steps.append(
+            f"""r{i} AS MATERIALIZED (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM r{i - 1}
+            UNION ALL
+            SELECT e.d AS node, r.dist + 1 AS dist
+            FROM sym e JOIN r{i - 1} r ON r.node = e.s
+        ) GROUP BY 1
+    )"""
+        )
+    chain = ", ".join(steps)
+    return f"""
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT CAST(o.o_custkey AS BIGINT) + 1000000 AS u,
+                        CAST(l.l_partkey AS BIGINT) AS v
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_partkey < 200 AND o.o_custkey < 300
+    ),
+    sym AS MATERIALIZED (
+        SELECT u AS s, v AS d FROM e0
+        UNION ALL
+        SELECT v AS s, u AS d FROM e0
+    ),
+    r0 AS MATERIALIZED (
+        SELECT CAST(x AS BIGINT) AS node, 0 AS dist
+        FROM unnest([1, 2, 3]) AS t(x)
+    ),
+    {chain}
+    SELECT CAST(dist AS INT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node,
+           CAST(sum(node % 1000003) AS BIGINT) AS member_checksum
+    FROM r{hops} GROUP BY 1
+    """
+
+
+@register(
+    "bfs_distances_contract",
+    oracle=_bfs_oracle(6),
+    description="Multi-source BFS hop distances (operators/graph.py:"
+    "bfs_distances, CLRS §22.2 / Malewicz et al. SIGMOD'10 Pregel) "
+    "over the bounded bipartite customer-part purchase graph "
+    "(customers < 300 offset by 1e6, parts < 200 they ordered): 6 "
+    "fixed expansion rounds from seed parts {1, 2, 3}, then the "
+    "per-distance census (count, min/max member, mod-1000003 member "
+    "checksum) pins every reached node's exact hop distance — one "
+    "node settling a hop early or late breaks the hash. The bipartite "
+    "layering actually exercises depth (sf0.01 reaches distance 5: "
+    "part -> buyer -> co-bought part -> ...) — the 'how far is this "
+    "document from the cluster representative' readout that completes "
+    "the graph family's reachability story beyond connected "
+    "components' membership bit. Fixed rounds on BOTH sides (no "
+    "convergence probe); the engine expands a frontier with per-round "
+    "semi-join + left-anti settlement while the oracle UNROLLS "
+    "Bellman-Ford-style min-dist relaxation rounds over MATERIALIZED "
+    "CTEs — different settlement machinery, identical distances "
+    "(integer arithmetic, no floats anywhere). Per round: one "
+    "frontier semi-join + one distinct + one anti-join, all keyed on "
+    "node id, lineage truncated every 2 rounds, zero driver state. "
+    "Hand-worked chain-with-branch fixture + multi-source/budget-"
+    "truncation traces + pure-Python frontier twin on a random graph "
+    "in tests/test_graph.py.",
+)
+def q_bfs_distances_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_distances
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") < 200)
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .filter(F.col("o_custkey") < 300)
+    )
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey").cast("long") + 1000000).alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    )
+    sources = spark.range(1, 4).select(F.col("id").alias("node"))
+    d = bfs_distances(edges, sources, max_hops=6)
+    return d.groupBy(F.col("dist").cast("int").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
         F.sum(F.col("node") % 1000003).cast("long").alias("member_checksum"),
     )
 

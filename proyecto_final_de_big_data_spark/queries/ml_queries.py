@@ -1047,3 +1047,131 @@ def q_learning_curve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_slices=4,
         decimals=2,
     )
+
+
+@register(
+    "ranking_metrics_contract",
+    oracle="""
+    WITH j AS (
+        SELECT CAST(o.o_custkey AS BIGINT) AS custkey,
+               CAST(l.l_partkey AS BIGINT) AS partkey,
+               l.l_quantity AS qty, l.l_returnflag AS rf
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey < 100
+    ),
+    spend AS (
+        SELECT custkey, partkey, CAST(sum(qty) AS BIGINT) AS q
+        FROM j GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT custkey, partkey,
+               row_number() OVER (PARTITION BY custkey
+                                  ORDER BY q DESC, partkey ASC) AS rnk
+        FROM spend QUALIFY rnk <= 10
+    ),
+    truth AS (
+        SELECT custkey, partkey, CAST(count(*) AS DOUBLE) AS rel
+        FROM j WHERE rf = 'R' GROUP BY 1, 2
+    ),
+    ks AS (SELECT unnest([3, 10]) AS k),
+    ideal AS (
+        SELECT custkey, rel,
+               row_number() OVER (PARTITION BY custkey
+                                  ORDER BY rel DESC, partkey ASC) AS pos
+        FROM truth
+    ),
+    idcg AS (
+        SELECT custkey, k,
+               sum(CASE WHEN pos <= k AND rel > 0
+                   THEN (pow(2.0::DOUBLE, rel) - 1.0::DOUBLE)
+                        / log2(pos + 1.0::DOUBLE) END) AS idcg_v,
+               CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rel
+        FROM ideal, ks GROUP BY 1, 2
+    ),
+    sysj AS (
+        SELECT r.custkey, r.rnk, coalesce(t.rel, 0.0::DOUBLE) AS rel
+        FROM ranked r LEFT JOIN truth t USING (custkey, partkey)
+    ),
+    sysk AS (
+        SELECT custkey, k,
+               sum(CASE WHEN rnk <= k AND rel > 0
+                   THEN (pow(2.0::DOUBLE, rel) - 1.0::DOUBLE)
+                        / log2(rnk + 1.0::DOUBLE) END) AS dcg_v,
+               max(CASE WHEN rnk <= k AND rel > 0
+                   THEN 1.0::DOUBLE / rnk END) AS rr,
+               CAST(sum(CASE WHEN rnk <= k THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ranked
+        FROM sysj, ks GROUP BY 1, 2
+    )
+    SELECT i.custkey, CAST(i.k AS INT) AS k, i.n_rel,
+           coalesce(s.n_ranked, 0) AS n_ranked,
+           round(CASE WHEN i.n_rel > 0
+                 THEN coalesce(s.dcg_v / i.idcg_v, 0.0::DOUBLE) END,
+                 6) AS ndcg,
+           round(CASE WHEN i.n_rel > 0
+                 THEN coalesce(s.rr, 0.0::DOUBLE) END, 6) AS mrr,
+           CASE WHEN i.n_rel > 0
+                THEN coalesce(s.rr > 0, FALSE) END AS hit
+    FROM idcg i LEFT JOIN sysk s ON i.custkey = s.custkey AND i.k = s.k
+    """,
+    description="Graded ranking-quality evaluation — NDCG@k / MRR@k / "
+    "hit@k (ml/evaluation.py:ranking_metrics, Järvelin & Kekäläinen "
+    "TOIS'02 / Voorhees TREC-8) over a deterministic retrieval "
+    "scenario on customers < 100: the 'system' ranks each customer's "
+    "top-10 parts by exact BIGINT quantity (integer-valued doubles "
+    "summed then cast — order-independent, ties to partkey asc), the "
+    "'judgements' grade every returned part (l_returnflag = 'R') by "
+    "its return count, and the metric frame reads NDCG/MRR/hit at "
+    "k in {3, 10} per judged customer — the graded 2^rel-1 gain "
+    "path, the first-relevant reciprocal rank, the 0-vs-NULL "
+    "(answered-badly vs nothing-judged) split, and the "
+    "truth-universe join semantics all exercised on real data. The "
+    "ranking-quality readout the BM25/RRF/ANN stack was missing: "
+    "recall gates say the candidate was FOUND, this gate grades "
+    "WHERE it landed. Both sides are answer-scale by construction "
+    "(top-10 frames, judgement lists); the only windows partition "
+    "per customer over <=10-ish rows; gains/log2 discounts are "
+    "closed-form IEEE doubles the oracle restates term-for-term "
+    "before 6-decimal rounding. Hand-worked binary k=3 + graded "
+    "k=2 fixtures (DCG sums traced by hand) in "
+    "tests/test_ranking_metrics.py.",
+)
+def q_ranking_metrics_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..ml.evaluation import ranking_metrics
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_partkey").cast("long").alias("partkey"),
+        "l_quantity",
+        "l_returnflag",
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", F.col("o_custkey").cast("long").alias("custkey"))
+        .filter(F.col("custkey") < 100)
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "custkey", "partkey", "l_quantity", "l_returnflag"
+    )
+    spend = j.groupBy("custkey", "partkey").agg(
+        F.sum("l_quantity").cast("long").alias("__q")
+    )
+    w = Window.partitionBy("custkey").orderBy(
+        F.desc("__q"), F.asc("partkey")
+    )
+    ranked = (
+        spend.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("custkey", "partkey", "rank")
+    )
+    truth = (
+        j.filter(F.col("l_returnflag") == "R")
+        .groupBy("custkey", "partkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("rel"))
+    )
+    return ranking_metrics(
+        ranked, truth, ["custkey"], ["partkey"], [3, 10], rel_col="rel"
+    )

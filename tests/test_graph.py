@@ -460,3 +460,76 @@ def test_modularity_unlabeled_node_hard_fails(spark):
     labels = spark.createDataFrame([(1, 1), (2, 1)], "node long, label long")
     with pytest.raises(Exception, match="has no label"):
         modularity(edges, labels).collect()
+
+
+# ---------------------------------------------------------------- BFS
+
+
+def _bfs_dict(spark, edges, sources, **kw):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in sources], "node long")
+    from proyecto_final_de_big_data_spark.operators.graph import bfs_distances
+
+    return {r["node"]: r["dist"] for r in bfs_distances(e, s, **kw).collect()}
+
+
+def test_bfs_hand_worked_chain_with_branch(spark):
+    # Hand-worked fixture (mandatory discipline):
+    #
+    #   1 - 2 - 3 - 4          source {1}:
+    #       |                    1:0, 2:1, 3:2, 5:2, 4:3
+    #       5       9 - 10      9/10 unreachable -> absent
+    edges = [(1, 2), (2, 3), (3, 4), (2, 5), (9, 10)]
+    got = _bfs_dict(spark, edges, [1], max_hops=6)
+    assert got == {1: 0, 2: 1, 3: 2, 5: 2, 4: 3}
+
+
+def test_bfs_multi_source_takes_min_and_budget_truncates(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (2, 5), (9, 10)]
+    # Sources {1, 4}: node 3 is 1 hop from 4 (not 2 from 1).
+    got = _bfs_dict(spark, edges, [1, 4], max_hops=6)
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1, 5: 2}
+    # max_hops=1 truncates honestly; isolated source 42 is dist 0.
+    got = _bfs_dict(spark, edges, [1, 42], max_hops=1)
+    assert got == {1: 0, 42: 0, 2: 1}
+
+
+def test_bfs_directed_follows_arcs_only(spark):
+    edges = [(1, 2), (2, 3), (4, 1)]
+    got = _bfs_dict(spark, edges, [1], max_hops=4, directed=True)
+    assert got == {1: 0, 2: 1, 3: 2}  # 4 only reaches INTO 1
+
+
+def test_bfs_matches_python_twin_on_random_graph(spark):
+    import collections
+    import random
+
+    rng = random.Random(11)
+    nodes = list(range(40))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(70)]
+    sources = [0, 7]
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    for h in range(1, 7):
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = h
+                    nxt.add(v)
+        frontier = nxt
+    assert _bfs_dict(spark, edges, sources, max_hops=6) == dist
+
+
+def test_bfs_validation(spark):
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    s = spark.createDataFrame([(1,)], "node long")
+    from proyecto_final_de_big_data_spark.operators.graph import bfs_distances
+
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_distances(e, s, max_hops=0)

@@ -86,5 +86,8 @@ def test_keyness_min_count_and_validation(spark):
         llr_keyness(_docs(spark), "grp", "text", "x", k=0)
     with pytest.raises(ValueError, match="min_count"):
         llr_keyness(_docs(spark), "grp", "text", "x", min_count=0)
-    with pytest.raises(ValueError, match="both\\s+sides|non-empty"):
-        llr_keyness(_docs(spark), "grp", "text", "nope")
+    # The one-sided guard is IN-PLAN (raise_error — construction stays
+    # lazy, r10 ADVICE item), so it surfaces on the first action as a
+    # Spark-side runtime error carrying the friendly message.
+    with pytest.raises(Exception, match="both sides non-empty"):
+        llr_keyness(_docs(spark), "grp", "text", "nope").collect()

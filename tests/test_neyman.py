@@ -78,3 +78,12 @@ def test_validation_and_null_exclusion(spark):
         for r in neyman_allocation(with_null, ["stratum"], "x", 10).collect()
     }
     assert out["a"] == 2  # NULL excluded from the moments
+
+
+def test_overflow_guard_fires_in_plan(spark):
+    # cap = (2^63-1) div total_n; with total_n = 2^60 the cap is 7, so
+    # stratum a's wi = 10000 must hard-fail with the rescaling remedy
+    # (and only on action — construction stays lazy).
+    df = neyman_allocation(_df(spark), ["stratum"], "x", 2**60)
+    with pytest.raises(Exception, match="overflow BIGINT"):
+        df.collect()

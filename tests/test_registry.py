@@ -275,12 +275,12 @@ def test_window_covers_every_family():
                                      # algebra; the stratified CMH +
                                      # msprt + srm keep the family
                                      # in-window)
-        "srm_contract",              # assignment-integrity check (NEW
-                                     # r10; gates this round's
-                                     # abtest.py change — the
-                                     # power-planning twin rotated out
-                                     # r8, DiD r10, both full-catalog
-                                     # attested)
+        "cmh_contract",              # assignment/stratified-integrity
+                                     # family (SRM rotated out r11
+                                     # first-round green on unchanged
+                                     # abtest.py; the power-planning
+                                     # twin rotated out r8, DiD r10 —
+                                     # all full-catalog attested)
         "ml_tree_ensemble_contract", # batch scoring machinery (the
                                      # save/load score twin rotated
                                      # out r8 after r6+r7 green on
@@ -316,8 +316,11 @@ def test_window_covers_every_family():
                                      # drift twin rotated out late-r8
                                      # after r6+r7 green on unchanged
                                      # drift.py; EWMA rotated out r10)
-        "srm_contract",              # SRM assignment-integrity check
-                                     # (NEW r10; the KW+MWU rank twin
+        "bfs_distances_contract",    # multi-source BFS hop distances
+                                     # (NEW r11; gates this round's
+                                     # graph.py change — took SRM's
+                                     # slot after its r10 first-round
+                                     # green; the KW+MWU rank twin
                                      # rotated out after late-r8+r9
                                      # green on unchanged hyptest.py —
                                      # anova + bh_fdr keep that module
@@ -362,11 +365,17 @@ def test_window_covers_every_family():
                                      # twins rotated out; the same
                                      # distinct+groupBy+cap basket
                                      # frame feeds the FP-Growth fit)
-        "knn_ann_ivf_increment_contract",  # quantized-ANN maintenance
-                                     # (NEW r10; the plain PQ-ADC twin
-                                     # rotated out after r8+r9 green on
-                                     # unchanged pq.py — the refine
-                                     # gate keeps PQ-ADC in-window)
+        "ranking_metrics_contract",  # NDCG/MRR/hit retrieval grading
+                                     # (NEW r11; took the incremental-
+                                     # IVF slot after its r10 first-
+                                     # round green on unchanged
+                                     # similarity_ivf.py — the refine
+                                     # gate keeps quantized ANN
+                                     # in-window, hybrid_search_rrf
+                                     # keeps the rank-frame producer)
+        "knn_ann_ivf_pq_refine_recall",  # quantized-ANN machinery
+                                     # (IVF + PQ-ADC + exact refine —
+                                     # the family's in-window rep)
         "robust_outlier_profile",    # median/MAD outlier fence
         "correlation_matrix_contract",  # stats family (the chi2/MI twin
                                      # rotated out r8 after r7 green)
