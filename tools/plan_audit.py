@@ -118,6 +118,8 @@ HEADLINERS = {
     "neyman_allocation_contract": "Neyman allocation — stratum moment agg, scalar W crossJoin, remainder window over the 25-row stratum frame; BIGINT div/mod seats",
     "cmh_contract": "CMH stratified test — one conditional agg to the per-stratum 2x2 cells, stratum-cardinality projection, answer-scale reduce",
     "llr_keyness_contract": "LLR keyness — explode + term-keyed conditional agg, scalar totals crossJoin, TakeOrderedAndProject top-k; rank after the 20-row limit",
+    "bfs_distances_contract": "BFS hop distances — 6 fixed frontier rounds (semi-join + distinct + anti-join per round, all node-keyed), settled frame grows monotonically, census groupBy; no windows, no Python, no cartesian",
+    "ranking_metrics_contract": "NDCG/MRR/hit ranking metrics — answer-scale top-10 + judgement frames, per-query windows only, one (query,item) equi-join, two (query,k) aggs; k-frame explode is 2 literals",
 }
 
 
