@@ -644,7 +644,15 @@ _VERIFICATION_WINDOW = [
     # readout, the Simpson's-paradox-safe sibling of the rotated
     # fixed-horizon gates); DiD stays full-catalog attested + pytest
     # hand-fixture gated.
-    "cmh_contract",
+    # r11 (late): cmh_contract (r10 first-round hash-green; abtest.py
+    # unchanged this round) hands its slot to pmi_collocations_contract
+    # — PMI adjacent-bigram collocations (operators/collocations.py,
+    # Church & Hanks 1990), new this round (same-round-slot rule), the
+    # within-corpus association sibling of the in-window keyness gate.
+    # The experimentation family keeps msprt_contract in-window (the
+    # same abtest.py sufficient-sum machinery); CMH stays full-catalog
+    # attested + pytest DuckDB-parity gated.
+    "pmi_collocations_contract",
     # Late-r8: knn_ann_ivf_sq_recall (r7 first-round green;
     # similarity_ivf.py and quantize.py unchanged this round) hands its
     # slot to jw_name_match_profile — the blocked Jaro-Winkler ER join

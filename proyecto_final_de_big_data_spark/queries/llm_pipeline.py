@@ -3273,3 +3273,70 @@ def q_jl_projection_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jl_distance_audit(
         emb, "vec_id", "embedding", dim=64, k=16, max_ids=30
     )
+
+
+@register(
+    "pmi_collocations_contract",
+    oracle=r"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                           w -> len(w) > 0) AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ),
+    uni AS (
+        SELECT u.term AS term, count(*) AS c
+        FROM toks, unnest(ws) AS u(term) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM uni),
+    btot AS (SELECT CAST(count(*) AS DOUBLE) AS bb FROM bg),
+    pc AS (
+        SELECT w1, w2, count(*) AS n_pair
+        FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    s AS (
+        SELECT p.w1, p.w2, p.n_pair, u1.c AS n_w1, u2.c AS n_w2,
+               ln(CAST(p.n_pair AS DOUBLE) * tot.nn * tot.nn
+                  / (btot.bb * CAST(u1.c AS DOUBLE)
+                     * CAST(u2.c AS DOUBLE))) AS pmi_raw
+        FROM pc p
+        JOIN uni u1 ON u1.term = p.w1
+        JOIN uni u2 ON u2.term = p.w2
+        CROSS JOIN tot CROSS JOIN btot
+    )
+    SELECT w1, w2, n_pair, n_w1, n_w2,
+           round(pmi_raw, 6) AS pmi,
+           CAST(row_number() OVER (ORDER BY pmi_raw DESC, w1 ASC, w2 ASC)
+                AS INTEGER) AS rank
+    FROM s
+    ORDER BY pmi_raw DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+    description="PMI collocations (operators/collocations.py:"
+    "pmi_collocations, Church & Hanks CL 1990): the top-20 adjacent "
+    "word pairs of the documents corpus by pointwise mutual "
+    "information ln(c_xy*N*N/(B*c_x*c_y)) with a min_count=5 bigram "
+    "noise floor (PMI's classic failure mode is hapax pairs scoring "
+    "maximal) and (w1, w2) tie-breaks — the phrase-mining readout a "
+    "tokenizer/vocabulary designer runs before committing merges, "
+    "the within-corpus association sibling of the keyness gate's "
+    "between-slice G2. Bigrams build as a map-only arrays_zip of two "
+    "token-array slices INSIDE the scan stage (pairing per document "
+    "in the projection — no posexplode self-join, bigrams never "
+    "cross documents), then ONE bigram-keyed count agg + ONE "
+    "term-keyed unigram agg (both map-side combined, the tf-idf "
+    "shuffle shape), two 1-row scalar totals crossJoined in, and "
+    "TakeOrderedAndProject top-k — rank assigned AFTER the 20-row "
+    "limit, never a vocabulary-wide window. Counts are integers "
+    "entering one shared-operation-order double expression. "
+    "Hand-worked ln(49/9) exact-tie fixture + pure-Python "
+    "Counter twin on a random corpus in tests/test_collocations.py.",
+)
+def q_pmi_collocations_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.collocations import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return pmi_collocations(docs, "text", k=20, min_count=5)

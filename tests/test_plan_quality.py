@@ -987,3 +987,16 @@ def test_ranking_metrics_windows_partition_per_query(spark, sf_dir):
     for m in _re.finditer(r"Window \[(.*?)\]", plan):
         assert "partitionBy" not in m.group(1) or True
     assert "Generate explode" in plan or "explode" in plan  # the k-frame
+
+
+def test_pmi_bigrams_pair_in_scan_stage_no_self_join(spark, sf_dir):
+    # The bigram stream must come from a per-document arrays_zip
+    # projection (Generate over the scan), never a token-scale
+    # self-join; totals reach the scorer as broadcast 1-row frames.
+    plan = _plan(spark, sf_dir, "pmi_collocations_contract")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PythonUDF" not in plan
+    # the ONLY window is the final rank row_number over the already
+    # 20-row-limited frame (rank after the limit, the keyness shape)
+    assert plan.count("(1) Window") + plan.count("Window (") <= 2

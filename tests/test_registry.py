@@ -268,19 +268,18 @@ def test_window_covers_every_family():
                                      # percentiles + robust profile
                                      # keep quantile segmentation)
         "session_path_profile",      # sessionized path analysis
-        "cmh_contract",              # experimentation family (the
-                                     # proportion z-test twin rotated
-                                     # out r8, CUPED + DiD r10 — all
-                                     # after green rounds on untouched
-                                     # algebra; the stratified CMH +
-                                     # msprt + srm keep the family
-                                     # in-window)
-        "cmh_contract",              # assignment/stratified-integrity
-                                     # family (SRM rotated out r11
-                                     # first-round green on unchanged
+        "msprt_contract",            # experimentation family rep (SRM
+                                     # and CMH rotated out r11 after
+                                     # first-round greens on unchanged
                                      # abtest.py; the power-planning
                                      # twin rotated out r8, DiD r10 —
                                      # all full-catalog attested)
+        "pmi_collocations_contract", # PMI phrase mining (NEW r11;
+                                     # took CMH's slot — the
+                                     # within-corpus association
+                                     # sibling of llr_keyness, which
+                                     # keeps the term-stats family
+                                     # in-window)
         "ml_tree_ensemble_contract", # batch scoring machinery (the
                                      # save/load score twin rotated
                                      # out r8 after r6+r7 green on

@@ -120,6 +120,7 @@ HEADLINERS = {
     "llr_keyness_contract": "LLR keyness — explode + term-keyed conditional agg, scalar totals crossJoin, TakeOrderedAndProject top-k; rank after the 20-row limit",
     "bfs_distances_contract": "BFS hop distances — 6 fixed frontier rounds (semi-join + distinct + anti-join per round, all node-keyed), settled frame grows monotonically, census groupBy; no windows, no Python, no cartesian",
     "ranking_metrics_contract": "NDCG/MRR/hit ranking metrics — answer-scale top-10 + judgement frames, per-query windows only, one (query,item) equi-join, two (query,k) aggs; k-frame explode is 2 literals",
+    "pmi_collocations_contract": "PMI collocations — scan-stage arrays_zip bigram pairing (no self-join), one bigram-keyed + one term-keyed count agg, scalar totals crossJoin, TakeOrderedAndProject top-20",
 }
 
 
