@@ -721,6 +721,12 @@ def bfs_distances(
         sym = e.union(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+    # The edge frame is INVARIANT across rounds (unlike k_core's
+    # shrinking peel) but referenced by every round's expansion join —
+    # pin it once so the base scans/joins that build it run once, not
+    # max_hops times (lazy localCheckpoint, the winnow.py barrier
+    # discipline; swap for checkpoint/cache on a real cluster).
+    sym = sym.localCheckpoint(eager=False)
     settled = (
         sources.select(F.col(node).alias("node"))
         .distinct()
