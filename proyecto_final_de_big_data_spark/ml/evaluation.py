@@ -382,9 +382,12 @@ def ranking_metrics(
     """
     if not query_cols or not item_cols:
         raise ValueError("ranking_metrics needs query_cols and item_cols")
+    # Coerce BEFORE the distinctness check: float ks that collide after
+    # truncation (e.g. [1, 1.5]) would otherwise double-count every
+    # (query, k) aggregate through the k-frame explode.
+    ks = sorted(int(k) for k in ks)
     if not ks or any(k < 1 for k in ks) or len(set(ks)) != len(ks):
         raise ValueError(f"ks must be distinct positive ints; got {ks}")
-    ks = sorted(int(k) for k in ks)
 
     rk = F.col(rank_col)
     checked_rank = F.when(

@@ -20,12 +20,14 @@ Scale shape (100 TB): bigrams build as a map-only ``arrays_zip`` of
 two token-array slices inside the scan stage (no posexplode self-join
 — pairing happens per document in the projection), then ONE
 bigram-keyed count aggregation (map-side combined, the tf-idf shuffle
-shape); unigram counts are ONE term-keyed aggregation over a second
-scan of the pruned text column (two scans of one column beat
-materializing the token stream); totals are two 1-row frames
-crossJoined in (broadcast by construction); top-k is
-TakeOrderedAndProject — rank assigned after the k-row limit, never a
-vocabulary-wide window.
+shape) whose vocabulary-scale result is lazy-checkpointed because it
+is read twice — the B total is Σ n_pair over the UNFILTERED pair
+counts, so the bigram explode never runs a second data-scale pass;
+unigram counts are ONE term-keyed aggregation over a second scan of
+the pruned text column (two scans of one column beat materializing
+the token stream); totals are two 1-row frames crossJoined in
+(broadcast by construction); top-k is TakeOrderedAndProject — rank
+assigned after the k-row limit, never a vocabulary-wide window.
 
 Extension surface — the reference has no text-statistics stage;
 extension per SURVEY §8, the collocation sibling of
@@ -70,18 +72,28 @@ def pmi_collocations(
     bigram = docs.select(F.explode(pairs_col).alias("__p")).select(
         F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
     )
-    pair_counts = bigram.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("n_pair")
+    # The pair-count frame is read twice (the B total + the scored
+    # ranking) — lazy-checkpoint it so the corpus explode runs ONCE
+    # (the llr_keyness barrier discipline; B = Σ n_pair over the
+    # UNFILTERED pair counts equals the raw bigram count exactly, so
+    # no second data-scale pass is needed for the total).
+    pair_counts_all = (
+        bigram.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=False)
     )
+    b_frame = pair_counts_all.agg(
+        F.sum("n_pair").cast("double").alias("__B")
+    )
+    pair_counts = pair_counts_all
     if min_count > 1:
-        pair_counts = pair_counts.filter(F.col("n_pair") >= min_count)
+        pair_counts = pair_counts_all.filter(F.col("n_pair") >= min_count)
 
     uni = docs.select(F.explode(toks).alias("term"))
     uni_counts = uni.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
     n_frame = uni_counts.agg(
         F.sum("__c").cast("double").alias("__N")
     )
-    b_frame = bigram.agg(F.count(F.lit(1)).cast("double").alias("__B"))
 
     w1c = uni_counts.select(
         F.col("term").alias("w1"), F.col("__c").alias("n_w1")

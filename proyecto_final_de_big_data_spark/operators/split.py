@@ -369,14 +369,17 @@ def neyman_allocation(
     comparison is BIGINT arithmetic, so the allocation is reproducible
     across engines/partitionings bit-for-bit (the mixing.py
     integer-limb posture). The bit-exactness claim holds while
-    ``total_n · max(wi)`` fits in a signed 64-bit long (wi ≈
-    1000·N_h·S_h, so e.g. N_h ≈ 1e12 with S_h ≈ 1e4 already exceeds
-    2⁶³ under a 1000-unit budget); the plan hard-fails with a friendly
-    in-plan error past that bound instead of wrapping silently —
-    rescale ``value_col`` (S_h is scale-covariant, the allocation is
-    scale-invariant) if you genuinely hold such strata. (Independently,
-    wi itself rides a double rounding and is integer-exact only below
-    2⁵³ — same rescaling remedy.) ``S_h`` is the population stddev from
+    ``total_n · W`` (W = Σ wi, wi ≈ 1000·N_h·S_h — so e.g. N_h ≈ 1e12
+    with S_h ≈ 1e4 already exceeds 2⁶³ under a 1000-unit budget) fits
+    in a signed 64-bit long; the plan hard-fails with a friendly
+    in-plan error past that bound instead of wrapping silently (W is
+    summed in DECIMAL(38,0) on the way to the check, so the guard
+    itself cannot wrap; wi ≤ W makes the one W-level check cover every
+    per-stratum product too) — rescale ``value_col`` (S_h is
+    scale-covariant, the allocation is scale-invariant) if you
+    genuinely hold such strata. (Independently, wi itself rides a
+    double rounding and is integer-exact only below 2⁵³ — same
+    rescaling remedy.) ``S_h`` is the population stddev from
     moment sums (clamped at 0); NULL/NaN values are excluded. When
     every weight is 0 (all strata constant) the allocation is
     undefined and ``n_alloc`` is NULL (reported honestly). Note the
@@ -417,31 +420,41 @@ def neyman_allocation(
         ),
         decimals,
     )
-    # Overflow guard IN-PLAN (raise_error, keeps construction lazy):
-    # the seat arithmetic below multiplies total_n * __wi in BIGINT,
-    # so any wi above (2^63-1) div total_n would wrap silently and
-    # break the bit-exactness contract — hard-fail with the rescaling
-    # remedy instead (docstring bound).
-    wi_raw = F.round(F.col("n_records") * sd * F.lit(1000.0), 0).cast("long")
-    wi_cap = (2**63 - 1) // int(total_n)
-    wi_checked = F.when(wi_raw <= F.lit(wi_cap), wi_raw).otherwise(
-        F.raise_error(
-            F.format_string(
-                "neyman_allocation: stratum weight %d exceeds "
-                f"(2^63-1) div total_n = {wi_cap} — total_n * wi "
-                "would overflow BIGINT; rescale value_col (the "
-                "allocation is scale-invariant) or shrink the budget",
-                wi_raw,
-            )
-        )
-    )
     weighted = mom.select(
         *stratum_cols,
         "n_records",
         sd.alias("stddev"),
-        wi_checked.alias("__wi"),
+        F.round(F.col("n_records") * sd * F.lit(1000.0), 0)
+        .cast("long")
+        .alias("__wi"),
     )
-    w_frame = weighted.agg(F.sum("__wi").alias("__W"))
+    # Overflow guard IN-PLAN (raise_error, keeps construction lazy):
+    # the seat arithmetic below multiplies total_n * __wi in BIGINT and
+    # divides/mods by W = Σwi, so BOTH every product and W itself must
+    # fit a signed long. One guard covers both: wi <= W (weights are
+    # non-negative), so W <= (2^63-1) div total_n bounds every
+    # total_n*wi too — and W is summed in DECIMAL(38,0), which cannot
+    # itself wrap on the way to the check (a plain long sum would
+    # overflow silently under Spark's non-ANSI default, which is
+    # exactly the failure this guard exists to surface).
+    wi_cap = (2**63 - 1) // int(total_n)
+    w_dec = F.sum(F.col("__wi").cast("decimal(38,0)"))
+    w_checked = F.when(
+        F.coalesce(w_dec, F.lit(0).cast("decimal(38,0)"))
+        <= F.lit(wi_cap).cast("decimal(38,0)"),
+        w_dec.cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "neyman_allocation: weight sum %s exceeds "
+                f"(2^63-1) div total_n = {wi_cap} — total_n * wi "
+                "would overflow BIGINT; rescale value_col (the "
+                "allocation is scale-invariant) or shrink the budget",
+                w_dec.cast("string"),
+            )
+        ).cast("long")
+    )
+    w_frame = weighted.agg(w_checked.alias("__W"))
     quota = weighted.crossJoin(F.broadcast(w_frame)).select(
         *stratum_cols,
         "n_records",

@@ -2470,7 +2470,7 @@ def q_benford_profile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, ds, vs,
                list_transform(vs, x -> CASE WHEN sigma > 0
                                             THEN (x - mu) / sigma
-                                            ELSE 0.0 END) AS z
+                                            ELSE 0.0::DOUBLE END) AS z
         FROM sig
     ),
     cs AS (
@@ -2484,9 +2484,11 @@ def q_benford_profile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 list_transform(z[1:i],
                                                zz -> {'pos': zz, 'neg': zz})),
                             (a, e) -> {'pos': GREATEST(CAST(0.0 AS DOUBLE),
-                                                       a.pos + e.pos - 0.5),
+                                                       a.pos + e.pos
+                                                       - 0.5::DOUBLE),
                                        'neg': LEAST(CAST(0.0 AS DOUBLE),
-                                                    a.neg + e.neg + 0.5)})
+                                                    a.neg + e.neg
+                                                    + 0.5::DOUBLE)})
                ) AS states
         FROM zs
     )

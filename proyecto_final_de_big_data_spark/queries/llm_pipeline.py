@@ -253,7 +253,7 @@ def q_simhash_banding_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id < 300
     ), planted AS (
-        SELECT vec_id + 1000000 AS vec_id, list_transform(ev, x -> x * 1.01) AS ev
+        SELECT vec_id + 1000000 AS vec_id, list_transform(ev, x -> x * 1.01::DOUBLE) AS ev
         FROM base WHERE vec_id < 20
     ), v AS (
         SELECT * FROM base UNION ALL SELECT * FROM planted
@@ -1512,7 +1512,7 @@ def q_curate_documents_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE base AS (
         SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id < 300
     ), planted AS (
-        SELECT vec_id + 1000000 AS vec_id, list_transform(ev, x -> x * 1.01) AS ev
+        SELECT vec_id + 1000000 AS vec_id, list_transform(ev, x -> x * 1.01::DOUBLE) AS ev
         FROM base WHERE vec_id < 20
     ), v AS (
         SELECT * FROM base UNION ALL SELECT * FROM planted

@@ -61,18 +61,51 @@ def test_no_struct_accumulators_in_folds() -> None:
     assert not offenders, f"struct accumulator risk in oracle(s): {offenders}"
 
 
+def _lambda_bodies(sql: str) -> list[str]:
+    """Every `-> <body>` region of the SQL, where the body runs until
+    the parenthesis depth drops below the arrow's depth (i.e. the
+    wrapping list_reduce/list_transform/list_filter call closes) or a
+    top-level argument comma at that depth ends it. Multi-line bodies
+    are captured whole — the r11 review found the old single-line grep
+    never scanned the holt_winters fold's continuation lines."""
+    bodies = []
+    i = 0
+    while True:
+        j = sql.find("->", i)
+        if j < 0:
+            break
+        depth = 0
+        body = []
+        for ch in sql[j + 2 :]:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    break
+            body.append(ch)
+        bodies.append("".join(body))
+        i = j + 2
+    return bodies
+
+
 def test_uncast_decimal_literals_in_lambdas() -> None:
-    """Every numeric literal inside a reduce/transform lambda must be
-    ::DOUBLE-cast (decimal lambda poisoning). Heuristic: a `-> ` lambda
-    body line containing a bare `0.N *` multiply without a cast."""
-    pat = re.compile(r"->[^\n]*\b\d+\.\d+\s*\*")
-    cast = re.compile(r"(\d+\.\d+::DOUBLE|CAST\(\s*\d+\.\d+\s+AS\s+DOUBLE\))")
+    """Every decimal literal inside a reduce/transform lambda must be
+    ::DOUBLE-cast or CAST(... AS DOUBLE)-wrapped (decimal lambda
+    poisoning — DuckDB evaluates bare `0.3 * x` in truncating DECIMAL
+    math inside lambdas). Scans FULL lambda bodies, not single lines."""
+    lit = re.compile(r"(CAST\(\s*)?(\d+\.\d+)(::DOUBLE)?")
     offenders = []
     for k, sql in ORACLES.items():
-        for line in sql.splitlines():
-            m = pat.search(line)
-            if m and not cast.search(line):
-                offenders.append((k, line.strip()[:80]))
+        for body in _lambda_bodies(sql):
+            for m in lit.finditer(body):
+                if m.group(3):  # 0.3::DOUBLE
+                    continue
+                if m.group(1) and re.match(
+                    r"\s*AS\s+DOUBLE", body[m.end(2) :]
+                ):  # CAST(0.3 AS DOUBLE)
+                    continue
+                offenders.append((k, m.group(2), body.strip()[:60]))
     assert not offenders, f"uncast decimal literal in lambda: {offenders}"
 
 
