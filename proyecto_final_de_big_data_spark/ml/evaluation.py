@@ -365,13 +365,24 @@ def ranking_metrics(
     - ``mrr``: 1/rank of the first relevant system row within k, 0.0
       when none (NULL when n_rel = 0, as for ndcg);
     - ``hit``: boolean, any relevant system row within k (NULL when
-      n_rel = 0).
+      n_rel = 0);
+    - ``precision`` / ``recall``: (#relevant system rows at rank <= k)
+      over k and over n_rel respectively — BINARY relevance (rel > 0
+      counts as relevant; grading enters ndcg only, the TREC
+      convention). NULL when n_rel = 0, like ndcg;
+    - ``ap``: average precision at k (the MAP summand; Buckley &
+      Voorhees, SIGIR 2000 convention): Σ over relevant system rows
+      at rank i <= k of (cum_rel@i / i), divided by min(n_rel, k) —
+      so a perfect head ranking scores 1.0 regardless of tail
+      truncation. 0.0 when nothing relevant retrieved, NULL when
+      n_rel = 0.
 
     Scale shape (100 TB): both inputs are answer-scale by construction
     (top-N per query; human judgements) — the corpus appears nowhere.
     One broadcast-sized k-frame explode, one (query,item) equi-join,
-    two (query,k)-keyed aggregations and one answer-scale window over
-    the TRUTH frame (rel desc ideal ordering, partitioned per query —
+    two (query,k)-keyed aggregations and two answer-scale per-query
+    windows (the TRUTH-frame ideal ordering and the SYSTEM-frame
+    cumulative-relevance count for AP — both partitioned per query,
     never data-scale). Everything stays JVM-side; gains/logs are
     closed-form IEEE arithmetic a DuckDB oracle restates bit-for-bit
     before the ``decimals`` rounding.
@@ -439,15 +450,29 @@ def ranking_metrics(
         )
     )
 
-    # System side: rank-gated DCG / first-relevant reciprocal rank.
+    # System side: rank-gated DCG / first-relevant reciprocal rank /
+    # cumulative-relevance precision terms for AP. The cumulative count
+    # windows per query in rank order (item tie-break so duplicate
+    # caller ranks stay deterministic) — answer-scale, over the top-N.
     sys = ranked.select(
         *query_cols, *item_cols, checked_rank.alias("__rank")
     ).join(judged, [*query_cols, *item_cols], "left")
     sys_rel = F.coalesce(F.col("__rel"), F.lit(0.0))
-    gain_sys = F.pow(F.lit(2.0), sys_rel) - F.lit(1.0)
+    w_cum = (
+        Window.partitionBy(*query_cols)
+        .orderBy(F.asc("__rank"), *[F.asc(c) for c in item_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sys = sys.select(
+        *query_cols,
+        "__rank",
+        sys_rel.alias("__rel"),
+        F.sum((sys_rel > 0).cast("long")).over(w_cum).alias("__cum_rel"),
+    )
+    gain_sys = F.pow(F.lit(2.0), F.col("__rel")) - F.lit(1.0)
     at_k = F.col("__rank") <= F.col("k")
     sysk = (
-        sys.select(*query_cols, "__rank", sys_rel.alias("__rel"), kf)
+        sys.select(*query_cols, "__rank", "__rel", "__cum_rel", kf)
         .groupBy(*query_cols, "k")
         .agg(
             F.sum(
@@ -463,6 +488,15 @@ def ranking_metrics(
                 )
             ).alias("__rr"),
             F.sum(at_k.cast("long")).alias("n_ranked"),
+            F.sum(
+                (at_k & (F.col("__rel") > 0)).cast("long")
+            ).alias("__n_hit"),
+            F.sum(
+                F.when(
+                    at_k & (F.col("__rel") > 0),
+                    F.col("__cum_rel").cast("double") / F.col("__rank"),
+                )
+            ).alias("__ap_num"),
         )
     )
 
@@ -486,4 +520,35 @@ def ranking_metrics(
         F.when(has_rel, F.coalesce(F.col("__rr") > 0, F.lit(False))).alias(
             "hit"
         ),
+        F.round(
+            F.when(
+                has_rel,
+                F.coalesce(
+                    F.col("__n_hit").cast("double") / F.col("k"), F.lit(0.0)
+                ),
+            ),
+            decimals,
+        ).alias("precision"),
+        F.round(
+            F.when(
+                has_rel,
+                F.coalesce(
+                    F.col("__n_hit").cast("double")
+                    / F.col("n_rel").cast("double"),
+                    F.lit(0.0),
+                ),
+            ),
+            decimals,
+        ).alias("recall"),
+        F.round(
+            F.when(
+                has_rel,
+                F.coalesce(
+                    F.col("__ap_num")
+                    / F.least(F.col("n_rel"), F.col("k")).cast("double"),
+                    F.lit(0.0),
+                ),
+            ),
+            decimals,
+        ).alias("ap"),
     )

@@ -1090,7 +1090,12 @@ def q_learning_curve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ideal, ks GROUP BY 1, 2
     ),
     sysj AS (
-        SELECT r.custkey, r.rnk, coalesce(t.rel, 0.0::DOUBLE) AS rel
+        SELECT r.custkey, r.rnk, coalesce(t.rel, 0.0::DOUBLE) AS rel,
+               sum(CASE WHEN coalesce(t.rel, 0.0::DOUBLE) > 0
+                   THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY r.custkey
+                         ORDER BY r.rnk ASC, r.partkey ASC
+                         ROWS UNBOUNDED PRECEDING) AS cum_rel
         FROM ranked r LEFT JOIN truth t USING (custkey, partkey)
     ),
     sysk AS (
@@ -1101,7 +1106,11 @@ def q_learning_curve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(CASE WHEN rnk <= k AND rel > 0
                    THEN 1.0::DOUBLE / rnk END) AS rr,
                CAST(sum(CASE WHEN rnk <= k THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_ranked
+                    AS BIGINT) AS n_ranked,
+               CAST(sum(CASE WHEN rnk <= k AND rel > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               sum(CASE WHEN rnk <= k AND rel > 0
+                   THEN CAST(cum_rel AS DOUBLE) / rnk END) AS ap_num
         FROM sysj, ks GROUP BY 1, 2
     )
     SELECT i.custkey, CAST(i.k AS INT) AS k, i.n_rel,
@@ -1112,13 +1121,28 @@ def q_learning_curve_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CASE WHEN i.n_rel > 0
                  THEN coalesce(s.rr, 0.0::DOUBLE) END, 6) AS mrr,
            CASE WHEN i.n_rel > 0
-                THEN coalesce(s.rr > 0, FALSE) END AS hit
+                THEN coalesce(s.rr > 0, FALSE) END AS hit,
+           round(CASE WHEN i.n_rel > 0
+                 THEN coalesce(CAST(s.n_hit AS DOUBLE) / i.k,
+                               0.0::DOUBLE) END, 6) AS precision,
+           round(CASE WHEN i.n_rel > 0
+                 THEN coalesce(CAST(s.n_hit AS DOUBLE)
+                               / CAST(i.n_rel AS DOUBLE),
+                               0.0::DOUBLE) END, 6) AS recall,
+           round(CASE WHEN i.n_rel > 0
+                 THEN coalesce(s.ap_num
+                               / CAST(LEAST(i.n_rel, CAST(i.k AS BIGINT))
+                                      AS DOUBLE),
+                               0.0::DOUBLE) END, 6) AS ap
     FROM idcg i LEFT JOIN sysk s ON i.custkey = s.custkey AND i.k = s.k
     """,
     description="Graded ranking-quality evaluation — NDCG@k / MRR@k / "
-    "hit@k (ml/evaluation.py:ranking_metrics, Järvelin & Kekäläinen "
-    "TOIS'02 / Voorhees TREC-8) over a deterministic retrieval "
-    "scenario on customers < 100: the 'system' ranks each customer's "
+    "hit@k / precision@k / recall@k / AP@k (ml/evaluation.py:"
+    "ranking_metrics, Järvelin & Kekäläinen TOIS'02 / Voorhees TREC-8 "
+    "/ Buckley & Voorhees SIGIR'00 for the min(n_rel,k) AP "
+    "denominator; AP's cumulative-precision terms ride ONE "
+    "answer-scale per-query window over the system frame) over a "
+    "deterministic retrieval scenario on customers < 100: the 'system' ranks each customer's "
     "top-10 parts by exact BIGINT quantity (integer-valued doubles "
     "summed then cast — order-independent, ties to partkey asc), the "
     "'judgements' grade every returned part (l_returnflag = 'R') by "

@@ -48,13 +48,21 @@ def test_binary_hand_worked(spark):
     assert r["ndcg"] == round(1.5 / idcg, 6)
     assert r["mrr"] == 1.0 and r["hit"] is True
     assert r["n_rel"] == 3 and r["n_ranked"] == 3
+    # hits a@1, b@3: precision 2/3, recall 2/3,
+    # AP = (P@1 + P@3)/min(3,3) = (1 + 2/3)/3 = 5/9
+    assert r["precision"] == round(2.0 / 3.0, 6)
+    assert r["recall"] == round(2.0 / 3.0, 6)
+    assert r["ap"] == round(5.0 / 9.0, 6)
 
     r1 = _row(rows, "q1", 1)
     assert r1["ndcg"] == 1.0 and r1["mrr"] == 1.0 and r1["n_ranked"] == 1
+    assert r1["precision"] == 1.0 and r1["recall"] == round(1.0 / 3.0, 6)
+    assert r1["ap"] == 1.0  # min(n_rel, k) denominator: perfect head
 
     r2 = _row(rows, "q2", 3)
     assert r2["ndcg"] == 0.0 and r2["mrr"] == 0.0 and r2["hit"] is False
     assert r2["n_rel"] == 1 and r2["n_ranked"] == 2
+    assert r2["precision"] == 0.0 and r2["recall"] == 0.0 and r2["ap"] == 0.0
 
 
 def test_graded_and_zero_rel_query(spark):
@@ -75,10 +83,14 @@ def test_graded_and_zero_rel_query(spark):
     idcg = 3.0 + 1.0 / math.log2(3.0)
     assert r["ndcg"] == round(dcg / idcg, 6)
     assert r["mrr"] == 1.0 and r["hit"] is True and r["n_rel"] == 2
+    # both retrieved rows relevant (grading is binary for P/R/AP)
+    assert r["precision"] == 1.0 and r["recall"] == 1.0 and r["ap"] == 1.0
 
     r3 = _row(rows, "q3", 2)
     assert r3["n_rel"] == 0
     assert r3["ndcg"] is None and r3["mrr"] is None and r3["hit"] is None
+    assert r3["precision"] is None and r3["recall"] is None
+    assert r3["ap"] is None
 
 
 def test_truth_universe_and_missing_system_query(spark):
