@@ -225,22 +225,25 @@ from . import quality  # noqa: E402,F401
 # winnowing_fingerprint, ml_cv, basket_size, heavy_hitter,
 # k_anonymity.
 # ----------------------------------------------------------------------
-# r11 EXECUTION of the plan above (amended per VERDICT r10): TWO swaps
-# only — srm_contract -> bfs_distances_contract (graph.py changed this
+# r11 EXECUTION of the plan above (amended per VERDICT r10): THREE
+# swaps — srm_contract -> bfs_distances_contract (graph.py changed this
 # round, so the three graph gates + the new BFS gate all stay/land
-# in-window) and knn_ann_ivf_increment_contract ->
+# in-window), knn_ann_ivf_increment_contract ->
 # ranking_metrics_contract (similarity_ivf.py unchanged;
 # hybrid_search_rrf + the IVF+PQ refine gate keep retrieval
+# in-window), and late-r11 cmh_contract -> pmi_collocations_contract
+# (abtest.py unchanged; msprt keeps the experimentation family
 # in-window). holt_winters_contract is NOT rotation currency (r10
 # driver-red on oracle portability; oracle restated r11 in the flat
 # grow-state style, gate held in-window until driver-green — VERDICT
 # r10 item 1). The keyness/linkage/split gates also stay in-window:
 # their modules changed this round (ADVICE fixes). Rotation plan for
 # r12: once the r11 window lands green, first-round-green currency =
-# bfs_distances, ranking_metrics (+ holt_winters if finally
-# driver-green, whose family sibling holt_forecast machinery stays
-# evidenced via the series family); the ten r10 greens listed above
-# remain currency where their modules are untouched in r12.
+# bfs_distances, ranking_metrics, pmi_collocations (+ holt_winters if
+# finally driver-green, whose family sibling holt_forecast machinery
+# stays evidenced via the series family); the remaining r10 greens
+# listed above stay currency where their modules are untouched in r12
+# (curate_span_strip is the one never-rotated r10 green left).
 # ----------------------------------------------------------------------
 _VERIFICATION_WINDOW = [
     # ------------------------------------------------------------------
