@@ -335,3 +335,153 @@ def bh_fdr(
         F.round(q, decimals).alias("q_value"),
         (q <= F.lit(float(alpha))).alias("reject"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    ref_label: str,
+    cur_label: str,
+    key_cols: list[str] | None = None,
+    alpha: float = 0.05,
+    decimals: int = 6,
+    round_decimals: int | None = None,
+    max_distinct: int = _DEFAULT_MAX_DISTINCT,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per key: one row
+    ``(*key_cols, n_ref, n_cur, ks_stat, d_crit, drifted)`` comparing
+    the ``value_col`` distribution of the ``ref_label`` rows against
+    the ``cur_label`` rows of ``side_col`` (Smirnov 1939 / Massey,
+    JASA 1951 — public literature). The distribution-shape sibling of
+    :func:`~..drift.psi_numeric`: PSI reads binned mass shift, KS
+    reads the exact maximum ECDF gap ``D = sup_x |F_ref(x) −
+    F_cur(x)|`` — the standard "did this feature drift between
+    training and serving" readout.
+
+    ``d_crit`` is the asymptotic two-sided critical value at
+    ``alpha``: ``c(α)·√((n₁+n₂)/(n₁·n₂))`` with ``c(α) =
+    √(−ln(α/2)/2)`` — evaluated in exactly that literal IEEE order
+    with c(α) precomputed driver-side to one double literal (ln is
+    libm-implementation-dependent; sqrt and the division are IEEE
+    exact-rounded, so embedding the constant keeps a SQL oracle
+    bit-comparable). ``drifted = D > d_crit`` compares the UNROUNDED
+    values. Both are NULL for a key where either sample is empty
+    (a one-sided key has no two-sample statistic — surfaced, not
+    dropped). Rows whose side is neither label, and NULL/NaN values
+    or NULL keys, are excluded up front (the _clean discipline).
+
+    D is exact: both ECDFs are step functions that only change at
+    observed values, so evaluating ``|F_ref − F_cur|`` on the distinct
+    ``(key, value)`` grid attains the supremum. All inputs to D are
+    integer cumulative counts divided by integer totals — no
+    accumulation-order float sums anywhere, which is what makes the
+    statistic bit-reproducible across partitionings.
+
+    Scale shape (100 TB): ONE ``(key, value)`` contingency aggregation
+    (map-side combined) reduces data scale to grid scale; the
+    cumulative ECDF window partitions BY KEY over that grid — per-key
+    grid cardinality is guarded at ``max_distinct`` (one
+    approx-count-distinct action, raises naming ``round_decimals`` as
+    the fix, the rank-test posture; with no keys the window is a
+    single answer-scale partition and the same guard applies); the
+    final reduce is key-cardinality. No data-scale window, no
+    collect, no crossJoin.
+
+    Extension surface — the reference has no statistics stage;
+    extension per SURVEY §8, completing the drift family (PSI reads
+    binned mass shift; KS reads exact ECDF distance).
+    """
+    import math
+
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if ref_label == cur_label:
+        raise ValueError("ks_two_sample needs two distinct side labels")
+    keys = list(key_cols or [])
+    v = F.col(value_col).cast("double")
+    if round_decimals is not None:
+        v = F.round(v, round_decimals)
+    clean = (
+        df.select(
+            *[F.col(c) for c in keys],
+            F.col(side_col).alias("__side"),
+            v.alias("x"),
+        )
+        .filter(
+            F.col("__side").isin(ref_label, cur_label)
+            & F.col("x").isNotNull()
+            & ~F.isnan("x")
+        )
+    )
+    for c in keys:
+        clean = clean.filter(F.col(c).isNotNull())
+    if keys:
+        row = (
+            clean.groupBy(*keys)
+            .agg(F.approx_count_distinct("x").alias("__d"))
+            .agg(F.max("__d").alias("__d"))
+            .first()
+        )
+        approx = row["__d"] if row is not None else None
+        if approx is not None and approx > max_distinct:
+            raise ValueError(
+                f"ks_two_sample: ~{approx:,} distinct metric values in "
+                f"one key exceeds max_distinct={max_distinct:,} — the "
+                "per-key ECDF grid window would become a data-scale "
+                "single-task sort. Pass round_decimals to discretize "
+                "the metric (explicit tie policy), or raise "
+                "max_distinct if the grid is genuinely answer-scale."
+            )
+    else:
+        _guard_distinct_grid(clean, max_distinct, "ks_two_sample")
+
+    cells = clean.groupBy(*keys, "x").agg(
+        F.sum(F.when(F.col("__side") == ref_label, 1).otherwise(0)).alias(
+            "c_ref"
+        ),
+        F.sum(F.when(F.col("__side") == cur_label, 1).otherwise(0)).alias(
+            "c_cur"
+        ),
+    )
+    w_cum = (
+        Window.partitionBy(*[F.col(c) for c in keys])
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*[F.col(c) for c in keys])
+    stepped = cells.select(
+        *keys,
+        F.sum("c_ref").over(w_cum).alias("cum_ref"),
+        F.sum("c_cur").over(w_cum).alias("cum_cur"),
+        F.sum("c_ref").over(w_all).alias("n_ref"),
+        F.sum("c_cur").over(w_all).alias("n_cur"),
+    )
+    both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    gap = F.when(
+        both,
+        F.abs(
+            F.col("cum_ref").cast("double") / F.col("n_ref").cast("double")
+            - F.col("cum_cur").cast("double") / F.col("n_cur").cast("double")
+        ),
+    )
+    per_key = stepped.groupBy(*keys).agg(
+        F.max("n_ref").cast("long").alias("n_ref"),
+        F.max("n_cur").cast("long").alias("n_cur"),
+        F.max(gap).alias("__d_raw"),
+    )
+    c_alpha = math.sqrt(-math.log(alpha / 2.0) * 0.5)
+    n1d = F.col("n_ref").cast("double")
+    n2d = F.col("n_cur").cast("double")
+    d_crit_raw = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        F.lit(c_alpha) * F.sqrt((n1d + n2d) / (n1d * n2d)),
+    )
+    return per_key.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        F.round(F.col("__d_raw"), decimals).alias("ks_stat"),
+        F.round(d_crit_raw, decimals).alias("d_crit"),
+        (F.col("__d_raw") > d_crit_raw).alias("drifted"),
+    )

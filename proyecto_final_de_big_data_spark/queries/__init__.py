@@ -369,7 +369,19 @@ _VERIFICATION_WINDOW = [
     # brute-force subsequence enumeration — different algebra from
     # the projection-database mining (the round's different-algebra
     # discipline, with FP-Growth's brute-force twin).
-    "seq_patterns_contract",
+    # r11 (late): seq_patterns_contract (r9+r10 hash-green,
+    # seqmine.py unchanged this round; the pattern-mining family
+    # keeps frequent_itemsets_contract + attribution's sequence
+    # machinery in-window) hands its slot to ks_drift_contract —
+    # per-key two-sample Kolmogorov-Smirnov drift (operators/
+    # hyptest.py:ks_two_sample, Smirnov 1939/Massey 1951), new this
+    # round (same-round-slot rule). The drift family gains the exact
+    # ECDF-distance sibling next to drift_psi_contract's binned-mass
+    # readout (PSI stays full-catalog attested + pytest parity); the
+    # oracle is DIFFERENT ALGEBRA — non-equi-join ECDF evaluation,
+    # no window functions, so a cumsum-window bug cannot
+    # self-confirm.
+    "ks_drift_contract",
     # hll_mergeable_rollup_contract + kll_quantile_rollup_contract
     # (r6 green, sketches.py unchanged; the mergeable-sketch family
     # keeps theta_cohort_overlap + cm_frequency_rollup in-window, and

@@ -553,6 +553,111 @@ def q_drift_psi_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# c(alpha=0.05) = sqrt(-ln(alpha/2)/2), precomputed driver-side to ONE
+# double literal and embedded in BOTH engines' expressions: ln is
+# libm-implementation-dependent (a 1-ULP ln divergence between DuckDB
+# and the JVM would flip the hash), while sqrt / the divisions are IEEE
+# exact-rounded and therefore engine-portable.
+_KS_C_ALPHA = 1.3581015157406195
+
+_KS_ORACLE = """
+    WITH ev AS (
+        SELECT event_type,
+               round(value, 0) AS x,
+               CASE WHEN dayofweek(ts) + 1 IN (1, 7)
+                    THEN 'weekend' ELSE 'weekday' END AS side
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+          AND event_type IS NOT NULL
+    ),
+    cells AS (
+        SELECT event_type, x,
+               sum(CASE WHEN side = 'weekday' THEN 1 ELSE 0 END) AS c_ref,
+               sum(CASE WHEN side = 'weekend' THEN 1 ELSE 0 END) AS c_cur
+        FROM ev GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+               CAST(sum(c_cur) AS BIGINT) AS n_cur
+        FROM cells GROUP BY 1
+    ),
+    ecdf AS (
+        SELECT g.event_type, g.x,
+               sum(c.c_ref) AS cum_ref, sum(c.c_cur) AS cum_cur
+        FROM (SELECT DISTINCT event_type, x FROM cells) g
+        JOIN cells c ON c.event_type = g.event_type AND c.x <= g.x
+        GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT e.event_type,
+               max(abs(CAST(e.cum_ref AS DOUBLE) / CAST(t.n_ref AS DOUBLE)
+                       - CAST(e.cum_cur AS DOUBLE) / CAST(t.n_cur AS DOUBLE)))
+                   AS d_raw
+        FROM ecdf e JOIN tot t USING (event_type)
+        WHERE t.n_ref > 0 AND t.n_cur > 0
+        GROUP BY 1
+    )
+    SELECT t.event_type, t.n_ref, t.n_cur,
+           round(d.d_raw, 6) AS ks_stat,
+           round(CASE WHEN t.n_ref > 0 AND t.n_cur > 0 THEN
+                 CAST({c} AS DOUBLE)
+                 * sqrt((CAST(t.n_ref AS DOUBLE) + CAST(t.n_cur AS DOUBLE))
+                        / (CAST(t.n_ref AS DOUBLE) * CAST(t.n_cur AS DOUBLE)))
+                 END, 6) AS d_crit,
+           d.d_raw > CASE WHEN t.n_ref > 0 AND t.n_cur > 0 THEN
+                 CAST({c} AS DOUBLE)
+                 * sqrt((CAST(t.n_ref AS DOUBLE) + CAST(t.n_cur AS DOUBLE))
+                        / (CAST(t.n_ref AS DOUBLE) * CAST(t.n_cur AS DOUBLE)))
+                 END AS drifted
+    FROM tot t LEFT JOIN d ON d.event_type = t.event_type
+""".format(c=repr(_KS_C_ALPHA))
+
+
+@register(
+    "ks_drift_contract",
+    oracle=_KS_ORACLE,
+    description="Two-sample Kolmogorov-Smirnov drift test "
+    "(operators/hyptest.py:ks_two_sample, Smirnov 1939 / Massey JASA "
+    "1951): per event_type, the exact maximum ECDF gap between the "
+    "weekday and weekend value distributions (rounded to integers -- "
+    "the explicit tie policy), with the asymptotic alpha=0.05 critical "
+    "value c(a)*sqrt((n1+n2)/(n1*n2)) and the drifted decision on the "
+    "UNROUNDED pair. The distribution-shape sibling of the PSI gate: "
+    "PSI reads binned mass shift, KS reads the supremum ECDF distance. "
+    "D is exact and bit-reproducible across partitionings -- every "
+    "input is an integer cumulative count divided by an integer total "
+    "(no float-sum accumulation anywhere); c(alpha) is ONE precomputed "
+    "double literal in both engines because ln is libm-dependent while "
+    "sqrt/divide are IEEE exact-rounded. Engine shape: ONE (key, "
+    "value) contingency agg (map-side combined), per-key cumulative "
+    "windows over the ~290-value grid (guarded at max_distinct), "
+    "key-cardinality reduce. The oracle is DIFFERENT ALGEBRA by "
+    "construction: it evaluates both ECDFs via a non-equi self-join "
+    "on the distinct-value grid (no window functions at all), so a "
+    "cumsum-window bug cannot self-confirm. Hand-worked D=1/3 fixture "
+    "+ pure-Python double-loop twin in tests/test_ks.py.",
+)
+def q_ks_drift_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hyptest import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    sided = ev.withColumn(
+        "side",
+        F.when(F.dayofweek("ts").isin(1, 7), F.lit("weekend")).otherwise(
+            F.lit("weekday")
+        ),
+    )
+    return ks_two_sample(
+        sided,
+        "value",
+        "side",
+        "weekday",
+        "weekend",
+        key_cols=["event_type"],
+        round_decimals=0,
+    )
+
+
 @register(
     "k_anonymity_contract",
     oracle="""

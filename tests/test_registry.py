@@ -104,13 +104,14 @@ def test_window_covers_every_family():
                                      # budget twin rotated out after
                                      # r6+r7+r8 green on unchanged
                                      # selection/mixing code)
-        "seq_patterns_contract",     # PrefixSpan sequence mining (NEW
-                                     # r9, different-algebra oracle;
-                                     # the two-phase heavy-hitter twin
-                                     # rotated out after r6+r7+r8 green
-                                     # on unchanged heavy_hitters.py —
-                                     # data_quality + gopher keep
-                                     # screening, theta keeps sketches)
+        "ks_drift_contract",         # two-sample KS drift (NEW r11,
+                                     # different-algebra non-equi-join
+                                     # ECDF oracle; the PrefixSpan twin
+                                     # rotated out after r9+r10 green
+                                     # on unchanged seqmine.py —
+                                     # frequent_itemsets keeps mining,
+                                     # drift_psi stays full-catalog
+                                     # attested)
         "theta_cohort_overlap_contract",   # mergeable sketches (the
                                      # HLL/KLL twins rotated out r7
                                      # after r6 green; theta + cm stay)
