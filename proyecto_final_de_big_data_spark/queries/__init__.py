@@ -624,7 +624,18 @@ _VERIFICATION_WINDOW = [
     # weighted_percentile_contract + the robust profile; rfm stays
     # full-catalog attested + pytest DuckDB-parity gated.
     "neyman_allocation_contract",
-    "session_path_profile",
+    # r11 (late): session_path_profile (green since r6 on unchanged
+    # paths.py/sessionize.py; the behavioral-paths family keeps
+    # windowed_funnel_contract + attribution_contract in-window —
+    # the same user-keyed ordered-window machinery) hands its slot to
+    # adamic_adar_contract — Adamic-Adar/resource-allocation link
+    # prediction over non-edge wedges (operators/graph.py:
+    # adamic_adar_topk, Adamic & Adar 2003), new this round
+    # (same-round-slot rule) and a FIFTH gate on graph.py, which
+    # changed this round — the triangle/BFS/LPA/modularity/k-core
+    # gates all stay in-window beside it. session_path stays
+    # full-catalog attested + pytest DuckDB-parity gated.
+    "adamic_adar_contract",
     # r8: ab_test_contract (r7 first-round green; its
     # two_proportion_ztest algebra is untouched this round — the
     # abtest.py diff is module-docstring plus the new cuped/power

@@ -3130,6 +3130,99 @@ def q_bfs_distances_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "adamic_adar_contract",
+    oracle="""
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT
+               least(CAST(o.o_custkey AS BIGINT) + 1000000,
+                     CAST(l.l_partkey AS BIGINT)) AS eu,
+               greatest(CAST(o.o_custkey AS BIGINT) + 1000000,
+                        CAST(l.l_partkey AS BIGINT)) AS ev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_partkey < 200 AND o.o_custkey < 300
+    ),
+    deg AS MATERIALIZED (
+        SELECT node, count(*) AS d FROM (
+            SELECT eu AS node FROM e0 UNION ALL SELECT ev FROM e0
+        ) GROUP BY 1
+    ),
+    adj AS (
+        SELECT eu AS c, ev AS n FROM e0
+        UNION ALL
+        SELECT ev AS c, eu AS n FROM e0
+    ),
+    adjd AS MATERIALIZED (
+        SELECT a.c, a.n, deg.d FROM adj a JOIN deg ON deg.node = a.c
+        WHERE deg.d <= 10
+    ),
+    wedge AS (
+        SELECT a1.n AS u, a2.n AS w, a1.d
+        FROM adjd a1 JOIN adjd a2 ON a1.c = a2.c AND a1.n < a2.n
+    ),
+    cand AS (
+        SELECT wg.u, wg.w, wg.d FROM wedge wg
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e0 WHERE e0.eu = wg.u AND e0.ev = wg.w
+        )
+    ),
+    s AS (
+        SELECT u, w, CAST(count(*) AS BIGINT) AS common,
+               round(sum(1.0 / ln(CAST(d AS DOUBLE))), 6) AS aa_score,
+               round(sum(1.0 / CAST(d AS DOUBLE)), 6) AS ra_score
+        FROM cand GROUP BY 1, 2
+    )
+    SELECT u, w, common, aa_score, ra_score,
+           CAST(row_number() OVER (ORDER BY aa_score DESC, u ASC, w ASC)
+                AS INTEGER) AS rank
+    FROM s
+    ORDER BY aa_score DESC, u ASC, w ASC
+    LIMIT 25
+    """,
+    description="Adamic-Adar link prediction (operators/graph.py:"
+    "adamic_adar_topk, Adamic & Adar Social Networks 2003; RA twin "
+    "from Zhou/Lu/Zhang EPJ B 2009) over the same bounded bipartite "
+    "customer-part purchase graph as the BFS gate: the top-25 "
+    "NON-edge pairs by sum(1/ln(deg(v))) over common neighbors v, "
+    "with the resource-allocation sibling sum(1/deg(v)) and the "
+    "common-neighbor count alongside — the 'which near-dup pair is "
+    "the graph about to close' pre-merge readout, scoring wedges that "
+    "are NOT edges with the same wedge machinery whose CLOSED wedges "
+    "the triangle gate counts. max_degree=10 exercises the standard "
+    "hub wedge bound (a degree-D center contributes D^2 pairs each "
+    "worth ~1/ln(D): the cap removes the quadratic blowup; applied "
+    "identically by both engines, it is part of the statistic under "
+    "test). Ranking compares the ROUNDED score then (u, w) ascending "
+    "(raw float-sum accumulation order is partitioning-dependent; "
+    "rounded sums agree), rank assigned AFTER the 25-row limit -- "
+    "TakeOrderedAndProject, never a pair-scale window. Engine shape: "
+    "canonicalize+dedup, ONE degree agg, map-only adjacency union, "
+    "center-keyed wedge self-join bounded by the cap, one anti-join "
+    "against the edge set, ONE pair-keyed agg; the oracle replays it "
+    "via NOT EXISTS + join SQL. Hand-worked two-common-neighbor "
+    "fixture (aa = 1/ln3 + 1/ln2) + pure-Python brute-force twin "
+    "over all node pairs in tests/test_linkpred.py.",
+)
+def q_adamic_adar_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import adamic_adar_topk
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") < 200)
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .filter(F.col("o_custkey") < 300)
+    )
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey").cast("long") + 1000000).alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    )
+    return adamic_adar_topk(edges, k=25, max_degree=10)
+
+
+@register(
     "rfm_segment_profile",
     oracle="""
     WITH pc AS (

@@ -55,9 +55,13 @@ def test_window_covers_every_family():
                                      # filter family keeps the exact-
                                      # Jaccard gate below in-window)
         "zorder_cells_contract",     # layout maintenance (z-order)
-        "session_path_profile",      # sessionization (the stats-by-dow
-                                     # twin rotated out r7 after r6
-                                     # green; same gap-split machinery)
+        "windowed_funnel_contract",  # sessionization / behavioral
+                                     # windows (session_path rotated
+                                     # out r11 after r6-r10 green on
+                                     # unchanged paths/sessionize code;
+                                     # funnel + attribution keep the
+                                     # user-keyed ordered-window
+                                     # machinery in-window)
         "holt_winters_contract",     # series monitoring (the CUSUM
                                      # twin rotated out r8, the EWMA
                                      # twin r10 after r7-r9 green;
@@ -258,17 +262,21 @@ def test_window_covers_every_family():
                                      # unchanged graph.py; triangles
                                      # keep the edge-canonicalization
                                      # machinery in-window)
-        "session_path_profile",      # behavioral paths (the Markov
-                                     # transition twin rotated out r8
-                                     # after r7 green; same user-keyed
-                                     # window machinery)
+        "attribution_contract",      # behavioral paths (the Markov
+                                     # transition twin rotated out r8,
+                                     # session_path r11; same
+                                     # user-keyed window machinery)
         "neyman_allocation_contract",  # stratified sampling design
                                      # (NEW r10; the RFM quintile twin
                                      # rotated out after r8+r9 green on
                                      # unchanged rfm.py — weighted
                                      # percentiles + robust profile
                                      # keep quantile segmentation)
-        "session_path_profile",      # sessionized path analysis
+        "adamic_adar_contract",      # link prediction (NEW r11; took
+                                     # session_path's slot — fifth
+                                     # gate on the r11-changed
+                                     # graph.py, the non-edge wedge
+                                     # sibling of the triangle gate)
         "msprt_contract",            # experimentation family rep (SRM
                                      # and CMH rotated out r11 after
                                      # first-round greens on unchanged
