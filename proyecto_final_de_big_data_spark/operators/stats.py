@@ -334,3 +334,121 @@ def jackknife_ratio(
         F.round(theta + F.lit(1.96) * se, decimals).alias("ci_hi"),
         F.col("S").cast("long").alias("n_strata"),
     )
+
+
+def cross_correlation(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Sample cross-correlation function (CCF) between two metrics on
+    a shared grid, per key: ``(*key_cols, lag, n_pairs, ccf)`` for
+    lags −``max_lag``..+``max_lag`` (Box & Jenkins, "Time Series
+    Analysis", 1970 — public literature). Positive lag correlates
+    ``x_t`` with ``y_{t+lag}`` — a peak at lag +2 reads "x LEADS y by
+    2 grid steps" (do clicks today predict purchases in two days?);
+    lag 0 is plain full-series Pearson r, the sanity anchor. The
+    two-series sibling of :func:`autocorrelation`, and — unlike it —
+    ASYMMETRIC in the lag sign, which is exactly the lead/lag
+    information.
+
+    Estimator (Box–Jenkins convention): ``r_xy(ℓ) = Σ_t (x_t − x̄)
+    (y_{t+ℓ} − ȳ) / √(Σ(x−x̄)² · Σ(y−ȳ)²)`` with FULL-series means
+    and sums of squares in the denominator (fixed across lags, so the
+    lag profile is comparable), expanded to raw moments — ``num =
+    Σxy − ȳ·Σx_t − x̄·Σy_{t+ℓ} + n_p·x̄·ȳ``, denominators ``Σx² −
+    (Σx)²/n`` — so the whole computation is joins + keyed
+    aggregations with no per-row mean subtraction (the
+    :func:`autocorrelation` machinery). √ is IEEE exact-rounded.
+    NULL ccf when either variance is 0; a lag with no overlapping
+    grid points emits no row. Rows where EITHER metric is NULL/NaN
+    are excluded up front (complete-case — a half-NULL grid point
+    would bias the means against the pair sums).
+
+    ``key_cols`` may be empty: the global two-metric CCF (stats
+    become a 1-row broadcast frame — the scalar-crossJoin house
+    pattern). ``t_col`` must be a numeric grid index (day number,
+    hour number) so the shift is an equi-join on ``t + ℓ``.
+
+    Scale shape (100 TB): input is a pre-aggregated series frame; one
+    sufficient-statistics aggregation, a ×(2·max_lag+1) broadcast lag
+    spine, ONE (key, t)-keyed self-join, one (key, lag) aggregation.
+    No window, no collect, no data-scale crossJoin.
+
+    Extension surface — the reference has no time-series stage;
+    extension per SURVEY §8, the lead/lag discovery sibling of
+    :func:`autocorrelation`.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    keys = list(key_cols or [])
+    spark = series.sparkSession
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    s = (
+        series.select(
+            *keys,
+            F.col(t_col).cast("long").alias("__t"),
+            x.alias("__x"),
+            y.alias("__y"),
+        )
+        .filter(
+            F.col("__x").isNotNull()
+            & ~F.isnan("__x")
+            & F.col("__y").isNotNull()
+            & ~F.isnan("__y")
+        )
+    )
+    stats = s.groupBy(*keys).agg(
+        F.count("__x").cast("double").alias("__n"),
+        F.sum("__x").alias("__sx_all"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx_all"),
+        F.sum("__y").alias("__sy_all"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy_all"),
+    )
+    lags = F.broadcast(
+        spark.range(-max_lag, max_lag + 1).select(F.col("id").alias("lag"))
+    )
+    left = s.crossJoin(lags).withColumn("__t2", F.col("__t") + F.col("lag"))
+    right = s.select(
+        *keys, F.col("__t").alias("__t2"), F.col("__y").alias("__y2")
+    )
+    pairs = (
+        left.join(right, [*keys, "__t2"])
+        .groupBy(*keys, "lag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__np"),
+            F.sum(F.col("__x") * F.col("__y2")).alias("__sxy"),
+            F.sum("__x").alias("__sx"),
+            F.sum("__y2").alias("__sy"),
+        )
+    )
+    if keys:
+        out = pairs.join(stats, keys)
+    else:
+        out = pairs.crossJoin(F.broadcast(stats))
+    mx = F.col("__sx_all") / F.col("__n")
+    my = F.col("__sy_all") / F.col("__n")
+    den_x = F.col("__sxx_all") - F.col("__sx_all") * F.col("__sx_all") / F.col("__n")
+    den_y = F.col("__syy_all") - F.col("__sy_all") * F.col("__sy_all") / F.col("__n")
+    num = (
+        F.col("__sxy")
+        - my * F.col("__sx")
+        - mx * F.col("__sy")
+        + F.col("__np") * mx * my
+    )
+    return out.select(
+        *keys,
+        F.col("lag").cast("long").alias("lag"),
+        F.col("__np").cast("long").alias("n_pairs"),
+        F.round(
+            F.when(
+                (den_x > 0) & (den_y > 0), num / F.sqrt(den_x * den_y)
+            ),
+            decimals,
+        ).alias("ccf"),
+    )

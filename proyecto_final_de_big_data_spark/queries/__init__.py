@@ -341,7 +341,18 @@ _VERIFICATION_WINDOW = [
     # attestation + pytest parity), and the quality/mixing selection
     # surfaces stay repped by k_anonymity_contract's suppression and
     # negative_sampling_contract's md5-draw machinery.
-    "dsir_selection_contract",
+    # r11 (late): dsir_selection_contract (r9+r10 driver-green,
+    # dsir.py unchanged this round; the data-selection family keeps
+    # weighted_ksample_contract's deterministic-draw machinery and
+    # the gopher/ccnet quality screens in-window) hands its slot to
+    # ccf_lead_lag_contract — Box-Jenkins cross-correlation lead/lag
+    # discovery between two metric series (operators/stats.py:
+    # cross_correlation), new this round (same-round-slot rule); the
+    # series family gains the two-series asymmetric sibling next to
+    # the autocorrelation machinery it extends (stats.py changed this
+    # round, so the correlation_matrix gate stays in-window beside
+    # it). dsir stays full-catalog attested + pytest parity-gated.
+    "ccf_lead_lag_contract",
     # session_stats_by_dow (r6 green, sessionize.py unchanged; the
     # sessionize family stays in-window via session_path_profile's
     # identical gap-split machinery) hands its slot to

@@ -2242,6 +2242,85 @@ def q_autocorrelation_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ccf_lead_lag_contract",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS y
+        FROM events GROUP BY 1
+    ),
+    st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(x) AS sx_all, sum(x * x) AS sxx_all,
+               sum(y) AS sy_all, sum(y * y) AS syy_all
+        FROM daily
+    ),
+    lagspine AS (SELECT unnest(generate_series(-7, 7)) AS lg),
+    pairs AS (
+        SELECT lagspine.lg AS lg, CAST(count(*) AS DOUBLE) AS np,
+               sum(l.x * r.y) AS sxy, sum(l.x) AS sx, sum(r.y) AS sy
+        FROM daily l
+        CROSS JOIN lagspine
+        JOIN daily r ON r.day = l.day + lagspine.lg
+        GROUP BY 1
+    )
+    SELECT CAST(lg AS BIGINT) AS lag, CAST(np AS BIGINT) AS n_pairs,
+           round(CASE WHEN sxx_all - sx_all * sx_all / n > 0
+                       AND syy_all - sy_all * sy_all / n > 0
+                 THEN (sxy - (sy_all / n) * sx - (sx_all / n) * sy
+                         + np * (sx_all / n) * (sy_all / n))
+                      / sqrt((sxx_all - sx_all * sx_all / n)
+                             * (syy_all - sy_all * sy_all / n))
+                 END, 6) AS ccf
+    FROM pairs CROSS JOIN st
+    """,
+    description="Cross-correlation lead/lag discovery (operators/"
+    "stats.py:cross_correlation, Box & Jenkins 1970): the CCF between "
+    "the DAILY CLICK count series and the DAILY PURCHASE count series "
+    "at lags -7..+7 — positive lag correlates clicks_t with "
+    "purchases_{t+lag}, so a positive-side peak reads 'clicks lead "
+    "purchases by that many days' (the funnel-latency readout); lag 0 "
+    "is plain Pearson r. Box-Jenkins convention: FULL-series means "
+    "and sums of squares in the denominator (fixed across lags, "
+    "comparable profile), expanded to raw moments so the whole "
+    "computation is one sufficient-stats agg (here a 1-row broadcast "
+    "scalar frame -- key_cols=[]), a x15 broadcast lag spine, ONE "
+    "day-keyed self-join, one per-lag agg -- no window, no collect. "
+    "Identical raw-moment literal order in both engines, sqrt is IEEE "
+    "exact-rounded, counts are exact integers entering one double "
+    "expression; ccf NULL when either variance is 0, lags beyond the "
+    "overlap absent. The asymmetric-in-lag-sign sibling of the "
+    "autocorrelation gate directly above. Hand-worked 4-point "
+    "asymmetric fixture (ccf(+1) != ccf(-1)) + shift-detection "
+    "(y = x delayed 2 -> peak at +2) + raw-moment Python twin in "
+    "tests/test_ccf.py.",
+)
+def q_ccf_lead_lag_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import cross_correlation
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("double")
+            .alias("clicks"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("double")
+            .alias("purchases"),
+        )
+    )
+    return cross_correlation(daily, [], "day", "clicks", "purchases", max_lag=7)
+
+
+@register(
     "attribution_contract",
     oracle="""
     WITH ev AS (

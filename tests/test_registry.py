@@ -103,11 +103,14 @@ def test_window_covers_every_family():
                                      # r10; the CUPED twin rotated out
                                      # after r8+r9 green — did + msprt
                                      # keep abtest.py in-window)
-        "dsir_selection_contract",   # data selection (NEW r9: DSIR
-                                     # importance scores; the token-
-                                     # budget twin rotated out after
-                                     # r6+r7+r8 green on unchanged
-                                     # selection/mixing code)
+        "ccf_lead_lag_contract",     # cross-correlation lead/lag (NEW
+                                     # r11; took DSIR's slot after its
+                                     # r9+r10 greens on unchanged
+                                     # dsir.py — weighted_ksample +
+                                     # gopher/ccnet keep the selection
+                                     # and screening families; second
+                                     # gate on the r11-changed
+                                     # stats.py beside corr_matrix)
         "ks_drift_contract",         # two-sample KS drift (NEW r11,
                                      # different-algebra non-equi-join
                                      # ECDF oracle; the PrefixSpan twin
