@@ -1005,3 +1005,38 @@ def test_pmi_bigrams_pair_in_scan_stage_no_self_join(spark, sf_dir):
     # the ONLY window is the final rank row_number over the already
     # 20-row-limited frame (rank after the limit, the keyness shape)
     assert plan.count("(1) Window") + plan.count("Window (") <= 2
+
+
+def test_ks_windows_partition_per_key_no_python(spark, sf_dir):
+    # The cumulative ECDF windows partition BY event_type over the
+    # rounded-value grid — never a single-partition data sort; the
+    # statistic needs no Python worker and no cartesian anywhere.
+    plan = _plan(spark, sf_dir, "ks_drift_contract")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    assert plan.count("windowspecdefinition(event_type") >= 1
+    assert "SinglePartition" not in plan
+
+
+def test_adamic_adar_antijoin_topk_no_pair_window(spark, sf_dir):
+    # Candidate pairs exclude real edges via LeftAnti; top-25 is
+    # TakeOrderedAndProject; the ONLY window is the final rank
+    # row_number over the already-limited frame — never a pair-scale
+    # window, cartesian, or Python worker.
+    plan = _plan(spark, sf_dir, "adamic_adar_contract")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Window (") <= 1
+
+
+def test_ccf_lag_spine_broadcast_no_window(spark, sf_dir):
+    # The ×15 lag spine and the 1-row sufficient-stats frame both
+    # reach the join side broadcast; raw-moment arithmetic means no
+    # window and no Python anywhere.
+    plan = _plan(spark, sf_dir, "ccf_lead_lag_contract")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
