@@ -233,17 +233,27 @@ from . import quality  # noqa: E402,F401
 # hybrid_search_rrf + the IVF+PQ refine gate keep retrieval
 # in-window), and late-r11 cmh_contract -> pmi_collocations_contract
 # (abtest.py unchanged; msprt keeps the experimentation family
+# in-window). Late-r11 session added THREE more swaps for the three
+# late operators: seq_patterns_contract -> ks_drift_contract (r9+r10
+# green, seqmine.py unchanged; frequent_itemsets keeps mining
+# in-window), session_path_profile -> adamic_adar_contract (green
+# since r6, paths/sessionize unchanged; windowed_funnel + attribution
+# keep the behavioral family in-window), and dsir_selection_contract
+# -> ccf_lead_lag_contract (r9+r10 green, dsir.py unchanged;
+# weighted_ksample + gopher/ccnet keep selection/screening
 # in-window). holt_winters_contract is NOT rotation currency (r10
 # driver-red on oracle portability; oracle restated r11 in the flat
 # grow-state style, gate held in-window until driver-green — VERDICT
-# r10 item 1). The keyness/linkage/split gates also stay in-window:
-# their modules changed this round (ADVICE fixes). Rotation plan for
-# r12: once the r11 window lands green, first-round-green currency =
-# bfs_distances, ranking_metrics, pmi_collocations (+ holt_winters if
-# finally driver-green, whose family sibling holt_forecast machinery
-# stays evidenced via the series family); the remaining r10 greens
-# listed above stay currency where their modules are untouched in r12
-# (curate_span_strip is the one never-rotated r10 green left).
+# r10 item 1). The keyness/linkage/split/stats/graph/hyptest gates
+# also stay in-window: their modules changed this round (ADVICE
+# fixes + the late operators). Rotation plan for r12: once the r11
+# window lands green, first-round-green currency = bfs_distances,
+# ranking_metrics, pmi_collocations, ks_drift, adamic_adar,
+# ccf_lead_lag (+ holt_winters if finally driver-green, whose family
+# sibling holt_forecast machinery stays evidenced via the series
+# family); the remaining r10 greens listed above stay currency where
+# their modules are untouched in r12 (curate_span_strip is the one
+# never-rotated r10 green left).
 # ----------------------------------------------------------------------
 _VERIFICATION_WINDOW = [
     # ------------------------------------------------------------------

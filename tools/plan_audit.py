@@ -121,6 +121,9 @@ HEADLINERS = {
     "bfs_distances_contract": "BFS hop distances — 6 fixed frontier rounds (semi-join + distinct + anti-join per round, all node-keyed), settled frame grows monotonically, census groupBy; no windows, no Python, no cartesian",
     "ranking_metrics_contract": "NDCG/MRR/hit ranking metrics — answer-scale top-10 + judgement frames, per-query windows only, one (query,item) equi-join, two (query,k) aggs; k-frame explode is 2 literals",
     "pmi_collocations_contract": "PMI collocations — scan-stage arrays_zip bigram pairing (no self-join), one bigram-keyed + one term-keyed count agg, scalar totals crossJoin, TakeOrderedAndProject top-20",
+    "ks_drift_contract": "KS two-sample drift — (key,value) contingency agg to the ~290-value grid, per-key cumulative ECDF windows (partitioned, never SinglePartition), key-cardinality reduce; integer-count arithmetic end to end",
+    "adamic_adar_contract": "Adamic-Adar link prediction — degree agg, center-keyed wedge self-join bounded by the degree cap, LeftAnti against the edge set, pair-keyed agg, TakeOrderedAndProject top-25; rank after the limit",
+    "ccf_lead_lag_contract": "cross-correlation — day-grid conditional-count pivot, 1-row sufficient-stats broadcast, x15 broadcast lag spine, day-keyed self-join, per-lag raw-moment agg; no window anywhere",
 }
 
 
