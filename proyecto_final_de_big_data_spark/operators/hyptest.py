@@ -485,3 +485,98 @@ def ks_two_sample(
         F.round(d_crit_raw, decimals).alias("d_crit"),
         (F.col("__d_raw") > d_crit_raw).alias("drifted"),
     )
+
+
+def effect_size(
+    units: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    key_cols: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Standardized mean-difference effect size per key: ``(*key_cols,
+    n_a, n_b, mean_a, mean_b, mean_diff, pooled_sd, cohens_d,
+    hedges_g)`` comparing ``group_a`` against ``group_b`` (Cohen,
+    "Statistical Power Analysis", 1988; Hedges, J. Educ. Stat. 1981 —
+    public literature). The HOW-BIG readout that belongs next to every
+    significance test in this module: a z-test at 100 TB flags a
+    0.001σ difference as significant — d says whether anyone should
+    care, in units comparable across metrics and experiments.
+
+        d = (x̄_a − x̄_b) / s_p,   s_p² = (SSD_a + SSD_b)/(n_a+n_b−2)
+        g = d · J,                J = 1 − 3/(4(n_a+n_b) − 9)
+
+    with ``SSD = Σx² − (Σx)²/n`` (the computational identity, one
+    conditional-aggregation pass — the CUPED posture) and J the
+    standard small-sample bias correction. Sign convention: positive
+    d means ``group_a``'s mean is larger. ``cohens_d``/``hedges_g``
+    are NULL when either arm has n < 2 or the pooled variance is 0
+    (undefined, surfaced not hidden); means are still reported.
+    NULL/NaN values and NULL keys are excluded up front; rows in
+    neither group are ignored.
+
+    Scale shape (100 TB): ONE (key)-cardinality conditional agg over
+    six sufficient sums (map-side combined), closed-form projection,
+    nothing else — no join, no window, no collect. ``key_cols`` empty
+    gives the classic one-row experiment readout.
+
+    Extension surface — the reference has no experimentation stage;
+    extension per SURVEY §8, the magnitude sibling of
+    :func:`oneway_anova` / :func:`mann_whitney_u` and the abtest
+    z-tests (a test says IF the arms differ; d says BY HOW MUCH in
+    comparable units).
+    """
+    if group_a == group_b:
+        raise ValueError("effect_size needs two distinct group labels")
+    keys = list(key_cols or [])
+    v = F.col(value_col).cast("double")
+    clean = units.select(
+        *[F.col(c) for c in keys],
+        F.col(group_col).alias("__g"),
+        v.alias("__x"),
+    ).filter(
+        F.col("__g").isin(group_a, group_b)
+        & F.col("__x").isNotNull()
+        & ~F.isnan("__x")
+    )
+    for c in keys:
+        clean = clean.filter(F.col(c).isNotNull())
+    in_a = F.col("__g") == group_a
+    in_b = F.col("__g") == group_b
+    agg = clean.groupBy(*keys).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(in_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(in_a, F.col("__x")).otherwise(0.0)).alias("__sa"),
+        F.sum(F.when(in_b, F.col("__x")).otherwise(0.0)).alias("__sb"),
+        F.sum(F.when(in_a, F.col("__x") * F.col("__x")).otherwise(0.0)).alias(
+            "__qa"
+        ),
+        F.sum(F.when(in_b, F.col("__x") * F.col("__x")).otherwise(0.0)).alias(
+            "__qb"
+        ),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    mean_a = F.col("__sa") / na
+    mean_b = F.col("__sb") / nb
+    ssd_a = F.col("__qa") - F.col("__sa") * F.col("__sa") / na
+    ssd_b = F.col("__qb") - F.col("__sb") * F.col("__sb") / nb
+    both = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    sp2 = F.when(both, (ssd_a + ssd_b) / (na + nb - 2.0))
+    d = F.when(sp2 > 0, (mean_a - mean_b) / F.sqrt(sp2))
+    j = 1.0 - 3.0 / (4.0 * (na + nb) - 9.0)
+    return agg.select(
+        *keys,
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.when(F.col("n_a") > 0, mean_a), decimals).alias("mean_a"),
+        F.round(F.when(F.col("n_b") > 0, mean_b), decimals).alias("mean_b"),
+        F.round(
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), mean_a - mean_b),
+            decimals,
+        ).alias("mean_diff"),
+        F.round(F.sqrt(sp2), decimals).alias("pooled_sd"),
+        F.round(d, decimals).alias("cohens_d"),
+        F.round(d * j, decimals).alias("hedges_g"),
+    )

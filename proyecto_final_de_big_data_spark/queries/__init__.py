@@ -434,7 +434,17 @@ _VERIFICATION_WINDOW = [
     "target_encoding_contract",
     "theta_cohort_overlap_contract",
     "variant_props_stats",
-    "priority_pivot_by_year",
+    # r11 (late): priority_pivot_by_year (hash-green every round since
+    # r2 on unchanged pivot code — the longest-green entry remaining
+    # in the window; variant_props_stats keeps the marts/pivot family
+    # in-window directly above) hands its slot to
+    # effect_size_contract — Cohen's d / Hedges' g standardized mean
+    # difference (operators/hyptest.py:effect_size), new this round
+    # (same-round-slot rule) and a THIRD gate on hyptest.py, which
+    # changed this round — bh_fdr + ks_drift stay in-window beside
+    # it. priority_pivot stays full-catalog attested + pytest
+    # DuckDB-parity gated.
+    "effect_size_contract",
     # priority_unpivot_round_trip (r6 green, relational pivot code
     # unchanged; the pivot family keeps priority_pivot_by_year
     # in-window and the unpivot inverse stays pytest-gated) hands its

@@ -1227,6 +1227,86 @@ def q_cmh_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "effect_size_contract",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               CASE WHEN dayofweek(ts) + 1 IN (1, 7)
+                    THEN 'weekend' ELSE 'weekday' END AS g,
+               CAST(value AS DOUBLE) AS x
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+          AND event_type IS NOT NULL
+    ),
+    agg AS (
+        SELECT event_type,
+               sum(CASE WHEN g = 'weekend' THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN g = 'weekday' THEN 1 ELSE 0 END) AS n_b,
+               sum(CASE WHEN g = 'weekend' THEN x ELSE 0.0 END) AS sa,
+               sum(CASE WHEN g = 'weekday' THEN x ELSE 0.0 END) AS sb,
+               sum(CASE WHEN g = 'weekend' THEN x * x ELSE 0.0 END) AS qa,
+               sum(CASE WHEN g = 'weekday' THEN x * x ELSE 0.0 END) AS qb
+        FROM ev GROUP BY 1
+    ),
+    expanded AS (
+        SELECT event_type, n_a, n_b,
+               sa / CAST(n_a AS DOUBLE) AS mean_a,
+               sb / CAST(n_b AS DOUBLE) AS mean_b,
+               CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+                    ((qa - sa * sa / CAST(n_a AS DOUBLE))
+                     + (qb - sb * sb / CAST(n_b AS DOUBLE)))
+                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)
+               END AS sp2
+        FROM agg
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(CASE WHEN n_a > 0 THEN mean_a END, 6) AS mean_a,
+           round(CASE WHEN n_b > 0 THEN mean_b END, 6) AS mean_b,
+           round(CASE WHEN n_a > 0 AND n_b > 0 THEN mean_a - mean_b END, 6)
+               AS mean_diff,
+           round(sqrt(sp2), 6) AS pooled_sd,
+           round(CASE WHEN sp2 > 0 THEN (mean_a - mean_b) / sqrt(sp2) END, 6)
+               AS cohens_d,
+           round(CASE WHEN sp2 > 0 THEN (mean_a - mean_b) / sqrt(sp2) END
+                 * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE)
+                                        + CAST(n_b AS DOUBLE)) - 9.0)), 6)
+               AS hedges_g
+    FROM expanded
+    """,
+    description="Cohen's d / Hedges' g effect size (operators/"
+    "hyptest.py:effect_size, Cohen 1988 / Hedges 1981): per event_type, "
+    "the standardized weekend-vs-weekday mean difference of the event "
+    "value — the HOW-BIG readout next to the KS gate's "
+    "DID-IT-CHANGE-SHAPE on the same slicing (at 100 TB a z-test "
+    "flags a 0.001-sigma difference as significant; d says whether "
+    "anyone should care). d = mean_diff / pooled_sd with SSD via the "
+    "computational identity, g = d * (1 - 3/(4N - 9)) small-sample "
+    "correction; positive d = weekend larger. ONE key-cardinality "
+    "conditional agg over six sufficient sums (map-side combined) + "
+    "closed-form projection — no join, no window, no collect. NULL "
+    "d/g when an arm has n < 2 or pooled variance is 0. Identical "
+    "literal order both engines; sqrt IEEE exact-rounded; 6-decimal "
+    "rounding absorbs double-sum accumulation-order ULPs (the ANOVA "
+    "posture). Hand-worked d = -1/sqrt(4/3), J = 8/11 fixture + "
+    "sufficient-stats Python twin in tests/test_effect_size.py.",
+)
+def q_effect_size_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hyptest import effect_size
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    sided = ev.withColumn(
+        "grp",
+        F.when(F.dayofweek("ts").isin(1, 7), F.lit("weekend")).otherwise(
+            F.lit("weekday")
+        ),
+    )
+    return effect_size(
+        sided, "value", "grp", "weekend", "weekday", key_cols=["event_type"]
+    )
+
+
+@register(
     "ab_test_contract",
     oracle="""
     WITH units AS (

@@ -143,7 +143,14 @@ def test_window_covers_every_family():
                                      # percentiles + RFM quintiles keep
                                      # distribution profiling in-window)
         "variant_props_stats",       # VARIANT semi-structured payloads
-        "priority_pivot_by_year",    # pivot (CUBE/ROLLUP twins rotated out)
+        "variant_props_stats",       # pivot/marts (priority_pivot
+                                     # rotated out r11 after greens
+                                     # since r2; CUBE/ROLLUP twins
+                                     # rotated out earlier)
+        "effect_size_contract",      # Cohen's d / Hedges' g (NEW r11;
+                                     # took priority_pivot's slot —
+                                     # third gate on the r11-changed
+                                     # hyptest.py beside bh_fdr + KS)
         "ccnet_bucket_contract",     # CCNet perplexity partition (NEW
                                      # r9; re-exercises the lm_score
                                      # pipeline per-doc — the Benford
