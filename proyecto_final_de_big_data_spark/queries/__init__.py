@@ -589,7 +589,18 @@ _VERIFICATION_WINDOW = [
     # FULL bm25 tokenization/idf/tf algebra term for term inside its
     # own oracle (the lexical leg), so the BM25 machinery keeps exact
     # in-window evidence while the fusion surface gains its first.
-    "hybrid_search_rrf",
+    # r11 (late): hybrid_search_rrf (r8+r9+r10 hash-green, rrf.py/
+    # bm25.py unchanged this round; retrieval keeps
+    # knn_ann_ivf_pq_refine_recall + ranking_metrics_contract
+    # in-window — the ANN leg plus the grading layer) hands its slot
+    # to mann_kendall_contract — non-parametric monotonic trend +
+    # Sen's slope (operators/trend.py:mann_kendall), new this round
+    # (same-round-slot rule); trend.py changed this round, so its new
+    # gate lands in-window the same round (event_type_trend's OLS
+    # sibling machinery is restated inside the r7-green gate family
+    # and stays full-catalog attested). hybrid_search stays
+    # full-catalog attested + pytest DuckDB-parity gated.
+    "mann_kendall_contract",
     # ------------------------------------------------------------------
     # ROUND-7 ROTATION (VERDICT r6 items 1/4/5):
     #   pagerank_contract IN — the ONLY registered query that had zero

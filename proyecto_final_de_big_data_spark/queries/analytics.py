@@ -1496,6 +1496,100 @@ def q_event_type_trend_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key_linear_trend(daily, ["event_type"], "day", "y")
 
 
+@register(
+    "mann_kendall_contract",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    st AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+    tiefr AS (
+        SELECT event_type,
+               sum(CAST(c AS DOUBLE) * (CAST(c AS DOUBLE) - 1.0)
+                   * (2.0 * CAST(c AS DOUBLE) + 5.0)) AS tie_sum
+        FROM (SELECT event_type, x, count(*) AS c
+              FROM daily GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    pr AS (
+        SELECT a.event_type,
+               CASE WHEN b.x > a.x THEN 1
+                    WHEN b.x < a.x THEN -1 ELSE 0 END AS sg,
+               (b.x - a.x) / CAST(b.day - a.day AS DOUBLE) AS slope
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND a.day < b.day
+    ),
+    pc AS (
+        SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat,
+               quantile_cont(slope, 0.5) AS sen
+        FROM pr GROUP BY 1
+    ),
+    zc AS (
+        SELECT st.event_type, st.n, pc.s_stat, pc.sen, tiefr.tie_sum,
+               (CAST(st.n AS DOUBLE) * (CAST(st.n AS DOUBLE) - 1.0)
+                * (2.0 * CAST(st.n AS DOUBLE) + 5.0) - tiefr.tie_sum)
+               / 18.0 AS var_raw
+        FROM st JOIN tiefr USING (event_type)
+        LEFT JOIN pc ON pc.event_type = st.event_type
+    ),
+    zz AS (
+        SELECT *,
+               CASE WHEN var_raw > 0 THEN
+                    CASE WHEN s_stat > 0
+                         THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_raw)
+                         WHEN s_stat < 0
+                         THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_raw)
+                         ELSE 0.0 END
+               END AS z_raw
+        FROM zc
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, s_stat,
+           round(var_raw, 6) AS var_s,
+           round(z_raw, 6) AS z,
+           CASE WHEN z_raw IS NULL THEN NULL
+                WHEN z_raw > CAST(1.959963984540054 AS DOUBLE)
+                    THEN 'increasing'
+                WHEN z_raw < -CAST(1.959963984540054 AS DOUBLE)
+                    THEN 'decreasing'
+                ELSE 'no_trend' END AS trend,
+           round(sen, 6) AS sen_slope
+    FROM zz
+    """,
+    description="Mann-Kendall monotonic trend + Sen's slope (operators/"
+    "trend.py:mann_kendall, Mann 1945 / Kendall 1975 / Sen JASA 1968): "
+    "per event_type, the non-parametric drift test over the daily "
+    "event-count series — S = sum of pairwise sign(x_j - x_i), the "
+    "tie-corrected Var(S) (integer daily counts repeat, so the tie "
+    "term is genuinely exercised), the continuity-corrected z with "
+    "the 1.959963984540054 two-sided critical literal embedded in "
+    "BOTH engines (the z-test portability convention), the "
+    "increasing/decreasing/no_trend decision on the UNROUNDED z, and "
+    "Sen's slope as the exact interpolated median of pairwise slopes "
+    "(percentile == quantile_cont, the house quantile bridge). The "
+    "non-parametric sibling of the OLS trend gate directly above — "
+    "OLS fits a line, MK asks whether ANY monotonic drift exists. "
+    "Engine shape: pre-aggregated day grid (30 points/key), one "
+    "key-equi self-join filtered t_i < t_j (O(n^2) per key, ENFORCED "
+    "at max_points via an eager guard; duplicate grid points "
+    "hard-fail in-plan via raise_error), tie agg at (key, value) "
+    "cardinality, key-cardinality reduce. Hand-worked S=2/Var=26/3 "
+    "and tie-corrected Var=23/3 fixtures + full pure-Python twin in "
+    "tests/test_mann_kendall.py.",
+)
+def q_mann_kendall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import mann_kendall
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    return mann_kendall(daily, ["event_type"], "day", "cnt")
+
+
 _CORR_PAIRS = [
     ("l_quantity", "l_extendedprice"),
     ("l_quantity", "l_discount"),

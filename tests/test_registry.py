@@ -356,11 +356,14 @@ def test_window_covers_every_family():
                                      # gate; centroid/Lloyd machinery
                                      # stays via the IVF quantizer +
                                      # PQ codebooks in-window)
-        "hybrid_search_rrf",         # text scoring + fusion (contains
-                                     # the full BM25 leg; the
-                                     # standalone bm25 gate rotated out
-                                     # r8 after r7 green — upgrade-swap
-                                     # precedent)
+        "mann_kendall_contract",     # non-parametric trend + Sen's
+                                     # slope (NEW r11; took hybrid_
+                                     # search_rrf's slot after its
+                                     # r8-r10 greens on unchanged
+                                     # rrf/bm25 code — PQ-refine +
+                                     # ranking_metrics keep retrieval;
+                                     # in-window gate for the
+                                     # r11-changed trend.py)
         # r7 late rotation: manifest_ingest_contract (r5+r6 green) ->
         # ingest stays repped by python_datasource + media_binary +
         # schema_evolution; quarter_resolution_contract (r5+r6) is
@@ -389,8 +392,10 @@ def test_window_covers_every_family():
                                      # round green on unchanged
                                      # similarity_ivf.py — the refine
                                      # gate keeps quantized ANN
-                                     # in-window, hybrid_search_rrf
-                                     # keeps the rank-frame producer)
+                                     # in-window; the rank-frame
+                                     # producers stay full-catalog
+                                     # attested after hybrid_search
+                                     # rotated out late-r11)
         "knn_ann_ivf_pq_refine_recall",  # quantized-ANN machinery
                                      # (IVF + PQ-ADC + exact refine —
                                      # the family's in-window rep)
