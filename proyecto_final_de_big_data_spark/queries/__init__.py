@@ -634,7 +634,18 @@ _VERIFICATION_WINDOW = [
     # biggest bench line (~9.5 s of iterated-Pregel floor), so rotating
     # it out additionally de-noises round-over-round bench comparisons
     # (VERDICT r7 What's-wrong #3).
-    "bloom_pruned_join_contract",
+    # r11 (late): bloom_pruned_join_contract (r8+r9+r10 hash-green,
+    # bloomjoin.py unchanged this round; the join family keeps
+    # setsim_prefix_join_contract + fs_linkage_contract in-window, and
+    # the broadcast-filter machinery stays evidenced through the
+    # decontamination/blocklist gates in full attestation) hands its
+    # slot to nelson_aalen_contract — Nelson-Aalen cumulative hazard +
+    # Fleming-Harrington survival (operators/survival.py:nelson_aalen),
+    # new this round (same-round-slot rule) and the SECOND gate on
+    # survival.py, which changed this round (the shared _risk_table
+    # refactor) — survival_km_contract stays in-window beside it.
+    # bloom_pruned stays full-catalog attested + pytest parity-gated.
+    "nelson_aalen_contract",
     # Late-r7 additions (standing rule: same-round window slot):
     #   event_transition_matrix + session_path_profile (behavioral path
     #     analysis, operators/paths.py — the "users flow" siblings of

@@ -1725,6 +1725,95 @@ def q_survival_km_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nelson_aalen_contract",
+    oracle="""
+    WITH life AS (
+        SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+    ),
+    mx AS (SELECT max(ts) AS tmax FROM events),
+    subj AS (
+        SELECT CAST(date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS DOUBLE)
+                 AS duration,
+               CASE WHEN l < tmax - INTERVAL 7 DAY THEN 1 ELSE 0 END AS ev
+        FROM life, mx
+    ),
+    per_t AS (
+        SELECT duration, CAST(sum(ev) AS BIGINT) AS n_events,
+               CAST(sum(1 - ev) AS BIGINT) AS n_censored
+        FROM subj GROUP BY 1
+    ),
+    curve AS (
+        SELECT *,
+               CAST(sum(n_events + n_censored) OVER ()
+                 - coalesce(sum(n_events + n_censored)
+                              OVER (ORDER BY duration
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_at_risk
+        FROM per_t
+    ),
+    na AS (
+        SELECT *,
+               sum(CASE WHEN n_events > 0
+                        THEN CAST(n_events AS DOUBLE)
+                             / CAST(n_at_risk AS DOUBLE)
+                        ELSE 0.0 END)
+                 OVER (ORDER BY duration
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS h,
+               sum(CASE WHEN n_events > 0
+                        THEN CAST(n_events AS DOUBLE)
+                             / (CAST(n_at_risk AS DOUBLE)
+                                * CAST(n_at_risk AS DOUBLE))
+                        ELSE 0.0 END)
+                 OVER (ORDER BY duration
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS v
+        FROM curve
+    )
+    SELECT duration, n_at_risk, n_events, n_censored,
+           round(h, 6) AS cum_hazard,
+           round(v, 6) AS var_hazard,
+           round(exp(-h), 6) AS survival_fh
+    FROM na
+    """,
+    description="Nelson-Aalen cumulative hazard (operators/survival.py:"
+    "nelson_aalen, Nelson 1972 / Aalen 1978): the hazard-scale twin of "
+    "the KM gate directly above, over the SAME user-lifetime subjects "
+    "(first-to-last event days, right-censored in the final 7 days) — "
+    "H(t) = sum d_j/n_j, Aalen's variance sum d_j/n_j^2, and the "
+    "Fleming-Harrington survival exp(-H), which never hits KM's "
+    "absorbing zero when d == n (the documented estimator difference "
+    "pytest-pinned against KM). H is ADDITIVE: epoch-over-epoch "
+    "hazard increments subtract cleanly, the churn-pressure readout "
+    "KM's product form obscures. Shares kaplan_meier's risk-table "
+    "stage (_risk_table): one subject-keyed agg, one duration-keyed "
+    "agg, every cumulative window over the answer-scale day grid in "
+    "DETERMINISTIC duration order (no accumulation-order ambiguity). "
+    "Identical ratio/exp literal order both engines. Hand-worked "
+    "H=0.2/0.45/0.95 fixture + d==n FH-vs-KM contrast + pure-Python "
+    "twin in tests/test_nelson_aalen.py.",
+)
+def q_nelson_aalen_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.survival import nelson_aalen
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    life = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"), F.max("ts").alias("l")
+    )
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    subj = life.crossJoin(mx).select(
+        F.datediff(F.to_date("l"), F.to_date("f")).alias("duration"),
+        F.when(
+            F.col("l") < F.col("tmax") - F.expr("INTERVAL 7 DAYS"), 1
+        )
+        .otherwise(0)
+        .alias("event"),
+    )
+    return nelson_aalen(subj, "duration", "event")
+
+
+@register(
     "item_affinity_contract",
     oracle="""
     WITH items AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),

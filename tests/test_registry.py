@@ -89,13 +89,14 @@ def test_window_covers_every_family():
                                      # (NEW r9; same series-collector
                                      # fold machinery as EWMA)
         "data_quality_contract",     # expectations validator
-        "bloom_pruned_join_contract",  # broadcast small-set filtering
-                                     # (the blocklist twin rotated out
-                                     # r8, the k-anonymity suppression
-                                     # semi-join r9 — both after green
-                                     # rounds on unchanged code; the
-                                     # Bloom probe is the same
-                                     # broadcast-filter machinery)
+        "setsim_prefix_join_contract",  # broadcast/blocked filtering
+                                     # joins (the blocklist twin
+                                     # rotated out r8, k-anonymity
+                                     # suppression r9, bloom_pruned
+                                     # late-r11 after r8-r10 greens on
+                                     # unchanged bloomjoin.py — prefix
+                                     # join + fs_linkage keep the
+                                     # candidate-pruned join family)
         "bh_fdr_contract",           # Benjamini-Hochberg FDR (NEW r9;
                                      # third gate on the r9-changed
                                      # hyptest.py)
@@ -348,7 +349,10 @@ def test_window_covers_every_family():
                                      # after late-r8+r9 green on
                                      # unchanged hyptest.py — bh_fdr
                                      # keeps that module in-window)
-        "bloom_pruned_join_contract",  # Bloom join pruning (NEW late-r8)
+        "nelson_aalen_contract",     # cumulative hazard (NEW r11;
+                                     # took bloom_pruned's slot —
+                                     # second gate on the r11-changed
+                                     # survival.py beside the KM gate)
         "knn_ann_ivf_pq_refine_recall",  # composed IVF,PQ + refine ANN
                                      # (NEW r9; the unrefined r8 gate
                                      # rotated out — its candidate
