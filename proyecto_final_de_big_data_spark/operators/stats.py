@@ -452,3 +452,96 @@ def cross_correlation(
             decimals,
         ).alias("ccf"),
     )
+
+
+def pacf_by_key(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    max_lag: int = 4,
+    decimals: int = 6,
+) -> DataFrame:
+    """Partial autocorrelation function per key at lags
+    1..``max_lag`` (≤ 4): ``(*key_cols, lag, pacf)`` via the
+    Durbin–Levinson recursion UNROLLED into closed-form column
+    arithmetic (Durbin, Biometrika 1960; Box & Jenkins 1970 — public
+    literature). The AR-order selector that completes the lag
+    diagnostics: ACF says which lags CORRELATE, PACF says which lags
+    carry NEW information once shorter lags are regressed out — an
+    AR(p) series shows PACF cutting off after lag p while its ACF
+    decays forever, so "how many AR terms does this KPI need" reads
+    directly off this frame.
+
+        φ₁₁ = r₁
+        φ_kk = (r_k − Σⱼ φ_{k−1,j} r_{k−j}) / (1 − Σⱼ φ_{k−1,j} r_j)
+        φ_kj = φ_{k−1,j} − φ_kk·φ_{k−1,k−j}
+
+    computed from :func:`autocorrelation`'s estimates (taken at 12
+    decimals internally — the D–L algebra then runs in identical
+    literal order in both engines, so a SQL oracle replays it exactly;
+    the recursion is unrolled, which is why ``max_lag`` is capped at
+    4 — deeper orders belong to a fitted AR model, not a screening
+    diagnostic). A lag whose ACF is missing (no pairs / zero
+    variance) or whose D–L denominator is exactly 0 yields NULL pacf
+    — NULL propagates through later lags (no information, surfaced).
+
+    Scale shape (100 TB): :func:`autocorrelation`'s join shape (one
+    sufficient-stats agg + broadcast lag spine + one keyed self-join),
+    then ONE key-cardinality conditional-agg pivot of the ≤ 4 ACF
+    values and a map-only projection + 4-literal posexplode — the
+    recursion itself touches no data rows at all.
+
+    Extension surface — the reference has no time-series stage;
+    extension per SURVEY §8, completing the lag-diagnostic family
+    (ACF / CCF / PACF).
+    """
+    if not key_cols:
+        raise ValueError("pacf_by_key needs at least one key column")
+    if not 1 <= max_lag <= 4:
+        raise ValueError(
+            f"pacf_by_key unrolls Durbin-Levinson to lag 4; got "
+            f"max_lag={max_lag} (fit an AR model for deeper orders)"
+        )
+    acf = autocorrelation(
+        series, key_cols, t_col, value_col, max_lag=max_lag, decimals=12
+    )
+    r = {
+        k: F.max(F.when(F.col("lag") == k, F.col("acf")))
+        for k in range(1, max_lag + 1)
+    }
+    piv = acf.groupBy(*key_cols).agg(
+        *[r[k].alias(f"__r{k}") for k in range(1, max_lag + 1)]
+    )
+    r1 = F.col("__r1")
+    cols = [r1]
+    if max_lag >= 2:
+        r2 = F.col("__r2")
+        den2 = 1.0 - r1 * r1
+        p2 = F.when(den2 != 0, (r2 - r1 * r1) / den2)
+        phi21 = r1 - p2 * r1
+        cols.append(p2)
+    if max_lag >= 3:
+        r3 = F.col("__r3")
+        num3 = r3 - phi21 * r2 - p2 * r1
+        den3 = 1.0 - phi21 * r1 - p2 * r2
+        p3 = F.when(den3 != 0, num3 / den3)
+        phi31 = phi21 - p3 * p2
+        phi32 = p2 - p3 * phi21
+        cols.append(p3)
+    if max_lag >= 4:
+        r4 = F.col("__r4")
+        num4 = r4 - phi31 * r3 - phi32 * r2 - p3 * r1
+        den4 = 1.0 - phi31 * r1 - phi32 * r2 - p3 * r3
+        cols.append(F.when(den4 != 0, num4 / den4))
+    stacked = piv.select(
+        *key_cols,
+        F.posexplode(
+            F.array(*[F.round(c, decimals) for c in cols])
+        ).alias("__pos", "pacf"),
+    )
+    return stacked.select(
+        *key_cols,
+        (F.col("__pos") + 1).cast("long").alias("lag"),
+        "pacf",
+    )

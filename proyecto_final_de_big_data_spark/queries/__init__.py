@@ -430,7 +430,16 @@ _VERIFICATION_WINDOW = [
     # session_path_profile + windowed_funnel_contract +
     # rfm_segment_profile in-window; DAU/WAU stays full-catalog
     # attested + pytest DuckDB-parity gated.
-    "gopher_rules_contract",
+    # r11 (late): gopher_rules_contract (r9+r10 hash-green,
+    # operators/quality.py unchanged this round; the quality-screening
+    # family keeps ccnet_bucket_contract + data_quality_contract
+    # in-window) hands its slot to pacf_contract — partial
+    # autocorrelation via unrolled Durbin-Levinson over the ACF
+    # estimates (operators/stats.py:pacf_by_key), new this round
+    # (same-round-slot rule) and the THIRD gate on the r11-changed
+    # stats.py, beside correlation_matrix + ccf_lead_lag. gopher
+    # stays full-catalog attested + pytest DuckDB-parity gated.
+    "pacf_contract",
     "target_encoding_contract",
     "theta_cohort_overlap_contract",
     "variant_props_stats",

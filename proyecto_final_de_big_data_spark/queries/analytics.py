@@ -2584,6 +2584,109 @@ def q_ccf_lead_lag_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pacf_contract",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(count(cnt) AS DOUBLE) AS n,
+               sum(cnt) AS sx_all,
+               sum(cnt * cnt) AS sxx_all
+        FROM daily GROUP BY 1
+    ),
+    lagspine AS (SELECT unnest(generate_series(1, 4)) AS lag),
+    pairs AS (
+        SELECT l.event_type AS event_type, lagspine.lag AS lag,
+               CAST(count(*) AS DOUBLE) AS np,
+               sum(l.cnt * r.cnt) AS sxy,
+               sum(l.cnt) AS sx,
+               sum(r.cnt) AS sy
+        FROM daily l
+        CROSS JOIN lagspine
+        JOIN daily r
+          ON r.event_type = l.event_type AND r.day = l.day + lagspine.lag
+        GROUP BY 1, 2
+    ),
+    acf AS (
+        SELECT p.event_type, lag,
+               round(CASE WHEN sxx_all - sx_all * sx_all / n > 0
+                          THEN (sxy - (sx_all / n) * sx - (sx_all / n) * sy
+                                  + np * (sx_all / n) * (sx_all / n))
+                               / (sxx_all - sx_all * sx_all / n)
+                     END, 12) AS acf
+        FROM pairs p JOIN stats USING (event_type)
+    ),
+    piv AS (
+        SELECT event_type,
+               max(CASE WHEN lag = 1 THEN acf END) AS r1,
+               max(CASE WHEN lag = 2 THEN acf END) AS r2,
+               max(CASE WHEN lag = 3 THEN acf END) AS r3,
+               max(CASE WHEN lag = 4 THEN acf END) AS r4
+        FROM acf GROUP BY 1
+    ),
+    s2 AS (
+        SELECT *, CASE WHEN 1.0 - r1 * r1 <> 0
+                       THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS p2
+        FROM piv
+    ),
+    s2b AS (SELECT *, r1 - p2 * r1 AS phi21 FROM s2),
+    s3 AS (
+        SELECT *, CASE WHEN 1.0 - phi21 * r1 - p2 * r2 <> 0
+                       THEN (r3 - phi21 * r2 - p2 * r1)
+                            / (1.0 - phi21 * r1 - p2 * r2) END AS p3
+        FROM s2b
+    ),
+    s3b AS (
+        SELECT *, phi21 - p3 * p2 AS phi31, p2 - p3 * phi21 AS phi32
+        FROM s3
+    ),
+    s4 AS (
+        SELECT *, CASE WHEN 1.0 - phi31 * r1 - phi32 * r2 - p3 * r3 <> 0
+                       THEN (r4 - phi31 * r3 - phi32 * r2 - p3 * r1)
+                            / (1.0 - phi31 * r1 - phi32 * r2 - p3 * r3)
+                  END AS p4
+        FROM s3b
+    )
+    SELECT s4.event_type, CAST(lg.lag AS BIGINT) AS lag,
+           round(CASE lg.lag WHEN 1 THEN r1 WHEN 2 THEN p2
+                             WHEN 3 THEN p3 ELSE p4 END, 6) AS pacf
+    FROM s4 CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS lag) lg
+    """,
+    description="Partial autocorrelation via unrolled Durbin-Levinson "
+    "(operators/stats.py:pacf_by_key, Durbin Biometrika 1960 / "
+    "Box-Jenkins 1970): per event_type, PACF of the daily event-count "
+    "series at lags 1-4 — the AR-order selector completing the lag "
+    "diagnostics (the ACF gate above says which lags correlate; PACF "
+    "says which carry NEW information once shorter lags are regressed "
+    "out: an AR(p) series cuts off after lag p — pytest-pinned on a "
+    "phi=0.8 AR(1)). The recursion phi_kk = (r_k - sum phi_{k-1,j} "
+    "r_{k-j})/(1 - sum phi_{k-1,j} r_j) is UNROLLED to closed-form "
+    "projections over the 12-decimal ACF estimates (identical literal "
+    "order in both engines, zero-denominator -> NULL, missing-lag ACF "
+    "propagates NULL); the engine pivots the ACF frame in ONE "
+    "key-cardinality conditional agg and posexplodes a 4-literal "
+    "array — the recursion touches no data rows. Underneath runs the "
+    "autocorrelation gate's raw-moment join shape. Hand-worked "
+    "EXACT-FRACTION fixture (p2 = -13/42, p3 = -94/319 over x=[1..5]) "
+    "+ fractions.Fraction Durbin-Levinson twin in tests/test_pacf.py.",
+)
+def q_pacf_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import pacf_by_key
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    return pacf_by_key(daily, ["event_type"], "day", "cnt", max_lag=4)
+
+
+@register(
     "attribution_contract",
     oracle="""
     WITH ev AS (

@@ -127,13 +127,17 @@ def test_window_covers_every_family():
                                      # WOE/IV twin rotated out r8 after
                                      # r7 green; encode.py changed this
                                      # round so its gate stays)
-        "gopher_rules_contract",     # Gopher quality rules (NEW r9;
-                                     # gates the round's quality.py
-                                     # change — the DAU/WAU twin
-                                     # rotated out after r8 green on
-                                     # unchanged activity.py; session/
-                                     # funnel/rfm keep the behavioral
+        "ccnet_bucket_contract",     # quality screening (gopher
+                                     # rotated out late-r11 after
+                                     # r9+r10 greens on unchanged
+                                     # quality.py; ccnet +
+                                     # data_quality keep the screening
                                      # family in-window)
+        "pacf_contract",             # partial autocorrelation (NEW
+                                     # r11; took gopher's slot — third
+                                     # gate on the r11-changed
+                                     # stats.py, completing the
+                                     # ACF/CCF/PACF lag diagnostics)
         "target_encoding_contract",  # leakage-safe LOO mean encoding
         "theta_cohort_overlap_contract",   # Theta set algebra
         "frequent_itemsets_contract",  # FP-Growth itemset mining (NEW
