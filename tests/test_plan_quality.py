@@ -1040,3 +1040,44 @@ def test_ccf_lag_spine_broadcast_no_window(spark, sf_dir):
     assert "PythonUDF" not in plan
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_effect_size_single_agg_no_window_no_join(spark, sf_dir):
+    # Six sufficient sums in ONE conditional agg + closed-form
+    # projection: no window, no join, no Python anywhere.
+    plan = _plan(spark, sf_dir, "effect_size_contract")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_mann_kendall_pair_join_keyed_no_window(spark, sf_dir):
+    # The O(n^2) pair stage is a KEY-equi self-join over the
+    # pre-aggregated day grid (never a cartesian); Sen's median is the
+    # percentile AGGREGATE, so no window appears at all.
+    plan = _plan(spark, sf_dir, "mann_kendall_contract")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    assert "Window" not in plan
+
+
+def test_nelson_aalen_windows_on_grid_only(spark, sf_dir):
+    # Cumulative hazard windows run over the duration grid (the KM
+    # answer-scale posture); the only nested-loop is the 1-row tmax
+    # frame; no Python.
+    plan = _plan(spark, sf_dir, "nelson_aalen_contract")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    assert "Window (" in plan or "(1) Window" in plan or "Window" in plan
+
+
+def test_pacf_recursion_touches_no_data_rows(spark, sf_dir):
+    # The D-L recursion is a projection over the 4-value ACF pivot:
+    # one conditional agg + a 4-literal posexplode (Generate); the
+    # only joins are the ACF stage's keyed self-join + broadcast
+    # spine.
+    plan = _plan(spark, sf_dir, "pacf_contract")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    assert "Generate" in plan

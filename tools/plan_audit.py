@@ -124,6 +124,10 @@ HEADLINERS = {
     "ks_drift_contract": "KS two-sample drift — (key,value) contingency agg to the ~290-value grid, per-key cumulative ECDF windows (partitioned, never SinglePartition), key-cardinality reduce; integer-count arithmetic end to end",
     "adamic_adar_contract": "Adamic-Adar link prediction — degree agg, center-keyed wedge self-join bounded by the degree cap, LeftAnti against the edge set, pair-keyed agg, TakeOrderedAndProject top-25; rank after the limit",
     "ccf_lead_lag_contract": "cross-correlation — day-grid conditional-count pivot, 1-row sufficient-stats broadcast, x15 broadcast lag spine, day-keyed self-join, per-lag raw-moment agg; no window anywhere",
+    "effect_size_contract": "Cohen's d / Hedges' g — ONE key-cardinality conditional agg over six sufficient sums, closed-form projection; no join, no window",
+    "mann_kendall_contract": "Mann-Kendall + Sen — key-equi pair self-join over the pre-aggregated day grid (t_i < t_j filter), tie agg, percentile AGGREGATE median; no window, duplicate grid points raise in-plan",
+    "nelson_aalen_contract": "Nelson-Aalen — shared KM risk table, cumulative hazard sums over the answer-scale duration grid in deterministic order; 1-row tmax broadcast",
+    "pacf_contract": "PACF — ACF raw-moment join shape, ONE conditional-agg pivot of 4 ACF values, unrolled Durbin-Levinson projection, 4-literal posexplode; recursion touches no data rows",
 }
 
 
