@@ -74,7 +74,17 @@ def main() -> None:
 
     # Vanilla session (same load path as the external correctness
     # harness) so bench can never be green on a query correctness
-    # cannot even load. Only sizing knobs are set, no semantics confs.
+    # cannot even load. Only sizing/process knobs are set, no semantics
+    # confs. The daemon module is process plumbing, not semantics: Spark
+    # culls idle Python workers after a HARDCODED minute
+    # (PythonWorkerFactory.IDLE_WORKER_TIMEOUT_NS), so in a 200+-query
+    # suite every Arrow/pandas query whose predecessor ran >1 min ago
+    # re-forks its 32-worker pool; forking from a daemon that has already
+    # imported numpy/pandas/pyarrow (pydaemon.py) turns that respawn from
+    # a concurrent import storm (measured 8-40 s per affected query
+    # mid-suite, the r11 stall signature) into a plain fork. Same conf in
+    # the production session factory (session.py) — the fix is
+    # scale-independent, not a local[32] tune.
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -82,6 +92,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.python.daemon.module",
+            "proyecto_final_de_big_data_spark.pydaemon",
+        )
         .getOrCreate()
     )
 

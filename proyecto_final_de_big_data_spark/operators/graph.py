@@ -292,23 +292,45 @@ def pagerank(
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # edges annotated once with the sender's out-degree
-    contrib_edges = e.join(outdeg, "src").localCheckpoint(eager=False)
+    # Message edges = real edges annotated with the sender's out-degree
+    # PLUS one zero-mass self-loop per node (outdeg NULL). The self-loop
+    # guarantees every node receives at least one message row, so the
+    # new rank frame falls straight out of the message aggregation and
+    # the per-iteration `nodes LEFT JOIN contribs` dangling-node repair
+    # join is gone: ONE join + ONE agg per round instead of two joins +
+    # one agg (guide §2.4 — 10 data-keyed joins removed over 10 rounds;
+    # plan diff in plans/r11/pagerank_contract_{before,after}.txt).
+    # Values are untouched: rank/outdeg is NULL on the loop rows, SUM
+    # skips NULLs, and an all-NULL (message-less) group coalesces to the
+    # same base mass the left join produced.
+    contrib_edges = (
+        e.join(outdeg, "src")
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(None).cast("long").alias("outdeg"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
     base = F.lit((1.0 - damping) / n_nodes)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for it in range(iterations):
-        contribs = (
+        ranks = (
             contrib_edges.join(
                 ranks.withColumnRenamed("node", "src"), "src"
             )
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("__in"))
-        )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (base + F.lit(damping) * F.coalesce("__in", F.lit(0.0))).alias(
-                "rank"
-            ),
+            .agg(
+                (
+                    base
+                    + F.lit(damping)
+                    * F.coalesce(
+                        F.sum(F.col("rank") / F.col("outdeg")), F.lit(0.0)
+                    )
+                ).alias("rank")
+            )
         )
         if (it + 1) % max(1, checkpoint_every) == 0 or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=False)

@@ -38,17 +38,26 @@ def _capped_baskets(
     conditional-database fan-out instead of a pair join)."""
     if max_basket < 2:
         raise ValueError("max_basket must be at least 2")
-    items = (
-        df.select(
-            F.col(basket_col).alias("basket"),
-            F.col(item_col).cast("string").alias("item"),
-        )
-        .distinct()
+    items = df.select(
+        F.col(basket_col).alias("basket"),
+        F.col(item_col).cast("string").alias("item"),
     )
+    # collect_set dedups INSIDE the basket aggregation — same set
+    # semantics as the previous distinct() + collect_list, minus the
+    # distinct's own (basket, item)-keyed Exchange: one shuffle instead
+    # of two, and the map-side partial agg already collapses duplicate
+    # items per basket before anything crosses the wire (guide §2.3).
     grouped = items.groupBy("basket").agg(
-        F.array_sort(F.collect_list("item")).alias("items")
+        F.array_sort(F.collect_set("item")).alias("items")
     )
-    return grouped.where(F.size("items") <= max_basket)
+    # Lazy localCheckpoint: FP-Growth's fit makes THREE passes over its
+    # input (minCount count, frequent-item agg, conditional-DB mining)
+    # and both callers aggregate the basket total on top — without the
+    # checkpoint the join+groupBy prep subtree re-executes per pass
+    # (4x measured at sf0.1). Computed once on first use, reused from
+    # executor-local blocks after; freed by the ContextCleaner when the
+    # frame is collected (no session-lifetime pin).
+    return grouped.where(F.size("items") <= max_basket).localCheckpoint(eager=False)
 
 
 def frequent_itemsets(

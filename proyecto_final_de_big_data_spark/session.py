@@ -57,6 +57,12 @@ def get_spark(
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # Warm-pool daemon: PythonWorkerFactory culls idle Python workers
+        # after a hardcoded minute; forking workers from a daemon that has
+        # already imported numpy/pandas/pyarrow makes each respawn a plain
+        # fork (ms) instead of a 32-way concurrent import storm (measured
+        # 8-40 s per affected query mid-suite). See pydaemon.py.
+        "spark.python.daemon.module": "proyecto_final_de_big_data_spark.pydaemon",
     }
     if extra_conf:
         conf.update(extra_conf)
