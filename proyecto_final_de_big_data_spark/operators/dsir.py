@@ -103,10 +103,19 @@ def dsir_scores(
     Everything is ONE lazy plan — the two distributions' totals ride
     as 1-row scalar frames (the house crossJoin pattern), never a
     driver action, so registering/collecting costs a single job and
-    the gram pipeline is never re-evaluated for a count."""
+    the gram pipeline is never re-evaluated for a count. The raw
+    per-document bucket counts feed BOTH the q distribution and the
+    scoring join, so they are pinned with a lazy ``localCheckpoint``
+    (the winnow.py barrier discipline): the raw corpus' explode +
+    md5-fold + per-doc aggregation — the expensive half at corpus
+    scale — runs once instead of twice, at the cost of materializing
+    the (doc, bucket) count frame (≤ corpus-scale, far below the
+    exploded gram stream it replaces)."""
     if alpha <= 0:
         raise ValueError(f"dsir_scores needs alpha > 0; got {alpha}")
-    raw_counts = hashed_ngram_counts(raw, id_col, text_col, n, buckets)
+    raw_counts = hashed_ngram_counts(raw, id_col, text_col, n, buckets).localCheckpoint(
+        eager=False
+    )
     tgt_counts = hashed_ngram_counts(target, id_col, text_col, n, buckets)
     p = tgt_counts.groupBy("bucket").agg(F.sum("cnt").alias("__pc"))
     q = raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("__qc"))

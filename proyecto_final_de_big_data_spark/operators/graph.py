@@ -303,6 +303,15 @@ def pagerank(
     # Values are untouched: rank/outdeg is NULL on the loop rows, SUM
     # skips NULLs, and an all-NULL (message-less) group coalesces to the
     # same base mass the left join produced.
+    # NOTE (measured, r11 optimization round): an alternative that
+    # hash-partitions + sorts this invariant frame by "src" and
+    # persist()s it (so each round's sort-merge join reuses the layout
+    # instead of re-shuffling the edge side) was tried and REVERTED:
+    # a materialized InMemoryRelation does expose its partitioning
+    # (join-side Exchange+Sort verified gone on 4.1), but the cached
+    # relation drags cached-plan AQE into every round — 127 -> 224
+    # stages, 8.8 s -> 13.9 s warm at sf0.1. The lazy localCheckpoint
+    # fuses all rounds into one non-adaptive query instead.
     contrib_edges = (
         e.join(outdeg, "src")
         .unionByName(
@@ -488,10 +497,21 @@ def label_propagation(
         .withColumn("label", F.col("node"))
     )
     for it in range(iterations):
+        # One explicit src-keyed exchange feeds BOTH aggregation levels:
+        # HashPartitioning(src) satisfies the clustering requirement of
+        # groupBy(node=src, label) AND groupBy(node), so neither agg
+        # inserts its own shuffle — 4 data Exchanges + 3 Sorts per round
+        # become 3 + 2 (measured plan shape; guide §2.4). Trade-off,
+        # documented: the plain two-exchange form map-side-combines
+        # (node, label) rows before the wire; this form ships the raw
+        # message rows once instead of combined rows twice — same-order
+        # bytes unless neighbor labels collapse >2x within a map
+        # partition, which dst-keyed message partitioning makes rare.
         counts = (
             sym.join(
                 labels.select(F.col("node").alias("dst"), "label"), "dst"
             )
+            .repartition("src")
             .groupBy(F.col("src").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
