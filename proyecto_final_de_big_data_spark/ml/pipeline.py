@@ -13,7 +13,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.ml import Pipeline, PipelineModel
-from pyspark.ml.evaluation import RegressionEvaluator
 from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
 from pyspark.ml.regression import GBTRegressor, LinearRegression, RandomForestRegressor
 from pyspark.sql import DataFrame, SparkSession
@@ -95,12 +94,39 @@ def build_pipeline(df: DataFrame, cfg: TrainConfig) -> tuple[Pipeline, list[str]
 
 
 def evaluate(predictions: DataFrame, label: str) -> dict[str, float]:
-    """rmse / mae / r2 (reference M7)."""
-    out = {}
-    for metric in ("rmse", "mae", "r2"):
-        ev = RegressionEvaluator(labelCol=label, predictionCol="prediction", metricName=metric)
-        out[metric] = ev.evaluate(predictions)
-    return out
+    """rmse / mae / r2 (reference M7) — ONE aggregation pass.
+
+    Same metric definitions as ``RegressionEvaluator`` (rmse =
+    sqrt(SSE/n), mae = SAE/n, r2 = 1 − SSE/SStot with SStot about the
+    label mean), computed from closed-form sufficient sums in a single
+    job instead of one evaluator job per metric (three passes over the
+    predictions frame became one; agreement with the evaluator is
+    summation-order only, ~1e-12 relative — the same tolerance class
+    the rounded contract gates already absorb)."""
+    from pyspark.sql import functions as F
+
+    y = F.col(label).cast("double")
+    p = F.col("prediction").cast("double")
+    e = y - p
+    row = predictions.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(e * e).alias("sse"),
+        F.sum(F.abs(e)).alias("sae"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+    ).collect()[0]
+    n = int(row["n"] or 0)
+    if n == 0:
+        # RegressionEvaluator on an empty frame yields NaN metrics.
+        return {"rmse": float("nan"), "mae": float("nan"), "r2": float("nan")}
+    sse, sae = float(row["sse"]), float(row["sae"])
+    mean_y = float(row["sy"]) / n
+    sstot = float(row["syy"]) - n * mean_y * mean_y
+    return {
+        "rmse": (sse / n) ** 0.5,
+        "mae": sae / n,
+        "r2": (1.0 - sse / sstot) if sstot != 0.0 else float("nan"),
+    }
 
 
 def train_and_evaluate(df: DataFrame, cfg: TrainConfig) -> tuple[PipelineModel, dict[str, float], DataFrame]:
@@ -109,11 +135,11 @@ def train_and_evaluate(df: DataFrame, cfg: TrainConfig) -> tuple[PipelineModel, 
     The train split is persisted before ``fit`` — the fit otherwise
     re-reads the source and recomputes the split once per internal job
     (each StringIndexer distinct-count, the regressor solve, …).
-    Predictions are persisted so the three evaluator passes score once;
-    both caches are released before returning (callers that iterate the
-    returned predictions frame should persist it themselves — most
-    consume only the metrics dict, and a pinned cache would otherwise
-    leak across a long-lived session).
+    Predictions are persisted so the metrics aggregation and the test
+    count score once; both caches are released before returning
+    (callers that iterate the returned predictions frame should persist
+    it themselves — most consume only the metrics dict, and a pinned
+    cache would otherwise leak across a long-lived session).
 
     The input is pruned to label + used feature columns BEFORE the
     split/persist: every fit job and the cached train partition then

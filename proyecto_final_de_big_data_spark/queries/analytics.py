@@ -4296,15 +4296,23 @@ def q_rater_agreement_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.floor(v / 20.0), F.lit(0).cast("long")),
         F.lit(4).cast("long"),
     )
-    base = ev.filter(v.isNotNull() & ~F.isnan(v)).select(
-        "event_id",
-        la_n.alias("la_n"),
-        (
-            _md5_fold(
-                F.concat(F.col("event_id").cast("string"), F.lit(":rater"))
-            )
-            / F.lit(float(1 << 60))
-        ).alias("u"),
+    # base feeds FOUR consumers (two Cohen contingency tables, the
+    # Fleiss panel window, and the panel count) — pin it with a lazy
+    # localCheckpoint so the events scan + md5 band derivation runs
+    # once, not once per consumer (the dsir/winnow barrier discipline).
+    base = (
+        ev.filter(v.isNotNull() & ~F.isnan(v))
+        .select(
+            "event_id",
+            la_n.alias("la_n"),
+            (
+                _md5_fold(
+                    F.concat(F.col("event_id").cast("string"), F.lit(":rater"))
+                )
+                / F.lit(float(1 << 60))
+            ).alias("u"),
+        )
+        .localCheckpoint(eager=False)
     )
     pairs = base.select(
         F.col("la_n").cast("string").alias("la"),

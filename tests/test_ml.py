@@ -124,3 +124,35 @@ def test_text_classifier_scoring_is_map_only(spark):
         scored.explain("formatted")
     # the 100-TB scoring path must be a pure projection over the scan
     assert "Exchange" not in buf.getvalue()
+
+
+def test_evaluate_matches_regression_evaluator(spark):
+    """The single-pass closed-form evaluate() (r11 optimization: one
+    aggregation instead of three RegressionEvaluator jobs) must agree
+    with MLlib's evaluator on every metric to float tolerance."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    from proyecto_final_de_big_data_spark.ml.pipeline import evaluate
+
+    rows = [
+        (1.0, 1.5), (2.0, 1.8), (3.0, 3.3), (4.5, 4.4),
+        (5.0, 4.0), (0.5, 0.9), (2.5, 2.5), (7.0, 6.1),
+    ]
+    preds = spark.createDataFrame(rows, ["y", "prediction"])
+    got = evaluate(preds, "y")
+    for metric in ("rmse", "mae", "r2"):
+        ev = RegressionEvaluator(
+            labelCol="y", predictionCol="prediction", metricName=metric
+        )
+        want = ev.evaluate(preds)
+        assert abs(got[metric] - want) < 1e-9, (metric, got[metric], want)
+
+
+def test_evaluate_empty_frame_nan(spark):
+    import math
+
+    from proyecto_final_de_big_data_spark.ml.pipeline import evaluate
+
+    preds = spark.createDataFrame([], "y double, prediction double")
+    got = evaluate(preds, "y")
+    assert all(math.isnan(got[m]) for m in ("rmse", "mae", "r2"))
