@@ -768,7 +768,14 @@ def bfs_distances(
     # pin it once so the base scans/joins that build it run once, not
     # max_hops times (lazy localCheckpoint, the winnow.py barrier
     # discipline; swap for checkpoint/cache on a real cluster).
-    sym = sym.localCheckpoint(eager=False)
+    # Pin it PRE-PARTITIONED AND SORTED on the join key: a
+    # localCheckpoint's LogicalRDD keeps the physical plan's
+    # outputPartitioning/outputOrdering, so every round's expansion
+    # join finds the big side already hash(src)-clustered and sorted —
+    # the edge list crosses the wire once total instead of once per
+    # hop (guide §2.4; unlike the persist() route this adds no
+    # cached-plan AQE re-planning — see the pagerank NOTE).
+    sym = sym.repartition("src").sortWithinPartitions("src").localCheckpoint(eager=False)
     settled = (
         sources.select(F.col(node).alias("node"))
         .distinct()
@@ -787,10 +794,16 @@ def bfs_distances(
             "dist", F.lit(hop)
         )
         settled = settled.unionByName(new)
-        frontier = new.select("node")
         if hop % max(1, checkpoint_every) == 0 or hop == max_hops:
             settled = settled.localCheckpoint(eager=False)
-            frontier = frontier.localCheckpoint(eager=False)
+            # Re-derive the frontier from the PINNED settled frame
+            # (rows with dist == hop are exactly `new`): the next
+            # round reads the materialized RDD instead of re-running
+            # this round's anti-join subtree a second time, and the
+            # final hop pays no frontier materialization at all.
+            frontier = settled.filter(F.col("dist") == hop).select("node")
+        else:
+            frontier = new.select("node")
     return settled
 
 
