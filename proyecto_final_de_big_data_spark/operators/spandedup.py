@@ -85,9 +85,15 @@ def gram_position_index(
     # Barrier (the winnow.py discipline): without it CollapseProject
     # inlines the text into the per-position lambda and the substr/md5
     # pair re-evaluates the projection per element.
+    from .winnow import spread_for_fanout
+
     base = (
-        df.filter(txt.isNotNull() & (F.length(txt) >= gram_len))
-        .select(F.col(id_col).alias("id"), txt.alias("__t"))
+        spread_for_fanout(
+            df.filter(txt.isNotNull() & (F.length(txt) >= gram_len)).select(
+                F.col(id_col).alias("id"), txt.alias("__t")
+            ),
+            "id",
+        )
         .localCheckpoint(eager=False)
     )
     t = F.col("__t")

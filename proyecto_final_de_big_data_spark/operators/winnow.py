@@ -45,6 +45,25 @@ def _normalized(text: Column) -> Column:
     return F.regexp_replace(F.lower(text), "[^a-z0-9]", "")
 
 
+def spread_for_fanout(df: DataFrame, key: str, parts: int | None = None) -> DataFrame:
+    """Hash-repartition ``df`` by ``key`` ahead of a heavy fan-out map
+    stage (per-character md5 grams, position explodes). Scan
+    parallelism is sized to INPUT bytes (``maxPartitionBytes``), but
+    these stages do O(len · w) work per input byte — a corpus that fits
+    one scan split would otherwise hash every gram on one core (guide
+    §2.5: repartition right after a too-coarse read). ``parts=None``
+    sizes to the session's default parallelism (cores); pass an
+    explicit count on a cluster whose candidate frame is already wider
+    than core count, or ``0`` to keep the input partitioning. A
+    deliberate explicit-count repartition: AQE's coalescing sizes on
+    PRE-fan-out bytes and would re-merge a column-only repartition of a
+    small corpus back to one partition."""
+    if parts == 0:
+        return df
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -84,8 +103,12 @@ def winnowing_fingerprints(
     # 8.8x scaling ratio before the fix. Each stage below is computed
     # exactly once per row; no shuffle is introduced.
     base = (
-        df.filter(txt.isNotNull() & (F.length(txt) >= k))
-        .select(F.col(id_col).alias("id"), txt.alias("__t"))
+        spread_for_fanout(
+            df.filter(txt.isNotNull() & (F.length(txt) >= k)).select(
+                F.col(id_col).alias("id"), txt.alias("__t")
+            ),
+            "id",
+        )
         .localCheckpoint(eager=False)
     )
     t = F.col("__t")
