@@ -445,7 +445,15 @@ def q_stream_stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents"),
         )
-        drained = _drain_stream(spark, joined, "t_ssjoin", "append")
+        # 4 state partitions, not the default 8: a stream-stream join
+        # opens FOUR state-store instances per partition (left/right x
+        # keyToNumValues/keyWithIndexToValue), so per-micro-batch commit
+        # overhead scales 4x harder with partition count than the
+        # single-store aggregations. Measured (r11 optimization round,
+        # interleaved A/B at sf0.1): 8 -> 4 partitions 4.0 -> 2.7 s
+        # warm; 4 -> 2 was flat. Fixture-scale sizing, parameterized as
+        # ever — a production deployment sizes this to throughput.
+        drained = _drain_stream(spark, joined, "t_ssjoin", "append", shuffle_partitions=4)
         return drained.groupBy("a_type").agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum("cents").alias("cents_diff"),
