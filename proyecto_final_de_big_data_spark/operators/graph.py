@@ -378,6 +378,13 @@ def triangle_stats(
     Output includes every vertex (triangle-free ones at 0/0.0).
     """
     u, v = F.col("__u"), F.col("__v")
+    # Pin the multi-referenced frames (lazy localCheckpoint, the house
+    # barrier): without pins `oriented` is referenced three times
+    # (both wedge sides + the closing join), `deg` three times and
+    # `und` three more through them, so the physical plan repeated the
+    # canonicalize-distinct subtree ~9x (measured 104 Exchanges /
+    # 1544-line plan for the contract) and leaned on runtime exchange
+    # reuse to dedup it. Values untouched — integer counts throughout.
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("__u"),
@@ -385,12 +392,14 @@ def triangle_stats(
         )
         .filter(u.isNotNull() & v.isNotNull() & (u != v))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(u.alias("node"))
         .unionAll(und.select(v.alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
     )
     keyed = und.join(
         deg.select(F.col("node").alias("__u"), F.col("degree").alias("__du")),
@@ -405,7 +414,7 @@ def triangle_stats(
         F.when(ku < kv, u).otherwise(v).alias("lo"),
         F.when(ku < kv, v).otherwise(u).alias("hi"),
         F.when(ku < kv, kv).otherwise(ku).alias("k_hi"),
-    )
+    ).localCheckpoint(eager=False)
     w1 = oriented.select(
         F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("k_hi").alias("kb")
     )
