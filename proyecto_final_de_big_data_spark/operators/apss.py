@@ -67,12 +67,22 @@ def tfidf_weights(
         )
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        # Pinned: tok feeds the doc-frequency agg AND the weight join —
+        # unpinned, the tokenize + (id, term) agg subtree ran twice
+        # (r11 optimization, guide §5).
+        .localCheckpoint(eager=False)
     )
-    n_docs = df.select(F.countDistinct(id_col)).first()[0]
+    # Corpus size rides the plan as a broadcast 1-row scalar frame (the
+    # keyness/modularity posture) instead of an eager .first() readout:
+    # constructing the operator stays lazy and the corpus scan is not
+    # paid once per construction. Arithmetic unchanged: double(N)/df,
+    # exactly the old lit(float(n))/df.
+    nd = df.agg(F.count_distinct(F.col(id_col)).cast("double").alias("__n"))
     dfreq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         tok.join(dfreq, "term")
-        .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .crossJoin(F.broadcast(nd))
+        .withColumn("w", F.col("tf") * F.log(F.col("__n") / F.col("df")))
         .filter(F.col("w") > 0)
         .select("id", "term", "w", "df")
     )
@@ -95,9 +105,16 @@ def cosine_similarity_pairs(
             f"threshold must be in (0, 1], got {threshold} — at 0 the "
             "L2 prefix filter degenerates to the full inverted index"
         )
-    weights = tfidf_weights(df, id_col, text_col)
-    norms = weights.groupBy("id").agg(
-        F.sum(F.col("w") * F.col("w")).alias("__w2")
+    # Pin the weight frame (lazy localCheckpoint): it feeds the norm
+    # agg, the ranked prefix pass and both verification sides — the
+    # unpinned plan re-ran the whole tf-idf subtree once per consumer
+    # (r11 optimization, guide §5). Norms (1 row per doc) likewise
+    # feed three consumers (ranked + both denominator joins).
+    weights = tfidf_weights(df, id_col, text_col).localCheckpoint(eager=False)
+    norms = (
+        weights.groupBy("id")
+        .agg(F.sum(F.col("w") * F.col("w")).alias("__w2"))
+        .localCheckpoint(eager=False)
     )
     ranked = weights.join(norms, "id")
     # Global term order: df ASC, term ASC (rarest first). The running

@@ -51,17 +51,37 @@ def bm25_scores(
     k1 = float(k1)
     b = float(b)
 
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(words(F.lower(F.col(text_col)))).alias("word"),
-    )
-    doclen = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("double").alias("dl")
+    # Document lengths straight off the token ARRAY (F.size) — the
+    # explode + groupBy-count formulation shuffled one row per corpus
+    # token just to count them, and recomputed the tokenize explode for
+    # each consumer (r11 optimization, guide §2.3/§5). The dl > 0
+    # filter keeps the old semantics exactly: the exploded groupBy only
+    # produced rows for documents with >= 1 token, so avgdl averages
+    # over the same document set.
+    doclen = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(words(F.lower(F.col(text_col)))).cast("double").alias("dl"),
+        )
+        .filter(F.col("dl") > 0)
+        # Pinned: doclen feeds the avgdl scalar AND the per-doc score
+        # join — one tokenize pass, not two.
+        .localCheckpoint(eager=False)
     )
     avgdl = doclen.agg(F.avg("dl").alias("avgdl"))
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
 
-    qtok = tok.filter(F.col("word").isin(terms))
+    # Query-term occurrences (the IN-filter pushes below the explode,
+    # plan-asserted in tests/test_plan_quality.py). Deliberately NOT
+    # pinned: the tf and df aggs each re-run the map-only tokenize —
+    # two scans of a projection — and keeping the subtree visible in
+    # explain() is worth more than collapsing them here (bm25 queries
+    # are ~1 s; contrast the pinned index frames in setsim/dedup where
+    # the recompute was the dominant cost).
+    qtok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("word"),
+    ).filter(F.col("word").isin(terms))
     tf = qtok.groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )

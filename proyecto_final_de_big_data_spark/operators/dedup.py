@@ -419,10 +419,19 @@ def jaccard_pairs_index(
     the exact counterpart of the MinHash-LSH path and replaces the
     bounded cartesian baseline at ~5× less work even at 500 docs.
     """
-    sh = with_word_shingles(df.select(id_col, text_col), text_col, "__sh", shingle_n).select(
-        F.col(id_col), F.explode("__sh").alias("__shingle")
+    # Pin the per-doc shingle-set frame (lazy localCheckpoint): it
+    # feeds BOTH self-join sides and both size lookups, so the unpinned
+    # plan re-ran the shingling pass once per consumer (r11
+    # optimization, guide §5 — recompute less). Set sizes come straight
+    # off the distinct array (``with_word_shingles`` array_distincts),
+    # replacing the explode + groupBy-count + Exchange per join side.
+    arrs = (
+        with_word_shingles(df.select(id_col, text_col), text_col, "__sh", shingle_n)
+        .select(id_col, "__sh")  # project the text away pre-pin
+        .localCheckpoint(eager=False)
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    sh = arrs.select(F.col(id_col), F.explode("__sh").alias("__shingle"))
+    sizes = arrs.select(F.col(id_col), F.size("__sh").alias("__sz"))
     if max_doc_freq is not None:
         under_cap = (
             sh.groupBy("__shingle")
@@ -478,10 +487,17 @@ def jaccard_pairs_hashed_index(
     variant where a SQL oracle recomputes shingle strings and compares
     Jaccard VALUES.
     """
-    sh = shingle_hash_arrays(df, id_col, text_col, shingle_n).select(
-        F.col(id_col), F.explode("__shash").alias("__shingle")
+    # Pin the per-doc hash-set frame (lazy localCheckpoint): the
+    # unpinned plan re-ran the Arrow shingling pass once per consumer —
+    # both self-join sides AND both size lookups, 4 MapInPandas
+    # subtrees in the measured minhash_recall plan (r11 optimization,
+    # guide §5). Set sizes come straight off the distinct hash array,
+    # replacing the explode + groupBy-count + Exchange per join side.
+    arrs = shingle_hash_arrays(df, id_col, text_col, shingle_n).localCheckpoint(
+        eager=False
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    sh = arrs.select(F.col(id_col), F.explode("__shash").alias("__shingle"))
+    sizes = arrs.select(F.col(id_col), F.size("__shash").alias("__sz"))
     if max_doc_freq is not None:
         under_cap = (
             sh.groupBy("__shingle")

@@ -74,9 +74,15 @@ def jaccard_prefix_pairs(
             f"threshold must be in (0, 1], got {threshold} — at 0 the "
             "prefix filter degenerates; use jaccard_pairs_index"
         )
-    arrs = with_word_shingles(
-        df.select(id_col, text_col), text_col, "__sh", shingle_n
-    ).select(id_col, "__sh")
+    # Pin the per-doc shingle-set frame (lazy localCheckpoint): it
+    # feeds the doc-frequency count, the ranked index join AND both
+    # verification sides — the unpinned plan re-ran the shingling pass
+    # once per consumer (r11 optimization, guide §5).
+    arrs = (
+        with_word_shingles(df.select(id_col, text_col), text_col, "__sh", shingle_n)
+        .select(id_col, "__sh")
+        .localCheckpoint(eager=False)
+    )
     tok = arrs.select(F.col(id_col), F.explode("__sh").alias("__shingle"))
     freq = tok.groupBy("__shingle").agg(F.count(F.lit(1)).alias("__df"))
     ranked = tok.join(freq, "__shingle")
@@ -156,10 +162,18 @@ def containment_pairs(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = with_word_shingles(
-        df.select(id_col, text_col), text_col, "__sh", shingle_n
-    ).select(F.col(id_col), F.explode("__sh").alias("__shingle"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    # Pin the per-doc shingle-set frame once (lazy localCheckpoint, r11
+    # optimization): it feeds both self-join sides and both size
+    # lookups; set sizes come straight off the distinct array
+    # (``with_word_shingles`` array_distincts), replacing the explode +
+    # groupBy-count + Exchange per side.
+    arrs = (
+        with_word_shingles(df.select(id_col, text_col), text_col, "__sh", shingle_n)
+        .select(id_col, "__sh")
+        .localCheckpoint(eager=False)
+    )
+    sh = arrs.select(F.col(id_col), F.explode("__sh").alias("__shingle"))
+    sizes = arrs.select(F.col(id_col), F.size("__sh").alias("__sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(

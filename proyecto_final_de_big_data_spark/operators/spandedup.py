@@ -44,9 +44,10 @@ Scale shape (100 TB):
    (sequence/transform over substr + the portable md5 fold), barriered
    with the winnow.py lazy-localCheckpoint discipline so Catalyst
    cannot re-evaluate the text per element.
-3. Keeper resolution is ONE groupBy at distinct-gram cardinality
-   (min id + distinct-doc count, map-side combined); duplicated
-   positions come back via an inner join on the gram hash.
+3. Keeper resolution is ONE pass over the index — a whole-partition
+   window min keyed on the gram hash (``id > min(id)`` flags exactly
+   the non-keeper occurrences of cross-document grams), so the
+   per-character index is shuffled once and never joined back.
 4. Span merge is the classic islands window PARTITIONED BY DOCUMENT —
    per-task work is bounded by one document's duplicated positions,
    never corpus-scale.
@@ -158,13 +159,23 @@ def duplicate_spans(
         cands = _winnow_candidates(df, id_col, text_col, k=k, w=w)
         scoped = scoped.join(cands, "id", "left_semi")
     gidx = gram_position_index(scoped, "id", "__t", min_span)
-    keepers = gidx.groupBy("gram_hash").agg(
-        F.min("id").alias("__keeper"),
-        F.countDistinct("id").alias("__ndocs"),
-    )
+    # Keeper resolution fused into ONE pass over the gram index (r11
+    # optimization; guide §2.4 — two operations keyed the same way
+    # share one exchange). The previous join-back formulation
+    # (groupBy(gram_hash) → min/countDistinct, then gidx ⋈ keepers on
+    # gram_hash) planned the one-row-per-character index subtree TWICE
+    # (agg input + join probe side), so the per-character md5 explode
+    # ran twice and the index crossed the wire twice. The window min is
+    # algebraically identical: ``id > min(id) OVER (PARTITION BY
+    # gram_hash)`` holds exactly when the gram occurs in >= 2 distinct
+    # documents AND this occurrence is not in the smallest-id (keeper)
+    # document — a gram confined to one document has min(id) == id at
+    # every position, so nothing flags, same as the old __ndocs >= 2.
+    # Skew exposure is unchanged (both shapes key on gram_hash).
+    keeper = F.min("id").over(Window.partitionBy("gram_hash"))
     dup_pos = (
-        gidx.join(keepers, "gram_hash")
-        .filter((F.col("__ndocs") >= 2) & (F.col("id") > F.col("__keeper")))
+        gidx.withColumn("__keeper", keeper)
+        .filter(F.col("id") > F.col("__keeper"))
         .select("id", "pos")
     )
     # (id, pos) is unique by construction — one gram per position and
