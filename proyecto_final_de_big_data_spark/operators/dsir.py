@@ -63,8 +63,25 @@ def hashed_ngram_counts(
     if buckets < 2:
         raise ValueError(f"hashed_ngram_counts needs buckets >= 2; got {buckets}")
     from .normalize_text import ws_lower_tokens
+    from .winnow import spread_for_fanout
 
-    words = ws_lower_tokens(text_col)
+    # Spread the gram fan-out across cores before the per-gram work
+    # (the winnow.py discipline, r11 optimization): this stage does
+    # O(len) work per input character but inherits the SCAN's split
+    # count, so a corpus that fits one split would hash every gram on
+    # one core (measured: dsir's 14 stages all single-task). The
+    # spread keys on id, so the (id, bucket) aggregation reuses the
+    # partitioning and inserts no second exchange. The token array is
+    # then pinned behind a lazy-localCheckpoint barrier (the
+    # winnowing_fingerprints pattern): without it CollapseProject
+    # inlines the tokenize into the per-gram slice lambda and the
+    # split re-runs per gram — O(len²) per document.
+    base = (
+        spread_for_fanout(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+        .select("id", ws_lower_tokens(text_col).alias("__w"))
+        .localCheckpoint(eager=False)
+    )
+    words = F.col("__w")
     # sequence(1, 0) DESCENDS in Spark (it never returns empty), so
     # the too-short-document case must be guarded explicitly.
     grams = F.when(
@@ -75,8 +92,8 @@ def hashed_ngram_counts(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(
-            F.col(id_col).alias("id"),
+        base.select(
+            "id",
             F.explode(grams).alias("__g"),
         )
         .select("id", F.pmod(_md5_fold(F.col("__g")), F.lit(buckets)).alias("bucket"))

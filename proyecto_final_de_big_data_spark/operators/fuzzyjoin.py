@@ -239,7 +239,16 @@ def jaro_winkler_self_join(
         )
 
     cand = multipass_candidates(df, col, blocks).localCheckpoint(eager=False)
-    scored = cand.withColumn(
+    # Spread the candidate frame across cores before the Python scoring
+    # pass (the winnow.py fan-out discipline, r11 optimization): the
+    # pair-DISTINCT's post-shuffle partitions get AQE-coalesced on pair
+    # BYTES — a few MB of short strings lands on one partition, so the
+    # per-pair O(len²) Python scoring ran on one core. The explicit
+    # keyed repartition defeats the coalescing; pairs are answer-scale
+    # rows, so the extra exchange is cheap relative to the UDF.
+    from .winnow import spread_for_fanout
+
+    scored = spread_for_fanout(cand, "left_value").withColumn(
         "jw", F.round(_jw(F.col("left_value"), F.col("right_value")), decimals)
     ).localCheckpoint(eager=False)
     return scored.filter(F.col("jw") >= threshold)
