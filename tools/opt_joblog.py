@@ -13,60 +13,95 @@ import sys
 from collections import defaultdict
 
 
+def _lines(path):
+    """Yield event-log lines from a plain file, a Spark rolling-log
+    directory (eventlog_v2_*/events_N_*.zstd), or a single .zstd file.
+    The sandbox has no zstd CLI or `zstandard` module; pyarrow's
+    bundled codec handles the decompression."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        parts = sorted(
+            glob.glob(os.path.join(path, "events_*")),
+            key=lambda p: int(os.path.basename(p).split("_")[1]),
+        )
+    else:
+        parts = [path]
+    for p in parts:
+        if p.endswith(".zstd"):
+            import pyarrow as pa
+
+            with pa.input_stream(p, compression="zstd") as f:
+                buf = b""
+                while True:
+                    chunk = f.read(1 << 20)
+                    if not chunk:
+                        break
+                    buf += chunk
+                    *done, buf = buf.split(b"\n")
+                    for ln in done:
+                        yield ln
+                if buf:
+                    yield buf
+        else:
+            with open(p, "rb") as f:
+                yield from f
+
+
 def main() -> None:
     path = sys.argv[1]
     want = sys.argv[2] if len(sys.argv) > 2 else None
     jobs = {}  # id -> {desc, t0, t1, stages: [ids]}
     stages = {}  # id -> {name, t0, t1, tasks, task_time, sread, swrite, input}
-    with open(path) as f:
-        for line in f:
-            try:
-                e = json.loads(line)
-            except ValueError:
-                continue
-            ev = e.get("Event")
-            if ev == "SparkListenerJobStart":
-                jobs[e["Job ID"]] = {
-                    "desc": (e.get("Properties") or {}).get(
-                        "spark.job.description", ""
-                    ),
-                    "t0": e.get("Submission Time", 0),
-                    "t1": None,
-                    "stages": [s["Stage ID"] for s in e.get("Stage Infos", [])],
-                }
-            elif ev == "SparkListenerJobEnd":
-                if e["Job ID"] in jobs:
-                    jobs[e["Job ID"]]["t1"] = e.get("Completion Time", 0)
-            elif ev == "SparkListenerStageCompleted":
-                si = e["Stage Info"]
-                stages[si["Stage ID"]] = {
-                    "name": si.get("Name", ""),
-                    "t0": si.get("Submission Time", 0),
-                    "t1": si.get("Completion Time", 0),
-                    "tasks": si.get("Number of Tasks", 0),
-                }
-            elif ev == "SparkListenerTaskEnd":
-                sid = e["Stage ID"]
-                m = e.get("Task Metrics") or {}
-                agg = stages.setdefault(sid, {})
-                agg["task_time"] = agg.get("task_time", 0) + m.get(
-                    "Executor Run Time", 0
-                )
-                sr = m.get("Shuffle Read Metrics") or {}
-                sw = m.get("Shuffle Write Metrics") or {}
-                agg["sread"] = (
-                    agg.get("sread", 0)
-                    + sr.get("Remote Bytes Read", 0)
-                    + sr.get("Local Bytes Read", 0)
-                )
-                agg["fetchwait"] = agg.get("fetchwait", 0) + sr.get(
-                    "Fetch Wait Time", 0
-                )
-                agg["swrite"] = agg.get("swrite", 0) + sw.get(
-                    "Shuffle Bytes Written", 0
-                )
-                inp = m.get("Input Metrics") or {}
-                agg["input"] = agg.get("input", 0) + inp.get("Bytes Read", 0)
+    for line in _lines(path):
+        try:
+            e = json.loads(line)
+        except ValueError:
+            continue
+        ev = e.get("Event")
+        if ev == "SparkListenerJobStart":
+            jobs[e["Job ID"]] = {
+                "desc": (e.get("Properties") or {}).get(
+                    "spark.job.description", ""
+                ),
+                "t0": e.get("Submission Time", 0),
+                "t1": None,
+                "stages": [s["Stage ID"] for s in e.get("Stage Infos", [])],
+            }
+        elif ev == "SparkListenerJobEnd":
+            if e["Job ID"] in jobs:
+                jobs[e["Job ID"]]["t1"] = e.get("Completion Time", 0)
+        elif ev == "SparkListenerStageCompleted":
+            si = e["Stage Info"]
+            stages[si["Stage ID"]] = {
+                "name": si.get("Name", ""),
+                "t0": si.get("Submission Time", 0),
+                "t1": si.get("Completion Time", 0),
+                "tasks": si.get("Number of Tasks", 0),
+            }
+        elif ev == "SparkListenerTaskEnd":
+            sid = e["Stage ID"]
+            m = e.get("Task Metrics") or {}
+            agg = stages.setdefault(sid, {})
+            agg["task_time"] = agg.get("task_time", 0) + m.get(
+                "Executor Run Time", 0
+            )
+            sr = m.get("Shuffle Read Metrics") or {}
+            sw = m.get("Shuffle Write Metrics") or {}
+            agg["sread"] = (
+                agg.get("sread", 0)
+                + sr.get("Remote Bytes Read", 0)
+                + sr.get("Local Bytes Read", 0)
+            )
+            agg["fetchwait"] = agg.get("fetchwait", 0) + sr.get(
+                "Fetch Wait Time", 0
+            )
+            agg["swrite"] = agg.get("swrite", 0) + sw.get(
+                "Shuffle Bytes Written", 0
+            )
+            inp = m.get("Input Metrics") or {}
+            agg["input"] = agg.get("input", 0) + inp.get("Bytes Read", 0)
 
     by_desc = defaultdict(
         lambda: {
