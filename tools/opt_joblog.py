@@ -74,12 +74,18 @@ def main() -> None:
                 jobs[e["Job ID"]]["t1"] = e.get("Completion Time", 0)
         elif ev == "SparkListenerStageCompleted":
             si = e["Stage Info"]
-            stages[si["Stage ID"]] = {
-                "name": si.get("Name", ""),
-                "t0": si.get("Submission Time", 0),
-                "t1": si.get("Completion Time", 0),
-                "tasks": si.get("Number of Tasks", 0),
-            }
+            # UPDATE the stage record — TaskEnd events for this stage
+            # have already accumulated task_time/shuffle/input into it,
+            # and assignment would clobber them (they'd all read 0).
+            agg = stages.setdefault(si["Stage ID"], {})
+            agg.update(
+                {
+                    "name": si.get("Name", ""),
+                    "t0": si.get("Submission Time", 0),
+                    "t1": si.get("Completion Time", 0),
+                    "tasks": si.get("Number of Tasks", 0),
+                }
+            )
         elif ev == "SparkListenerTaskEnd":
             sid = e["Stage ID"]
             m = e.get("Task Metrics") or {}
