@@ -64,14 +64,24 @@ def pq_codebooks(
     sample rows as initial centroids, ties to the lower centroid id,
     empty clusters keep their previous centroid. Requires
     ``dim % m == 0`` and at least ``k`` sampled rows."""
-    rows = (
-        corpus.select(
-            F.col(id_col).alias("__id"), as_double_array(vec_col).alias("__v")
-        )
-        .orderBy(F.xxhash64(F.col("__id").cast("string")), F.col("__id"))
-        .limit(sample_size)
-        .collect()
+    from .similarity_ivf import hash_ordered_sample
+
+    return codebooks_from_sample(
+        hash_ordered_sample(corpus, id_col, vec_col, sample_size),
+        m=m,
+        k=k,
+        iters=iters,
     )
+
+
+def codebooks_from_sample(
+    rows: list, m: int, k: int, iters: int = 10
+) -> list[list[list[float]]]:
+    """The :func:`pq_codebooks` Lloyd fit over an already-collected
+    :func:`similarity_ivf.hash_ordered_sample` — lets a composed index
+    (IVF,PQ) train the coarse centroids and the codebooks from ONE
+    corpus sample pass (the centroid sample is a prefix of the same
+    hash ordering), instead of one TakeOrdered corpus pass per fit."""
     n = len(rows)
     if n < k:
         raise ValueError(f"pq_codebooks: sample has {n} rows < k = {k}")
@@ -350,10 +360,19 @@ def ivf_pq_cosine_topk(
     ``(query_id, neighbor_id, rank, cosine_sim_pq)``; accuracy is
     contract-by-recall (``knn_ann_ivf_pq_recall``).
     """
-    from .similarity_ivf import _cell_scores, ivf_centroids
+    from .similarity_ivf import (
+        _cell_scores,
+        centroids_from_sample,
+        hash_ordered_sample,
+    )
 
-    centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
-    books = pq_codebooks(corpus, id_col, vec_col, m=m, k=n_centroids)
+    # ONE quantizer-training pass: the coarse-centroid sample is the
+    # n_cells-prefix of the codebook sample's hash ordering, so a single
+    # TakeOrdered collect trains both fits (bit-identical to the
+    # separate ivf_centroids + pq_codebooks collects it replaces).
+    sample = hash_ordered_sample(corpus, id_col, vec_col, max(4096, n_cells))
+    centroids = centroids_from_sample(sample, n_cells)
+    books = codebooks_from_sample(sample, m=m, k=n_centroids)
 
     from .similarity_ivf import ivf_assign
 

@@ -34,6 +34,37 @@ from .similarity import as_double_array
 from .vecmath import cosine_batch, matrix_scores
 
 
+def hash_ordered_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, size: int
+) -> list:
+    """The ``size`` corpus vectors with the smallest
+    ``xxhash64(id::string)`` (id tie-break) — the shared deterministic
+    quantizer-training sample. One TakeOrdered pass over the corpus;
+    every driver-side fit in this family (coarse centroids, PQ
+    codebooks) trains on a prefix of this ordering, so a composed index
+    (IVF,PQ) collects the sample ONCE and slices it, instead of paying
+    one corpus pass per fit."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("__id"), as_double_array(vec_col).alias("__v")
+        )
+        .orderBy(F.xxhash64(F.col("__id").cast("string")), F.col("__id"))
+        .limit(size)
+        .collect()
+    )
+
+
+def centroids_from_sample(rows: list, n_cells: int) -> list[list[float]]:
+    """L2-normalized centroids from the first ``n_cells`` rows of a
+    :func:`hash_ordered_sample` (driver-side arithmetic only)."""
+    cents = []
+    for r in rows[:n_cells]:
+        v = list(r["__v"])
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / norm for x in v])
+    return cents
+
+
 def ivf_centroids(
     corpus: DataFrame, id_col: str, vec_col: str, n_cells: int
 ) -> list[list[float]]:
@@ -45,18 +76,9 @@ def ivf_centroids(
     floats) collected to the driver, exactly like fitting KMeans; no data
     path collects anything.
     """
-    rows = (
-        corpus.select(as_double_array(vec_col).alias("__v"))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_cells)
-        .collect()
+    return centroids_from_sample(
+        hash_ordered_sample(corpus, id_col, vec_col, n_cells), n_cells
     )
-    cents = []
-    for r in rows:
-        v = list(r["__v"])
-        norm = math.sqrt(sum(x * x for x in v)) or 1.0
-        cents.append([x / norm for x in v])
-    return cents
 
 
 def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:

@@ -204,3 +204,28 @@ def test_refine_validates_refine_ge_k(spark):
     corpus = _corpus(spark, np.eye(8))
     with pytest.raises(ValueError, match="refine >= k"):
         ivf_pq_refine_cosine_topk(corpus, corpus, k=5, refine=3)
+
+
+def test_shared_sample_reproduces_separate_fits_bitwise(spark):
+    # The composed IVF,PQ index trains both quantizers from ONE
+    # hash-ordered sample collect (r11 optimization); the coarse
+    # centroids must equal the separate ivf_centroids collect and the
+    # codebooks the separate pq_codebooks collect, bit for bit.
+    from proyecto_final_de_big_data_spark.operators.pq import (
+        codebooks_from_sample,
+    )
+    from proyecto_final_de_big_data_spark.operators.similarity_ivf import (
+        centroids_from_sample,
+        hash_ordered_sample,
+        ivf_centroids,
+    )
+
+    rng = np.random.RandomState(5)
+    df = _corpus(spark, rng.rand(60, 8))
+    sample = hash_ordered_sample(df, "vec_id", "embedding", 4096)
+    assert centroids_from_sample(sample, 4) == ivf_centroids(
+        df, "vec_id", "embedding", 4
+    )
+    assert codebooks_from_sample(sample, m=2, k=4) == pq_codebooks(
+        df, "vec_id", "embedding", m=2, k=4
+    )
