@@ -71,17 +71,42 @@ def pq_codebooks(
         m=m,
         k=k,
         iters=iters,
+        sc=corpus.sparkSession.sparkContext,
     )
 
 
+def _fit_subspace(xj, n: int, k: int, iters: int, j: int):
+    """One subspace's Lloyd fit (the exact arithmetic the serial driver
+    loop ran — evenly-spaced init, argmin ties to the lower centroid id,
+    empty clusters keep their previous centroid)."""
+    idx = (np.arange(k) * n // k + j) % n
+    cents = xj[idx].copy()
+    for _ in range(iters):
+        d2 = ((xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)  # ties -> lower id (argmin)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cents[c] = xj[mask].mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
 def codebooks_from_sample(
-    rows: list, m: int, k: int, iters: int = 10
+    rows: list, m: int, k: int, iters: int = 10, sc=None
 ) -> list[list[list[float]]]:
     """The :func:`pq_codebooks` Lloyd fit over an already-collected
     :func:`similarity_ivf.hash_ordered_sample` — lets a composed index
     (IVF,PQ) train the coarse centroids and the codebooks from ONE
     corpus sample pass (the centroid sample is a prefix of the same
-    hash ordering), instead of one TakeOrdered corpus pass per fit."""
+    hash ordering), instead of one TakeOrdered corpus pass per fit.
+
+    The ``m`` subspace fits are independent; with a SparkContext they
+    run as one ``m``-task job (sample broadcast, one subspace per task)
+    instead of a serial single-threaded driver loop — per-subspace
+    arithmetic is byte-for-byte the serial loop's, only the schedule
+    changes (pinned by ``test_distributed_fit_matches_serial``). Tiny
+    fits (small ``m``/sample) stay driver-side: a job would cost more
+    than it saves."""
     n = len(rows)
     if n < k:
         raise ValueError(f"pq_codebooks: sample has {n} rows < k = {k}")
@@ -92,22 +117,18 @@ def codebooks_from_sample(
     x = np.asarray([list(r["__v"]) for r in rows], dtype=np.float64).reshape(
         n, m, dsub
     )
-    books = []
-    for j in range(m):
-        xj = x[:, j, :]  # (n, dsub)
-        # evenly-spaced init over the hash-ordered sample: spread, and
-        # a different donor set per subspace via the j offset
-        idx = (np.arange(k) * n // k + j) % n
-        cents = xj[idx].copy()
-        for _ in range(iters):
-            d2 = ((xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)  # ties -> lower id (argmin)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    cents[c] = xj[mask].mean(axis=0)
-        books.append([[float(v) for v in c] for c in cents])
-    return books
+    if sc is not None and m >= 8 and n >= 256:
+        xb = sc.broadcast(x)
+        try:
+            fitted = (
+                sc.parallelize(range(m), m)
+                .map(lambda j: (j, _fit_subspace(xb.value[:, j, :], n, k, iters, j)))
+                .collect()
+            )
+        finally:
+            xb.destroy()
+        return [b for _, b in sorted(fitted)]
+    return [_fit_subspace(x[:, j, :], n, k, iters, j) for j in range(m)]
 
 
 def pq_encode(
@@ -372,7 +393,9 @@ def ivf_pq_cosine_topk(
     # separate ivf_centroids + pq_codebooks collects it replaces).
     sample = hash_ordered_sample(corpus, id_col, vec_col, max(4096, n_cells))
     centroids = centroids_from_sample(sample, n_cells)
-    books = codebooks_from_sample(sample, m=m, k=n_centroids)
+    books = codebooks_from_sample(
+        sample, m=m, k=n_centroids, sc=corpus.sparkSession.sparkContext
+    )
 
     from .similarity_ivf import ivf_assign
 

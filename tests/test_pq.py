@@ -229,3 +229,26 @@ def test_shared_sample_reproduces_separate_fits_bitwise(spark):
     assert codebooks_from_sample(sample, m=2, k=4) == pq_codebooks(
         df, "vec_id", "embedding", m=2, k=4
     )
+
+
+def test_distributed_fit_matches_serial(spark):
+    # The m-task distributed Lloyd fit must reproduce the serial driver
+    # loop exactly — same per-subspace arithmetic, different schedule.
+    from proyecto_final_de_big_data_spark.operators.pq import (
+        _fit_subspace,
+        codebooks_from_sample,
+    )
+    from proyecto_final_de_big_data_spark.operators.similarity_ivf import (
+        hash_ordered_sample,
+    )
+
+    rng = np.random.RandomState(9)
+    df = _corpus(spark, rng.rand(300, 16))
+    sample = hash_ordered_sample(df, "vec_id", "embedding", 4096)
+    n = len(sample)
+    x = np.asarray([list(r["__v"]) for r in sample]).reshape(n, 8, 2)
+    serial = [_fit_subspace(x[:, j, :], n, 4, 10, j) for j in range(8)]
+    dist = codebooks_from_sample(
+        sample, m=8, k=4, sc=spark.sparkContext
+    )
+    assert dist == serial
