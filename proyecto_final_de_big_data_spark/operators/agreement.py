@@ -139,28 +139,31 @@ def cohens_kappa(
         (F.col("po_raw") - F.col("pe_raw")) / (1.0 - F.col("pe_raw")),
     )
     label = "cohen" if weighting is None else f"cohen_{weighting}"
-    shaped = out.select(
+    # Degenerate-input validation stays IN-PLAN (the raise_error posture
+    # of modularity/series.py): an empty or all-NULL frame fails loudly
+    # at action time instead of silently returning a row of NULLs. The
+    # plan stays lazy — the r11 pre-optimization collect+rehydrate here
+    # forced a driver round trip per kappa during query CONSTRUCTION
+    # (rater_agreement builds two), serializing work the final action
+    # now runs concurrently in one job. The guard passes n_items through
+    # untouched on the healthy path, so values are bit-identical.
+    n_guard = F.when(
+        F.col("n_items").isNull() | (F.col("n_items") == 0),
+        F.raise_error(
+            F.lit(
+                f"cohens_kappa: no usable ({rater_a!r}, {rater_b!r}) "
+                "label pairs — every row had a NULL label or the frame "
+                "is empty"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_items"))
+    return out.select(
         F.lit(label).alias("statistic"),
-        "n_items",
+        n_guard.alias("n_items"),
         "n_categories",
         po.alias("po"),
         pe.alias("pe"),
         F.round(kappa, 6).alias("kappa"),
-    )
-    # One answer-scale action: validate the degenerate-input case
-    # loudly (the abtest collect+rehydrate posture) — an empty or
-    # all-NULL frame would otherwise return a silent row of NULLs.
-    row = shaped.collect()[0]
-    if row["n_items"] is None or row["n_items"] == 0:
-        raise ValueError(
-            f"cohens_kappa: no usable ({rater_a!r}, {rater_b!r}) label "
-            "pairs — every row had a NULL label or the frame is empty"
-        )
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [tuple(row[c] for c in shaped.columns)],
-        "statistic string, n_items long, n_categories int, po double, "
-        "pe double, kappa double",
     )
 
 
@@ -186,23 +189,39 @@ def fleiss_kappa(df: DataFrame, item_col: str, label_col: str) -> DataFrame:
     per_item = cnt.groupBy("it").agg(
         F.sum("c").alias("n_i"), F.sum(F.col("c") * F.col("c")).alias("c2")
     )
-    # Answer-scale validation: one distinct rating count, and n >= 2.
+    # Answer-scale validation, IN-PLAN (raise_error at action time, the
+    # cohens_kappa posture above): one distinct rating count and n >= 2,
+    # checked on a 1-row shape frame broadcast onto the P_i reduction —
+    # no construction-time collect, the whole statistic stays one lazy
+    # plan. n_raters rides the same shape frame; (c2 - n) / (n (n - 1))
+    # promotes to double exactly as the old Python-literal arithmetic
+    # (both operands are exact small integers), so values are identical.
     shape = per_item.agg(
-        F.count_distinct("n_i").alias("k"),
-        F.min("n_i").alias("lo"),
-        F.max("n_i").alias("hi"),
-    ).collect()[0]
-    if shape["k"] != 1 or shape["lo"] < 2:
-        raise ValueError(
-            "fleiss_kappa needs the fixed-panel design: every item rated "
-            f"by the same n >= 2 raters; got rating counts in "
-            f"[{shape['lo']}, {shape['hi']}] across items"
-        )
-    n_raters = int(shape["lo"])
+        F.count_distinct("n_i").alias("__k"),
+        F.min("n_i").alias("__lo"),
+        F.max("n_i").alias("__hi"),
+    )
+    n_r = F.when(
+        (F.col("__k") != 1) | (F.col("__lo") < 2),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "fleiss_kappa needs the fixed-panel design: every "
+                    "item rated by the same n >= 2 raters; got rating "
+                    "counts in ["
+                ),
+                F.coalesce(F.col("__lo").cast("string"), F.lit("null")),
+                F.lit(", "),
+                F.coalesce(F.col("__hi").cast("string"), F.lit("null")),
+                F.lit("] across items"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__lo"))
     # P_i = (sum_j c_ij^2 - n) / (n (n - 1)); Pbar = mean over items.
-    p_i = (F.col("c2") - n_raters) / float(n_raters * (n_raters - 1))
-    pbar = per_item.agg(
-        F.count(F.lit(1)).alias("n_items"), F.avg(p_i).alias("po_raw")
+    p_i = (F.col("c2") - F.col("__n")) / (F.col("__n") * (F.col("__n") - 1))
+    pbar = (
+        per_item.crossJoin(F.broadcast(shape.select(n_r.alias("__n"))))
+        .agg(F.count(F.lit(1)).alias("n_items"), F.avg(p_i).alias("po_raw"))
     )
     # p_j = share of ALL ratings in category j; Pe = sum p_j^2.
     pj = cnt.groupBy("lb").agg(F.sum("c").alias("cj"))

@@ -151,8 +151,9 @@ def test_fleiss_ragged_panel_raises(spark):
         [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (2, "b")],
         "item long, label string",
     )
-    with pytest.raises(ValueError, match="fixed-panel"):
-        fleiss_kappa(df, "item", "label")
+    # validation is in-plan (raise_error) since r11: fires at action
+    with pytest.raises(Exception, match="fixed-panel"):
+        fleiss_kappa(df, "item", "label").collect()
 
 
 def test_fleiss_null_labels_make_panel_ragged_loudly(spark):
@@ -160,8 +161,8 @@ def test_fleiss_null_labels_make_panel_ragged_loudly(spark):
         [(1, "a"), (1, None), (2, "a"), (2, "b")],
         "item long, label string",
     )
-    with pytest.raises(ValueError, match="fixed-panel"):
-        fleiss_kappa(df, "item", "label")
+    with pytest.raises(Exception, match="fixed-panel"):
+        fleiss_kappa(df, "item", "label").collect()
 
 
 def test_fleiss_unanimous_single_category_null_kappa(spark):
@@ -188,11 +189,12 @@ def test_weighted_single_value_alphabet_diagonal_weight_is_one(spark):
 
 def test_cohen_empty_frame_raises(spark):
     df = spark.createDataFrame([], "a string, b string")
-    with pytest.raises(ValueError, match="no usable"):
-        cohens_kappa(df, "a", "b")
+    # validation is in-plan (raise_error) since r11: fires at action
+    with pytest.raises(Exception, match="no usable"):
+        cohens_kappa(df, "a", "b").collect()
 
 
 def test_cohen_all_null_labels_raise(spark):
     df = spark.createDataFrame([("x", None), (None, "y")], "a string, b string")
-    with pytest.raises(ValueError, match="no usable"):
-        cohens_kappa(df, "a", "b")
+    with pytest.raises(Exception, match="no usable"):
+        cohens_kappa(df, "a", "b").collect()
