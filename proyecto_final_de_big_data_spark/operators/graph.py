@@ -256,6 +256,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 2,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -325,11 +326,25 @@ def pagerank(
     )
     base = F.lit((1.0 - damping) / n_nodes)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    # Guide §3 — broadcast the side that fits, sized on a KNOWN count:
+    # real graphs have |edges| >> |nodes|, so when the rank frame is
+    # bounded (n_nodes <= broadcast_max_nodes, ~24 B/row) each round's
+    # join broadcasts it instead of re-shuffling + re-sorting the whole
+    # message-edge frame per iteration (measured at sf0.1: ~214 MB of
+    # shuffle write per run, 10 edge exchanges, for a 16k-node rank
+    # frame). Map-side partial aggregation then bounds the dst shuffle
+    # at (partitions x nodes) partial rows. Above the cap the classic
+    # both-sides-partitioned Pregel shape is kept — the broadcast is a
+    # deliberate size-gated choice, not a local-mode tune. Rank VALUES
+    # are unchanged to the gate's 8-decimal rounding; summation order
+    # within each destination group may differ (any shuffle does this).
+    bcast = n_nodes <= broadcast_max_nodes
     for it in range(iterations):
+        rank_side = ranks.withColumnRenamed("node", "src")
+        if bcast:
+            rank_side = F.broadcast(rank_side)
         ranks = (
-            contrib_edges.join(
-                ranks.withColumnRenamed("node", "src"), "src"
-            )
+            contrib_edges.join(rank_side, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 (
