@@ -48,7 +48,8 @@ def two_proportion_ztest(
     - ``significant`` flags |z| > z_crit.
 
     Rates/lift/z/CI are rounded to 6 decimals so engines agree to the
-    hash. Raises upfront if either group is empty — a z-test over a
+    hash. Raises at action time (in-plan ``raise_error``, the
+    cohens_kappa posture) if either group is empty — a z-test over a
     missing arm is meaningless, not zero.
     """
     s = F.col(success_col).cast("int")
@@ -62,24 +63,40 @@ def two_proportion_ztest(
     x_c, x_t = F.col("x_c").cast("double"), F.col("x_t").cast("double")
     # NULL-when-zero denominators: under ANSI mode a 0-unit arm would
     # raise DIVIDE_BY_ZERO inside the plan before the friendly
-    # validation below ever ran; dividing by NULL instead yields NULL
-    # and lets the empty-arm check report properly.
+    # validation (the in-plan guard below) ever ran; dividing by NULL
+    # instead yields NULL and lets the empty-arm guard report properly.
     n_c = F.when(F.col("n_c") > 0, F.col("n_c").cast("double"))
     n_t = F.when(F.col("n_t") > 0, F.col("n_t").cast("double"))
-    checked = agg.select(
-        "*",
-        F.when(
-            (F.col("n_c") == 0) | (F.col("n_t") == 0), F.lit(None)
-        ).otherwise(F.lit(1)).alias("__arms_ok"),
-    )
+    # Degenerate-input validation stays IN-PLAN (the raise_error posture
+    # of cohens_kappa/modularity): an empty arm fails loudly at action
+    # time instead of silently NULLing every statistic. The plan stays
+    # lazy — the pre-r11 collect+rehydrate here forced a driver round
+    # trip during query CONSTRUCTION, serializing the units aggregation
+    # before the caller's own action could even start. The guard passes
+    # n_c through untouched on the healthy path, so values are
+    # bit-identical to the collected row the old path rehydrated.
+    n_c_guard = F.when(
+        (F.col("n_c") == 0) | (F.col("n_t") == 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "two_proportion_ztest needs units in BOTH arms; got "
+                    f"control={control!r} n="
+                ),
+                F.col("n_c").cast("string"),
+                F.lit(f", treatment={treatment!r} n="),
+                F.col("n_t").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_c"))
     p_c, p_t = x_c / n_c, x_t / n_t
     pooled = (x_c + x_t) / (n_c + n_t)
     se_pooled = F.sqrt(pooled * (1.0 - pooled) * (1.0 / n_c + 1.0 / n_t))
     se_wald = F.sqrt(p_c * (1.0 - p_c) / n_c + p_t * (1.0 - p_t) / n_t)
     diff = p_t - p_c
     z = F.when(se_pooled > 0, diff / se_pooled).otherwise(F.lit(0.0))
-    out = checked.select(
-        F.col("n_c").alias("n_control"),
+    return agg.select(
+        n_c_guard.alias("n_control"),
         F.col("x_c").alias("conv_control"),
         F.col("n_t").alias("n_treatment"),
         F.col("x_t").alias("conv_treatment"),
@@ -90,26 +107,6 @@ def two_proportion_ztest(
         F.round(diff - F.lit(z_crit) * se_wald, 6).alias("ci_low"),
         F.round(diff + F.lit(z_crit) * se_wald, 6).alias("ci_high"),
         (F.abs(z) > F.lit(z_crit)).cast("int").alias("significant"),
-        "__arms_ok",
-    )
-    # One pass: evaluate the (Spark-side, hash-exact) arithmetic once,
-    # validate, and rehydrate the single answer row — callers' actions
-    # then never rescan the units frame.
-    row = out.collect()[0]
-    if row["__arms_ok"] is None:
-        raise ValueError(
-            f"two_proportion_ztest needs units in BOTH arms; got "
-            f"control={control!r} n={int(row['n_control'])}, "
-            f"treatment={treatment!r} n={int(row['n_treatment'])}"
-        )
-    spark = units.sparkSession
-    names = [c for c in out.columns if c != "__arms_ok"]
-    return spark.createDataFrame(
-        [tuple(row[c] for c in names)],
-        "n_control long, conv_control long, n_treatment long, "
-        "conv_treatment long, rate_control double, rate_treatment double, "
-        "abs_lift double, z_stat double, ci_low double, ci_high double, "
-        "significant int",
     )
 
 
@@ -143,7 +140,8 @@ def cuped_mean_ztest(
 
     Rows with NULL/NaN metric or covariate are excluded up front (one
     poisoned unit would NULL every statistic). Statistics round to 6
-    decimals so engines agree to the hash. Raises upfront if either arm
+    decimals so engines agree to the hash. Raises at action time
+    (in-plan ``raise_error``, the cohens_kappa posture) if either arm
     has fewer than 2 usable units or the covariate is constant (θ
     undefined — CUPED over a degenerate covariate is a caller bug, not
     a zero).
@@ -191,6 +189,39 @@ def cuped_mean_ztest(
     ssx = sxx - sx * sx / nn  # pooled centered Σ(x−x̄)²
     theta = (sxy - sx * sy / nn) / F.when(ssx > 0, ssx)
     mean_x = sx / nn
+    # Degenerate-input validation stays IN-PLAN (the raise_error posture
+    # of cohens_kappa/modularity): thin arms / a constant covariate fail
+    # loudly at action time instead of silently NULLing every statistic,
+    # and the plan stays lazy — the pre-r11 collect+rehydrate here forced
+    # a driver round trip during query CONSTRUCTION. The two guard
+    # conditions are disjoint (the covariate guard requires both arms
+    # healthy, where ssx is non-NULL), so exactly one message can fire
+    # regardless of column evaluation order; healthy rows pass n_c /
+    # theta through untouched, so values are bit-identical.
+    arms_ok = (F.col("n_c") >= 2) & (F.col("n_t") >= 2)
+    n_c_guard = F.when(
+        ~arms_ok,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "cuped_mean_ztest needs >=2 usable units in BOTH arms; "
+                    f"got control={control!r} n="
+                ),
+                F.col("n_c").cast("string"),
+                F.lit(f", treatment={treatment!r} n="),
+                F.col("n_t").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_c"))
+    theta_guard = F.when(
+        arms_ok & ~(ssx > 0),
+        F.raise_error(
+            F.lit(
+                f"cuped_mean_ztest: covariate {covariate_col!r} is constant "
+                "across units — theta is undefined; use the plain z-test"
+            )
+        ).cast("double"),
+    ).otherwise(theta)
 
     def _stats(suffix: str, n):
         sy_a, sx_a = F.col(f"sy_{suffix}"), F.col(f"sx_{suffix}")
@@ -224,10 +255,10 @@ def cuped_mean_ztest(
     var_red = F.when(
         pooled_raw > 0, 100.0 * (1.0 - pooled_adj / pooled_raw)
     ).otherwise(F.lit(0.0))
-    out = agg.select(
-        F.col("n_c").alias("n_control"),
+    return agg.select(
+        n_c_guard.alias("n_control"),
         F.col("n_t").alias("n_treatment"),
-        F.round(theta, 6).alias("theta"),
+        F.round(theta_guard, 6).alias("theta"),
         F.round(mean_c, 6).alias("mean_control"),
         F.round(mean_t, 6).alias("mean_treatment"),
         F.round(lift_raw, 6).alias("lift_raw"),
@@ -239,32 +270,6 @@ def cuped_mean_ztest(
         F.round(lift_cuped + F.lit(z_crit) * se_cuped, 6).alias("ci_high"),
         F.round(var_red, 6).alias("var_reduction_pct"),
         (F.abs(z) > F.lit(z_crit)).cast("int").alias("significant"),
-        F.when(ssx > 0, F.lit(1)).alias("__cov_ok"),
-    )
-    # One pass: evaluate the Spark-side hash-exact arithmetic once,
-    # validate, and rehydrate the single answer row — callers' actions
-    # then never rescan the units frame.
-    row = out.collect()[0]
-    if int(row["n_control"]) < 2 or int(row["n_treatment"]) < 2:
-        raise ValueError(
-            f"cuped_mean_ztest needs >=2 usable units in BOTH arms; got "
-            f"control={control!r} n={int(row['n_control'])}, "
-            f"treatment={treatment!r} n={int(row['n_treatment'])}"
-        )
-    if row["__cov_ok"] is None:
-        raise ValueError(
-            f"cuped_mean_ztest: covariate {covariate_col!r} is constant "
-            "across units — theta is undefined; use the plain z-test"
-        )
-    spark = units.sparkSession
-    names = [c for c in out.columns if c != "__cov_ok"]
-    return spark.createDataFrame(
-        [tuple(row[c] for c in names)],
-        "n_control long, n_treatment long, theta double, "
-        "mean_control double, mean_treatment double, lift_raw double, "
-        "se_raw double, lift_cuped double, se_cuped double, "
-        "z_cuped double, ci_low double, ci_high double, "
-        "var_reduction_pct double, significant int",
     )
 
 
@@ -298,7 +303,8 @@ def experiment_power(
 
     One aggregation pass at unit-frame scale; everything else is
     closed-form arithmetic on the single answer row. NULL/NaN metric
-    (or covariate, when given) rows are excluded. Raises on fewer than
+    (or covariate, when given) rows are excluded. Raises at action time
+    (in-plan ``raise_error``, the cohens_kappa posture) on fewer than
     2 usable units, zero metric variance, or a constant covariate
     (power over a constant metric and rho^2 over a degenerate
     covariate are caller bugs — the cuped_mean_ztest posture).
@@ -327,12 +333,37 @@ def experiment_power(
             F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
         ]
     agg = clean.agg(*aggs)
-    # NULL-propagating degenerate guards (ANSI-safe, validated below).
+    # NULL-propagating degenerate guards (ANSI-safe; the named
+    # validation is IN-PLAN below, the cohens_kappa raise_error posture).
     n = F.when(F.col("n") >= 2, F.col("n").cast("double"))
-    var = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1.0)
-    var = F.when(var > 0, var)
+    var_raw = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1.0)
+    var = F.when(var_raw > 0, var_raw)
     mean = F.col("sy") / n
     sd = F.sqrt(var)
+    # Degenerate-input validation IN-PLAN: the three guard conditions
+    # are disjoint (each requires the previous one healthy), so exactly
+    # one message can fire regardless of column evaluation order, and
+    # the plan stays lazy — the pre-r11 collect+rehydrate here forced a
+    # driver round trip during query CONSTRUCTION. Healthy rows pass
+    # n / sd through untouched, so values are bit-identical.
+    n_guard = F.when(
+        F.col("n") < 2,
+        F.raise_error(
+            F.concat(
+                F.lit("experiment_power needs >= 2 usable units; got "),
+                F.col("n").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n"))
+    sd_guard = F.when(
+        (F.col("n") >= 2) & ~(var_raw > 0),
+        F.raise_error(
+            F.lit(
+                f"experiment_power: metric {metric_col!r} has zero variance "
+                "— MDE/sample-size are undefined over a constant metric"
+            )
+        ).cast("double"),
+    ).otherwise(sd)
     zsum = F.lit(z_alpha + z_power)
     # 50/50 split of THIS sample: se = sd * sqrt(1/(n/2) + 1/(n/2)).
     mde_abs = zsum * sd * F.sqrt(4.0 / n)
@@ -345,6 +376,19 @@ def experiment_power(
         rho2 = F.when(
             (ssx > 0) & (ssy > 0), (sxy_c * sxy_c) / (ssx * ssy)
         )
+        # ssy > 0 <=> the metric-variance guard above passed, so this
+        # third condition is disjoint from both guards above.
+        rho2 = F.when(
+            (F.col("n") >= 2) & (ssy > 0) & ~(ssx > 0),
+            F.raise_error(
+                F.lit(
+                    f"experiment_power: covariate {covariate_col!r} is "
+                    "constant across units — rho^2 is undefined; plan "
+                    "without a covariate (the cuped_mean_ztest posture: a "
+                    "degenerate covariate is a caller bug, not a zero)"
+                )
+            ).cast("double"),
+        ).otherwise(rho2)
         var_adj = F.greatest(F.lit(0.0), var * (1.0 - rho2))
         mde_cuped = zsum * F.sqrt(var_adj) * F.sqrt(4.0 / n)
         n_target_cuped = F.ceil(
@@ -356,10 +400,10 @@ def experiment_power(
         var_red = F.lit(None).cast("double")
         mde_cuped = F.lit(None).cast("double")
         n_target_cuped = F.lit(None).cast("long")
-    out = agg.select(
-        F.col("n").alias("n_units"),
+    return agg.select(
+        n_guard.alias("n_units"),
         F.round(mean, 6).alias("mean"),
-        F.round(sd, 6).alias("sd"),
+        F.round(sd_guard, 6).alias("sd"),
         F.round(F.when(mean != 0, sd / F.abs(mean)), 6).alias("cv"),
         F.round(mde_abs, 6).alias("mde_abs"),
         F.round(F.when(mean != 0, mde_abs / F.abs(mean)), 6).alias(
@@ -370,34 +414,6 @@ def experiment_power(
         F.round(var_red, 6).alias("var_reduction_pct"),
         F.round(mde_cuped, 6).alias("mde_abs_cuped"),
         n_target_cuped.cast("long").alias("n_per_arm_target_cuped"),
-        F.when(var.isNotNull(), F.lit(1)).alias("__var_ok"),
-        (F.lit(None) if covariate_col is None else rho2).alias("__rho"),
-    )
-    row = out.collect()[0]
-    if row["n_units"] < 2:
-        raise ValueError(
-            f"experiment_power needs >= 2 usable units; got {row['n_units']}"
-        )
-    if row["__var_ok"] is None:
-        raise ValueError(
-            f"experiment_power: metric {metric_col!r} has zero variance — "
-            "MDE/sample-size are undefined over a constant metric"
-        )
-    if covariate_col is not None and row["__rho"] is None:
-        raise ValueError(
-            f"experiment_power: covariate {covariate_col!r} is constant "
-            "across units — rho^2 is undefined; plan without a covariate "
-            "(the cuped_mean_ztest posture: a degenerate covariate is a "
-            "caller bug, not a zero)"
-        )
-    spark = units.sparkSession
-    names = [c for c in out.columns if c not in ("__var_ok", "__rho")]
-    return spark.createDataFrame(
-        [tuple(row[c] for c in names)],
-        "n_units long, mean double, sd double, cv double, mde_abs double, "
-        "mde_rel double, n_per_arm_target long, rho2 double, "
-        "var_reduction_pct double, mde_abs_cuped double, "
-        "n_per_arm_target_cuped long",
     )
 
 
@@ -433,11 +449,12 @@ def difference_in_differences(
     One conditional-aggregation pass reduces the unit frame to the
     four cells' sufficient sums (n, Σy, Σy²); everything else is
     closed-form on the single answer row — the :func:`cuped_mean_ztest`
-    scale shape. NULL/NaN metrics are excluded up front. Raises if the
-    four (group, period) labels don't identify four cells with >=2
+    scale shape. NULL/NaN metrics are excluded up front. Raises at
+    action time (in-plan ``raise_error``, the cohens_kappa posture) if
+    the four (group, period) labels don't identify four cells with >=2
     usable units each (sample variance undefined otherwise — a caller
-    bug, not a zero), or if the label pairs collide
-    (control == treatment / pre == post).
+    bug, not a zero); colliding label pairs (control == treatment /
+    pre == post) still raise at construction.
 
     Extension surface — the reference has no experimentation stage;
     extension per SURVEY §8, the quasi-experimental sibling of the
@@ -494,16 +511,38 @@ def difference_in_differences(
     n_co, m_co, v_co = _cell("co")
     n_tp, m_tp, v_tp = _cell("tp")
     n_to, m_to, v_to = _cell("to")
+
+    def _cell_guard(tag: str, gv: str, pv: str):
+        # Cell validation IN-PLAN (the raise_error posture of
+        # cohens_kappa/modularity): a thin cell fails loudly at action
+        # time and the plan stays lazy — the pre-r11 collect+rehydrate
+        # here forced a driver round trip during query CONSTRUCTION.
+        # Healthy cells pass the count through untouched, so values are
+        # bit-identical. With several thin cells, whichever guarded
+        # count column evaluates first names its own cell — every
+        # message carries the same ">=2 usable units per cell" prefix.
+        return F.when(
+            F.col(f"n_{tag}") < 2,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "difference_in_differences needs >=2 usable units "
+                        f"per cell; cell (group={gv!r}, period={pv!r}) has "
+                    ),
+                    F.col(f"n_{tag}").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col(f"n_{tag}"))
     diff_c = m_co - m_cp
     diff_t = m_to - m_tp
     did = diff_t - diff_c
     se = F.sqrt(v_to / n_to + v_tp / n_tp + v_co / n_co + v_cp / n_cp)
     z = F.when(se > 0, did / se).otherwise(F.lit(0.0))
-    out = agg.select(
-        F.col("n_cp").alias("n_control_pre"),
-        F.col("n_co").alias("n_control_post"),
-        F.col("n_tp").alias("n_treatment_pre"),
-        F.col("n_to").alias("n_treatment_post"),
+    return agg.select(
+        _cell_guard("cp", control, pre).alias("n_control_pre"),
+        _cell_guard("co", control, post).alias("n_control_post"),
+        _cell_guard("tp", treatment, pre).alias("n_treatment_pre"),
+        _cell_guard("to", treatment, post).alias("n_treatment_post"),
         F.round(m_cp, 6).alias("mean_control_pre"),
         F.round(m_co, 6).alias("mean_control_post"),
         F.round(m_tp, 6).alias("mean_treatment_pre"),
@@ -516,31 +555,6 @@ def difference_in_differences(
         F.round(did - F.lit(z_crit) * se, 6).alias("ci_low"),
         F.round(did + F.lit(z_crit) * se, 6).alias("ci_high"),
         (F.abs(z) > F.lit(z_crit)).cast("int").alias("significant"),
-    )
-    # One pass: evaluate, validate the four cells, rehydrate the answer
-    # row (the module's standard one-row readout discipline).
-    row = out.collect()[0]
-    for col, gv, pv in (
-        ("n_control_pre", control, pre),
-        ("n_control_post", control, post),
-        ("n_treatment_pre", treatment, pre),
-        ("n_treatment_post", treatment, post),
-    ):
-        if int(row[col]) < 2:
-            raise ValueError(
-                "difference_in_differences needs >=2 usable units per "
-                f"cell; cell (group={gv!r}, period={pv!r}) has "
-                f"{int(row[col])}"
-            )
-    spark = units.sparkSession
-    return spark.createDataFrame(
-        [tuple(row[c] for c in out.columns)],
-        "n_control_pre long, n_control_post long, n_treatment_pre long, "
-        "n_treatment_post long, mean_control_pre double, "
-        "mean_control_post double, mean_treatment_pre double, "
-        "mean_treatment_post double, diff_control double, "
-        "diff_treatment double, did double, se double, z_stat double, "
-        "ci_low double, ci_high double, significant int",
     )
 
 

@@ -27,10 +27,12 @@ continuous metric, pass ``round_decimals`` to pre-round first — that
 makes the tie policy an explicit caller decision instead of a
 float-equality accident, and midrank tie correction handles the
 collisions exactly. The bound is ENFORCED, not advisory: both rank
-tests run an approx-count-distinct precondition and raise ValueError
-when the grid would exceed ``max_distinct`` (default 100,000 — a
-window that size is still answer-scale; a continuous double metric at
-data scale is not), naming ``round_decimals`` as the fix.
+tests carry an IN-PLAN grid-count guard (``_apply_grid_guard`` — a raising
+filter over a 1-row broadcast the window stage depends on, so an oversized grid raises at
+action time BEFORE the single-partition sort can run) when the grid
+would exceed ``max_distinct`` (default 100,000 — a window that size is
+still answer-scale; a continuous double metric at data scale is not),
+naming ``round_decimals`` as the fix.
 
 Statistics (Conover, Practical Nonparametric Statistics):
 
@@ -74,23 +76,56 @@ def _clean(
     )
 
 
-def _guard_distinct_grid(clean: DataFrame, max_distinct: int, test: str) -> None:
+def _apply_grid_guard(
+    frame: DataFrame,
+    grid_count: DataFrame,
+    max_distinct: int,
+    test: str,
+    what: str = "midrank grid",
+) -> DataFrame:
     """Enforce the rank tests' scale bound BEFORE the distinct-value
     window runs: the cumulative midrank window is single-partition by
     design (answer-scale grid), so a continuous metric whose distinct
     count approaches N must be rounded first, not silently sorted on
-    one task. One approx-count-distinct action (±5% default rsd —
-    a guard, not a statistic)."""
-    approx = clean.agg(F.approx_count_distinct("x").alias("d")).first()["d"]
-    if approx > max_distinct:
-        raise ValueError(
-            f"{test}: ~{approx:,} distinct metric values exceeds "
-            f"max_distinct={max_distinct:,} — the midrank grid window "
-            "would become a data-scale single-partition sort. Pass "
-            "round_decimals to discretize the metric (explicit tie "
-            "policy), or raise max_distinct if the grid is genuinely "
-            "answer-scale."
-        )
+    one task.
+
+    ``grid_count`` is a 1-row ``(__d,)`` frame counting the grid;
+    ``frame`` (the window input) gets it crossJoined BROADCAST plus a
+    raising FILTER (raise_error IN-PLAN, the cohens_kappa posture) that
+    trips when the count exceeds ``max_distinct``. The guard must be a
+    filter, not a projection on the guard frame alone: an unreferenced
+    guard column would be column-pruned out of the plan and never
+    evaluate. The filter references ``__d``, so it survives pruning,
+    and it sits BELOW the window: it evaluates in the join stage (or,
+    predicate-pushed, while the broadcast materializes) — either way
+    before the single-partition sort's stage can be scheduled, so an
+    oversized grid still dies before the dangerous sort ever runs.
+    That is the protection the pre-r11 eager approx-count action
+    provided, now without a serialized driver round trip per test (the
+    count is exact, reusing the grid aggregation's own exchange, where
+    the old action was a separate ±5%-rsd approx scan). All rows pass
+    the healthy-path filter and ``__d`` is dropped, so values and row
+    sets are bit-identical."""
+    gate = F.when(
+        F.col("__d") > max_distinct,
+        F.raise_error(
+            F.concat(
+                F.lit(f"{test}: "),
+                F.col("__d").cast("string"),
+                F.lit(
+                    " distinct metric values exceeds "
+                    f"max_distinct={max_distinct:,} — the {what} "
+                    "window would become a data-scale single-partition "
+                    "sort. Pass round_decimals to discretize the metric "
+                    "(explicit tie policy), or raise max_distinct if "
+                    "the grid is genuinely answer-scale."
+                ),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    return (
+        frame.crossJoin(F.broadcast(grid_count)).filter(gate).drop("__d")
+    )
 
 
 def oneway_anova(
@@ -138,19 +173,24 @@ def oneway_anova(
     )
 
 
-def _rank_frame(clean: DataFrame):
+def _rank_frame(clean: DataFrame, max_distinct: int, test: str):
     """``(ranked_cells, tie_sum)`` — the ``(grp, x, cnt)`` contingency
     frame joined with each distinct value's midrank ``avg_rank``, plus
     the one-row ``Σ(t³−t)`` tie-correction frame, the shared machinery
     of both rank tests. The cumulative window runs over the
-    DISTINCT-VALUE frame only. Tie counts are DOUBLES before cubing:
-    ``t³`` on a long overflows at t ≈ 2.1M — exactly the large-N/
-    small-grid regime this module targets — and ANSI mode would raise
-    (the oracle casts before cubing too)."""
+    DISTINCT-VALUE frame only, gated by the in-plan ``_apply_grid_guard``
+    raising filter (evaluated before the window's stage can run).
+    Tie counts are DOUBLES before cubing: ``t³`` on a long overflows at
+    t ≈ 2.1M — exactly the large-N/small-grid regime this module
+    targets — and ANSI mode would raise (the oracle casts before
+    cubing too)."""
     cells = clean.groupBy("grp", "x").agg(F.count(F.lit(1)).alias("cnt"))
     vals = cells.groupBy("x").agg(F.sum("cnt").cast("double").alias("t"))
+    gated = _apply_grid_guard(
+        vals, vals.agg(F.count(F.lit(1)).alias("__d")), max_distinct, test
+    )
     w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = vals.select(
+    ranked = gated.select(
         "x",
         "t",
         (
@@ -182,8 +222,7 @@ def kruskal_wallis(
     grid is guarded at ``max_distinct`` (raises, never silently sorts
     a data-scale grid on one task)."""
     clean = _clean(df, value_col, group_col, round_decimals)
-    _guard_distinct_grid(clean, max_distinct, "kruskal_wallis")
-    rf, ties = _rank_frame(clean)
+    rf, ties = _rank_frame(clean, max_distinct, "kruskal_wallis")
     per_group = rf.groupBy("grp").agg(
         F.sum("cnt").alias("n_j"),
         F.sum(F.col("cnt") * F.col("avg_rank")).alias("r_j"),
@@ -235,8 +274,7 @@ def mann_whitney_u(
     clean = _clean(df, value_col, group_col, round_decimals).filter(
         F.col("grp").isin(group_a, group_b)
     )
-    _guard_distinct_grid(clean, max_distinct, "mann_whitney_u")
-    rf, ties = _rank_frame(clean)
+    rf, ties = _rank_frame(clean, max_distinct, "mann_whitney_u")
     per_group = rf.groupBy("grp").agg(
         F.sum("cnt").alias("n_j"),
         F.sum(F.col("cnt") * F.col("avg_rank")).alias("r_j"),
@@ -381,10 +419,11 @@ def ks_two_sample(
     Scale shape (100 TB): ONE ``(key, value)`` contingency aggregation
     (map-side combined) reduces data scale to grid scale; the
     cumulative ECDF window partitions BY KEY over that grid — per-key
-    grid cardinality is guarded at ``max_distinct`` (one
-    approx-count-distinct action, raises naming ``round_decimals`` as
-    the fix, the rank-test posture; with no keys the window is a
-    single answer-scale partition and the same guard applies); the
+    grid cardinality is guarded at ``max_distinct`` (in-plan
+    ``_apply_grid_guard`` raising filter, raises at action time naming
+    ``round_decimals`` as the fix, the rank-test posture; with no keys
+    the window is a single answer-scale partition and the same guard
+    applies); the
     final reduce is key-cardinality. No data-scale window, no
     collect, no crossJoin.
 
@@ -416,25 +455,6 @@ def ks_two_sample(
     )
     for c in keys:
         clean = clean.filter(F.col(c).isNotNull())
-    if keys:
-        row = (
-            clean.groupBy(*keys)
-            .agg(F.approx_count_distinct("x").alias("__d"))
-            .agg(F.max("__d").alias("__d"))
-            .first()
-        )
-        approx = row["__d"] if row is not None else None
-        if approx is not None and approx > max_distinct:
-            raise ValueError(
-                f"ks_two_sample: ~{approx:,} distinct metric values in "
-                f"one key exceeds max_distinct={max_distinct:,} — the "
-                "per-key ECDF grid window would become a data-scale "
-                "single-task sort. Pass round_decimals to discretize "
-                "the metric (explicit tie policy), or raise "
-                "max_distinct if the grid is genuinely answer-scale."
-            )
-    else:
-        _guard_distinct_grid(clean, max_distinct, "ks_two_sample")
 
     cells = clean.groupBy(*keys, "x").agg(
         F.sum(F.when(F.col("__side") == ref_label, 1).otherwise(0)).alias(
@@ -444,13 +464,33 @@ def ks_two_sample(
             "c_cur"
         ),
     )
+    # Grid guard IN-PLAN (the _apply_grid_guard posture — see its docstring):
+    # the 1-row guard counts the largest per-key grid off the cells
+    # aggregation itself (exchange reused, exact where the old eager
+    # action was a separate ±5% approx scan) and rides a broadcast the
+    # ECDF window's stage depends on, so an oversized grid still dies
+    # before the per-key sort runs — without a serialized driver round
+    # trip during query construction.
+    if keys:
+        grid_count = (
+            cells.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .agg(F.max("__d").alias("__d"))
+        )
+        what = "per-key ECDF grid"
+    else:
+        grid_count = cells.agg(F.count(F.lit(1)).alias("__d"))
+        what = "ECDF grid"
+    gated = _apply_grid_guard(
+        cells, grid_count, max_distinct, "ks_two_sample", what
+    )
     w_cum = (
         Window.partitionBy(*[F.col(c) for c in keys])
         .orderBy("x")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_all = Window.partitionBy(*[F.col(c) for c in keys])
-    stepped = cells.select(
+    stepped = gated.select(
         *keys,
         F.sum("c_ref").over(w_cum).alias("cum_ref"),
         F.sum("c_cur").over(w_cum).alias("cum_cur"),

@@ -122,15 +122,16 @@ def test_cuped_null_and_nan_units_excluded(spark):
 
 def test_cuped_constant_covariate_raises(spark):
     rows = [(v, 3.0, y) for v, _, y in HAND_ROWS]
-    with pytest.raises(ValueError, match="constant"):
+    # validation is in-plan (raise_error) since r11: fires at action
+    with pytest.raises(Exception, match="constant"):
         cuped_mean_ztest(
             _units(spark, rows), "variant", "y", "x", "control", "treatment"
-        )
+        ).collect()
 
 
 def test_cuped_tiny_arm_raises(spark):
     rows = HAND_ROWS[:4] + [("treatment", 1.0, 3.0)]
-    with pytest.raises(ValueError, match=">=2 usable units"):
+    with pytest.raises(Exception, match=">=2 usable units"):
         cuped_mean_ztest(
             _units(spark, rows), "variant", "y", "x", "control", "treatment"
-        )
+        ).collect()

@@ -95,8 +95,13 @@ def test_validation_errors(spark):
     with pytest.raises(ValueError, match="pre == post"):
         difference_in_differences(df, "g", "p", "y", "c", "t", "pre", "pre")
     thin = _units(spark, FIXTURE[:-1])  # treatment/post has 1 unit
-    with pytest.raises(ValueError, match="period='post'"):
-        difference_in_differences(thin, "g", "p", "y", "c", "t", "pre", "post")
+    # cell validation is in-plan (raise_error) since r11: fires at action
+    with pytest.raises(Exception, match="period='post'"):
+        difference_in_differences(
+            thin, "g", "p", "y", "c", "t", "pre", "post"
+        ).collect()
     # A label matching no rows is the same <2-units failure, not a crash.
-    with pytest.raises(ValueError, match=">=2 usable units"):
-        difference_in_differences(df, "g", "p", "y", "c", "t", "pre", "later")
+    with pytest.raises(Exception, match=">=2 usable units"):
+        difference_in_differences(
+            df, "g", "p", "y", "c", "t", "pre", "later"
+        ).collect()

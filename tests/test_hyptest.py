@@ -190,10 +190,12 @@ def test_rank_test_distinct_grid_guard_raises(spark):
         (F.col("id") % 2).cast("string").alias("grp"),
         (F.col("id") * 0.001).alias("x"),
     )
-    with pytest.raises(ValueError, match="round_decimals"):
-        kruskal_wallis(df, "x", "grp", max_distinct=1_000)
-    with pytest.raises(ValueError, match="round_decimals"):
-        mann_whitney_u(df, "x", "grp", "0", "1", max_distinct=1_000)
+    # the guard is in-plan (raise_error broadcast) since r11: it fires
+    # at action time, before the window's single-partition sort runs
+    with pytest.raises(Exception, match="round_decimals"):
+        kruskal_wallis(df, "x", "grp", max_distinct=1_000).collect()
+    with pytest.raises(Exception, match="round_decimals"):
+        mann_whitney_u(df, "x", "grp", "0", "1", max_distinct=1_000).collect()
 
 
 def test_rank_test_round_decimals_discretizes(spark):

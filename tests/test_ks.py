@@ -127,8 +127,10 @@ def test_grid_guard_raises(spark):
         "CASE WHEN id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side",
         "CAST(id AS DOUBLE) / 7 AS v",
     )
-    with pytest.raises(ValueError, match="round_decimals"):
-        ks_two_sample(df, "v", "side", "ref", "cur", max_distinct=100)
+    # the guard is in-plan (raise_error broadcast) since r11: it fires
+    # at action time, before the per-key ECDF sort runs
+    with pytest.raises(Exception, match="round_decimals"):
+        ks_two_sample(df, "v", "side", "ref", "cur", max_distinct=100).collect()
 
 
 def test_bad_params_raise(spark):

@@ -113,8 +113,11 @@ def test_ab_ztest_missing_arm_raises(spark):
     units = spark.createDataFrame(
         [("control", 1)], "variant string, converted int"
     )
-    with pytest.raises(ValueError, match="BOTH arms"):
-        two_proportion_ztest(units, "variant", "converted", "control", "treatment")
+    # validation is in-plan (raise_error) since r11: fires at action
+    with pytest.raises(Exception, match="BOTH arms"):
+        two_proportion_ztest(
+            units, "variant", "converted", "control", "treatment"
+        ).collect()
 
 
 # -- blocked fuzzy join (operators/fuzzyjoin.py) ------------------------

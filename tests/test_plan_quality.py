@@ -1015,7 +1015,32 @@ def test_ks_windows_partition_per_key_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
     assert plan.count("windowspecdefinition(event_type") >= 1
-    assert "SinglePartition" not in plan
+    # Since r11 the max_distinct guard is in-plan (_apply_grid_guard):
+    # its 1-row grid-count aggregate is the ONLY SinglePartition
+    # exchange allowed, and it must feed an aggregate — never a Sort
+    # or Window (the data-scale single-partition sort this test pins
+    # away). Formatted-plan detail blocks list each node's consumer
+    # as the next-numbered node.
+    import re
+
+    names = dict(
+        (int(n), name)
+        for n, name in re.findall(r"^\((\d+)\) (\w+)", plan, re.MULTILINE)
+    )
+    single_part_ids = [
+        int(m.group(1))
+        for m in re.finditer(
+            r"^\((\d+)\) Exchange(?:[^\n]*\n)+?Arguments: SinglePartition",
+            plan,
+            re.MULTILINE,
+        )
+    ]
+    assert len(single_part_ids) <= 1
+    for node_id in single_part_ids:
+        assert names.get(node_id + 1) == "HashAggregate", (
+            f"SinglePartition exchange ({node_id}) feeds "
+            f"{names.get(node_id + 1)}, expected the guard aggregate"
+        )
 
 
 def test_adamic_adar_antijoin_topk_no_pair_window(spark, sf_dir):

@@ -81,14 +81,15 @@ def test_null_nan_units_excluded(spark):
 
 def test_constant_metric_raises(spark):
     df = spark.createDataFrame([(5.0,)] * 4, "y double")
-    with pytest.raises(ValueError, match="zero variance"):
-        experiment_power(df, "y")
+    # validation is in-plan (raise_error) since r11: fires at action
+    with pytest.raises(Exception, match="zero variance"):
+        experiment_power(df, "y").collect()
 
 
 def test_too_few_units_raises(spark):
     df = spark.createDataFrame([(5.0,)], "y double")
-    with pytest.raises(ValueError, match=">= 2 usable units"):
-        experiment_power(df, "y")
+    with pytest.raises(Exception, match=">= 2 usable units"):
+        experiment_power(df, "y").collect()
 
 
 def test_invalid_target_rejected(spark):
@@ -101,5 +102,5 @@ def test_constant_covariate_raises(spark):
     df = spark.createDataFrame(
         [(1.0, float(i)) for i in range(5)], "x double, y double"
     )
-    with pytest.raises(ValueError, match="constant"):
-        experiment_power(df, "y", covariate_col="x")
+    with pytest.raises(Exception, match="constant"):
+        experiment_power(df, "y", covariate_col="x").collect()

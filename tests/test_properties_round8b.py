@@ -13,6 +13,7 @@ import datetime as dt
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.errors.exceptions.captured import SparkRuntimeException
 
 from proyecto_final_de_big_data_spark.operators.abtest import (
     cuped_mean_ztest,
@@ -53,8 +54,10 @@ def test_cuped_covariate_translation_invariance(spark, rows, shift):
 
     try:
         base = cuped_mean_ztest(_df(0.0), "g", "y", "x", "control", "treatment").collect()[0]
-    except ValueError:
-        return  # degenerate arms/covariate for this draw — skip
+    except (ValueError, SparkRuntimeException):
+        # degenerate arms/covariate for this draw — skip (validation is
+        # in-plan raise_error since r11, so it surfaces at collect time)
+        return
     shifted = cuped_mean_ztest(_df(shift), "g", "y", "x", "control", "treatment").collect()[0]
     for field in ("theta", "lift_cuped", "se_cuped", "z_cuped", "var_reduction_pct"):
         if base[field] is None:
@@ -90,8 +93,10 @@ def test_power_monotone_in_target_and_cuped_dominates(spark, rows, t1):
         b = experiment_power(
             df, "y", covariate_col="x", target_rel_mde=t1 * 2
         ).collect()[0]
-    except ValueError:
-        return  # constant metric/covariate or tiny frame — skip
+    except (ValueError, SparkRuntimeException):
+        # constant metric/covariate or tiny frame — skip (validation is
+        # in-plan raise_error since r11, so it surfaces at collect time)
+        return
     # halving the target effect must never SHRINK the required n
     if a["n_per_arm_target"] is not None and b["n_per_arm_target"] is not None:
         assert a["n_per_arm_target"] >= b["n_per_arm_target"]
