@@ -114,11 +114,18 @@ def _violation(rule: Rule):
 def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """``(check, n_violations, passed)`` — one row per rule.
 
-    Row-level rules and uniqueness evaluate in ONE aggregation job;
-    each foreign-key rule adds one anti-join count. The report is tiny
-    (one row per rule) and built driver-side from those aggregates, so
-    it can gate a write (``if report.where(~passed).count(): raise``)
-    without re-scanning anything.
+    Row-level rules and uniqueness evaluate in ONE aggregation (its
+    single answer row exploded into one report row per rule); each
+    foreign-key rule unions in one anti-join count frame. The whole
+    report is ONE lazy plan — the pre-r11 version collected the
+    aggregate and each fk count as serialized driver round trips
+    during CONSTRUCTION and rehydrated a literal frame; the branches
+    now run concurrently inside the caller's single action, with
+    values and types identical (counts coalesce to the same 0s the
+    old ``int(row or 0)`` produced). The report is tiny (one row per
+    rule), so a caller that needs it twice (gate a write + persist the
+    report) should ``collect()`` once and reuse the rows — the
+    pipelines/release.py pattern.
     """
     if not rules:
         raise ValueError("no rules to validate")
@@ -151,11 +158,30 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
             aggs.append(F.sum(_violation(r).cast("long")).alias(f"__v_{len(aggs)}"))
             agg_rules.append(r)
 
-    counts: dict[str, int] = {}
+    parts: list[DataFrame] = []
     if aggs:
-        row = df.agg(*aggs).collect()[0]
-        for i, r in enumerate(agg_rules):
-            counts[r.name] = int(row[f"__v_{i}"] or 0)
+        # One answer row carrying every agg-rule count, exploded into
+        # one (check, n_violations) row per rule. coalesce(…, 0) covers
+        # the empty-frame NULL sums exactly as the old int(row or 0).
+        parts.append(
+            df.agg(*aggs)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(r.name).alias("check"),
+                                F.coalesce(F.col(f"__v_{i}"), F.lit(0))
+                                .cast("long")
+                                .alias("n_violations"),
+                            )
+                            for i, r in enumerate(agg_rules)
+                        ]
+                    )
+                ).alias("__s")
+            )
+            .select("__s.check", "__s.n_violations")
+        )
     for r in fk_rules:
         ref_keys = r.ref.select(
             *[F.col(rc).alias(c) for c, rc in zip(r.cols, r.ref_cols)]
@@ -164,10 +190,17 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
         # orphans; referential integrity is about NON-NULL dangling keys
         # (null-ness is not_null's contract), so they're excluded here.
         probe = df.select(*r.cols).na.drop(subset=list(r.cols))
-        counts[r.name] = probe.join(ref_keys, list(r.cols), "left_anti").count()
+        parts.append(
+            probe.join(ref_keys, list(r.cols), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(F.lit(r.name).alias("check"), "n_violations")
+        )
 
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(r.name, counts[r.name], counts[r.name] == 0) for r in rules],
-        "check string, n_violations long, passed boolean",
+    report = parts[0]
+    for p in parts[1:]:
+        report = report.unionByName(p)
+    return report.select(
+        "check",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
     )

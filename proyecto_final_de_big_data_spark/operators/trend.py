@@ -109,9 +109,10 @@ def mann_kendall(
     Scale shape (100 TB): the input is a PRE-AGGREGATED series grid
     (the :func:`~.stats.autocorrelation` posture), because the pair
     stage is inherently O(n²) per key — ENFORCED at ``max_points``
-    (one approx-count action, raises naming the fix, the
-    ks_two_sample discipline; 10k grid points = 50M pairs per key,
-    parallel across keys). One key-equi self-join filtered to t_i <
+    (in-plan raising filter over a broadcast biggest-key count —
+    raises at action time naming the fix, before the join stage can
+    run, the ks_two_sample discipline; 10k grid points = 50M pairs
+    per key, parallel across keys). One key-equi self-join filtered to t_i <
     t_j, one tie aggregation at (key, value) cardinality, one
     key-cardinality reduce. No window over data, no collect.
 
@@ -129,20 +130,33 @@ def mann_kendall(
     for c in key_cols:
         base = base.filter(F.col(c).isNotNull())
 
-    row = (
+    # max_points guard IN-PLAN (the hyptest._apply_grid_guard posture):
+    # a 1-row biggest-key count rides a broadcast with a raising filter
+    # on the pair join's left input, so an oversized key raises while
+    # the broadcast materializes — before the O(n²) join stage can be
+    # scheduled — without the pre-r11 serialized driver action during
+    # query construction. All rows pass the healthy-path filter, so
+    # values are unchanged.
+    guard = (
         base.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
         .agg(F.max("__n").alias("__n"))
-        .first()
     )
-    biggest = row["__n"] if row is not None else None
-    if biggest is not None and biggest > max_points:
-        raise ValueError(
-            f"mann_kendall: a key holds {biggest:,} grid points — the "
-            f"pairwise stage is O(n²) and max_points={max_points:,}. "
-            "Aggregate the series to a coarser grid first, or raise "
-            "max_points if the grid is genuinely answer-scale."
-        )
+    gate = F.when(
+        F.col("__n") > max_points,
+        F.raise_error(
+            F.concat(
+                F.lit("mann_kendall: a key holds "),
+                F.col("__n").cast("string"),
+                F.lit(
+                    " grid points — the pairwise stage is O(n²) and "
+                    f"max_points={max_points:,}. Aggregate the series to "
+                    "a coarser grid first, or raise max_points if the "
+                    "grid is genuinely answer-scale."
+                ),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
 
     stats = base.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("n"),
@@ -172,8 +186,13 @@ def mann_kendall(
             F.sum(tk * (tk - 1.0) * (2.0 * tk + 5.0)).alias("__tie_sum")
         )
     )
-    a = base.select(
-        *key_cols, F.col("__t").alias("__ti"), F.col("__x").alias("__xi")
+    a = (
+        base.select(
+            *key_cols, F.col("__t").alias("__ti"), F.col("__x").alias("__xi")
+        )
+        .crossJoin(F.broadcast(guard))
+        .filter(gate)
+        .drop("__n")
     )
     b = base.select(
         *key_cols, F.col("__t").alias("__tj"), F.col("__x").alias("__xj")

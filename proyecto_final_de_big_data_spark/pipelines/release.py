@@ -63,9 +63,15 @@ def publish_release(
         "n_columns": len(back.columns),
     }
     if rules:
-        report = validate(back, rules)
-        report.coalesce(1).write.mode("overwrite").json(f"{out_root}/_quality")
-        failed = [r["check"] for r in report.collect() if not r["passed"]]
+        # validate() is lazy since r11: collect the tiny one-row-per-rule
+        # report ONCE and reuse the rows for both the persisted artifact
+        # and the failure summary (writing the lazy frame AND collecting
+        # it would run the corpus aggregation twice).
+        report_rows = validate(back, rules).collect()
+        spark.createDataFrame(
+            report_rows, "check string, n_violations long, passed boolean"
+        ).coalesce(1).write.mode("overwrite").json(f"{out_root}/_quality")
+        failed = [r["check"] for r in report_rows if not r["passed"]]
         summary["quality_failed"] = failed
     return summary
 

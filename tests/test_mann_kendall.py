@@ -116,8 +116,10 @@ def test_max_points_guard(spark):
     df = spark.createDataFrame(
         [("a", t, float(t)) for t in range(200)], "k string, t int, v double"
     )
-    with pytest.raises(ValueError, match="max_points"):
-        mann_kendall(df, ["k"], "t", "v", max_points=100)
+    # the guard is in-plan (raise_error broadcast filter) since r11:
+    # it fires at action time, before the O(n²) pair join can run
+    with pytest.raises(Exception, match="max_points"):
+        mann_kendall(df, ["k"], "t", "v", max_points=100).collect()
 
 
 def test_needs_keys(spark):
