@@ -42,7 +42,7 @@ HEADLINERS = {
     "event_funnel_profile": "strict funnel — ONE plan, one LogicalRDD per step (lazy localCheckpoint), zero event-source re-reads",
     "event_transition_matrix": "Markov transitions — one user-keyed lead window, normalization over the types^2 matrix",
     "session_path_profile": "session paths — collect_list+array_sort inside the session agg, no second window",
-    "ab_test_contract": "A/B z-test — one user-keyed agg + one group-cardinality reduce, closed-form arithmetic",
+    "ab_test_contract": "A/B z-test — one user-keyed agg + one group-cardinality reduce, closed-form arithmetic; ONE lazy plan with the empty-arm guard in-plan (r11)",
     "fuzzy_name_match_profile": "blocked fuzzy join — multi-pass equi-joins on except-zone keys, thresholded levenshtein, no cartesian",
     "event_type_trend_contract": "per-key OLS trend — sufficient statistics in one partial/final agg, no window",
     "correlation_matrix_contract": "correlation matrix — every pair's sufficient statistics in ONE partial/final agg, explode after",
@@ -81,15 +81,15 @@ HEADLINERS = {
     "weighted_percentile_contract": "weighted percentiles — percentile frequency argument, ONE map-side-combined agg, group-cardinality output",
     "brier_ece_contract": "Brier/ECE — 10 probability cells from one scan, both statistics reduce from the cell frame",
     "basket_size_profile": "basket cap sizing — one distinct + one agg, single-row answer",
-    "cuped_ab_contract": "CUPED — six per-arm sufficient sums in ONE conditional agg, theta/adjusted means expand driver-side, units never rescanned",
+    "cuped_ab_contract": "CUPED — six per-arm sufficient sums in ONE conditional agg, theta/adjusted means expand algebraically in the same lazy plan (in-plan guards since r11), units scanned once",
     "bootstrap_ci_contract": "Poisson bootstrap — partial agg collapses the R+1 explode before the shuffle, percentile step at answer scale",
     "rater_agreement_contract": "kappa statistics — label-contingency aggs, every join over k-cardinality frames, no cartesian",
-    "experiment_power_contract": "power/MDE — one sufficient-sums agg over the unit frame, closed-form on the answer row",
+    "experiment_power_contract": "power/MDE — one sufficient-sums agg over the unit frame, closed-form projection in the same lazy plan (in-plan guards since r11)",
     "seasonal_decomposition_contract": "seasonal decomposition — OLS sums agg + broadcast trend join + slot agg, no fact-side window",
     "winnowing_fingerprint_contract": "winnowing fingerprints — map-only higher-order-function selection, Exchange only for the per-doc profile agg",
     "bloom_pruned_join_contract": "Bloom join pruning — k codegen bit probes fused into the orders scan BEFORE the broadcast join; membership is a Filter, never a join",
     "anova_oneway_contract": "one-way ANOVA — per-group sufficient stats partial/final, group-cardinality reduce, no window no join",
-    "rank_test_contract": "rank tests — contingency agg, cumulative window ONLY over the 50-value distinct grid, broadcast join back",
+    "rank_test_contract": "rank tests — contingency agg, cumulative window ONLY over the 50-value distinct grid (gated by the in-plan broadcast grid-count guard since r11), broadcast join back",
     "jw_name_match_profile": "Jaro-Winkler ER join — blocked equi-join candidates; the deterministic pandas-UDF scorer + threshold pushed below the pair-distinct",
     "duplicate_span_removal_contract": "duplicate-span strip — winnowing prefilter bounds the gram index; keeper resolution at gram cardinality; islands/strip windows partitioned per document",
     "knn_ann_ivf_pq_refine_recall": "IVF,PQ + refine — ADC candidates, then TWO broadcast joins re-rank with true cosines; float reads bounded at refine/query",
@@ -97,7 +97,7 @@ HEADLINERS = {
     "dsir_selection_contract": "DSIR selection — HOF bigram hashing, two bucket-cardinality distribution aggs, broadcast log-ratio join, TakeOrderedAndProject top-k",
     "learning_curve_contract": "learning curve — one groupBy(slice) stats pass, cumulative window over the 5-row slice frame, 4-model broadcast scoring join",
     "holt_forecast_contract": "Holt forecasting — daily-grid agg, per-key collect + two-state in-memory fold, sigma join-back; no raw-event windows",
-    "did_contract": "difference-in-differences — ONE conditional agg to four cells' sufficient sums, closed-form answer row",
+    "did_contract": "difference-in-differences — ONE conditional agg to four cells' sufficient sums, closed-form projection in the same lazy plan (in-plan cell guards since r11)",
     "msprt_contract": "mSPRT monitor — partial-aggregated groupBy to day cardinality; cumulative/running-max windows over the answer-scale daily frame only",
     "l_diversity_contract": "l-diversity — (class x sensitive) cell agg, class rollup, answer row; entropy folds from cell counts, zero joins",
     "gopher_rules_contract": "Gopher rules — all seven document-shape signals HOF projections in the scan stage; the per-lang rollup owns the plan's single Exchange",
@@ -121,11 +121,11 @@ HEADLINERS = {
     "bfs_distances_contract": "BFS hop distances — 6 fixed frontier rounds (semi-join + distinct + anti-join per round, all node-keyed), settled frame grows monotonically, census groupBy; no windows, no Python, no cartesian",
     "ranking_metrics_contract": "NDCG/MRR/hit ranking metrics — answer-scale top-10 + judgement frames, per-query windows only, one (query,item) equi-join, two (query,k) aggs; k-frame explode is 2 literals",
     "pmi_collocations_contract": "PMI collocations — scan-stage arrays_zip bigram pairing (no self-join), one bigram-keyed + one term-keyed count agg, scalar totals crossJoin, TakeOrderedAndProject top-20",
-    "ks_drift_contract": "KS two-sample drift — (key,value) contingency agg to the ~290-value grid, per-key cumulative ECDF windows (partitioned, never SinglePartition), key-cardinality reduce; integer-count arithmetic end to end",
+    "ks_drift_contract": "KS two-sample drift — (key,value) contingency agg to the ~290-value grid, per-key cumulative ECDF windows (partitioned; the only SinglePartition exchange is the in-plan grid guard's 1-row count, r11), key-cardinality reduce; integer-count arithmetic end to end",
     "adamic_adar_contract": "Adamic-Adar link prediction — degree agg, center-keyed wedge self-join bounded by the degree cap, LeftAnti against the edge set, pair-keyed agg, TakeOrderedAndProject top-25; rank after the limit",
     "ccf_lead_lag_contract": "cross-correlation — day-grid conditional-count pivot, 1-row sufficient-stats broadcast, x15 broadcast lag spine, day-keyed self-join, per-lag raw-moment agg; no window anywhere",
     "effect_size_contract": "Cohen's d / Hedges' g — ONE key-cardinality conditional agg over six sufficient sums, closed-form projection; no join, no window",
-    "mann_kendall_contract": "Mann-Kendall + Sen — key-equi pair self-join over the pre-aggregated day grid (t_i < t_j filter), tie agg, percentile AGGREGATE median; no window, duplicate grid points raise in-plan",
+    "mann_kendall_contract": "Mann-Kendall + Sen — key-equi pair self-join over the pre-aggregated day grid (t_i < t_j filter; max_points guard in-plan via broadcast raising filter since r11), tie agg, percentile AGGREGATE median; no window, duplicate grid points raise in-plan",
     "nelson_aalen_contract": "Nelson-Aalen — shared KM risk table, cumulative hazard sums over the answer-scale duration grid in deterministic order; 1-row tmax broadcast",
     "pacf_contract": "PACF — ACF raw-moment join shape, ONE conditional-agg pivot of 4 ACF values, unrolled Durbin-Levinson projection, 4-literal posexplode; recursion touches no data rows",
 }
