@@ -257,6 +257,13 @@ def main() -> None:
         )
     # Keep the stdout line well under the driver's tail-capture window
     # (~200 chars): totals only; full per-query detail in the file.
+    # "load" is the PRE-WARM-UP start sample (the value the start-load
+    # gate checked): pass_loads[0] is taken AFTER the bench's own
+    # JVM/MLlib/daemon warm-up and therefore reads 1.5-3 even on an
+    # idle-gated host, which made the r10/r11 driver runs look
+    # contended (PERF "now_bench_ok: false") when the gate had passed
+    # at <0.15. Per-pass loads stay in BENCH_DETAIL.json
+    # (loadavg_per_pass), self-pollution documented there.
     print(
         json.dumps(
             {
@@ -265,7 +272,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
-                "load": pass_loads[0],
+                "load": start_load,
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -48,8 +48,10 @@ def two_proportion_ztest(
     - ``significant`` flags |z| > z_crit.
 
     Rates/lift/z/CI are rounded to 6 decimals so engines agree to the
-    hash. Raises at action time (in-plan ``raise_error``, the
-    cohens_kappa posture) if either group is empty — a z-test over a
+    hash. Raises at action time — unconditionally, whatever columns the
+    caller projects (a pruning-proof raising FILTER on the one-row
+    aggregate, the hyptest grid-guard posture) — if either group is
+    empty — a z-test over a
     missing arm is meaningless, not zero.
     """
     s = F.col(success_col).cast("int")
@@ -67,15 +69,17 @@ def two_proportion_ztest(
     # instead yields NULL and lets the empty-arm guard report properly.
     n_c = F.when(F.col("n_c") > 0, F.col("n_c").cast("double"))
     n_t = F.when(F.col("n_t") > 0, F.col("n_t").cast("double"))
-    # Degenerate-input validation stays IN-PLAN (the raise_error posture
-    # of cohens_kappa/modularity): an empty arm fails loudly at action
-    # time instead of silently NULLing every statistic. The plan stays
-    # lazy — the pre-r11 collect+rehydrate here forced a driver round
-    # trip during query CONSTRUCTION, serializing the units aggregation
-    # before the caller's own action could even start. The guard passes
-    # n_c through untouched on the healthy path, so values are
-    # bit-identical to the collected row the old path rehydrated.
-    n_c_guard = F.when(
+    # Degenerate-input validation stays IN-PLAN (raise_error at action
+    # time, never a construction-time collect) but as a raising FILTER
+    # on the one-row aggregate, not a guarded output column: Catalyst
+    # prunes columns a caller never projects, so a guard riding
+    # n_control silently vanished under .select("z_stat") or .count()
+    # (the r11 ADVICE finding). A filter's predicate survives pruning —
+    # its references keep n_c/n_t alive in the aggregate no matter what
+    # the caller projects — and every healthy row passes with the
+    # original expressions untouched, so values are bit-identical
+    # (the hyptest._apply_grid_guard posture).
+    gate = F.when(
         (F.col("n_c") == 0) | (F.col("n_t") == 0),
         F.raise_error(
             F.concat(
@@ -87,16 +91,16 @@ def two_proportion_ztest(
                 F.lit(f", treatment={treatment!r} n="),
                 F.col("n_t").cast("string"),
             )
-        ).cast("long"),
-    ).otherwise(F.col("n_c"))
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
     p_c, p_t = x_c / n_c, x_t / n_t
     pooled = (x_c + x_t) / (n_c + n_t)
     se_pooled = F.sqrt(pooled * (1.0 - pooled) * (1.0 / n_c + 1.0 / n_t))
     se_wald = F.sqrt(p_c * (1.0 - p_c) / n_c + p_t * (1.0 - p_t) / n_t)
     diff = p_t - p_c
     z = F.when(se_pooled > 0, diff / se_pooled).otherwise(F.lit(0.0))
-    return agg.select(
-        n_c_guard.alias("n_control"),
+    return agg.filter(gate).select(
+        F.col("n_c").alias("n_control"),
         F.col("x_c").alias("conv_control"),
         F.col("n_t").alias("n_treatment"),
         F.col("x_t").alias("conv_treatment"),
@@ -140,9 +144,11 @@ def cuped_mean_ztest(
 
     Rows with NULL/NaN metric or covariate are excluded up front (one
     poisoned unit would NULL every statistic). Statistics round to 6
-    decimals so engines agree to the hash. Raises at action time
-    (in-plan ``raise_error``, the cohens_kappa posture) if either arm
-    has fewer than 2 usable units or the covariate is constant (θ
+    decimals so engines agree to the hash. Raises at action time —
+    unconditionally, whatever columns the caller projects (a
+    pruning-proof raising FILTER on the one-row aggregate, the hyptest
+    grid-guard posture) — if either arm has fewer than 2 usable units
+    or the covariate is constant (θ
     undefined — CUPED over a degenerate covariate is a caller bug, not
     a zero).
     """
@@ -189,39 +195,44 @@ def cuped_mean_ztest(
     ssx = sxx - sx * sx / nn  # pooled centered Σ(x−x̄)²
     theta = (sxy - sx * sy / nn) / F.when(ssx > 0, ssx)
     mean_x = sx / nn
-    # Degenerate-input validation stays IN-PLAN (the raise_error posture
-    # of cohens_kappa/modularity): thin arms / a constant covariate fail
-    # loudly at action time instead of silently NULLing every statistic,
-    # and the plan stays lazy — the pre-r11 collect+rehydrate here forced
-    # a driver round trip during query CONSTRUCTION. The two guard
-    # conditions are disjoint (the covariate guard requires both arms
-    # healthy, where ssx is non-NULL), so exactly one message can fire
-    # regardless of column evaluation order; healthy rows pass n_c /
-    # theta through untouched, so values are bit-identical.
+    # Degenerate-input validation stays IN-PLAN (raise_error at action
+    # time, never a construction-time collect) but as a raising FILTER
+    # on the one-row aggregate, not guarded output columns: Catalyst
+    # prunes columns a caller never projects, so guards riding
+    # n_control/theta silently vanished under .select("z_cuped") or
+    # .count() (the r11 ADVICE finding). The filter predicate survives
+    # pruning, and its chained WHEN evaluates conditions IN ORDER, so
+    # the arm check always outranks the covariate check (where ssx is
+    # non-NULL by construction); healthy rows pass with the original
+    # expressions untouched, so values are bit-identical (the
+    # hyptest._apply_grid_guard posture).
     arms_ok = (F.col("n_c") >= 2) & (F.col("n_t") >= 2)
-    n_c_guard = F.when(
-        ~arms_ok,
-        F.raise_error(
-            F.concat(
+    gate = (
+        F.when(
+            ~arms_ok,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "cuped_mean_ztest needs >=2 usable units in BOTH arms; "
+                        f"got control={control!r} n="
+                    ),
+                    F.col("n_c").cast("string"),
+                    F.lit(f", treatment={treatment!r} n="),
+                    F.col("n_t").cast("string"),
+                )
+            ).cast("boolean"),
+        )
+        .when(
+            ~(ssx > 0),
+            F.raise_error(
                 F.lit(
-                    "cuped_mean_ztest needs >=2 usable units in BOTH arms; "
-                    f"got control={control!r} n="
-                ),
-                F.col("n_c").cast("string"),
-                F.lit(f", treatment={treatment!r} n="),
-                F.col("n_t").cast("string"),
-            )
-        ).cast("long"),
-    ).otherwise(F.col("n_c"))
-    theta_guard = F.when(
-        arms_ok & ~(ssx > 0),
-        F.raise_error(
-            F.lit(
-                f"cuped_mean_ztest: covariate {covariate_col!r} is constant "
-                "across units — theta is undefined; use the plain z-test"
-            )
-        ).cast("double"),
-    ).otherwise(theta)
+                    f"cuped_mean_ztest: covariate {covariate_col!r} is constant "
+                    "across units — theta is undefined; use the plain z-test"
+                )
+            ).cast("boolean"),
+        )
+        .otherwise(F.lit(True))
+    )
 
     def _stats(suffix: str, n):
         sy_a, sx_a = F.col(f"sy_{suffix}"), F.col(f"sx_{suffix}")
@@ -255,10 +266,10 @@ def cuped_mean_ztest(
     var_red = F.when(
         pooled_raw > 0, 100.0 * (1.0 - pooled_adj / pooled_raw)
     ).otherwise(F.lit(0.0))
-    return agg.select(
-        n_c_guard.alias("n_control"),
+    return agg.filter(gate).select(
+        F.col("n_c").alias("n_control"),
         F.col("n_t").alias("n_treatment"),
-        F.round(theta_guard, 6).alias("theta"),
+        F.round(theta, 6).alias("theta"),
         F.round(mean_c, 6).alias("mean_control"),
         F.round(mean_t, 6).alias("mean_treatment"),
         F.round(lift_raw, 6).alias("lift_raw"),
@@ -303,9 +314,11 @@ def experiment_power(
 
     One aggregation pass at unit-frame scale; everything else is
     closed-form arithmetic on the single answer row. NULL/NaN metric
-    (or covariate, when given) rows are excluded. Raises at action time
-    (in-plan ``raise_error``, the cohens_kappa posture) on fewer than
-    2 usable units, zero metric variance, or a constant covariate
+    (or covariate, when given) rows are excluded. Raises at action
+    time — unconditionally, whatever columns the caller projects (a
+    pruning-proof raising FILTER on the one-row aggregate, the hyptest
+    grid-guard posture) — on fewer than 2 usable units, zero metric
+    variance, or a constant covariate
     (power over a constant metric and rho^2 over a degenerate
     covariate are caller bugs — the cuped_mean_ztest posture).
     """
@@ -340,30 +353,34 @@ def experiment_power(
     var = F.when(var_raw > 0, var_raw)
     mean = F.col("sy") / n
     sd = F.sqrt(var)
-    # Degenerate-input validation IN-PLAN: the three guard conditions
-    # are disjoint (each requires the previous one healthy), so exactly
-    # one message can fire regardless of column evaluation order, and
-    # the plan stays lazy — the pre-r11 collect+rehydrate here forced a
-    # driver round trip during query CONSTRUCTION. Healthy rows pass
-    # n / sd through untouched, so values are bit-identical.
-    n_guard = F.when(
+    # Degenerate-input validation IN-PLAN (raise_error at action time,
+    # never a construction-time collect) but as a raising FILTER on the
+    # one-row aggregate, not guarded output columns: Catalyst prunes
+    # columns a caller never projects, so guards riding n_units/sd
+    # silently vanished under .select("mde_abs") or .count() (the r11
+    # ADVICE finding). The filter's chained WHEN evaluates conditions
+    # IN ORDER (unit count, then metric variance, then — when a
+    # covariate is given — covariate variance, appended below), so one
+    # deterministic message fires; healthy rows pass with the original
+    # expressions untouched, so values are bit-identical (the
+    # hyptest._apply_grid_guard posture).
+    gate = F.when(
         F.col("n") < 2,
         F.raise_error(
             F.concat(
                 F.lit("experiment_power needs >= 2 usable units; got "),
                 F.col("n").cast("string"),
             )
-        ).cast("long"),
-    ).otherwise(F.col("n"))
-    sd_guard = F.when(
-        (F.col("n") >= 2) & ~(var_raw > 0),
+        ).cast("boolean"),
+    ).when(
+        ~(var_raw > 0),
         F.raise_error(
             F.lit(
                 f"experiment_power: metric {metric_col!r} has zero variance "
                 "— MDE/sample-size are undefined over a constant metric"
             )
-        ).cast("double"),
-    ).otherwise(sd)
+        ).cast("boolean"),
+    )
     zsum = F.lit(z_alpha + z_power)
     # 50/50 split of THIS sample: se = sd * sqrt(1/(n/2) + 1/(n/2)).
     mde_abs = zsum * sd * F.sqrt(4.0 / n)
@@ -376,10 +393,10 @@ def experiment_power(
         rho2 = F.when(
             (ssx > 0) & (ssy > 0), (sxy_c * sxy_c) / (ssx * ssy)
         )
-        # ssy > 0 <=> the metric-variance guard above passed, so this
-        # third condition is disjoint from both guards above.
-        rho2 = F.when(
-            (F.col("n") >= 2) & (ssy > 0) & ~(ssx > 0),
+        # Third gate branch, reached only when n >= 2 and var_raw > 0
+        # (ssy > 0) — the WHEN chain's order makes it disjoint.
+        gate = gate.when(
+            ~(ssx > 0),
             F.raise_error(
                 F.lit(
                     f"experiment_power: covariate {covariate_col!r} is "
@@ -387,8 +404,8 @@ def experiment_power(
                     "without a covariate (the cuped_mean_ztest posture: a "
                     "degenerate covariate is a caller bug, not a zero)"
                 )
-            ).cast("double"),
-        ).otherwise(rho2)
+            ).cast("boolean"),
+        )
         var_adj = F.greatest(F.lit(0.0), var * (1.0 - rho2))
         mde_cuped = zsum * F.sqrt(var_adj) * F.sqrt(4.0 / n)
         n_target_cuped = F.ceil(
@@ -400,10 +417,10 @@ def experiment_power(
         var_red = F.lit(None).cast("double")
         mde_cuped = F.lit(None).cast("double")
         n_target_cuped = F.lit(None).cast("long")
-    return agg.select(
-        n_guard.alias("n_units"),
+    return agg.filter(gate.otherwise(F.lit(True))).select(
+        F.col("n").alias("n_units"),
         F.round(mean, 6).alias("mean"),
-        F.round(sd_guard, 6).alias("sd"),
+        F.round(sd, 6).alias("sd"),
         F.round(F.when(mean != 0, sd / F.abs(mean)), 6).alias("cv"),
         F.round(mde_abs, 6).alias("mde_abs"),
         F.round(F.when(mean != 0, mde_abs / F.abs(mean)), 6).alias(
@@ -450,9 +467,10 @@ def difference_in_differences(
     four cells' sufficient sums (n, Σy, Σy²); everything else is
     closed-form on the single answer row — the :func:`cuped_mean_ztest`
     scale shape. NULL/NaN metrics are excluded up front. Raises at
-    action time (in-plan ``raise_error``, the cohens_kappa posture) if
-    the four (group, period) labels don't identify four cells with >=2
-    usable units each (sample variance undefined otherwise — a caller
+    action time — unconditionally, whatever columns the caller projects
+    (a pruning-proof raising FILTER on the one-row aggregate, the
+    hyptest grid-guard posture) — if the four (group, period) labels
+    don't identify four cells with >=2 usable units each (sample variance undefined otherwise — a caller
     bug, not a zero); colliding label pairs (control == treatment /
     pre == post) still raise at construction.
 
@@ -512,37 +530,40 @@ def difference_in_differences(
     n_tp, m_tp, v_tp = _cell("tp")
     n_to, m_to, v_to = _cell("to")
 
-    def _cell_guard(tag: str, gv: str, pv: str):
-        # Cell validation IN-PLAN (the raise_error posture of
-        # cohens_kappa/modularity): a thin cell fails loudly at action
-        # time and the plan stays lazy — the pre-r11 collect+rehydrate
-        # here forced a driver round trip during query CONSTRUCTION.
-        # Healthy cells pass the count through untouched, so values are
-        # bit-identical. With several thin cells, whichever guarded
-        # count column evaluates first names its own cell — every
-        # message carries the same ">=2 usable units per cell" prefix.
-        return F.when(
-            F.col(f"n_{tag}") < 2,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "difference_in_differences needs >=2 usable units "
-                        f"per cell; cell (group={gv!r}, period={pv!r}) has "
-                    ),
-                    F.col(f"n_{tag}").cast("string"),
-                )
-            ).cast("long"),
-        ).otherwise(F.col(f"n_{tag}"))
+    # Cell validation IN-PLAN (raise_error at action time, never a
+    # construction-time collect) but as ONE raising FILTER on the
+    # one-row aggregate, not guarded count columns: Catalyst prunes
+    # columns a caller never projects, so a guard riding n_control_pre
+    # silently vanished under .select("did") or .count() (the r11
+    # ADVICE finding). The filter's chained WHEN checks the four cells
+    # IN ORDER (cp, co, tp, to), so the first thin cell in that fixed
+    # order names the message deterministically; healthy rows pass with
+    # the original expressions untouched, so values are bit-identical
+    # (the hyptest._apply_grid_guard posture).
+    gate = None
+    for tag, gv, pv in cells:
+        branch = F.raise_error(
+            F.concat(
+                F.lit(
+                    "difference_in_differences needs >=2 usable units "
+                    f"per cell; cell (group={gv!r}, period={pv!r}) has "
+                ),
+                F.col(f"n_{tag}").cast("string"),
+            )
+        ).cast("boolean")
+        cond = F.col(f"n_{tag}") < 2
+        gate = F.when(cond, branch) if gate is None else gate.when(cond, branch)
+    gate = gate.otherwise(F.lit(True))
     diff_c = m_co - m_cp
     diff_t = m_to - m_tp
     did = diff_t - diff_c
     se = F.sqrt(v_to / n_to + v_tp / n_tp + v_co / n_co + v_cp / n_cp)
     z = F.when(se > 0, did / se).otherwise(F.lit(0.0))
-    return agg.select(
-        _cell_guard("cp", control, pre).alias("n_control_pre"),
-        _cell_guard("co", control, post).alias("n_control_post"),
-        _cell_guard("tp", treatment, pre).alias("n_treatment_pre"),
-        _cell_guard("to", treatment, post).alias("n_treatment_post"),
+    return agg.filter(gate).select(
+        F.col("n_cp").alias("n_control_pre"),
+        F.col("n_co").alias("n_control_post"),
+        F.col("n_tp").alias("n_treatment_pre"),
+        F.col("n_to").alias("n_treatment_post"),
         F.round(m_cp, 6).alias("mean_control_pre"),
         F.round(m_co, 6).alias("mean_control_post"),
         F.round(m_tp, 6).alias("mean_treatment_pre"),

@@ -116,16 +116,23 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
     Row-level rules and uniqueness evaluate in ONE aggregation (its
     single answer row exploded into one report row per rule); each
-    foreign-key rule unions in one anti-join count frame. The whole
-    report is ONE lazy plan — the pre-r11 version collected the
-    aggregate and each fk count as serialized driver round trips
-    during CONSTRUCTION and rehydrated a literal frame; the branches
-    now run concurrently inside the caller's single action, with
-    values and types identical (counts coalesce to the same 0s the
-    old ``int(row or 0)`` produced). The report is tiny (one row per
-    rule), so a caller that needs it twice (gate a write + persist the
-    report) should ``collect()`` once and reuse the rows — the
-    pipelines/release.py pattern.
+    foreign-key rule unions in one anti-join count frame. Report rows
+    come back in the CALLER'S ``rules`` order (each part carries its
+    rule's index and the union is ordered by it — answer-scale, so the
+    sort is free; r12, restoring the pre-r11 literal frame's order
+    contract for the persisted ``_quality`` artifact when fk rules
+    interleave with row-level rules). The whole
+    report is ONE lazy plan — LAZINESS IS AN API CHANGE vs pre-r11,
+    which returned an eagerly-collected literal frame: the pre-r11
+    version collected the aggregate and each fk count as serialized
+    driver round trips during CONSTRUCTION and rehydrated the result;
+    the branches now run concurrently inside the caller's single
+    action, with values and types identical (counts coalesce to the
+    same 0s the old ``int(row or 0)`` produced). The report is tiny
+    (one row per rule), so a caller that needs it twice (gate a write
+    + persist the report) must ``collect()`` once and reuse the rows —
+    the pipelines/release.py pattern; the old write-then-collect
+    pattern now re-runs the corpus aggregation twice.
     """
     if not rules:
         raise ValueError("no rules to validate")
@@ -135,9 +142,9 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
     aggs, agg_rules = [], []
     fk_rules = []
-    for r in rules:
+    for pos, r in enumerate(rules):
         if r.kind == "foreign_key":
-            fk_rules.append(r)
+            fk_rules.append((pos, r))
         elif r.kind == "unique":
             # NULL-keyed rows are excluded from BOTH counts so they are
             # never violations here (count_distinct skips NULL inputs;
@@ -153,10 +160,10 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
                     f"__v_{len(aggs)}"
                 )
             )
-            agg_rules.append(r)
+            agg_rules.append((pos, r))
         else:
             aggs.append(F.sum(_violation(r).cast("long")).alias(f"__v_{len(aggs)}"))
-            agg_rules.append(r)
+            agg_rules.append((pos, r))
 
     parts: list[DataFrame] = []
     if aggs:
@@ -170,19 +177,24 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
                     F.array(
                         *[
                             F.struct(
+                                F.lit(pos).alias("idx"),
                                 F.lit(r.name).alias("check"),
                                 F.coalesce(F.col(f"__v_{i}"), F.lit(0))
                                 .cast("long")
                                 .alias("n_violations"),
                             )
-                            for i, r in enumerate(agg_rules)
+                            for i, (pos, r) in enumerate(agg_rules)
                         ]
                     )
                 ).alias("__s")
             )
-            .select("__s.check", "__s.n_violations")
+            .select(
+                F.col("__s.idx").alias("__idx"),
+                F.col("__s.check").alias("check"),
+                F.col("__s.n_violations").alias("n_violations"),
+            )
         )
-    for r in fk_rules:
+    for pos, r in fk_rules:
         ref_keys = r.ref.select(
             *[F.col(rc).alias(c) for c, rc in zip(r.cols, r.ref_cols)]
         ).dropDuplicates()
@@ -193,13 +205,20 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
         parts.append(
             probe.join(ref_keys, list(r.cols), "left_anti")
             .agg(F.count(F.lit(1)).alias("n_violations"))
-            .select(F.lit(r.name).alias("check"), "n_violations")
+            .select(
+                F.lit(pos).alias("__idx"),
+                F.lit(r.name).alias("check"),
+                "n_violations",
+            )
         )
 
     report = parts[0]
     for p in parts[1:]:
         report = report.unionByName(p)
-    return report.select(
+    # Caller-order contract: the union emits agg rows first and fk rows
+    # last; the per-rule index restores the ``rules`` order. The report
+    # is answer-scale (one row per rule), so the sort costs nothing.
+    return report.orderBy("__idx").select(
         "check",
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),

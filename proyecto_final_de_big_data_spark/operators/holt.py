@@ -209,11 +209,12 @@ def holt_winters_forecast_anomaly(
     s_{t−m} lookup is an index from the end — O(n) state, no ring
     bookkeeping), embarrassingly parallel across keys, one keyed
     residual-scale aggregation. A SQL oracle replays the same
-    arithmetic as one flat grow-state ``list_reduce`` (a DOUBLE[]
-    appending (l, b, s) triples, flat ``len``-offset indexing) —
-    identical IEEE order; the earlier fixed-size ring-list
-    restatement proved DuckDB-build-fragile (r10 driver hash-fail)
-    and was retired, see ORACLE_PORTABILITY.md.
+    arithmetic as a LAMBDA-FREE recursive CTE (scalar (l, b, q1..q7)
+    DOUBLE columns, one row per point, positional column rotation
+    for the seasonal window) — identical IEEE order; both earlier
+    ``list_reduce`` restatements (r10 ring-state, r11 flat
+    grow-state) proved DuckDB-build-fragile (driver hash-fail while
+    locally hash-exact) and were retired, see ORACLE_PORTABILITY.md.
 
     Extension surface — the reference has no time-series stage;
     extension per SURVEY §8 (see module docstring).

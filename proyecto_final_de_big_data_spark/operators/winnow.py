@@ -52,15 +52,25 @@ def spread_for_fanout(df: DataFrame, key: str, parts: int | None = None) -> Data
     these stages do O(len · w) work per input byte — a corpus that fits
     one scan split would otherwise hash every gram on one core (guide
     §2.5: repartition right after a too-coarse read). ``parts=None``
-    sizes to the session's default parallelism (cores); pass an
-    explicit count on a cluster whose candidate frame is already wider
-    than core count, or ``0`` to keep the input partitioning. A
-    deliberate explicit-count repartition: AQE's coalescing sizes on
-    PRE-fan-out bytes and would re-merge a column-only repartition of a
-    small corpus back to one partition."""
+    is WIDENING-ONLY: it sizes to the larger of the session's default
+    parallelism and the input's current partition count, so on a
+    cluster whose candidate frame is already wider than the core count
+    the default never SHRINKS parallelism (r11 verdict item 7 — the
+    old cores-only default silently coalesced a 2000-partition input
+    to the core count unless the caller knew to pass 0). Pass an
+    explicit count to override, or ``0`` to keep the input
+    partitioning untouched (no shuffle). A deliberate explicit-count
+    repartition: AQE's coalescing sizes on PRE-fan-out bytes and would
+    re-merge a column-only repartition of a small corpus back to one
+    partition."""
     if parts == 0:
         return df
-    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    n = parts or max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        # Physical-plan compile only (no job): the price of never
+        # shrinking a wide input.
+        df.rdd.getNumPartitions(),
+    )
     return df.repartition(n, key)
 
 

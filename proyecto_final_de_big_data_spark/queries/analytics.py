@@ -2299,71 +2299,70 @@ def q_holt_forecast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "holt_winters_contract",
     oracle="""
-    WITH daily AS (
+    WITH RECURSIVE daily AS (
         SELECT event_type,
                CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
                CAST(count(*) AS DOUBLE) AS cnt
         FROM events GROUP BY 1, 2
     ),
-    arr AS (
+    arr AS MATERIALIZED (
         SELECT event_type,
                list(day ORDER BY day) AS ds,
                list(cnt ORDER BY day) AS vs
         FROM daily GROUP BY 1
     ),
-    sd AS (
+    -- First-season mean as an explicit left-assoc 7-term sum — same
+    -- IEEE order as the engine's 0.0-seeded fold (0.0 + x1 == x1
+    -- exactly), and ZERO lambdas.
+    sd AS MATERIALIZED (
         SELECT event_type, ds, vs, len(vs) AS n,
-               list_reduce(vs[1:7], (s, x) -> s + x) / 7::DOUBLE AS mu
+               (vs[1] + vs[2] + vs[3] + vs[4] + vs[5] + vs[6] + vs[7])
+                 / 7::DOUBLE AS mu
         FROM arr
     ),
-    -- ONE flat grow-state fold per key (the driver-proven
-    -- holt_forecast style): the accumulator is a FLAT DOUBLE[] that
-    -- appends one (l, b, s) triple per point — triple t lives at
-    -- positions 3t-2 / 3t-1 / 3t, so l/b_{t-1} sit at len(s)-2 /
-    -- len(s)-1 and s_{t-m} at len(s)-3m+3 = len(s)-18 for m=7. The
-    -- first 7 elements of the reduced list ARE the seed triples
-    -- (list_reduce has no init parameter; the warm-up branch of the
-    -- lambda concatenates them verbatim), later elements are [x].
-    -- Deliberately NO accumulator slicing, NO list-of-list seeding,
-    -- NO nested list indexing — those ring-state constructs proved
-    -- DuckDB-build-fragile (r10 driver hash-fail; see
-    -- ORACLE_PORTABILITY.md). LIST accumulator, never a struct
-    -- (DuckDB v1.0 rebinds struct fields sequentially inside reduce
-    -- lambdas).
-    st AS (
-        SELECT event_type, ds, vs, n, mu,
-               CASE WHEN n >= 7 THEN
-               list_reduce(
-                   list_transform(
-                       generate_series(1, n),
-                       i -> CASE WHEN i <= 7
-                            THEN [mu, 0.0::DOUBLE, vs[i] - mu]
-                            ELSE [vs[i]] END),
-                   (s, e) -> CASE WHEN len(s) < 21 THEN s || e
-                     ELSE s || [
-                       0.3::DOUBLE * (e[1] - s[len(s) - 18])
-                         + 0.7::DOUBLE * (s[len(s) - 2] + s[len(s) - 1]),
-                       0.1::DOUBLE * ((0.3::DOUBLE * (e[1] - s[len(s) - 18])
-                                       + 0.7::DOUBLE * (s[len(s) - 2]
-                                                        + s[len(s) - 1]))
-                                      - s[len(s) - 2])
-                         + 0.9::DOUBLE * s[len(s) - 1],
-                       0.2::DOUBLE * (e[1] - s[len(s) - 2] - s[len(s) - 1])
-                         + 0.8::DOUBLE * s[len(s) - 18]
-                     ] END)
-               END AS sts
-        FROM sd
+    -- The sequential (l, b, s) recursion is replayed as a LAMBDA-FREE
+    -- recursive CTE: one row per (key, t) carrying the state needed
+    -- for step t+1 — level, trend, and the last seven seasonals
+    -- q1..q7 (q1 = s_{t-6}, q7 = s_t), so s_{(t+1)-7} is q1 and the
+    -- shift is a plain column rotation. Every r10/r11 driver-hash
+    -- divergence lived inside list_reduce lambda semantics (rebinding,
+    -- slice/concat type unification — see ORACLE_PORTABILITY.md);
+    -- here every step is scalar arithmetic over DOUBLE columns of the
+    -- previous iteration's rows, evaluated independently per standard
+    -- SQL semantics, in the engine's exact IEEE operation order
+    -- (trend inlines the level expression, the same tree the Spark
+    -- fold builds).
+    rec AS (
+        SELECT event_type, vs, n, 7 AS t,
+               mu AS lvl, 0.0::DOUBLE AS trd,
+               vs[1] - mu AS q1, vs[2] - mu AS q2, vs[3] - mu AS q3,
+               vs[4] - mu AS q4, vs[5] - mu AS q5, vs[6] - mu AS q6,
+               vs[7] - mu AS q7,
+               CAST(NULL AS DOUBLE) AS fc
+        FROM sd WHERE n >= 7
+      UNION ALL
+        SELECT event_type, vs, n, t + 1,
+               0.3::DOUBLE * (vs[t + 1] - q1) + 0.7::DOUBLE * (lvl + trd),
+               0.1::DOUBLE * ((0.3::DOUBLE * (vs[t + 1] - q1)
+                               + 0.7::DOUBLE * (lvl + trd)) - lvl)
+                 + 0.9::DOUBLE * trd,
+               q2, q3, q4, q5, q6, q7,
+               0.2::DOUBLE * (vs[t + 1] - lvl - trd) + 0.8::DOUBLE * q1,
+               lvl + trd + q1
+        FROM rec WHERE t < n
     ),
     pts AS (
-        SELECT event_type,
-               ds[i] AS day, vs[i] AS cnt,
-               CASE WHEN n >= 7 THEN sts[3*i - 2] END AS lvl_raw,
-               CASE WHEN n >= 7 THEN sts[3*i - 1] END AS trd_raw,
-               CASE WHEN n >= 7 THEN sts[3*i] END AS sea_raw,
-               CASE WHEN n >= 7 AND i > 7
-                    THEN sts[3*i - 5] + sts[3*i - 4] + sts[3*i - 21]
-               END AS fc_raw
-        FROM st, unnest(generate_series(1, len(vs))) AS t(i)
+        SELECT event_type, ds[i] AS day, vs[i] AS cnt,
+               CASE WHEN n >= 7 THEN mu END AS lvl_raw,
+               CASE WHEN n >= 7 THEN 0.0::DOUBLE END AS trd_raw,
+               CASE WHEN n >= 7 THEN vs[i] - mu END AS sea_raw,
+               CAST(NULL AS DOUBLE) AS fc_raw
+        FROM sd, unnest(generate_series(1, LEAST(n, 7))) AS u(i)
+        UNION ALL
+        SELECT r.event_type, a.ds[r.t] AS day, r.vs[r.t] AS cnt,
+               r.lvl, r.trd, r.q7, r.fc
+        FROM rec r JOIN arr a USING (event_type)
+        WHERE r.t > 7
     ),
     pr AS (
         SELECT *, cnt - fc_raw AS resid_raw FROM pts
@@ -2406,11 +2405,14 @@ def q_holt_forecast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in-memory fold per key whose state array holds every (l,b,s) "
     "triple (the s_{t-m} lookup is an index from the end), "
     "embarrassingly parallel across keys; the oracle replays the same "
-    "IEEE operation order as ONE flat grow-state list_reduce per key "
-    "(a DOUBLE[] appending (l,b,s) triples, flat len(s)-offset "
-    "indexing — the driver-proven holt_forecast fold style; the r10 "
-    "ring-state restatement proved DuckDB-build-fragile and was "
-    "retired, see ORACLE_PORTABILITY.md). Keys shorter than one "
+    "IEEE operation order as a LAMBDA-FREE recursive CTE — one row "
+    "per (key, t) carrying (level, trend, last-7-seasonals) scalar "
+    "DOUBLE columns, the seasonal window shifting by plain column "
+    "rotation — after BOTH list_reduce restatements (r10 ring-state, "
+    "r11 flat grow-state) hash-diverged on the driver's DuckDB build "
+    "while hash-exact on local 1.0.0; every known divergence lives in "
+    "reduce-lambda semantics, which this oracle no longer touches "
+    "(see ORACLE_PORTABILITY.md). Keys shorter than one "
     "season carry NULL readouts (honest warm-up). Hand-worked m=2 "
     "alpha=beta=gamma=0.5 fixture + pure-Python seasonal-dict twin "
     "in tests/test_holt.py.",

@@ -110,11 +110,16 @@ def test_uncast_decimal_literals_in_lambdas() -> None:
 
 
 @pytest.mark.parametrize("name", ["holt_winters_contract"])
-def test_fold_oracles_stay_flat(name: str) -> None:
-    """The restated HW oracle must keep the flat grow-state shape: one
-    list_reduce, append-only `s || [`, len(s)-offset reads."""
+def test_holt_winters_oracle_is_lambda_free(name: str) -> None:
+    """The r12 HW restatement must stay LAMBDA-FREE: both list_reduce
+    restatements (r10 ring-state, r11 flat grow-state) hash-diverged
+    on the driver's DuckDB build while hash-exact on local 1.0.0 —
+    every known divergence lives in reduce-lambda semantics, so the
+    recursion is replayed as a recursive CTE over scalar DOUBLE
+    columns instead (r11 verdict item 1)."""
     sql = ORACLES[name]
-    assert sql.count("list_reduce") == 2  # the mu seed-sum fold + the state fold
-    assert "s || [" in sql
-    assert "len(s) - 18" in sql
-    assert "s[3:8]" not in sql
+    assert "list_reduce" not in sql
+    assert "list_transform" not in sql
+    assert "->" not in sql  # no lambdas of any kind
+    assert "WITH RECURSIVE" in sql
+    assert "UNION ALL" in sql

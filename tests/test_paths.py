@@ -120,6 +120,23 @@ def test_ab_ztest_missing_arm_raises(spark):
         ).collect()
 
 
+def test_ab_ztest_guard_survives_column_pruning(spark):
+    """r12 (the r11 ADVICE finding): the guard must fire no matter what
+    the caller projects — a raise riding the n_control column was
+    column-pruned away under .select('z_stat') / .count(), silently
+    returning z_stat=0.0 for a missing arm instead of raising."""
+    units = spark.createDataFrame(
+        [("control", 1)], "variant string, converted int"
+    )
+    readout = two_proportion_ztest(
+        units, "variant", "converted", "control", "treatment"
+    )
+    with pytest.raises(Exception, match="BOTH arms"):
+        readout.select("z_stat").collect()
+    with pytest.raises(Exception, match="BOTH arms"):
+        readout.count()
+
+
 # -- blocked fuzzy join (operators/fuzzyjoin.py) ------------------------
 
 from proyecto_final_de_big_data_spark.operators.fuzzyjoin import (  # noqa: E402

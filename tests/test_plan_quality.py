@@ -1019,14 +1019,29 @@ def test_ks_windows_partition_per_key_no_python(spark, sf_dir):
     # its 1-row grid-count aggregate is the ONLY SinglePartition
     # exchange allowed, and it must feed an aggregate — never a Sort
     # or Window (the data-scale single-partition sort this test pins
-    # away). Formatted-plan detail blocks list each node's consumer
-    # as the next-numbered node.
+    # away). The consumer is found by parsing the header TREE'S
+    # indentation (each node's parent is the nearest shallower line
+    # above it) — the r11 draft assumed the consumer is always node
+    # id+1 in the detail blocks, which breaks (or goes silently
+    # vacuous) the moment a multi-child operator sits next to the
+    # exchange after an optimizer/version change (r11 ADVICE).
     import re
 
-    names = dict(
-        (int(n), name)
-        for n, name in re.findall(r"^\((\d+)\) (\w+)", plan, re.MULTILINE)
-    )
+    header = plan.split("\n\n", 1)[0]
+    nodes = []  # (line_no, depth, name, id)
+    for i, ln in enumerate(header.splitlines()):
+        m = re.match(r"^([\s:+|-]*)\*?\s*(\w+).*\((\d+)\)\s*$", ln)
+        if m:
+            nodes.append((i, len(m.group(1)), m.group(2), int(m.group(3))))
+
+    def _parent_name(node_id: int) -> str | None:
+        idx = next(i for i, n in enumerate(nodes) if n[3] == node_id)
+        depth = nodes[idx][1]
+        for j in range(idx - 1, -1, -1):
+            if nodes[j][1] < depth:
+                return nodes[j][2]
+        return None
+
     single_part_ids = [
         int(m.group(1))
         for m in re.finditer(
@@ -1037,9 +1052,10 @@ def test_ks_windows_partition_per_key_no_python(spark, sf_dir):
     ]
     assert len(single_part_ids) <= 1
     for node_id in single_part_ids:
-        assert names.get(node_id + 1) == "HashAggregate", (
-            f"SinglePartition exchange ({node_id}) feeds "
-            f"{names.get(node_id + 1)}, expected the guard aggregate"
+        parent = _parent_name(node_id)
+        assert parent == "HashAggregate", (
+            f"SinglePartition exchange ({node_id}) feeds {parent}, "
+            "expected the guard aggregate"
         )
 
 

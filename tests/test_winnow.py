@@ -125,3 +125,22 @@ def test_invalid_params_rejected(spark):
         winnowing_fingerprints(df, "doc_id", "text", k=0)
     with pytest.raises(ValueError, match="w >= 1"):
         winnowing_fingerprints(df, "doc_id", "text", w=0)
+
+
+def test_spread_for_fanout_default_never_shrinks_wide_input(spark):
+    """r11 verdict item 7: the parts=None default must be WIDENING-ONLY.
+    An input already wider than the session's default parallelism keeps
+    (at least) its width; a too-narrow input still spreads up to the
+    core count; parts=0 stays the no-shuffle escape hatch."""
+    from proyecto_final_de_big_data_spark.operators.winnow import spread_for_fanout
+
+    cores = spark.sparkContext.defaultParallelism
+    wide_n = max(64, cores * 2)
+    wide = spark.range(10_000).withColumnRenamed("id", "k").repartition(wide_n)
+    assert (
+        spread_for_fanout(wide, "k").rdd.getNumPartitions() >= wide_n
+    ), "default shrank a wide input"
+    narrow = spark.range(100).withColumnRenamed("id", "k").coalesce(1)
+    assert spread_for_fanout(narrow, "k").rdd.getNumPartitions() == cores
+    assert spread_for_fanout(narrow, "k", parts=0) is narrow
+    assert spread_for_fanout(wide, "k", parts=8).rdd.getNumPartitions() == 8

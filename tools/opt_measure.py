@@ -2,7 +2,7 @@
 """Optimization-round measurement harness (guide §1: measure first).
 
 For each named query: capture `.explain("formatted")` to
-plans/r11/<name>_<tag>.txt and time K isolated warm runs of the bench
+plans/r12/<name>_<tag>.txt and time K isolated warm runs of the bench
 action (`.count()`, the BENCH_DETAIL protocol) plus, optionally, the
 noop sink (guide §1.4 — computes every column, so column-pruning can't
 flatter a query the way count() can). Prints one line per query:
@@ -32,7 +32,7 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
-    ap.add_argument("--tag", default=None, help="write plans/r11/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="write plans/r12/<q>_<tag>.txt")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--warmups", type=int, default=1)
     ap.add_argument("--noop", action="store_true")
@@ -75,7 +75,7 @@ def main() -> None:
         load_table(spark, args.sf_dir, "documents").limit(64), "doc_id", "text", num_hashes=4
     ).count()
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
     os.makedirs(plans_dir, exist_ok=True)
 
     for name in args.queries:
