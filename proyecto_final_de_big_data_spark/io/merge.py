@@ -227,11 +227,25 @@ def merge_changes(
     """
     if seq_col is not None:
         changes = _collapse_by_seq(changes, id_col, partition_col, seq_col)
+    # Pin the change batch (lazy localCheckpoint, the house barrier):
+    # it is referenced FOUR times below (validation aggregate, the
+    # change-key anti-join side, the upsert payload, and — pre-r12 — a
+    # separate affected-partitions collect), so an unpinned batch re-ran
+    # the caller's whole change-derivation subtree once per reference
+    # (measured in the cdc_merge_contract event logs: the fixture's
+    # base-table scan + three filter branches repeated per action). The
+    # batch is delta-scale by contract (broadcastable), so the pin is
+    # bounded. The validation aggregate below materializes it.
+    changes = changes.localCheckpoint(eager=False)
 
     op = F.col(op_col)
     # One delta-scale aggregation validates the whole batch before any
     # base read or write: op-domain, partition nullability, and the
-    # id-uniqueness rules the anti-join + union semantics rely on.
+    # id-uniqueness rules the anti-join + union semantics rely on. The
+    # affected-partition set rides the SAME aggregate (collect_set is
+    # bounded by distinct partition values — metadata scale), deleting
+    # the separate partition-granularity collect job the pre-r12
+    # version ran (guide §5 — one driver round trip, not two).
     v = changes.agg(
         F.count(F.lit(1)).alias("n_changes"),
         F.sum(F.when(~op.isin(*_OPS), 1).otherwise(0)).alias("n_bad_ops"),
@@ -242,6 +256,7 @@ def merge_changes(
         F.count_distinct(
             F.when(op == "delete", F.struct(id_col, partition_col))
         ).alias("n_delete_keys"),
+        F.collect_set(partition_col).alias("partitions"),
     ).collect()[0]
     if v["n_changes"] == 0:
         return MergeReport((), (), 0, 0, 0)
@@ -267,11 +282,10 @@ def merge_changes(
             "seq_col so the latest change per key wins, or pre-collapse the feed"
         )
 
-    # Partition-granularity collect: bounded by partitions-touched, not
-    # rows (the merge analogue of reading a table-format commit log).
-    affected = sorted(
-        r[0] for r in changes.select(partition_col).distinct().collect()
-    )
+    # Partition-granularity set: bounded by partitions-touched, not
+    # rows (the merge analogue of reading a table-format commit log) —
+    # collected by the validation aggregate above, no second job.
+    affected = sorted(v["partitions"])
     for value in affected:
         _partition_token(value)  # fail before any write, not mid-swap
 

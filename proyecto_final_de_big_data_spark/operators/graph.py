@@ -255,7 +255,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 4,
     broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
@@ -282,7 +282,19 @@ def pagerank(
     bounds plan depth at two rounds. Purely physical: values are
     unchanged. Driver state is zero — ranks live in a DataFrame.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # Pin the deduped edge frame (lazy localCheckpoint, the house
+    # barrier): `e` is referenced THREE times (nodes derivation, outdeg
+    # aggregation, the contrib_edges join), so without the pin the
+    # caller's whole edge-building subtree (often a join + distinct
+    # over base tables) re-ran once per reference — measured at sf0.1
+    # as 3 full base-table scans per execution (987 MB input/run for a
+    # ~330 MB edge build; r12 event-log accounting, guide §5
+    # recompute-less). The n_nodes count below materializes the chain.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -1581,7 +1581,13 @@ def q_semantic_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
     )
-    corpus = base.unionByName(planted)
+    # Pin the corpus (lazy localCheckpoint, the house barrier): it
+    # feeds THREE downstream consumers (the cell assignment, the
+    # keep-side anti-join, the n_vecs count — the centroid collect
+    # prunes to 8 ids at the scan and materializes the pin), so
+    # unpinned the embeddings scan + array conversion + planted-twin
+    # union re-ran once per consumer (r12 event-log audit, guide §5).
+    corpus = base.unionByName(planted).localCheckpoint(eager=False)
     centroids = centroids_by_ids(corpus, list(range(8)))
     # Persist the cell assignment (bounded: 320 rows here) — it feeds
     # BOTH sides of the within-cell self-join, so without it the Arrow
