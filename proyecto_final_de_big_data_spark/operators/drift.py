@@ -39,15 +39,38 @@ from .binning import bin_by_bounds, equal_frequency_bins
 PSI_EPSILON = 1e-6
 
 
-def _psi_terms(joined: DataFrame, n_ref: int, n_cur: int) -> DataFrame:
+def _psi_terms(joined: DataFrame, n_ref: int, cur: DataFrame) -> DataFrame:
+    """PSI terms with the CURRENT snapshot's total riding IN-PLAN
+    (r12, the kappa/abtest posture): the pre-r12 version ran an eager
+    ``cur.count()`` at construction — a serialized driver round trip
+    over a corpus-scale snapshot before the caller's action could
+    start. The total now rides a broadcast 1-row count frame with a
+    raising FILTER (empty current snapshot still fails loudly, at
+    action time; the guard row provably evaluates because the caller
+    eagerly validated ``ref`` non-empty, so ``joined`` always has at
+    least one row). ``cast("double")`` equals the old
+    ``float(n_cur)`` exactly for any count below 2^53, and the
+    division is the same IEEE expression, so values are
+    bit-identical. The reference total stays a Python literal — its
+    eager count is the caller's validation and costs nothing extra."""
+    cnt_cur = cur.agg(F.count(F.lit(1)).alias("__n_cur"))
+    gate = F.when(
+        F.col("__n_cur") == 0,
+        F.raise_error(
+            F.lit("PSI needs non-empty snapshots on both sides")
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
     p_ref = F.greatest(
         F.col("n_ref") / F.lit(float(n_ref)), F.lit(PSI_EPSILON)
     )
     p_cur = F.greatest(
-        F.col("n_cur") / F.lit(float(n_cur)), F.lit(PSI_EPSILON)
+        F.col("n_cur") / F.col("__n_cur").cast("double"), F.lit(PSI_EPSILON)
     )
-    return joined.withColumn(
-        "psi_term", (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        joined.crossJoin(F.broadcast(cnt_cur))
+        .filter(gate)
+        .withColumn("psi_term", (p_cur - p_ref) * F.log(p_cur / p_ref))
+        .drop("__n_cur")
     )
 
 
@@ -65,13 +88,14 @@ def psi_numeric(
     """Per-bin PSI profile of ``col`` between snapshots. Returns
     (frame(bin, n_ref, n_cur, psi_term), reference_bounds); total PSI
     is ``sum(psi_term)``. Bin bounds come from the REFERENCE only."""
-    # Validate BEFORE fitting bins: an empty reference would otherwise
-    # die inside equal_frequency_bins with a less specific error. The
-    # counts are needed for the PSI terms anyway, so this is no extra
-    # work — just reordered.
+    # Validate the REFERENCE eagerly, BEFORE fitting bins: an empty
+    # reference would otherwise die inside equal_frequency_bins with a
+    # less specific error, and its count is the PSI denominator anyway.
+    # The CURRENT side's count rides in-plan (see _psi_terms) — the
+    # eager cur.count() the pre-r12 version ran here was a serialized
+    # corpus-scale round trip at construction.
     n_ref = ref.count()
-    n_cur = cur.count()
-    if n_ref == 0 or n_cur == 0:
+    if n_ref == 0:
         raise ValueError("PSI needs non-empty snapshots on both sides")
     binned_ref, bounds = equal_frequency_bins(ref, col, n_bins, exact=exact)
     binned_cur = bin_by_bounds(cur, col, bounds)
@@ -84,17 +108,19 @@ def psi_numeric(
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
     )
-    return _psi_terms(joined, n_ref, n_cur), bounds
+    return _psi_terms(joined, n_ref, cur), bounds
 
 
 def psi_categorical(
     ref: DataFrame, cur: DataFrame, col: str
 ) -> DataFrame:
     """Per-category PSI profile — full-outer on the category domain so
-    one-sided categories hit the epsilon floor instead of vanishing."""
+    one-sided categories hit the epsilon floor instead of vanishing.
+    The reference count validates eagerly (and guarantees the in-plan
+    cur-side guard a row to evaluate on — see _psi_terms); the current
+    snapshot's count rides in-plan."""
     n_ref = ref.count()
-    n_cur = cur.count()
-    if n_ref == 0 or n_cur == 0:
+    if n_ref == 0:
         raise ValueError("PSI needs non-empty snapshots on both sides")
     joined = (
         _side_counts(ref, col, "n_ref")
@@ -105,4 +131,4 @@ def psi_categorical(
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
     )
-    return _psi_terms(joined, n_ref, n_cur)
+    return _psi_terms(joined, n_ref, cur)

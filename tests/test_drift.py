@@ -56,10 +56,14 @@ def test_categorical_one_sided_categories_hit_epsilon(spark):
 
 
 def test_empty_side_raises(spark):
+    # The CURRENT-side guard is in-plan since r12 (raising filter over
+    # a broadcast 1-row count — no construction-time corpus scan), so
+    # it fires at ACTION time, wrapped by Spark.
     ref = _vals(spark, range(10))
     empty = _vals(spark, []).filter(F.lit(False))
-    with pytest.raises(ValueError, match="non-empty"):
-        psi_numeric(ref, empty, "v")
+    profile, _bounds = psi_numeric(ref, empty, "v")
+    with pytest.raises(Exception, match="non-empty"):
+        profile.collect()
 
 
 def test_empty_reference_side_raises_friendly(spark):
