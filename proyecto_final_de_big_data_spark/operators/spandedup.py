@@ -65,7 +65,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .mixing import _md5_fold
-from .winnow import shared_fingerprint_pairs, winnowing_fingerprints
+from .winnow import winnowing_fingerprints
 
 
 def gram_position_index(
@@ -116,12 +116,29 @@ def _winnow_candidates(
     """Distinct ids of documents sharing at least one winnowing
     fingerprint with another document — the lossless candidate set for
     cross-document span duplication (both members of every duplicated
-    pair appear; see module docstring for the guarantee)."""
+    pair appear; see module docstring for the guarantee).
+
+    Computed WITHOUT materializing pairs (r12): the candidate SET is
+    exactly "ids owning a fingerprint that >= 2 distinct ids own", i.e.
+    ``min(id) != max(id)`` over the fingerprint group — one window
+    pass, linear in fingerprint rows. The pre-r12 formulation
+    (``shared_fingerprint_pairs`` + union of both sides) materialized
+    the full inverted-index self-join first: QUADRATIC per fingerprint
+    group, and a single boilerplate fingerprint shared corpus-wide
+    turns that into all-pairs — the r12 sf1 spot-probe measured 147.5M
+    joined rows (C(4895,2) = 11.9M pairs) and a 480 MB pair exchange
+    feeding a set that collapses to 4.9k ids. Set equality with the
+    pair form is pinned in tests/test_spandedup.py; per-pair detail
+    remains available via shared_fingerprint_pairs for callers that
+    need the pairs themselves."""
     fps = winnowing_fingerprints(df, id_col, text_col, k=k, w=w)
-    pairs = shared_fingerprint_pairs(fps, min_shared=1)
+    grp = Window.partitionBy("fingerprint")
     return (
-        pairs.select(F.col("id_a").alias("id"))
-        .union(pairs.select(F.col("id_b").alias("id")))
+        fps.withColumn(
+            "__shared", F.min("id").over(grp) != F.max("id").over(grp)
+        )
+        .filter(F.col("__shared"))
+        .select("id")
         .distinct()
     )
 

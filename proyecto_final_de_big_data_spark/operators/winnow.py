@@ -154,8 +154,19 @@ def shared_fingerprint_pairs(
     (the setsim/containment join shape); by the winnowing guarantee a
     returned pair shares at least one normalized substring of length
     >= w + k - 1."""
-    a = fps.select(F.col("id").alias("id_a"), "fingerprint")
-    b = fps.select(F.col("id").alias("id_b"), "fingerprint")
+    # ONE explicit-count keyed repartition feeds BOTH self-join sides
+    # (the r11 label_propagation/jaro discipline): the join's own
+    # exchanges would be AQE-coalesced on INPUT bytes, but the join
+    # OUTPUT explodes quadratically per fingerprint group — on a
+    # duplicated corpus the r12 sf1 spot-probe measured the coalesced
+    # join running 30–58 s stages on 7 tasks with the other 25 cores
+    # idle. An explicit-count repartition is not coalescible, and both
+    # sides sharing it means the join inserts no exchange of its own,
+    # so the pair explosion runs at full width. The pin also stops the
+    # fingerprint explode re-running once per join side.
+    fps_p = spread_for_fanout(fps, "fingerprint").localCheckpoint(eager=False)
+    a = fps_p.select(F.col("id").alias("id_a"), "fingerprint")
+    b = fps_p.select(F.col("id").alias("id_b"), "fingerprint")
     return (
         a.join(b, "fingerprint")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -2778,10 +2778,14 @@ def q_duplicate_span_removal_contract(
         )
         .otherwise(F.col("a.text"))
         .alias("text"),
-    )
+    ).localCheckpoint(eager=False)
+    # corpus feeds duplicate_spans AND strip_spans; spans feeds the
+    # profile agg AND strip_spans — unpinned, the whole planted-quote
+    # construction + candidate/gram/window subtree ran TWICE (r12 sf1
+    # spot-probe; guide §5 recompute-less).
     spans = duplicate_spans(
         corpus, "doc_id", "text", min_span=100, prefilter=True
-    )
+    ).localCheckpoint(eager=False)
     prof = spans.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum("span_len").alias("removed_chars"),

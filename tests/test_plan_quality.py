@@ -847,16 +847,34 @@ def test_duplicate_span_removal_no_python_no_cartesian(spark, sf_dir):
     # The whole span pipeline — winnowing prefilter, gram-position
     # index, keeper resolution, islands merge, strip fold — is built
     # from HOF projections, hash joins and per-document windows: no
-    # Python eval anywhere, no cartesian product (the pair machinery
-    # is the inverted-index equi-join), and the islands/strip windows
-    # are partitioned per document (never a SinglePartition over the
-    # gram index; the only global window is the answer-scale planted-
-    # quote row_number fixture).
-    plan = _plan(spark, sf_dir, "duplicate_span_removal_contract")
+    # Python eval anywhere, no cartesian product (the candidate
+    # machinery is a fingerprint-window pass since r12), and the
+    # islands/strip windows are partitioned per document. Since r12
+    # the registered query pins its spans frame (lazy localCheckpoint),
+    # which truncates the query-level .explain above the explodes — so
+    # the structural assertions run on the OPERATOR's un-truncated
+    # plan over the same corpus table (the bm25 plan-visibility
+    # lesson: assert where the subtree is visible).
+    from proyecto_final_de_big_data_spark.catalog import load_table
+    from proyecto_final_de_big_data_spark.operators.spandedup import (
+        duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frame = duplicate_spans(docs, "doc_id", "text", min_span=100, prefilter=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        frame.explain("formatted")
+    plan = buf.getvalue()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the gram/fingerprint explodes
+    # the registered query still must not re-introduce Python/cartesian
+    # in its visible (post-pin) shape
+    qplan = _plan(spark, sf_dir, "duplicate_span_removal_contract")
+    assert "BatchEvalPython" not in qplan
+    assert "CartesianProduct" not in qplan
 
 
 def test_refine_rerank_is_broadcast_only(spark, sf_dir):

@@ -272,3 +272,43 @@ def test_param_validation(spark):
         duplicate_spans(df, "doc_id", "text", min_span=1)
     with pytest.raises(ValueError, match="gram_len"):
         gram_position_index(df, "doc_id", "text", 0)
+
+
+def test_winnow_candidates_match_pair_form(spark):
+    """r12: _winnow_candidates switched from materializing the full
+    shared_fingerprint_pairs self-join (quadratic per fingerprint
+    group) to a min!=max window over the fingerprint groups. The two
+    formulations must produce the IDENTICAL candidate id set — the
+    losslessness of the prefilter rides on it."""
+    from pyspark.sql import functions as F
+
+    from proyecto_final_de_big_data_spark.operators.spandedup import (
+        _winnow_candidates,
+    )
+    from proyecto_final_de_big_data_spark.operators.winnow import (
+        shared_fingerprint_pairs,
+        winnowing_fingerprints,
+    )
+
+    shared = "a long common passage that both documents quote verbatim"
+    docs = [
+        (1, "first doc intro " + shared + " and a tail"),
+        (2, "second doc " + shared),
+        (3, "unrelated text with nothing shared at all zzz"),
+        (4, "another loner document qqq unique content here"),
+        (5, "third quoting doc " + shared + " closing words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"] for r in _winnow_candidates(df, "doc_id", "text", k=5, w=4).collect()
+    }
+    fps = winnowing_fingerprints(df, "doc_id", "text", k=5, w=4)
+    pairs = shared_fingerprint_pairs(fps, min_shared=1)
+    want = {
+        r["id"]
+        for r in pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .collect()
+    }
+    assert got == want and got  # same set, and non-empty on this fixture
