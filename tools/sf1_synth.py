@@ -35,7 +35,15 @@ KEY_COLS = {
     "orders": ["o_orderkey", "o_custkey"],
     "part": ["p_partkey"],
     "documents": ["doc_id"],
+    "customer": ["c_custkey"],  # c_nationkey unshifted (nation is 1x)
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "embeddings": ["vec_id"],
 }
+
+# Dimension tables copied 1x, unshifted — their keys (nation/region)
+# are never replica-scoped above.
+COPY_1X = ["nation", "region"]
 
 
 def main() -> None:
@@ -61,6 +69,42 @@ def main() -> None:
                     sel.append(f"text || ' r{i}' AS text")
                 elif table == "documents" and c == "n_chars":
                     sel.append(f"n_chars + {len(' r0')} AS n_chars")
+                elif c in ("c_name", "s_name"):
+                    # Names are key-derived ('Customer#%09d') in the base
+                    # fixture; regenerate them per replica so a 10x corpus
+                    # has 10x DISTINCT names — leaving them duplicated 10x
+                    # squares every name-blocked self-join (the first
+                    # sweep flagged fuzzy_name_match at 34x purely from
+                    # this artifact). The name keeps the EXACT 18-char
+                    # '%09d' layout of the base fixture (replica encoded
+                    # in the leading digits via a small offset, not the
+                    # 1e9 key shift): the fuzzy-match deletion-blocking
+                    # passes slice fixed character positions, so a wider
+                    # digit field would turn bounded blocks into
+                    # 100k-name blocks — a construction artifact, not a
+                    # workload 10x real data presents.
+                    prefix = "Customer" if c == "c_name" else "Supplier"
+                    key = keys[0]
+                    sel.append(
+                        f"'{prefix}#' || lpad(CAST({key} + {i * 10_000_000} "
+                        f"AS VARCHAR), 9, '0') AS {c}"
+                    )
+                elif table == "embeddings" and c == "embedding":
+                    # Rotate coordinates by the replica index: preserves
+                    # norms and all WITHIN-replica geometry exactly while
+                    # decorrelating replicas — otherwise every vector has
+                    # nine exact twins (cosine 1.0) and every LSH bucket
+                    # carries 10x co-located members, turning the
+                    # near-dup candidate count quadratic in the
+                    # duplication factor (a construction artifact real
+                    # 10x data does not present).
+                    if i == 0:
+                        sel.append("embedding")
+                    else:
+                        sel.append(
+                            f"list_concat(embedding[{i + 1}:], "
+                            f"embedding[1:{i}]) AS embedding"
+                        )
                 else:
                     sel.append(c)
             parts.append(
@@ -74,6 +118,12 @@ def main() -> None:
             f"SELECT count(*) FROM '{out}/{table}.parquet'"
         ).fetchone()[0]
         print(f"{table}: {n} rows -> {out}/{table}.parquet", flush=True)
+    for table in COPY_1X:
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{table}.parquet') TO "
+            f"'{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{table}: copied 1x (dimension)", flush=True)
 
 
 if __name__ == "__main__":
