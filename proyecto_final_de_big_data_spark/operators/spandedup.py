@@ -120,8 +120,8 @@ def _winnow_candidates(
 
     Computed WITHOUT materializing pairs (r12): the candidate SET is
     exactly "ids owning a fingerprint that >= 2 distinct ids own", i.e.
-    ``min(id) != max(id)`` over the fingerprint group — one window
-    pass, linear in fingerprint rows. The pre-r12 formulation
+    ``min(id) != max(id)`` per fingerprint group — linear in
+    fingerprint rows. The pre-r12 formulation
     (``shared_fingerprint_pairs`` + union of both sides) materialized
     the full inverted-index self-join first: QUADRATIC per fingerprint
     group, and a single boilerplate fingerprint shared corpus-wide
@@ -131,16 +131,24 @@ def _winnow_candidates(
     pair form is pinned in tests/test_spandedup.py; per-pair detail
     remains available via shared_fingerprint_pairs for callers that
     need the pairs themselves."""
-    fps = winnowing_fingerprints(df, id_col, text_col, k=k, w=w)
-    grp = Window.partitionBy("fingerprint")
-    return (
-        fps.withColumn(
-            "__shared", F.min("id").over(grp) != F.max("id").over(grp)
-        )
-        .filter(F.col("__shared"))
-        .select("id")
-        .distinct()
+    fps = winnowing_fingerprints(
+        df, id_col, text_col, k=k, w=w
+    ).localCheckpoint(eager=False)
+    # Shape note (guide §2.5 — hot keys): the min/max runs as a groupBy
+    # + LEFT SEMI join back, NOT a fingerprint-partitioned window. A
+    # boilerplate fingerprint shared corpus-wide is a hot key; partial
+    # (map-side) aggregation collapses it before the wire, and AQE's
+    # skew-join handling can split the probe side's hot partition —
+    # neither applies to a window, whose hot partition must sort on one
+    # task. The fingerprint frame is pinned so the semi-join's probe
+    # pass reuses the explode instead of re-running it.
+    shared = (
+        fps.groupBy("fingerprint")
+        .agg(F.min("id").alias("__mn"), F.max("id").alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("fingerprint")
     )
+    return fps.join(shared, "fingerprint", "left_semi").select("id").distinct()
 
 
 def duplicate_spans(
